@@ -1,0 +1,84 @@
+"""Global sequential ID assignment (SURVEY §2.5 W1).
+
+Parity target: the reference's infinite counter ``_id_gen(id_offset, neg_id)``
+(``changegen/generator.py:161-166``) consumed interleaved across element
+kinds.  The distributed contract we preserve (SURVEY §7 risk 1): uniqueness,
+density starting at ``id_offset + 1``, sign, and no collision with existing
+extract ids (``changegen/__main__.py:197-208``).
+
+Scale note: a single global ``row_number`` means a one-partition shuffle of
+the *keys only* — acceptable for changefile-sized outputs (≪ memory), which is
+the only place dense ids are required.  For 100 TB-scale id assignment use
+``mode="distributed"``: ``monotonically_increasing_id`` gives per-partition
+unique (sparse) ids with zero shuffle, then an optional per-partition-offset
+pass (two tiny jobs: count per partition → prefix sum broadcast) yields dense
+ids without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_by: list[str],
+    out_col: str = "new_id",
+    id_offset: int = 0,
+    negative: bool = False,
+    mode: str = "dense",
+) -> DataFrame:
+    """Attach globally unique ids.
+
+    ``mode="dense"``: ids are exactly ``id_offset+1 .. id_offset+N`` in
+    ``order_by`` order (single-partition window — deterministic, for
+    changefile-scale outputs).
+
+    ``mode="distributed"``: dense ids with no global sort — compute partition
+    row-counts, broadcast the prefix sums, add to a per-partition row index.
+    Order follows current partitioning (still unique + dense, not globally
+    ordered by ``order_by``).
+    """
+    if mode == "dense":
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        rn = F.row_number().over(w).cast("long")
+    elif mode == "distributed":
+        # Dense ids without a global shuffle: spark_partition_id + intra-
+        # partition row_number, then remap partition offsets driver-side.
+        part = F.spark_partition_id()
+        w = Window.partitionBy(part).orderBy(*[F.col(c) for c in order_by])
+        tagged = df.withColumn("__part", part).withColumn(
+            "__rn", F.row_number().over(w).cast("long")
+        )
+        counts = {
+            r["__part"]: r["cnt"]
+            for r in tagged.groupBy("__part").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        off_expr = F.element_at(
+            F.create_map(
+                *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
+            ),
+            F.col("__part"),
+        ) if offsets else F.lit(0)
+        seq = (F.col("__rn") + off_expr + F.lit(id_offset)).cast("long")
+        out = tagged.withColumn(out_col, -seq if negative else seq)
+        return out.drop("__part", "__rn")
+    else:
+        raise ValueError(f"unknown id mode: {mode}")
+
+    seq = rn + F.lit(id_offset)
+    return df.withColumn(out_col, (-seq if negative else seq).cast("long"))
+
+
+def check_id_collision(existing_max_id: int, id_offset: int, negative: bool) -> None:
+    """ID collision guard (C6, ``changegen/__main__.py:197-208``)."""
+    if not negative and id_offset <= existing_max_id:
+        raise ValueError(
+            f"id_offset {id_offset} would collide with existing ids "
+            f"(max existing id {existing_max_id}); raise --id_offset or use negative ids"
+        )

@@ -1,0 +1,37 @@
+"""Driver-facing query inventory.
+
+Each submodule exposes ``QUERIES: dict[str, Callable[(spark, sf_dir), DataFrame]]``
+and ``ORACLES: dict[str, str]`` (DuckDB-runnable ANSI SQL).  ``__spark_entry__``
+aggregates them.
+
+Determinism rules shared by every query/oracle pair (the driver hashes
+values):
+  * money/decimal aggregates use scaled-integer arithmetic
+    (``round(x*100)`` cents as BIGINT) — bit-exact in any engine;
+  * double outputs are rounded (6 dp) inside the query;
+  * timestamps are emitted as formatted strings;
+  * every top-k has a total tie-break order;
+  * aggregate/computed columns are aliased identically on both sides.
+"""
+
+from changegen_spark.queries import events as _events
+from changegen_spark.queries import geo as _geo
+from changegen_spark.queries import relational as _relational
+from changegen_spark.queries import textops as _textops
+from changegen_spark.queries import vectors as _vectors
+
+MODULES = (_relational, _geo, _textops, _vectors, _events)
+
+
+def all_queries():
+    out = {}
+    for m in MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in MODULES:
+        out.update(m.ORACLES)
+    return out

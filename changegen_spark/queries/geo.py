@@ -1,0 +1,257 @@
+"""Geospatial operator inventory queries (SURVEY §2.3 J1-J4, §2.4 A3, §2.7 F1-F8).
+
+No Sedona in this container, so geometry is pure PySpark: points are (x, y)
+double columns synthesized deterministically from the events table (both
+sides derive identical coordinates with integer arithmetic), the distance
+join is the grid-partitioned equi-join from ``changegen_spark.geo.join``,
+and reprojection is closed-form Web-Mercator math.  The DuckDB oracle uses a
+naive cross-join + filter — same answer, quadratic plan — which is exactly
+the point: the Spark side must scale, the oracle only validates semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.geo.join import grid_distance_join
+from changegen_spark.geo.mercator import to_3857_x, to_3857_y, to_4326_lat, to_4326_lon
+from changegen_spark.operators.dedup import grid_dedup_points
+from changegen_spark.sources.tables import load_table
+
+# Deterministic synthetic point field: 100×100 units, ~1 point per unit².
+# The integer-division terms break the pure linear-congruence lattice so
+# genuine near-pairs exist; all arithmetic is integer → bit-identical in any
+# engine.
+_PTS_SQL = """
+  SELECT event_id AS pid,
+         CAST((event_id * 37 + (event_id // 11) * 193) % 1000 AS DOUBLE) / 10 AS x,
+         CAST((event_id * 61 + (event_id // 13) * 389) % 1000 AS DOUBLE) / 10 AS y
+  FROM events
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        eid.alias("pid"),
+        (((eid * 37 + F.expr("event_id div 11") * 193) % 1000).cast("double") / 10).alias("x"),
+        (((eid * 61 + F.expr("event_id div 13") * 389) % 1000).cast("double") / 10).alias("y"),
+    )
+
+
+# --- J1: distance join (ST_DWithin analog) with closest-point distance ---
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs (a, b) with dist ≤ 0.5, a from a sparse probe set, b from the
+    full field; NOT-equal guard as in changegen/db.py:134.  Spark plan:
+    grid-cell equi-join (filter-and-refine); oracle plan: cross join."""
+    pts = _points(spark, sf_dir)
+    probes = pts.filter(F.col("pid") % 20 == 0)
+    pairs = grid_distance_join(
+        probes, pts, radius=0.5, left_cols=("x", "y"), right_cols=("x", "y"),
+        exclude_equal=True,
+    )
+    return (
+        pairs.select(
+            F.col("l_pid").alias("a_id"),
+            F.col("r_pid").alias("b_id"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+Q_DISTANCE_JOIN_SQL = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT a.pid AS a_id, b.pid AS b_id,
+       round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM pts a JOIN pts b
+  ON a.pid % 20 = 0
+ AND NOT (a.x = b.x AND a.y = b.y)
+ AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.5
+ORDER BY a_id, b_id
+"""
+
+
+# --- J2: spatial semi-join → distinct id list ---
+
+def q_dwithin_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ids of 'existing' points within 0.3 of any 'new' point —
+    the id-list half of changegen/db.py:141-146, computed from the SAME
+    cached join as J1 (the reference re-executes the predicate; we don't)."""
+    pts = _points(spark, sf_dir)
+    new = pts.filter(F.col("pid") % 7 == 0)
+    existing = pts.filter(F.col("pid") % 7 != 0)
+    pairs = grid_distance_join(
+        new, existing, radius=0.3, left_cols=("x", "y"), right_cols=("x", "y")
+    )
+    return pairs.select(F.col("r_pid").alias("osm_id")).distinct().orderBy("osm_id")
+
+
+Q_DWITHIN_SEMI_SQL = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT DISTINCT e.pid AS osm_id
+FROM pts n JOIN pts e
+  ON n.pid % 7 = 0 AND e.pid % 7 != 0
+ AND sqrt((n.x-e.x)*(n.x-e.x) + (n.y-e.y)*(n.y-e.y)) <= 0.3
+ORDER BY osm_id
+"""
+
+
+# --- J3: spatial self-join (junctions among new features) ---
+
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--self parity (changegen/__main__.py:131-139): same layer on both
+    sides, coincident points excluded, closest-point distance emitted;
+    symmetric pairs deduped by id order."""
+    pts = _points(spark, sf_dir).filter(F.col("pid") % 10 == 0)
+    pairs = grid_distance_join(
+        pts, pts, radius=0.7, left_cols=("x", "y"), right_cols=("x", "y"),
+        exclude_equal=True,
+    ).filter(F.col("l_pid") < F.col("r_pid"))
+    return (
+        pairs.select(
+            F.col("l_pid").alias("a_id"),
+            F.col("r_pid").alias("b_id"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+Q_SELF_JOIN_SQL = f"""
+WITH pts AS (SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0)
+SELECT a.pid AS a_id, b.pid AS b_id,
+       round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+FROM pts a JOIN pts b
+  ON a.pid < b.pid
+ AND NOT (a.x = b.x AND a.y = b.y)
+ AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.7
+ORDER BY a_id, b_id
+"""
+
+
+# --- A3: grid dedup at 6-decimal precision, last-wins ---
+
+def q_grid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATE_PRECISION dedup (changegen/generator.py:31,137-142):
+    coarse synthetic coords force collisions; last-wins by max event id."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        (((F.col("event_id") * 13) % 200).cast("double") / 7).alias("lon"),
+        (((F.col("event_id") * 29) % 200).cast("double") / 7).alias("lat"),
+    )
+    kept = grid_dedup_points(pts, x_col="lon", y_col="lat", order_col="pid")
+    return kept.select(
+        "pid", F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat")
+    ).orderBy("pid")
+
+
+Q_GRID_DEDUP_SQL = """
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST((event_id * 13) % 200 AS DOUBLE) / 7 AS lon,
+         CAST((event_id * 29) % 200 AS DOUBLE) / 7 AS lat
+  FROM events
+)
+SELECT max(pid) AS pid, round(arg_max(lon, pid), 6) AS lon, round(arg_max(lat, pid), 6) AS lat
+FROM pts GROUP BY round(lon, 6), round(lat, 6)
+ORDER BY pid
+"""
+
+
+# --- F1: Web-Mercator reprojection round-trip ---
+
+def q_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → 3857 → 4326 closed form (changegen/generator.py:29-30);
+    bbox chosen inside the reference fixture extent (FIXTURES.md)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    lon = F.lit(-118.48) + ((F.col("event_id") * 7) % 560).cast("double") / 1000.0
+    lat = F.lit(48.43) + ((F.col("event_id") * 11) % 420).cast("double") / 1000.0
+    pts = ev.select(F.col("event_id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
+    out = pts.select(
+        "pid",
+        F.round(to_3857_x(F.col("lon")), 3).alias("x3857"),
+        F.round(to_3857_y(F.col("lat")), 3).alias("y3857"),
+        F.round(to_4326_lon(to_3857_x(F.col("lon"))), 9).alias("lon_rt"),
+        F.round(to_4326_lat(to_3857_y(F.col("lat"))), 9).alias("lat_rt"),
+    )
+    return out.orderBy("pid")
+
+
+Q_MERCATOR_SQL = """
+WITH pts AS (
+  SELECT event_id AS pid,
+         -118.48 + CAST((event_id * 7) % 560 AS DOUBLE) / 1000.0 AS lon,
+         48.43 + CAST((event_id * 11) % 420 AS DOUBLE) / 1000.0 AS lat
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT pid,
+       round(radians(lon) * 6378137.0, 3) AS x3857,
+       round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 3) AS y3857,
+       round(degrees((radians(lon) * 6378137.0) / 6378137.0), 9) AS lon_rt,
+       round(degrees(2*atan(exp((6378137.0 * ln(tan(pi()/4 + radians(lat)/2))) / 6378137.0)) - pi()/2), 9) AS lat_rt
+FROM pts ORDER BY pid
+"""
+
+
+# --- J4/W4: nearest-candidate selection (min-distance junction node) ---
+
+def q_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each probe, the single nearest other point within 1.5 units —
+    the reference's sort-by-distance-take-first (generator.py:440-443) as
+    min_by over the grid join."""
+    pts = _points(spark, sf_dir)
+    probes = pts.filter(F.col("pid") % 100 == 0)
+    pairs = grid_distance_join(
+        probes, pts, radius=1.5, left_cols=("x", "y"), right_cols=("x", "y"),
+        exclude_equal=True,
+    )
+    return (
+        pairs.groupBy(F.col("l_pid").alias("probe_id"))
+        .agg(
+            F.min_by(F.col("r_pid"), F.struct(F.col("dist"), F.col("r_pid"))).alias("nearest_id"),
+            F.round(F.min(F.col("dist")), 6).alias("nearest_dist"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+Q_NEAREST_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+cand AS (
+  SELECT a.pid AS probe_id, b.pid AS b_id,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM pts a JOIN pts b
+    ON a.pid % 100 = 0
+   AND NOT (a.x = b.x AND a.y = b.y)
+   AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 1.5
+)
+SELECT probe_id, b_id AS nearest_id, round(dist, 6) AS nearest_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, b_id) AS rn
+  FROM cand
+) WHERE rn = 1 ORDER BY probe_id
+"""
+
+
+QUERIES = {
+    "q_distance_join": q_distance_join,
+    "q_dwithin_semi": q_dwithin_semi,
+    "q_self_join": q_self_join,
+    "q_grid_dedup": q_grid_dedup,
+    "q_mercator": q_mercator,
+    "q_nearest_neighbor": q_nearest_neighbor,
+}
+
+ORACLES = {
+    "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_dwithin_semi": Q_DWITHIN_SEMI_SQL,
+    "q_self_join": Q_SELF_JOIN_SQL,
+    "q_grid_dedup": Q_GRID_DEDUP_SQL,
+    "q_mercator": Q_MERCATOR_SQL,
+    "q_nearest_neighbor": Q_NEAREST_SQL,
+}

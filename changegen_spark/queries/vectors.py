@@ -1,0 +1,150 @@
+"""Vector similarity-search queries over the embeddings table.
+
+Brute-force cosine top-k (exact baseline) and sign-LSH bucketed top-k
+(approximate scale path).  Dot products are sequential double folds on both
+sides so values match exactly; similarities are rounded to 6 dp inside the
+query and ordering carries a vec_id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.functions.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    lsh_bucketed_topk,
+    norm,
+    sign_lsh_bucket,
+)
+from changegen_spark.sources.tables import load_table
+
+# Sequential-fold dot product in DuckDB: list_dot_product and list_cosine
+# aggregate in index order over DOUBLE lists, matching Spark's F.aggregate
+# fold.  Embeddings are FLOAT[]; both sides cast elementwise to DOUBLE first.
+_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    vd = as_double(F.col("embedding"))
+    return v.select(
+        "vec_id",
+        F.round(norm(vd), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("vec_id")
+
+
+Q_EMBED_NORM_SQL = f"""
+SELECT vec_id,
+       round(sqrt(list_dot_product({_VD}, {_VD})), 6) AS l2_norm,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(v, queries, k=10).orderBy("query_id", "rank")
+
+
+Q_ANN_BRUTE_SQL = f"""
+WITH v AS (SELECT vec_id, {_VD} AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+  FROM v CROSS JOIN q WHERE v.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        v, queries, dims=[0, 8, 16, 24], k=5
+    ).orderBy("query_id", "rank")
+
+
+Q_ANN_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id, {_VD} AS e,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+  FROM v JOIN q USING (bucket) WHERE v.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs with cos ≥ 0.9 among a
+    probe slice — the semantic-dedup primitive for training corpora."""
+    v = _vecs(spark, sf_dir).select("vec_id", as_double(F.col("embedding")).alias("e"))
+    a = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    pairs = a.join(v, F.col("vec_id") > F.col("id_a"))
+    pairs = pairs.withColumn(
+        "cos_sim", F.round(cosine(F.col("ea"), F.col("e")), 6)
+    ).filter(F.col("cos_sim") >= 0.35)
+    return pairs.select("id_a", F.col("vec_id").alias("id_b"), "cos_sim").orderBy(
+        "id_a", "id_b"
+    )
+
+
+Q_EMBED_DEDUP_SQL = f"""
+WITH v AS (SELECT vec_id, {_VD} AS e FROM embeddings),
+a AS (SELECT vec_id AS id_a, e AS ea FROM v WHERE vec_id % 10 = 0),
+pairs AS (
+  SELECT id_a, vec_id AS id_b,
+         round(list_dot_product(ea, e) / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+  FROM a JOIN v ON vec_id > id_a
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "q_embed_norm": q_embed_norm,
+    "q_ann_bruteforce": q_ann_bruteforce,
+    "q_ann_lsh": q_ann_lsh,
+    "q_embedding_dedup": q_embedding_dedup,
+}
+
+ORACLES = {
+    "q_embed_norm": Q_EMBED_NORM_SQL,
+    "q_ann_bruteforce": Q_ANN_BRUTE_SQL,
+    "q_ann_lsh": Q_ANN_LSH_SQL,
+    "q_embedding_dedup": Q_EMBED_DEDUP_SQL,
+}

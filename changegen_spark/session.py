@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Single place where execution knobs live so every entry point (tests, bench,
+driver contract) gets the same tuned session.  Defaults are chosen for the
+local[32] test harness but the same settings are what we would ship on a
+1000-executor cluster: AQE handles runtime re-planning (skew joins, shuffle
+coalescing), Arrow batches keep the rare pandas-UDF path fast, and shuffle
+partitions scale with available cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "changegen_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for the local master thread count so the
+    driver's bench harness controls parallelism.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, broadcast-join conversion from runtime stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for the pandas-UDF slow path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic wall-clock semantics for timestamp <-> string.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast anything under 64 MB — dimension tables at TPC-H scale.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Keep parquet scan splits reasonable for wide scans.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
