@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver collect,
+no result-size bias) — wall time measures the distributed plan, which is
+what must hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family — scan/agg, join+topk, multi-join,
+# spatial join, dedup-LSH, ANN, sessionization, exact dedup, text scan.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q_distance_join",
+    "q_grid_dedup",
+    "q_lsh_pairs",
+    "q_ann_bruteforce",
+    "q_sessionize",
+    "q_event_windows",
+    "q_exact_dedup",
+    "q_token_count",
+    "q_way_chunking",
+]
+
+
+def main() -> None:
+    from changegen_spark.queries import all_queries
+    from changegen_spark.session import get_spark
+
+    spark = get_spark("changegen_spark-bench")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers with a trivial job so q1 isn't charged
+    # for session startup.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

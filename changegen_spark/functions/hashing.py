@@ -109,27 +109,85 @@ def hamming16(a: Column, b: Column) -> Column:
     return sum(bits[1:], start=bits[0]).cast("long")
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the lowered text (array<string>).
+
+    Word-level shingles (vs char k-grams) are the right granularity when the
+    vocabulary is small relative to document length — char shingles saturate
+    and every pair collides, blowing up LSH buckets.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    cnt = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(1), cnt - F.lit(n) + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
+    ngram: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pair generation.
 
-    shingle → signature → band explode → self-join per band bucket.  Returns
-    (id_a, id_b) with id_a < id_b, distinct.  The self-join shuffles on the
-    band hash, so work is proportional to bucket sizes, not n².
+    word-shingle → explode → per-seed min-md5 aggregate (map-side partial
+    combine — one shuffle keyed by doc id) → band → self-join per band
+    bucket.  Returns (id_a, id_b) with id_a < id_b, distinct.  The self-join
+    shuffles on the band hash, so work is proportional to bucket sizes, not
+    n²; signature aggregation never materializes per-doc hash arrays.
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    if num_hashes % 4 != 0:
+        raise ValueError("num_hashes must be a multiple of 4")
+    sh = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(F.col(text_col), k), num_hashes).alias("sig"),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("sh"),
+    )
+    # One md5 yields four independent 8-hex-char (32-bit) hash windows, so
+    # num_hashes permutations need only num_hashes/4 md5 evaluations per
+    # shingle — the hot inner loop of the whole pipeline.
+    def mh(s: int):
+        h = F.md5(
+            F.to_binary(F.concat(F.lit(f"{s // 4}:"), F.col("sh")), F.lit("utf-8"))
+        )
+        return F.substring(h, (s % 4) * 8 + 1, 8)
+
+    sig = sh.groupBy("id").agg(
+        *[F.min(mh(s)).alias(f"mh{s}") for s in range(num_hashes)]
     )
     banded = sig.select(
-        "id", F.explode(lsh_band_hashes(F.col("sig"), bands, rows_per_band)).alias("b")
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.to_binary(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"mh{b * rows_per_band + r}")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                F.lit("utf-8"),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
     ).select("id", "b.band", "b.bh")
     a = banded.alias("a")
     b = banded.alias("b")

@@ -205,23 +205,27 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return minhash_candidates(
-        d, id_col="doc_id", text_col="text", k=4, num_hashes=8, bands=4
+        d, id_col="doc_id", text_col="text", ngram=3, num_hashes=8, bands=4
     ).orderBy("id_a", "id_b")
 
 
 def _minhash_terms(n: int) -> str:
+    # 4 independent 32-bit windows per md5 — mirrors hashing.minhash_candidates
     return ",\n       ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(n)
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(n)
     )
 
 
 Q_LSH_PAIRS_SQL = f"""
-WITH pos AS (
-  SELECT doc_id, lower(text) AS lt,
-         unnest(generate_series(1, length(text) - 3)) AS i
-  FROM documents WHERE length(text) >= 4
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, substr(lt, CAST(i AS INT), 4) AS shingle FROM pos
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_extract(t, CAST(i AS INT)) || ' ' || list_extract(t, CAST(i AS INT)+1) || ' ' || list_extract(t, CAST(i AS INT)+2)
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS i FROM toks)
 ), sig AS (
   SELECT doc_id, {_minhash_terms(8)}
   FROM sh GROUP BY doc_id
