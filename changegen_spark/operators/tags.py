@@ -66,6 +66,6 @@ def merge_hstore_tags(col_tags: Column, hstore_map: Column) -> Column:
     hstore entries whose key already exists among the column tags are
     discarded (``generator.py:190-203``).
     """
-    hs = F.coalesce(hstore_map, F.map_from_entries(F.array()))
+    hs = F.coalesce(hstore_map, F.create_map().cast("map<string,string>"))
     filtered = F.map_filter(hs, lambda k, _: ~F.array_contains(F.map_keys(col_tags), k))
     return F.map_concat(col_tags, filtered)

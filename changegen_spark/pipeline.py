@@ -1,0 +1,779 @@
+"""End-to-end changegen pipeline (SURVEY §3.1-§3.3), Spark-first.
+
+The reference's ``generate_changes`` (``changegen/generator.py:496-873``) is
+a row-at-a-time loop; here every stage is a whole-DataFrame transform:
+
+  A. junction synthesis — segment grid join (J1/J3) + 6-dp grid dedup (A3)
+  B. new-way construction — vertex explode, junction vertex-reuse (J4) or
+     fractional insertion (W2/M2), way splitting (W3)
+  C. modify intersecting existing ways — PBF node-list join (J5), junction
+     replace/insert, version 2 (C2)
+  D. point create/modify paths (C1/C2) with tag projection (P1/P2)
+  E. polygon paths — closed ways, multipolygon relations (P6/M4/M5)
+  F. modify-meta flow (C4)  G. deletion flow (C5/C3/A7)
+
+ID policy (W1, SURVEY §7 risk 1): one union of id requests gets a global
+``row_number`` ordered by (kind, stable key) — ids are unique, dense from
+``id_offset+1``, deterministic; exact interleaving parity with the
+reference's mutable counter is explicitly out of contract.
+
+Scale notes: every join is keyed (grid cell, rounded coordinate, osm_id);
+the only single-partition stage is the global id ``row_number`` over the
+*id-request keys only* (a changefile ≪ cluster memory by construction —
+see ``operators/ids.py`` for the distributed-mode alternative) and the
+ordered XML sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.geo.geometry import exterior, g_type, interiors
+from changegen_spark.geo.mercator import to_4326_lat, to_4326_lon
+from changegen_spark.geo.segments import explode_segments, segment_distance_join
+from changegen_spark.operators.ids import check_id_collision
+from changegen_spark.operators.tags import merge_hstore_tags, parse_hstore
+from changegen_spark.operators.ways import (
+    CHUNK_SIZE_DEFAULT,
+    NODE_LIMIT_DEFAULT,
+    cumulative_fraction,
+    line_locate_fraction,
+    split_ways,
+)
+
+DISTANCE_BUFFER_DEFAULT = 5.0  # changegen/db.py:110 (meters in EPSG:3857)
+PRECISION = 6  # COORDINATE_PRECISION, changegen/generator.py:31
+
+# id-request kind ordering (stable across runs)
+_K_JUNCTION, _K_VERTEX, _K_POINT, _K_WAY, _K_RELATION = 0, 1, 2, 3, 4
+
+
+def _tags_map(df: DataFrame, exclude: tuple[str, ...], hstore_col: str | None = None):
+    """P1 + P2: attribute columns → tag map, hstore merged under column
+    precedence (changegen/generator.py:169-205)."""
+    cols = [
+        c
+        for c in df.columns
+        if c not in exclude and c != hstore_col and not c.startswith("__")
+    ]
+    entries = F.array(
+        *[
+            F.struct(F.lit(c).alias("key"), F.col(c).cast("string").alias("value"))
+            for c in cols
+        ]
+    )
+    kept = F.filter(entries, lambda e: e.value.isNotNull() & (e.value != F.lit("")))
+    col_tags = F.map_from_entries(kept)
+    if hstore_col is not None and hstore_col in df.columns:
+        return merge_hstore_tags(col_tags, parse_hstore(F.col(hstore_col)))
+    return col_tags
+
+
+def _rounded_lonlat(x, y):
+    return (
+        F.round(to_4326_lon(x), PRECISION),
+        F.round(to_4326_lat(y), PRECISION),
+    )
+
+
+class ChangeSet:
+    """Accumulates element DataFrames + id requests, then resolves ids."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.requests: list[DataFrame] = []
+
+    def request_ids(self, df: DataFrame, kind: int, skey) -> None:
+        self.requests.append(
+            df.select(F.lit(kind).alias("korder"), skey.cast("string").alias("skey"))
+        )
+
+    def resolve(self, id_offset: int, negative: bool) -> DataFrame:
+        """(korder, skey) → new_id, dense from id_offset+1 (W1)."""
+        from functools import reduce
+
+        allreq = reduce(lambda a, b: a.unionByName(b), self.requests).distinct()
+        w = Window.orderBy("korder", "skey")
+        seq = F.row_number().over(w).cast("long") + F.lit(id_offset)
+        return allreq.withColumn("new_id", -seq if negative else seq)
+
+
+def synthesize_junctions(
+    new_ways: DataFrame,
+    existing_ways: DataFrame,
+    key_col: str,
+    distance_buffer: float = DISTANCE_BUFFER_DEFAULT,
+    self_intersections: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage A: (junction_nodes keyed by rounded lon/lat, per-pair junctions).
+
+    Junction per (new way, existing way) pair = closest point on the new
+    geometry within the buffer (crossings → exact crossing point), then
+    6-dp grid dedup; the same cached join yields the intersecting-id list
+    (J2) — unlike the reference, the spatial predicate runs once
+    (SURVEY §3.3)."""
+    lsegs = explode_segments(
+        new_ways.select(F.col(key_col).alias("nkey"), exterior(F.col("geometry")).alias("__ring")),
+        ["nkey"],
+        F.col("__ring"),
+        prefix="l",
+    )
+    rsegs = explode_segments(
+        existing_ways.select(F.col("osm_id"), exterior(F.col("geometry")).alias("__ring")),
+        ["osm_id"],
+        F.col("__ring"),
+        prefix="r",
+    )
+    pairs = segment_distance_join(lsegs, rsegs, distance_buffer)
+    if self_intersections:
+        pairs = pairs.filter(F.col("nkey") != F.col("osm_id"))
+    # one junction per (new, existing) pair: the globally closest approach
+    best = pairs.groupBy("nkey", "osm_id").agg(
+        F.min_by(
+            F.struct("cp_x", "cp_y"), F.struct("dist", "lseg", "rseg")
+        ).alias("cp"),
+        F.min("dist").alias("dist"),
+    )
+    junctions = best.select(
+        "nkey",
+        "osm_id",
+        F.col("cp.cp_x").alias("jx"),
+        F.col("cp.cp_y").alias("jy"),
+    )
+    rlon, rlat = _rounded_lonlat(F.col("jx"), F.col("jy"))
+    junctions = junctions.withColumn("rlon", rlon).withColumn("rlat", rlat)
+    # A3 grid dedup: one node per 6-dp cell
+    junction_nodes = junctions.groupBy("rlon", "rlat").agg(
+        F.min(to_4326_lon(F.col("jx"))).alias("lon"),
+        F.min(to_4326_lat(F.col("jy"))).alias("lat"),
+    )
+    return junction_nodes, junctions
+
+
+def _vertices_with_frac(geoms: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Explode ring → (key…, pos, x, y, rlon, rlat, frac…)."""
+    verts = geoms.select(
+        *key_cols, F.posexplode(F.col("__ring")).alias("pos", "__pt")
+    ).select(
+        *key_cols,
+        "pos",
+        F.col("__pt.x").alias("x"),
+        F.col("__pt.y").alias("y"),
+    )
+    verts = cumulative_fraction(verts, key_cols)
+    rlon, rlat = _rounded_lonlat(F.col("x"), F.col("y"))
+    return verts.withColumn("rlon", rlon).withColumn("rlat", rlat)
+
+
+def build_new_ways(
+    cs: ChangeSet,
+    new_ways: DataFrame,
+    junction_nodes: DataFrame,
+    junctions: DataFrame,
+    key_col: str,
+    tag_exclude: tuple[str, ...] = ("geometry",),
+    hstore_col: str | None = None,
+    node_limit: int = NODE_LIMIT_DEFAULT,
+    chunk_size: int = CHUNK_SIZE_DEFAULT,
+) -> dict[str, DataFrame]:
+    """Stage B: create-path ways + their nodes.
+
+    Returns dict with 'vertex_nodes' (unmatched vertices needing fresh ids),
+    'way_rows' (nkey, chunk, ordered member keys), 'way_tags'.
+    Junction handling: a junction equal to a way vertex at 6 dp reuses the
+    junction node (J4, generator.py:430-443); otherwise it is inserted at
+    its fractional position (W2/M2, generator.py:208-255,458-487)."""
+    geoms = new_ways.select(
+        F.col(key_col).alias("nkey"), exterior(F.col("geometry")).alias("__ring")
+    )
+    verts = _vertices_with_frac(geoms, ["nkey"])
+
+    jn = junction_nodes.select("rlon", "rlat")
+    matched = verts.join(jn, ["rlon", "rlat"], "inner").select(
+        "nkey", "pos", "frac", "rlon", "rlat",
+        F.lit(True).alias("is_junction"),
+    )
+    unmatched = verts.join(jn, ["rlon", "rlat"], "left_anti")
+
+    # junctions of this way not coincident with any of its vertices → insert
+    way_j = junctions.select("nkey", "jx", "jy", "rlon", "rlat").distinct()
+    to_insert = way_j.join(
+        verts.select("nkey", "rlon", "rlat"), ["nkey", "rlon", "rlat"], "left_anti"
+    )
+    ins_input = verts.select("nkey", "pos", "x", "y").join(
+        to_insert.select(
+            "nkey",
+            F.col("jx").alias("px"),
+            F.col("jy").alias("py"),
+            F.col("rlon").alias("jrlon"),
+            F.col("rlat").alias("jrlat"),
+        ),
+        "nkey",
+    )
+    inserted = line_locate_fraction(
+        ins_input, ["nkey", "jrlon", "jrlat"], "px", "py"
+    ).select(
+        "nkey",
+        F.col("point_frac").alias("frac"),
+        F.col("jrlon").alias("rlon"),
+        F.col("jrlat").alias("rlat"),
+        F.lit(True).alias("is_junction"),
+        F.lit(None).cast("int").alias("pos"),
+    )
+
+    # id requests for unmatched vertices
+    vkey = F.concat_ws(":", F.col("nkey"), F.col("pos"))
+    cs.request_ids(unmatched, _K_VERTEX, vkey)
+
+    members = (
+        unmatched.select(
+            "nkey", "pos", "frac", "rlon", "rlat", F.lit(False).alias("is_junction")
+        )
+        .unionByName(matched)
+        .unionByName(inserted, allowMissingColumns=True)
+    )
+    # ordered member list per way (frac, junction-after-vertex tie, pos)
+    ordered = members.groupBy("nkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("frac"),
+                    F.col("is_junction").cast("int").alias("jflag"),
+                    F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+                    F.col("rlon"),
+                    F.col("rlat"),
+                    F.col("is_junction"),
+                )
+            )
+        ).alias("mseq")
+    )
+
+    way_tags = new_ways.select(
+        F.col(key_col).alias("nkey"),
+        _tags_map(new_ways, tag_exclude + (key_col,), hstore_col).alias("tags"),
+    ).withColumn(
+        "tags",
+        F.map_concat(
+            F.col("tags"),
+            F.create_map(F.lit(key_col), F.col("nkey")).cast("map<string,string>"),
+        ),
+    )
+
+    return {
+        "vertex_nodes": unmatched,
+        "ordered_members": ordered,
+        "way_tags": way_tags,
+        "node_limit": node_limit,
+        "chunk_size": chunk_size,
+    }
+
+
+def modify_intersecting_ways(
+    existing_ways: DataFrame,
+    junctions: DataFrame,
+    pbf_ways: DataFrame,
+) -> DataFrame:
+    """Stage C: rebuild intersecting existing ways with junction nodes.
+
+    ``_modify_existing_way`` (changegen/generator.py:307-377) as set ops:
+    PBF node list (J5), junction-at-vertex → node id replacement, otherwise
+    fractional insertion.  Ways missing from the extract are skipped, the
+    reference's logged case (generator.py:820-822).
+    Output: (osm_id, member structs sorted) — ids resolved later."""
+    hit_ways = junctions.select("osm_id").distinct()
+    geoms = existing_ways.join(hit_ways, "osm_id", "left_semi").select(
+        "osm_id", exterior(F.col("geometry")).alias("__ring")
+    )
+    verts = _vertices_with_frac(geoms, ["osm_id"])
+
+    nds = pbf_ways.select(
+        F.col("id").alias("osm_id"), F.posexplode("nds").alias("pos", "node_id")
+    )
+    verts = verts.join(nds, ["osm_id", "pos"], "inner")  # missing pbf → skipped
+
+    way_j = junctions.select("osm_id", "jx", "jy", "rlon", "rlat").distinct()
+    matched = verts.join(
+        way_j.select("osm_id", "rlon", "rlat").distinct(), ["osm_id", "rlon", "rlat"], "inner"
+    ).select("osm_id", "pos", "frac", "rlon", "rlat", F.lit(True).alias("is_junction"))
+    unmatched = verts.join(
+        way_j.select("osm_id", "rlon", "rlat").distinct(), ["osm_id", "rlon", "rlat"], "left_anti"
+    ).select(
+        "osm_id", "pos", "frac", "rlon", "rlat",
+        F.lit(False).alias("is_junction"), F.col("node_id"),
+    )
+
+    to_insert = way_j.join(
+        verts.select("osm_id", "rlon", "rlat"), ["osm_id", "rlon", "rlat"], "left_anti"
+    )
+    ins_input = verts.select("osm_id", "pos", "x", "y").join(
+        to_insert.select(
+            "osm_id",
+            F.col("jx").alias("px"),
+            F.col("jy").alias("py"),
+            F.col("rlon").alias("jrlon"),
+            F.col("rlat").alias("jrlat"),
+        ),
+        "osm_id",
+    )
+    inserted = line_locate_fraction(
+        ins_input, ["osm_id", "jrlon", "jrlat"], "px", "py"
+    ).select(
+        "osm_id",
+        F.col("point_frac").alias("frac"),
+        F.col("jrlon").alias("rlon"),
+        F.col("jrlat").alias("rlat"),
+        F.lit(True).alias("is_junction"),
+        F.lit(None).cast("int").alias("pos"),
+        F.lit(None).cast("long").alias("node_id"),
+    )
+
+    members = (
+        unmatched
+        .unionByName(matched.withColumn("node_id", F.lit(None).cast("long")), allowMissingColumns=True)
+        .unionByName(inserted)
+    )
+    return members.groupBy("osm_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("frac"),
+                    F.col("is_junction").cast("int").alias("jflag"),
+                    F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+                    F.col("rlon"),
+                    F.col("rlat"),
+                    F.col("is_junction"),
+                    F.col("node_id"),
+                )
+            )
+        ).alias("mseq")
+    )
+
+
+def generate_changes(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    id_offset: int = 0,
+    negative_ids: bool = False,
+    self_intersections: bool = False,
+    distance_buffer: float = DISTANCE_BUFFER_DEFAULT,
+    node_limit: int = NODE_LIMIT_DEFAULT,
+    chunk_size: int = CHUNK_SIZE_DEFAULT,
+    skip_delete_nodes: bool = True,
+    check_collision: bool = True,
+) -> DataFrame:
+    """Full run: create new ways/points/polygons, modify intersecting
+    existing ways, apply deletions.  Returns the unified element DataFrame
+    (sink-ready, see sinks.oscxml.ELEMENT_SCHEMA)."""
+    from changegen_spark.operators.changes import expand_deleted_ways
+    from changegen_spark.sources.osm import max_pbf_ids
+
+    if check_collision:
+        maxids = max_pbf_ids(tables)
+        check_id_collision(max(maxids.values()), id_offset, negative_ids)
+
+    cs = ChangeSet(spark)
+    new_ways = tables["new_ways"]
+    existing = tables["original_ways"]
+
+    # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
+    junction_nodes, junctions = synthesize_junctions(
+        new_ways, existing, key_col="name",
+        distance_buffer=distance_buffer, self_intersections=self_intersections,
+    )
+    # Truncate lineage here: every downstream stage re-references the
+    # junction frames many times, and the segment-join expression tree is
+    # deep — checkpointing keeps Catalyst analysis cost bounded.
+    junction_nodes = junction_nodes.localCheckpoint(eager=True)
+    junctions = junctions.localCheckpoint(eager=True)
+    jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
+    cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
+
+    # B: new ways
+    nb = build_new_ways(
+        cs, new_ways, junction_nodes, junctions, key_col="name",
+        node_limit=node_limit, chunk_size=chunk_size,
+    )
+
+    # D: new points
+    new_points = tables["new_points"]
+    pt_tags = _tags_map(
+        new_points, exclude=("id", "osm_id", "geom"), hstore_col="tags"
+    )
+    from changegen_spark.geo.geometry import point_xy
+
+    px, py = point_xy(F.col("geom"))
+    pts = new_points.select(
+        F.col("id").alias("pt_id"),
+        to_4326_lon(px).alias("lon"),
+        to_4326_lat(py).alias("lat"),
+        pt_tags.alias("tags"),
+    )
+    cs.request_ids(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id")))
+
+    # E: polygons
+    polys = tables.get("new_polygons")
+    poly_parts = _build_polygons(cs, polys) if polys is not None else None
+
+    # C: modify intersecting existing ways
+    mod_ways_seq = modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
+    mod_way_tags = existing.select(
+        F.col("osm_id"),
+        _tags_map(existing, exclude=("id", "osm_id", "geometry")).alias("tags"),
+    )
+
+    # G: deletions
+    del_ways, del_nodes = expand_deleted_ways(
+        tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
+    )
+
+    # --- resolve ids and assemble elements ---
+    ids = cs.resolve(id_offset, negative_ids).cache()
+
+    def with_id(df: DataFrame, kind: int, skey) -> DataFrame:
+        keyed = df.withColumn("__skey", skey.cast("string"))
+        return keyed.join(
+            ids.filter(F.col("korder") == kind).withColumnRenamed("skey", "__skey"),
+            "__skey",
+        ).drop("__skey", "korder")
+
+    empty_tags = F.create_map().cast("map<string,string>")
+
+    junction_node_elems = with_id(junction_nodes, _K_JUNCTION, jkey).select(
+        F.lit("create").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("new_id").alias("id"),
+        F.lit(1).alias("version"),
+        "lat", "lon",
+        empty_tags.alias("tags"),
+    )
+
+    vkey = F.concat_ws(":", F.col("nkey"), F.col("pos"))
+    vertex_elems = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
+        F.lit("create").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("new_id").alias("id"),
+        F.lit(1).alias("version"),
+        to_4326_lat(F.col("y")).alias("lat"),
+        to_4326_lon(F.col("x")).alias("lon"),
+        empty_tags.alias("tags"),
+    )
+
+    point_elems = with_id(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id"))).select(
+        F.lit("create").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("new_id").alias("id"),
+        F.lit(1).alias("version"),
+        "lat", "lon", "tags",
+    )
+
+    # new-way member resolution: junction members → junction node ids,
+    # vertex members → vertex node ids
+    jids = with_id(junction_nodes, _K_JUNCTION, jkey).select(
+        "rlon", "rlat", F.col("new_id").alias("jid")
+    )
+    vids = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
+        "nkey", "pos", F.col("new_id").alias("vid")
+    )
+    mem = nb["ordered_members"].select(
+        "nkey", F.posexplode("mseq").alias("seq", "m")
+    ).select(
+        "nkey", "seq",
+        F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
+        F.col("m.pos").alias("pos"), F.col("m.is_junction").alias("is_junction"),
+    )
+    mem = (
+        mem.join(jids, ["rlon", "rlat"], "left")
+        .join(vids, ["nkey", "pos"], "left")
+        .withColumn("node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.coalesce("vid", "jid")))
+    )
+    new_nds = mem.groupBy("nkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
+            lambda s: s.getField("node_ref"),
+        ).alias("nds")
+    )
+    chunked = split_ways(new_nds, node_limit=node_limit, chunk_size=chunk_size)
+    wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
+    cs2 = ChangeSet(spark)  # way/relation ids depend on node requests too →
+    # single resolve: re-request everything (cheap) OR request ways upfront.
+    # Simpler: ways/relations were not yet requested — request now and
+    # resolve against the SAME sequence by reusing `ids` max.
+    max_id_row = ids.agg(F.max(F.abs(F.col("new_id"))).alias("m")).first()
+    next_offset = int(max_id_row["m"] or id_offset)
+    cs2.request_ids(chunked, _K_WAY, wkey)
+    if poly_parts is not None:
+        cs2.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
+        cs2.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
+    ids2 = cs2.resolve(next_offset, negative_ids).cache()
+
+    def with_id2(df: DataFrame, kind: int, skey) -> DataFrame:
+        keyed = df.withColumn("__skey", skey.cast("string"))
+        return keyed.join(
+            ids2.filter(F.col("korder") == kind).withColumnRenamed("skey", "__skey"),
+            "__skey",
+        ).drop("__skey", "korder")
+
+    new_way_elems = (
+        with_id2(chunked, _K_WAY, wkey)
+        .join(nb["way_tags"], "nkey")
+        .select(
+            F.lit("create").alias("change_type"),
+            F.lit("way").alias("kind"),
+            F.col("new_id").alias("id"),
+            F.lit(1).alias("version"),
+            "nds", "tags",
+        )
+    )
+
+    # modified existing ways: junction members → junction ids, vertex
+    # members keep their PBF node id unless junction-replaced
+    mmem = mod_ways_seq.select(
+        "osm_id", F.posexplode("mseq").alias("seq", "m")
+    ).select(
+        "osm_id", "seq",
+        F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
+        F.col("m.is_junction").alias("is_junction"),
+        F.col("m.node_id").alias("node_id"),
+    )
+    mmem = mmem.join(jids, ["rlon", "rlat"], "left").withColumn(
+        "node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.col("node_id"))
+    )
+    mod_nds = mmem.groupBy("osm_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
+            lambda s: s.getField("node_ref"),
+        ).alias("nds")
+    )
+    mod_way_elems = mod_nds.join(mod_way_tags, "osm_id").select(
+        F.lit("modify").alias("change_type"),
+        F.lit("way").alias("kind"),
+        F.col("osm_id").alias("id"),
+        F.lit(2).alias("version"),
+        "nds", "tags",
+    )
+
+    # deletions (version 99 placeholder, generator.py:919-925)
+    del_way_elems = del_ways.select(
+        F.lit("delete").alias("change_type"),
+        F.lit("way").alias("kind"),
+        F.col("id"),
+        F.lit(99).alias("version"),
+        empty_tags.alias("tags"),
+    )
+    del_node_elems = del_nodes.select(
+        F.lit("delete").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("id"),
+        F.lit(99).alias("version"),
+        F.lit(0.0).alias("lat"),
+        F.lit(0.0).alias("lon"),
+        empty_tags.alias("tags"),
+    )
+
+    parts = [
+        junction_node_elems,
+        vertex_elems,
+        point_elems,
+        new_way_elems,
+        mod_way_elems,
+        del_way_elems,
+        del_node_elems,
+    ]
+    if poly_parts is not None:
+        parts.extend(_assemble_polygons(poly_parts, with_id2, with_id))
+
+    from changegen_spark.operators.changes import assemble_changeset
+
+    return assemble_changeset(*parts)
+
+
+def _build_polygons(cs: ChangeSet, polys: DataFrame) -> dict[str, DataFrame]:
+    """Stage E prep: explode polygon rings; request node ids.
+
+    Simple polygons (no interiors) → one closed way carrying the tags;
+    holed polygons → one way per ring + a type=multipolygon relation with
+    outer/inner roles (changegen/generator.py:683-753)."""
+    polys = polys.withColumn("__n_int", F.size(F.col("geometry.rings")) - 1)
+    base = polys.select(
+        F.col("name").alias("pkey"),
+        "__n_int",
+        F.posexplode(F.col("geometry.rings")).alias("ring_idx", "__ring"),
+    )
+    # drop the closing duplicate coordinate for node synthesis (M4 inverse)
+    base = base.withColumn(
+        "__ring", F.slice(F.col("__ring"), 1, F.size(F.col("__ring")) - 1)
+    )
+    verts = base.select(
+        "pkey", "ring_idx", F.posexplode("__ring").alias("pos", "__pt")
+    ).select(
+        "pkey", "ring_idx", "pos",
+        F.col("__pt.x").alias("x"), F.col("__pt.y").alias("y"),
+    )
+    nkey = F.concat_ws(":", F.lit("poly"), F.col("pkey"), F.col("ring_idx"), F.col("pos"))
+    cs.request_ids(verts, _K_POINT, nkey)
+    rings = base.select(
+        "pkey", "ring_idx", "__n_int",
+        F.concat_ws(":", F.lit("polyring"), F.col("pkey"), F.col("ring_idx")).alias("ring_key"),
+    )
+    relations = polys.filter(F.col("__n_int") > 0).select(
+        F.col("name").alias("pkey")
+    )
+    tags = polys.select(
+        F.col("name").alias("pkey"),
+        F.col("__n_int"),
+        _tags_map(polys, exclude=("geometry", "__n_int")).alias("tags"),
+    )
+    return {"verts": verts, "rings": rings, "relations": relations, "tags": tags}
+
+
+def _assemble_polygons(pp, with_id2, with_id) -> list[DataFrame]:
+    """Stage E finish: nodes, closed ways, multipolygon relations."""
+    empty_tags = F.create_map().cast("map<string,string>")
+    nkey = F.concat_ws(":", F.lit("poly"), F.col("pkey"), F.col("ring_idx"), F.col("pos"))
+    vid = with_id(pp["verts"], _K_POINT, nkey)
+    node_elems = vid.select(
+        F.lit("create").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("new_id").alias("id"),
+        F.lit(1).alias("version"),
+        to_4326_lat(F.col("y")).alias("lat"),
+        to_4326_lon(F.col("x")).alias("lon"),
+        empty_tags.alias("tags"),
+    )
+    # ordered nds per ring, closed by repeating the first node (M4)
+    ring_nds = vid.groupBy("pkey", "ring_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "new_id"))),
+            lambda s: s.getField("new_id"),
+        ).alias("open_nds")
+    ).withColumn("nds", F.concat(F.col("open_nds"), F.slice(F.col("open_nds"), 1, 1)))
+
+    rid = with_id2(pp["rings"], _K_WAY, F.col("ring_key")).join(
+        ring_nds, ["pkey", "ring_idx"]
+    )
+    simple_tags = pp["tags"].filter(F.col("__n_int") == 0).select("pkey", "tags")
+    way_elems = rid.join(simple_tags, "pkey", "left").select(
+        F.lit("create").alias("change_type"),
+        F.lit("way").alias("kind"),
+        F.col("new_id").alias("id"),
+        F.lit(1).alias("version"),
+        "nds",
+        F.coalesce(F.col("tags"), empty_tags).alias("tags"),
+    )
+
+    # relations: members = ring ways with outer/inner roles (M5)
+    rel_members = rid.filter(F.col("__n_int") > 0).select(
+        "pkey",
+        F.struct(
+            F.col("new_id").alias("ref"),
+            F.lit("way").alias("type"),
+            F.when(F.col("ring_idx") == 0, F.lit("outer")).otherwise(F.lit("inner")).alias("role"),
+        ).alias("m"),
+        "ring_idx",
+    )
+    rel_members = rel_members.groupBy("pkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("ring_idx"), F.col("m")))),
+            lambda s: s.getField("m"),
+        ).alias("members")
+    )
+    holed_tags = pp["tags"].filter(F.col("__n_int") > 0).select(
+        "pkey",
+        F.map_concat(
+            F.col("tags"),
+            F.create_map(F.lit("type"), F.lit("multipolygon")).cast("map<string,string>"),
+        ).alias("tags"),
+    )
+    rel_elems = (
+        with_id2(pp["relations"], _K_RELATION, F.col("pkey"))
+        .join(rel_members, "pkey")
+        .join(holed_tags, "pkey")
+        .select(
+            F.lit("create").alias("change_type"),
+            F.lit("relation").alias("kind"),
+            F.col("new_id").alias("id"),
+            F.lit(1).alias("version"),
+            "members", "tags",
+        )
+    )
+    return [node_elems, way_elems, rel_elems]
+
+
+def generate_modify_meta(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    table_name: str = "mod_ways",
+) -> DataFrame:
+    """C4: --modify_meta flow (changegen/__main__.py:104-113) — reuse the
+    extract's node lists, replace tags only; version 2.  Geometry changes
+    are out of contract (reference raises, __main__.py:188-192)."""
+    mod = tables[table_name]
+    tags = _tags_map(
+        mod, exclude=("id", "osm_id", "parent_osm_id", "geometry"), hstore_col="tags"
+    )
+    keyed = mod.select(F.col("osm_id"), tags.alias("tags"))
+    pbf = tables["pbf_ways"].select(F.col("id").alias("osm_id"), "nds")
+    return keyed.join(pbf, "osm_id", "inner").select(  # missing pbf → skipped
+        F.lit("modify").alias("change_type"),
+        F.lit("way").alias("kind"),
+        F.col("osm_id").alias("id"),
+        F.lit(2).alias("version"),
+        "nds", "tags",
+    )
+
+
+def generate_modify_points(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    table_name: str = "modified_points",
+) -> DataFrame:
+    """C2 node-modify path (generator.py:608-621): keyed by osm_id,
+    version 2, osm_id dropped from tags (P5)."""
+    from changegen_spark.geo.geometry import point_xy
+
+    mod = tables[table_name]
+    tags = _tags_map(mod, exclude=("id", "osm_id", "geom"), hstore_col="tags")
+    px, py = point_xy(F.col("geom"))
+    return mod.select(
+        F.lit("modify").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("osm_id").alias("id"),
+        F.lit(2).alias("version"),
+        to_4326_lat(py).alias("lat"),
+        to_4326_lon(px).alias("lon"),
+        tags.alias("tags"),
+    )
+
+
+def generate_deletions(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    skip_nodes: bool = True,
+) -> DataFrame:
+    """C5 standalone deletion flow (changegen/generator.py:876-927)."""
+    from changegen_spark.operators.changes import expand_deleted_ways
+
+    empty_tags = F.create_map().cast("map<string,string>")
+    ways, nodes = expand_deleted_ways(
+        tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_nodes
+    )
+    way_elems = ways.select(
+        F.lit("delete").alias("change_type"),
+        F.lit("way").alias("kind"),
+        F.col("id"),
+        F.lit(99).alias("version"),
+        empty_tags.alias("tags"),
+    )
+    node_elems = nodes.select(
+        F.lit("delete").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("id"),
+        F.lit(99).alias("version"),
+        F.lit(0.0).alias("lat"),
+        F.lit(0.0).alias("lon"),
+        empty_tags.alias("tags"),
+    )
+    from changegen_spark.operators.changes import assemble_changeset
+
+    return assemble_changeset(way_elems, node_elems)

@@ -14,13 +14,14 @@ values):
   * aggregate/computed columns are aliased identically on both sides.
 """
 
+from changegen_spark.queries import changegen as _changegen
 from changegen_spark.queries import events as _events
 from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import vectors as _vectors
 
-MODULES = (_relational, _geo, _textops, _vectors, _events)
+MODULES = (_relational, _geo, _textops, _vectors, _events, _changegen)
 
 
 def all_queries():

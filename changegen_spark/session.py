@@ -50,6 +50,9 @@ def get_spark(
         # Keep parquet scan splits reasonable for wide scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
+        # local mode: everything (incl. Catalyst analysis of deep plans)
+        # lives in the driver JVM — the 1g default is far too small.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
