@@ -18,11 +18,12 @@ from changegen_spark.queries import changegen as _changegen
 from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
+from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import vectors as _vectors
 
-MODULES = (_relational, _geo, _textops, _vectors, _events, _changegen, _extensions)
+MODULES = (_relational, _misc, _geo, _textops, _vectors, _events, _changegen, _extensions)
 
 
 def all_queries():

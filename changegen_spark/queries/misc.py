@@ -1,0 +1,239 @@
+"""Remaining SURVEY §2 operator families: catalog/schema introspection
+(S2-S4), window analytics (W-family beyond cumsum), array/map ops (M1/M3),
+distinct variants (A2 + approximate), scalar function library (F-family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import TABLES, load_table, load_tables
+
+
+# --- S2/S3/S4: catalog discovery + schema introspection + row counts ---
+
+def q_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table discovery against the directory (the reference's
+    information_schema LIKE query, changegen/__main__.py:56-68) + per-table
+    row and column counts (db.py:72-74, 187-190)."""
+    tables = load_tables(spark, sf_dir)
+    rows = [
+        (name, tables[name].count(), len(tables[name].columns))
+        for name in TABLES
+        if name in tables
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, n_cols int"
+    ).orderBy("table_name")
+
+
+def _catalog_sql() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, (SELECT count(*) FROM {t}) AS n_rows, "
+        f"(SELECT count(*) FROM information_schema.columns WHERE table_name = '{t}') AS n_cols"
+        for t in TABLES
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+Q_CATALOG_SQL = _catalog_sql()
+
+
+# --- W-family: rank / lag analytics ---
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order ranking + previous-order delta: rank, lag, and a
+    range-framed running max."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.rank().over(w).cast("long").alias("price_rank"),
+            F.lag(cents).over(wt).alias("prev_price_cents"),
+            F.max(cents)
+            .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("running_max_cents"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q_WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+       lag(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price_cents,
+       max(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max_cents
+FROM orders WHERE o_custkey % 50 = 0
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- M-family: collect ordered / flatten / explode round-trip ---
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving collect (the vertex-list reassembly hazard, SURVEY
+    §7 risk 3): per order, linenumbers collected sorted, then re-exploded
+    length and a flattened join of part keys — emitted as strings for
+    stable hashing."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ),
+            lambda s: s.getField("l_linenumber"),
+        ).alias("linenumbers"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s.getField("l_partkey"),
+        ).alias("partkeys"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.concat_ws(",", F.col("linenumbers")).alias("linenumbers_csv"),
+        F.concat_ws(",", F.col("partkeys")).alias("partkeys_csv"),
+        F.size("linenumbers").alias("n_lines"),
+        F.element_at(F.col("partkeys"), 1).alias("first_partkey"),
+    ).orderBy("l_orderkey")
+
+
+Q_ARRAY_OPS_SQL = """
+SELECT l_orderkey,
+       array_to_string(list(l_linenumber ORDER BY l_linenumber, l_partkey), ',') AS linenumbers_csv,
+       array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), ',') AS partkeys_csv,
+       CAST(count(*) AS INT) AS n_lines,
+       list(l_partkey ORDER BY l_linenumber, l_partkey)[1] AS first_partkey
+FROM lineitem WHERE l_orderkey % 200 = 0
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# --- A2 exact + approximate distinct ---
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_COUNT_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct (the 100 TB profiling path — exact distinct at
+    that scale is a full shuffle; the sketch is map-side mergeable).
+    Engines' HLL implementations differ → rows-only driver check; the test
+    suite bounds the error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- F-family scalar function sweep ---
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date scalar battery with engine-identical semantics
+    (the F11/F13 cast-and-format layer of the tag pipeline)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 500 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("prio_num"),
+        F.length(F.col("o_orderstatus")).alias("status_len"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_key"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (cents % 97).alias("mod97"),
+        F.abs(cents - 50_000_00).alias("abs_delta"),
+        F.greatest(cents, F.lit(100_000_00)).alias("floor_price"),
+    ).orderBy("o_orderkey")
+
+
+Q_SCALAR_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       CAST(length(o_orderstatus) AS INT) AS status_len,
+       o_orderstatus || '#' || o_orderpriority AS status_key,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(round(o_totalprice*100) AS BIGINT) % 97 AS mod97,
+       abs(CAST(round(o_totalprice*100) AS BIGINT) - 5000000) AS abs_delta,
+       greatest(CAST(round(o_totalprice*100) AS BIGINT), 10000000) AS floor_price
+FROM orders WHERE o_orderkey % 500 = 0
+ORDER BY o_orderkey
+"""
+
+
+# --- grouping sets / rollup (§2.4 'built-in if ever needed' — prove it) ---
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("l_linestatus"),
+            "n",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "q_catalog": q_catalog,
+    "q_window_rank": q_window_rank,
+    "q_array_ops": q_array_ops,
+    "q_count_distinct": q_count_distinct,
+    "q_approx_distinct": q_approx_distinct,
+    "q_scalar_funcs": q_scalar_funcs,
+    "q_rollup": q_rollup,
+}
+
+ORACLES = {
+    "q_catalog": Q_CATALOG_SQL,
+    "q_window_rank": Q_WINDOW_RANK_SQL,
+    "q_array_ops": Q_ARRAY_OPS_SQL,
+    "q_count_distinct": Q_COUNT_DISTINCT_SQL,
+    "q_scalar_funcs": Q_SCALAR_SQL,
+    "q_rollup": Q_ROLLUP_SQL,
+}
