@@ -148,21 +148,40 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     if num_hashes % 4 != 0:
         raise ValueError("num_hashes must be a multiple of 4")
+    # No array_distinct before explode: min() is idempotent under duplicate
+    # shingles, and skipping the distinct saves an O(n²)-ish array pass.
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    cnt = F.size(toks)
+    raw_shingles = F.when(
+        cnt >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), cnt - F.lit(ngram) + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(ngram))),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
     sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), ngram)).alias("sh"),
+        F.col(id_col).alias("id"), F.explode(raw_shingles).alias("sh")
     )
     # One md5 yields four independent 8-hex-char (32-bit) hash windows, so
-    # num_hashes permutations need only num_hashes/4 md5 evaluations per
-    # shingle — the hot inner loop of the whole pipeline.
-    def mh(s: int):
-        h = F.md5(
-            F.to_binary(F.concat(F.lit(f"{s // 4}:"), F.col("sh")), F.lit("utf-8"))
-        )
-        return F.substring(h, (s % 4) * 8 + 1, 8)
-
-    sig = sh.groupBy("id").agg(
-        *[F.min(mh(s)).alias(f"mh{s}") for s in range(num_hashes)]
+    # num_hashes permutations need num_hashes/4 md5 evaluations per shingle.
+    # The md5s are materialized as projection columns BEFORE the aggregate so
+    # each is computed exactly once per shingle row (min-aggs then slice
+    # windows out of the same value).
+    n_md5 = num_hashes // 4
+    hashed = sh.select(
+        "id",
+        *[
+            F.md5(
+                F.to_binary(F.concat(F.lit(f"{m}:"), F.col("sh")), F.lit("utf-8"))
+            ).alias(f"h{m}")
+            for m in range(n_md5)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8)).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
     )
     banded = sig.select(
         "id",

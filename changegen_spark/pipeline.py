@@ -249,15 +249,11 @@ def build_new_ways(
         ).alias("mseq")
     )
 
+    # key_col stays IN the tag map when it is a real attribute (e.g. name);
+    # synthetic "__"-prefixed keys are dropped by _tags_map automatically.
     way_tags = new_ways.select(
         F.col(key_col).alias("nkey"),
-        _tags_map(new_ways, tag_exclude + (key_col,), hstore_col).alias("tags"),
-    ).withColumn(
-        "tags",
-        F.map_concat(
-            F.col("tags"),
-            F.create_map(F.lit(key_col), F.col("nkey")).cast("map<string,string>"),
-        ),
+        _tags_map(new_ways, tag_exclude, hstore_col).alias("tags"),
     )
 
     return {
@@ -361,6 +357,7 @@ def generate_changes(
     chunk_size: int = CHUNK_SIZE_DEFAULT,
     skip_delete_nodes: bool = True,
     check_collision: bool = True,
+    key_col: str = "name",
 ) -> DataFrame:
     """Full run: create new ways/points/polygons, modify intersecting
     existing ways, apply deletions.  Returns the unified element DataFrame
@@ -373,59 +370,76 @@ def generate_changes(
         check_id_collision(max(maxids.values()), id_offset, negative_ids)
 
     cs = ChangeSet(spark)
-    new_ways = tables["new_ways"]
-    existing = tables["original_ways"]
+    new_ways = tables.get("new_ways")
+    existing = tables.get("original_ways")
+    way_key_col = key_col
 
     # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
-    junction_nodes, junctions = synthesize_junctions(
-        new_ways, existing, key_col="name",
-        distance_buffer=distance_buffer, self_intersections=self_intersections,
-    )
-    # Truncate lineage here: every downstream stage re-references the
-    # junction frames many times, and the segment-join expression tree is
-    # deep — checkpointing keeps Catalyst analysis cost bounded.
-    junction_nodes = junction_nodes.localCheckpoint(eager=True)
-    junctions = junctions.localCheckpoint(eager=True)
+    if new_ways is not None and existing is not None:
+        junction_nodes, junctions = synthesize_junctions(
+            new_ways, existing, key_col=way_key_col,
+            distance_buffer=distance_buffer, self_intersections=self_intersections,
+        )
+        # Truncate lineage here: every downstream stage re-references the
+        # junction frames many times, and the segment-join expression tree is
+        # deep — checkpointing keeps Catalyst analysis cost bounded.
+        junction_nodes = junction_nodes.localCheckpoint(eager=True)
+        junctions = junctions.localCheckpoint(eager=True)
+    else:
+        junction_nodes = spark.createDataFrame(
+            [], "rlon double, rlat double, lon double, lat double"
+        )
+        junctions = spark.createDataFrame(
+            [], "nkey string, osm_id long, jx double, jy double, rlon double, rlat double"
+        )
     jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
     cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
 
     # B: new ways
-    nb = build_new_ways(
-        cs, new_ways, junction_nodes, junctions, key_col="name",
-        node_limit=node_limit, chunk_size=chunk_size,
-    )
+    nb = None
+    if new_ways is not None:
+        nb = build_new_ways(
+            cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
+            node_limit=node_limit, chunk_size=chunk_size,
+        )
 
     # D: new points
-    new_points = tables["new_points"]
-    pt_tags = _tags_map(
-        new_points, exclude=("id", "osm_id", "geom"), hstore_col="tags"
-    )
-    from changegen_spark.geo.geometry import point_xy
+    pts = None
+    new_points = tables.get("new_points")
+    if new_points is not None:
+        pt_tags = _tags_map(
+            new_points, exclude=("id", "osm_id", "geom"), hstore_col="tags"
+        )
+        from changegen_spark.geo.geometry import point_xy
 
-    px, py = point_xy(F.col("geom"))
-    pts = new_points.select(
-        F.col("id").alias("pt_id"),
-        to_4326_lon(px).alias("lon"),
-        to_4326_lat(py).alias("lat"),
-        pt_tags.alias("tags"),
-    )
-    cs.request_ids(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id")))
+        px, py = point_xy(F.col("geom"))
+        pts = new_points.select(
+            F.col("id").alias("pt_id"),
+            to_4326_lon(px).alias("lon"),
+            to_4326_lat(py).alias("lat"),
+            pt_tags.alias("tags"),
+        )
+        cs.request_ids(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id")))
 
     # E: polygons
     polys = tables.get("new_polygons")
     poly_parts = _build_polygons(cs, polys) if polys is not None else None
 
     # C: modify intersecting existing ways
-    mod_ways_seq = modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
-    mod_way_tags = existing.select(
-        F.col("osm_id"),
-        _tags_map(existing, exclude=("id", "osm_id", "geometry")).alias("tags"),
-    )
+    mod_ways_seq = mod_way_tags = None
+    if existing is not None:
+        mod_ways_seq = modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
+        mod_way_tags = existing.select(
+            F.col("osm_id"),
+            _tags_map(existing, exclude=("id", "osm_id", "geometry")).alias("tags"),
+        )
 
     # G: deletions
-    del_ways, del_nodes = expand_deleted_ways(
-        tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
-    )
+    del_ways = del_nodes = None
+    if tables.get("deleted_ways") is not None:
+        del_ways, del_nodes = expand_deleted_ways(
+            tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
+        )
 
     # --- resolve ids and assemble elements ---
     ids = cs.resolve(id_offset, negative_ids).cache()
@@ -449,51 +463,59 @@ def generate_changes(
     )
 
     vkey = F.concat_ws(":", F.col("nkey"), F.col("pos"))
-    vertex_elems = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
-        F.lit("create").alias("change_type"),
-        F.lit("node").alias("kind"),
-        F.col("new_id").alias("id"),
-        F.lit(1).alias("version"),
-        to_4326_lat(F.col("y")).alias("lat"),
-        to_4326_lon(F.col("x")).alias("lon"),
-        empty_tags.alias("tags"),
-    )
+    vertex_elems = None
+    chunked = None
+    if nb is not None:
+        vertex_elems = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
+            F.lit("create").alias("change_type"),
+            F.lit("node").alias("kind"),
+            F.col("new_id").alias("id"),
+            F.lit(1).alias("version"),
+            to_4326_lat(F.col("y")).alias("lat"),
+            to_4326_lon(F.col("x")).alias("lon"),
+            empty_tags.alias("tags"),
+        )
 
-    point_elems = with_id(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id"))).select(
-        F.lit("create").alias("change_type"),
-        F.lit("node").alias("kind"),
-        F.col("new_id").alias("id"),
-        F.lit(1).alias("version"),
-        "lat", "lon", "tags",
-    )
+    point_elems = None
+    if pts is not None:
+        point_elems = with_id(
+            pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id"))
+        ).select(
+            F.lit("create").alias("change_type"),
+            F.lit("node").alias("kind"),
+            F.col("new_id").alias("id"),
+            F.lit(1).alias("version"),
+            "lat", "lon", "tags",
+        )
 
     # new-way member resolution: junction members → junction node ids,
     # vertex members → vertex node ids
     jids = with_id(junction_nodes, _K_JUNCTION, jkey).select(
         "rlon", "rlat", F.col("new_id").alias("jid")
     )
-    vids = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
-        "nkey", "pos", F.col("new_id").alias("vid")
-    )
-    mem = nb["ordered_members"].select(
-        "nkey", F.posexplode("mseq").alias("seq", "m")
-    ).select(
-        "nkey", "seq",
-        F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
-        F.col("m.pos").alias("pos"), F.col("m.is_junction").alias("is_junction"),
-    )
-    mem = (
-        mem.join(jids, ["rlon", "rlat"], "left")
-        .join(vids, ["nkey", "pos"], "left")
-        .withColumn("node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.coalesce("vid", "jid")))
-    )
-    new_nds = mem.groupBy("nkey").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
-            lambda s: s.getField("node_ref"),
-        ).alias("nds")
-    )
-    chunked = split_ways(new_nds, node_limit=node_limit, chunk_size=chunk_size)
+    if nb is not None:
+        vids = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
+            "nkey", "pos", F.col("new_id").alias("vid")
+        )
+        mem = nb["ordered_members"].select(
+            "nkey", F.posexplode("mseq").alias("seq", "m")
+        ).select(
+            "nkey", "seq",
+            F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
+            F.col("m.pos").alias("pos"), F.col("m.is_junction").alias("is_junction"),
+        )
+        mem = (
+            mem.join(jids, ["rlon", "rlat"], "left")
+            .join(vids, ["nkey", "pos"], "left")
+            .withColumn("node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.coalesce("vid", "jid")))
+        )
+        new_nds = mem.groupBy("nkey").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
+                lambda s: s.getField("node_ref"),
+            ).alias("nds")
+        )
+        chunked = split_ways(new_nds, node_limit=node_limit, chunk_size=chunk_size)
     wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
     cs2 = ChangeSet(spark)  # way/relation ids depend on node requests too →
     # single resolve: re-request everything (cheap) OR request ways upfront.
@@ -501,10 +523,15 @@ def generate_changes(
     # resolve against the SAME sequence by reusing `ids` max.
     max_id_row = ids.agg(F.max(F.abs(F.col("new_id"))).alias("m")).first()
     next_offset = int(max_id_row["m"] or id_offset)
-    cs2.request_ids(chunked, _K_WAY, wkey)
+    if chunked is not None:
+        cs2.request_ids(chunked, _K_WAY, wkey)
     if poly_parts is not None:
         cs2.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
         cs2.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
+    if not cs2.requests:
+        cs2.request_ids(
+            spark.createDataFrame([], "k string"), _K_WAY, F.col("k")
+        )
     ids2 = cs2.resolve(next_offset, negative_ids).cache()
 
     def with_id2(df: DataFrame, kind: int, skey) -> DataFrame:
@@ -514,71 +541,81 @@ def generate_changes(
             "__skey",
         ).drop("__skey", "korder")
 
-    new_way_elems = (
-        with_id2(chunked, _K_WAY, wkey)
-        .join(nb["way_tags"], "nkey")
-        .select(
-            F.lit("create").alias("change_type"),
-            F.lit("way").alias("kind"),
-            F.col("new_id").alias("id"),
-            F.lit(1).alias("version"),
-            "nds", "tags",
+    new_way_elems = None
+    if chunked is not None:
+        new_way_elems = (
+            with_id2(chunked, _K_WAY, wkey)
+            .join(nb["way_tags"], "nkey")
+            .select(
+                F.lit("create").alias("change_type"),
+                F.lit("way").alias("kind"),
+                F.col("new_id").alias("id"),
+                F.lit(1).alias("version"),
+                "nds", "tags",
+            )
         )
-    )
 
     # modified existing ways: junction members → junction ids, vertex
     # members keep their PBF node id unless junction-replaced
-    mmem = mod_ways_seq.select(
-        "osm_id", F.posexplode("mseq").alias("seq", "m")
-    ).select(
-        "osm_id", "seq",
-        F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
-        F.col("m.is_junction").alias("is_junction"),
-        F.col("m.node_id").alias("node_id"),
-    )
-    mmem = mmem.join(jids, ["rlon", "rlat"], "left").withColumn(
-        "node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.col("node_id"))
-    )
-    mod_nds = mmem.groupBy("osm_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
-            lambda s: s.getField("node_ref"),
-        ).alias("nds")
-    )
-    mod_way_elems = mod_nds.join(mod_way_tags, "osm_id").select(
-        F.lit("modify").alias("change_type"),
-        F.lit("way").alias("kind"),
-        F.col("osm_id").alias("id"),
-        F.lit(2).alias("version"),
-        "nds", "tags",
-    )
+    mod_way_elems = None
+    if mod_ways_seq is not None:
+        mmem = mod_ways_seq.select(
+            "osm_id", F.posexplode("mseq").alias("seq", "m")
+        ).select(
+            "osm_id", "seq",
+            F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
+            F.col("m.is_junction").alias("is_junction"),
+            F.col("m.node_id").alias("node_id"),
+        )
+        mmem = mmem.join(jids, ["rlon", "rlat"], "left").withColumn(
+            "node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.col("node_id"))
+        )
+        mod_nds = mmem.groupBy("osm_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
+                lambda s: s.getField("node_ref"),
+            ).alias("nds")
+        )
+        mod_way_elems = mod_nds.join(mod_way_tags, "osm_id").select(
+            F.lit("modify").alias("change_type"),
+            F.lit("way").alias("kind"),
+            F.col("osm_id").alias("id"),
+            F.lit(2).alias("version"),
+            "nds", "tags",
+        )
 
     # deletions (version 99 placeholder, generator.py:919-925)
-    del_way_elems = del_ways.select(
-        F.lit("delete").alias("change_type"),
-        F.lit("way").alias("kind"),
-        F.col("id"),
-        F.lit(99).alias("version"),
-        empty_tags.alias("tags"),
-    )
-    del_node_elems = del_nodes.select(
-        F.lit("delete").alias("change_type"),
-        F.lit("node").alias("kind"),
-        F.col("id"),
-        F.lit(99).alias("version"),
-        F.lit(0.0).alias("lat"),
-        F.lit(0.0).alias("lon"),
-        empty_tags.alias("tags"),
-    )
+    del_way_elems = del_node_elems = None
+    if del_ways is not None:
+        del_way_elems = del_ways.select(
+            F.lit("delete").alias("change_type"),
+            F.lit("way").alias("kind"),
+            F.col("id"),
+            F.lit(99).alias("version"),
+            empty_tags.alias("tags"),
+        )
+        del_node_elems = del_nodes.select(
+            F.lit("delete").alias("change_type"),
+            F.lit("node").alias("kind"),
+            F.col("id"),
+            F.lit(99).alias("version"),
+            F.lit(0.0).alias("lat"),
+            F.lit(0.0).alias("lon"),
+            empty_tags.alias("tags"),
+        )
 
     parts = [
-        junction_node_elems,
-        vertex_elems,
-        point_elems,
-        new_way_elems,
-        mod_way_elems,
-        del_way_elems,
-        del_node_elems,
+        p
+        for p in (
+            junction_node_elems,
+            vertex_elems,
+            point_elems,
+            new_way_elems,
+            mod_way_elems,
+            del_way_elems,
+            del_node_elems,
+        )
+        if p is not None
     ]
     if poly_parts is not None:
         parts.extend(_assemble_polygons(poly_parts, with_id2, with_id))

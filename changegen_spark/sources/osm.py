@@ -264,6 +264,9 @@ def max_pbf_ids(tables: dict[str, DataFrame]) -> dict[str, int]:
 
     out = {}
     for kind, name in (("node", "pbf_nodes"), ("way", "pbf_ways"), ("relation", "pbf_relations")):
+        if name not in tables:
+            out[kind] = 0
+            continue
         row = tables[name].agg(F.max("id").alias("m")).first()
         out[kind] = row["m"] if row["m"] is not None else 0
     return out
