@@ -86,6 +86,74 @@ def sign_lsh_bucket(vec: Column, dims: list[int]) -> Column:
     return sum(bits[1:], start=bits[0]).cast("long")
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + probe-top-cells.
+
+    Scale path beyond sign-LSH: vectors partition into ``n_cells`` Voronoi
+    cells (trained once, reused across queries); each query scores only the
+    vectors of its ``n_probe`` nearest cells — an equi-join on cell id, so
+    search cost is (n_probe/n_cells) of a full scan and the shuffle is
+    keyed by cell.  Training is a one-time O(iterations · n) job; at 100 TB
+    train on a sample and broadcast the centroid table (tiny: cells × dim).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    train = v.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = vectors.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q")
+    )
+    # query → n_probe nearest cells (centroid table is tiny → broadcast)
+    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
+        "cdist",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "q", "cell")
+    )
+
+    scored = assigned.join(probes, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn("cos_sim", F.round(cosine(F.col("q"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -81,7 +81,25 @@ def q_multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(vectors, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: k-means coarse quantizer, probe
+    the 4 nearest of 8 cells.  Rows-only check (k-means training is not
+    SQL-expressible); recall vs brute force is bounded in
+    tests/test_similarity.py."""
+    from changegen_spark.functions.similarity import ivf_topk
+    from changegen_spark.sources.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings")
+    queries = v.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return ivf_topk(v, queries, k=10, n_cells=8, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
+    "q_ann_ivf": q_ann_ivf,
     "q_streaming_windows": q_streaming_windows,
     "q_streaming_sessions": q_streaming_sessions,
     "q_multimodal_decode": q_multimodal_decode,

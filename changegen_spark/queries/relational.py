@@ -484,8 +484,66 @@ ORDER BY o_orderkey
 """
 
 
+# --- generic snapshot diff (the CDC abstraction of §2.9) ---
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic snapshots of orders → change set via
+    operators.diff.diff_tables (full-outer join + map-side row hash):
+    %7==0 keys exist only in new (create), %5==0 only in old (delete),
+    %3==0 carry a modified priority (modify)."""
+    from changegen_spark.operators.diff import diff_tables
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("0-RERATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return diff_tables(old, new, key="o_orderkey").orderBy("o_orderkey")
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+  FROM orders
+), old AS (
+  SELECT * FROM base WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN '0-RERATED' ELSE o_orderpriority END AS o_orderpriority,
+         price_cents
+  FROM base WHERE o_orderkey % 5 != 0
+)
+SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'create'
+            WHEN new.o_orderkey IS NULL THEN 'delete'
+            ELSE 'modify' END AS change_type,
+       CASE WHEN old.o_orderkey IS NULL THEN 1
+            WHEN new.o_orderkey IS NULL THEN 99
+            ELSE 2 END AS version,
+       CASE WHEN new.o_orderkey IS NULL THEN old.o_orderstatus ELSE new.o_orderstatus END AS o_orderstatus,
+       CASE WHEN new.o_orderkey IS NULL THEN old.o_orderpriority ELSE new.o_orderpriority END AS o_orderpriority,
+       CASE WHEN new.o_orderkey IS NULL THEN old.price_cents ELSE new.price_cents END AS price_cents
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+   OR (old.o_orderpriority IS DISTINCT FROM new.o_orderpriority)
+   OR (old.price_cents IS DISTINCT FROM new.price_cents)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q_snapshot_diff": q_snapshot_diff,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
     "q_semi_join": q_semi_join,
@@ -505,6 +563,7 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": Q01_SQL,
+    "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
     "q_semi_join": Q_SEMI_SQL,

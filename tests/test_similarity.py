@@ -1,0 +1,81 @@
+"""ANN operator tests: exactness of brute force, recall of the approximate
+paths against it, and structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    from changegen_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.01", "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return vectors.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+
+def _result_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(r["vec_id"])
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors, queries):
+    import numpy as np
+
+    from changegen_spark.functions.similarity import brute_force_topk
+
+    got = _result_map(brute_force_topk(vectors, queries, k=5))
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in vectors.collect()}
+    ids = sorted(data)
+    M = np.stack([data[i] / np.linalg.norm(data[i]) for i in ids])
+    for qid in got:
+        sims = M @ (data[qid] / np.linalg.norm(data[qid]))
+        order = sorted(
+            (i for i in ids if i != qid),
+            key=lambda i: (-round(sims[ids.index(i)], 6), i),
+        )
+        assert got[qid] == order[:5]
+
+
+def test_ivf_recall_against_bruteforce(vectors, queries):
+    from changegen_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = _result_map(brute_force_topk(vectors, queries, k=10))
+    approx = _result_map(ivf_topk(vectors, queries, k=10, n_cells=8, n_probe=4))
+    recalls = [
+        len(set(exact[q]) & set(approx.get(q, []))) / 10 for q in exact
+    ]
+    # probing half the cells of random-ish data: recall well above chance
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_is_deterministic(vectors, queries):
+    from changegen_spark.functions.similarity import ivf_topk
+
+    a = _result_map(ivf_topk(vectors, queries, k=5, n_cells=8, n_probe=2, seed=7))
+    b = _result_map(ivf_topk(vectors, queries, k=5, n_cells=8, n_probe=2, seed=7))
+    assert a == b
+
+
+def test_lsh_results_subset_of_bucket(vectors, queries):
+    from changegen_spark.functions.similarity import lsh_bucketed_topk, sign_lsh_bucket
+    from changegen_spark.functions.similarity import as_double
+
+    dims = [0, 8, 16, 24]
+    got = lsh_bucketed_topk(vectors, queries, dims=dims, k=5)
+    buckets = vectors.select(
+        F.col("vec_id"),
+        sign_lsh_bucket(as_double(F.col("embedding")), dims).alias("b"),
+    )
+    joined = got.join(
+        buckets.withColumnRenamed("vec_id", "query_id").withColumnRenamed("b", "qb"),
+        "query_id",
+    ).join(buckets, "vec_id")
+    assert joined.filter(F.col("b") != F.col("qb")).count() == 0
