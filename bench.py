@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # spatial join, dedup-LSH, ANN, sessionization, exact dedup, text scan.
 HEADLINE = [
     "q01_pricing_summary",
+    "q_snapshot_diff",
     "q03_top_orders",
     "q05_region_revenue",
     "q_distance_join",

@@ -21,9 +21,20 @@ from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
+from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import vectors as _vectors
 
-MODULES = (_relational, _misc, _geo, _textops, _vectors, _events, _changegen, _extensions)
+MODULES = (
+    _relational,
+    _tpch_extra,
+    _misc,
+    _geo,
+    _textops,
+    _vectors,
+    _events,
+    _changegen,
+    _extensions,
+)
 
 
 def all_queries():
