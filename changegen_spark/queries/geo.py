@@ -11,7 +11,7 @@ the point: the Spark side must scale, the oracle only validates semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from changegen_spark.geo.join import grid_distance_join
@@ -238,8 +238,83 @@ FROM (
 """
 
 
+# --- W2: point insertion index with a full SQL oracle ---
+
+def q_insertion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core way-modification primitive
+    (changegen/generator.py:208-255): for a synthetic polyline per order
+    (vertices from lineitems) and a probe point derived from the order key,
+    the index at which the point inserts.  Exercised end-to-end as
+    cumulative-fraction + clamped segment projection + argmin window."""
+    from changegen_spark.operators.ways import insertion_index
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 400 == 0)
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    verts = li.select(
+        "l_orderkey",
+        (F.row_number().over(w) - 1).alias("pos"),
+        (F.row_number().over(w) * 2).cast("double").alias("x"),
+        ((F.col("l_partkey") % 7)).cast("double").alias("y"),
+    )
+    # probe point: inside the polyline's x-range, off-axis in y
+    probes = verts.groupBy("l_orderkey").agg(
+        (F.max("x") * 0.4).alias("px"), F.lit(1.5).alias("py"),
+        F.count("*").alias("n"),
+    ).filter(F.col("n") >= 3)
+    vp = verts.join(probes, "l_orderkey")
+    out = insertion_index(vp, ["l_orderkey"], "px", "py")
+    return out.select("l_orderkey", "insert_idx").orderBy("l_orderkey")
+
+
+Q_INSERTION_INDEX_SQL = """
+WITH verts AS (
+  SELECT l_orderkey,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+         CAST(row_number() OVER w * 2 AS DOUBLE) AS x,
+         CAST(l_partkey % 7 AS DOUBLE) AS y
+  FROM lineitem WHERE l_orderkey % 400 = 0
+  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+), probes AS (
+  SELECT l_orderkey, max(x) * 0.4 AS px, 1.5 AS py
+  FROM verts GROUP BY l_orderkey HAVING count(*) >= 3
+), seg AS (
+  SELECT v.l_orderkey, v.pos, p.px, p.py,
+         lag(v.x) OVER w AS ax, lag(v.y) OVER w AS ay, v.x AS bx, v.y AS by
+  FROM verts v JOIN probes p USING (l_orderkey)
+  WINDOW w AS (PARTITION BY v.l_orderkey ORDER BY v.pos)
+), seg2 AS (
+  SELECT *, sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) AS slen,
+         CASE WHEN (bx-ax)*(bx-ax) + (by-ay)*(by-ay) > 0
+              THEN least(greatest(((px-ax)*(bx-ax) + (py-ay)*(by-ay))
+                   / ((bx-ax)*(bx-ax) + (by-ay)*(by-ay)), 0), 1)
+              ELSE 0 END AS t
+  FROM seg WHERE ax IS NOT NULL
+), seg3 AS (
+  SELECT *, (px - (ax + t*(bx-ax)))*(px - (ax + t*(bx-ax)))
+          + (py - (ay + t*(by-ay)))*(py - (ay + t*(by-ay))) AS d2,
+         sum(slen) OVER (PARTITION BY l_orderkey ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(slen) OVER (PARTITION BY l_orderkey) AS total
+  FROM seg2
+), best AS (
+  SELECT l_orderkey, (cum - slen + t*slen) / total AS pf
+  FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY d2, pos) AS rn FROM seg3)
+  WHERE rn = 1
+), vfrac AS (
+  SELECT s.l_orderkey, s.pos, s.cum / s.total AS vf, b.pf
+  FROM seg3 s JOIN best b USING (l_orderkey)
+)
+SELECT l_orderkey, CAST(min(pos) AS BIGINT) AS insert_idx
+FROM vfrac WHERE vf > pf
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_insertion_index": q_insertion_index,
     "q_dwithin_semi": q_dwithin_semi,
     "q_self_join": q_self_join,
     "q_grid_dedup": q_grid_dedup,
@@ -249,6 +324,7 @@ QUERIES = {
 
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_insertion_index": Q_INSERTION_INDEX_SQL,
     "q_dwithin_semi": Q_DWITHIN_SEMI_SQL,
     "q_self_join": Q_SELF_JOIN_SQL,
     "q_grid_dedup": Q_GRID_DEDUP_SQL,

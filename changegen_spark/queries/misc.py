@@ -219,7 +219,36 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- exact percentiles (ordered-statistic aggregate) ---
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p90 of quantity per return flag — `percentile` is the
+    exact interpolating ordered-statistic (matches DuckDB quantile_cont);
+    the sketch-based approx twin for 100 TB is percentile_approx."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(qty, F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile(qty, F.lit(0.9)), 6).alias("p90_qty"),
+            F.round(F.avg(qty), 6).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median_qty,
+       round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90_qty,
+       round(avg(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
     "q_window_rank": q_window_rank,
     "q_array_ops": q_array_ops,
@@ -230,6 +259,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
     "q_window_rank": Q_WINDOW_RANK_SQL,
     "q_array_ops": Q_ARRAY_OPS_SQL,
