@@ -187,7 +187,9 @@ def build_new_ways(
     geoms = new_ways.select(
         F.col(key_col).alias("nkey"), exterior(F.col("geometry")).alias("__ring")
     )
-    verts = _vertices_with_frac(geoms, ["nkey"])
+    # verts feeds four downstream joins; truncating its (windowed) lineage
+    # keeps every consumer's analysis tree shallow
+    verts = _vertices_with_frac(geoms, ["nkey"]).localCheckpoint(eager=True)
 
     jn = junction_nodes.select("rlon", "rlat")
     matched = verts.join(jn, ["rlon", "rlat"], "inner").select(
@@ -286,7 +288,9 @@ def modify_intersecting_ways(
     nds = pbf_ways.select(
         F.col("id").alias("osm_id"), F.posexplode("nds").alias("pos", "node_id")
     )
-    verts = verts.join(nds, ["osm_id", "pos"], "inner")  # missing pbf → skipped
+    # missing pbf → skipped; checkpoint: same multi-consumer fan-out as the
+    # create path
+    verts = verts.join(nds, ["osm_id", "pos"], "inner").localCheckpoint(eager=True)
 
     way_j = junctions.select("osm_id", "jx", "jy", "rlon", "rlat").distinct()
     matched = verts.join(
