@@ -1,0 +1,83 @@
+"""Connected components over candidate-pair graphs — the last stage of a
+real dedup pipeline (LSH pairs → duplicate CLUSTERS → one kept doc each).
+
+Iterative min-label propagation on DataFrames: each node adopts the
+smallest label among itself and its neighbors until fixpoint.  This is the
+alternating-large/small-star algorithm's simple cousin — O(diameter)
+rounds, each round one shuffle keyed by node id; duplicate clusters in
+practice have tiny diameter, so 2-4 rounds.  ``localCheckpoint`` per round
+keeps lineage flat (the classic iterative-Spark requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = min
+    node id of the connected component."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("comp", F.col("node"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup decision: cluster candidate pairs, keep the min-id doc of
+    each cluster, pass through unpaired docs.  Output: (doc_id, cluster,
+    keep)."""
+    comp = connected_components(pairs)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, F.col("doc_id") == comp.node, "left"
+    )
+    cluster = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (F.col("doc_id") == cluster).alias("keep"),
+    )

@@ -9,7 +9,7 @@ arithmetic in DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from changegen_spark.functions.hashing import (
@@ -365,7 +365,174 @@ ORDER BY id_a, id_b
 """
 
 
+# --- end-to-end dedup: LSH pairs → connected components → keep list ---
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup decision: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation) → keep the
+    min-id doc per cluster.  Only clustered docs emitted (unpaired docs
+    are trivially kept)."""
+    from changegen_spark.functions.clustering import dedup_keep_list
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidates(d, id_col="doc_id", text_col="text")
+    out = dedup_keep_list(d, pairs)
+    sizes = out.groupBy("cluster").agg(F.count("*").alias("sz"))
+    return (
+        out.join(sizes, "cluster")
+        .filter(F.col("sz") > 1)
+        .select("doc_id", "cluster", "keep")
+        .orderBy("doc_id")
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pos AS (
+  SELECT doc_id, lower(text) AS lt, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_extract(t, CAST(i AS INT)) || ' ' || list_extract(t, CAST(i AS INT)+1) || ' ' || list_extract(t, CAST(i AS INT)+2)
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS i FROM pos)
+), sig AS (
+  SELECT doc_id, {_minhash_terms(8)}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS bh FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, least(a, min(b)) AS cluster
+  FROM reach GROUP BY a
+), sized AS (
+  SELECT cluster, count(*) AS sz FROM comp GROUP BY cluster
+)
+SELECT c.node AS doc_id, c.cluster, c.node = c.cluster AS keep
+FROM comp c JOIN sized s USING (cluster)
+WHERE s.sz > 1
+ORDER BY doc_id
+"""
+
+
+# --- composite quality filter (C4/Gopher-style keep rules) ---
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtering decision: keep docs passing all quality rules
+    (length bounds, alpha ratio, mean token length band); emits the rule
+    bitmap for auditability — quarantine-style routing, not dropping."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    n = feats["n_chars"]
+    toks = feats["n_tokens"]
+    alpha = feats["alpha_ratio"]
+    atl = feats["avg_token_len"]
+    rules = {
+        "len_ok": (n >= 100) & (n <= 20000),
+        "tokens_ok": toks >= 20,
+        "alpha_ok": alpha >= 0.6,
+        "token_len_ok": (atl >= 2.0) & (atl <= 12.0),
+    }
+    out = d.select(
+        "doc_id",
+        *[cond.alias(name) for name, cond in rules.items()],
+    )
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else (keep & F.col(name))
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+Q_QUALITY_FILTER_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS toks,
+         round(CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 0 END, 6) AS alpha,
+         round(CASE WHEN trim(text) = '' THEN 0
+               ELSE (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                    / len(string_split_regex(trim(text), '\\s+')) END, 6) AS atl
+  FROM documents
+)
+SELECT doc_id,
+       n >= 100 AND n <= 20000 AS len_ok,
+       toks >= 20 AS tokens_ok,
+       alpha >= 0.6 AS alpha_ok,
+       atl >= 2.0 AND atl <= 12.0 AS token_len_ok,
+       (n >= 100 AND n <= 20000) AND toks >= 20 AND alpha >= 0.6
+           AND (atl >= 2.0 AND atl <= 12.0) AS keep
+FROM feats ORDER BY doc_id
+"""
+
+
+# --- TF-IDF top terms per language ---
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per language: token explode → per-(lang, term)
+    tf → document frequency → idf = ln(N/df) → rank.  Whole pipeline is
+    two hash aggregations + one window."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
+Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), scored AS (
+  SELECT lang, term, tf,
+         round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT lang, term, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
 QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_quality_filter": q_quality_filter,
+    "q_tfidf_terms": q_tfidf_terms,
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
@@ -379,6 +546,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "q_quality_filter": Q_QUALITY_FILTER_SQL,
+    "q_tfidf_terms": Q_TFIDF_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_text_quality": Q_TEXT_QUALITY_SQL,
     "q_lang_id": Q_LANG_ID_SQL,
