@@ -66,13 +66,20 @@ _KIND_ORDER = {"node": 0, "way": 1, "relation": 2}
 
 
 def _esc(s: str) -> str:
-    """XML attribute-value escaping (double-quoted attributes)."""
+    """XML attribute-value escaping (double-quoted attributes).
+
+    Whitespace controls become character references — a literal newline in
+    an attribute would be normalized to a space by any conforming parser.
+    """
     return (
         str(s)
         .replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
         .replace('"', "&quot;")
+        .replace("\n", "&#10;")
+        .replace("\r", "&#13;")
+        .replace("\t", "&#9;")
     )
 
 
