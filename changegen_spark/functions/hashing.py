@@ -136,6 +136,7 @@ def minhash_candidates(
     ngram: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pair generation.
 
@@ -208,6 +209,17 @@ def minhash_candidates(
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bh")
+    if max_bucket_size is not None:
+        # Hot-bucket guard (production default at corpus scale): a
+        # degenerate bucket of B docs costs B² pair rows; buckets past the
+        # cap carry no discriminating signal (boilerplate / empty docs) and
+        # are dropped BEFORE the self-join so the blowup never happens.
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__bsz"))
+        banded = (
+            banded.join(sizes, ["band", "bh"])
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
