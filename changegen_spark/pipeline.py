@@ -399,13 +399,22 @@ def generate_changes(
     jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
     cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
 
-    # B: new ways
+    # B: new ways.  Way splitting happens on the member-KEY sequences, so
+    # way ids can be requested in the same single resolve as node ids (the
+    # chunk count depends only on member counts, not on resolved ids).
     nb = None
+    chunked_members = None
+    wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
     if new_ways is not None:
         nb = build_new_ways(
             cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
             node_limit=node_limit, chunk_size=chunk_size,
         )
+        chunked_members = split_ways(
+            nb["ordered_members"], nds_col="mseq",
+            node_limit=node_limit, chunk_size=chunk_size,
+        )
+        cs.request_ids(chunked_members, _K_WAY, wkey)
 
     # D: new points
     pts = None
@@ -428,6 +437,9 @@ def generate_changes(
     # E: polygons
     polys = tables.get("new_polygons")
     poly_parts = _build_polygons(cs, polys) if polys is not None else None
+    if poly_parts is not None:
+        cs.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
+        cs.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
 
     # C: modify intersecting existing ways
     mod_ways_seq = mod_way_tags = None
@@ -468,7 +480,6 @@ def generate_changes(
 
     vkey = F.concat_ws(":", F.col("nkey"), F.col("pos"))
     vertex_elems = None
-    chunked = None
     if nb is not None:
         vertex_elems = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
             F.lit("create").alias("change_type"),
@@ -493,18 +504,24 @@ def generate_changes(
         )
 
     # new-way member resolution: junction members → junction node ids,
-    # vertex members → vertex node ids
+    # vertex members → vertex node ids; nds assembled per (way, chunk)
     jids = with_id(junction_nodes, _K_JUNCTION, jkey).select(
         "rlon", "rlat", F.col("new_id").alias("jid")
     )
-    if nb is not None:
+    with_id2 = with_id  # single resolve covers every element kind
+
+    new_way_elems = None
+    if chunked_members is not None:
         vids = with_id(nb["vertex_nodes"], _K_VERTEX, vkey).select(
             "nkey", "pos", F.col("new_id").alias("vid")
         )
-        mem = nb["ordered_members"].select(
-            "nkey", F.posexplode("mseq").alias("seq", "m")
+        way_ids = with_id(chunked_members, _K_WAY, wkey).select(
+            "nkey", "chunk", F.col("new_id").alias("way_id"), "mseq"
+        )
+        mem = way_ids.select(
+            "nkey", "chunk", "way_id", F.posexplode("mseq").alias("seq", "m")
         ).select(
-            "nkey", "seq",
+            "nkey", "chunk", "way_id", "seq",
             F.col("m.rlon").alias("rlon"), F.col("m.rlat").alias("rlat"),
             F.col("m.pos").alias("pos"), F.col("m.is_junction").alias("is_junction"),
         )
@@ -513,50 +530,18 @@ def generate_changes(
             .join(vids, ["nkey", "pos"], "left")
             .withColumn("node_ref", F.when(F.col("is_junction"), F.col("jid")).otherwise(F.coalesce("vid", "jid")))
         )
-        new_nds = mem.groupBy("nkey").agg(
+        chunk_nds = mem.groupBy("nkey", "chunk", "way_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("seq", "node_ref"))),
                 lambda s: s.getField("node_ref"),
             ).alias("nds")
         )
-        chunked = split_ways(new_nds, node_limit=node_limit, chunk_size=chunk_size)
-    wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
-    cs2 = ChangeSet(spark)  # way/relation ids depend on node requests too →
-    # single resolve: re-request everything (cheap) OR request ways upfront.
-    # Simpler: ways/relations were not yet requested — request now and
-    # resolve against the SAME sequence by reusing `ids` max.
-    max_id_row = ids.agg(F.max(F.abs(F.col("new_id"))).alias("m")).first()
-    next_offset = int(max_id_row["m"] or id_offset)
-    if chunked is not None:
-        cs2.request_ids(chunked, _K_WAY, wkey)
-    if poly_parts is not None:
-        cs2.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
-        cs2.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
-    if not cs2.requests:
-        cs2.request_ids(
-            spark.createDataFrame([], "k string"), _K_WAY, F.col("k")
-        )
-    ids2 = cs2.resolve(next_offset, negative_ids).cache()
-
-    def with_id2(df: DataFrame, kind: int, skey) -> DataFrame:
-        keyed = df.withColumn("__skey", skey.cast("string"))
-        return keyed.join(
-            ids2.filter(F.col("korder") == kind).withColumnRenamed("skey", "__skey"),
-            "__skey",
-        ).drop("__skey", "korder")
-
-    new_way_elems = None
-    if chunked is not None:
-        new_way_elems = (
-            with_id2(chunked, _K_WAY, wkey)
-            .join(nb["way_tags"], "nkey")
-            .select(
-                F.lit("create").alias("change_type"),
-                F.lit("way").alias("kind"),
-                F.col("new_id").alias("id"),
-                F.lit(1).alias("version"),
-                "nds", "tags",
-            )
+        new_way_elems = chunk_nds.join(nb["way_tags"], "nkey").select(
+            F.lit("create").alias("change_type"),
+            F.lit("way").alias("kind"),
+            F.col("way_id").alias("id"),
+            F.lit(1).alias("version"),
+            "nds", "tags",
         )
 
     # modified existing ways: junction members → junction ids, vertex
