@@ -73,8 +73,10 @@ def segment_pair_closest(cols_l: str = "l", cols_r: str = "r") -> list[Column]:
     sx, sy = rbx - rax, rby - ray
     denom = rx * sy - ry * sx
     qpx, qpy = rax - lax, ray - lay
-    t = (qpx * sy - qpy * sx) / denom
-    u = (qpx * ry - qpy * rx) / denom
+    # parallel/degenerate pairs (denom = 0) must not divide — ANSI mode
+    # raises on x/0; they fall through to the endpoint-projection branch
+    t = F.when(denom != 0, (qpx * sy - qpy * sx) / denom).otherwise(F.lit(0.0))
+    u = F.when(denom != 0, (qpx * ry - qpy * rx) / denom).otherwise(F.lit(0.0))
     crossing = (
         (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
     )

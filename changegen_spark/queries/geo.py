@@ -312,9 +312,124 @@ GROUP BY l_orderkey ORDER BY l_orderkey
 """
 
 
+# --- J1 refine kernel: segment-segment closest point, direct oracle ---
+
+_SEGPAIRS_SQL = """
+  SELECT event_id AS pid,
+         CAST((event_id * 31) % 97 AS DOUBLE) AS lax,
+         CAST((event_id * 37) % 89 AS DOUBLE) AS lay,
+         CAST((event_id * 41) % 97 AS DOUBLE) AS lbx,
+         CAST((event_id * 43) % 89 AS DOUBLE) AS lby,
+         CAST((event_id * 47) % 97 AS DOUBLE) AS rax,
+         CAST((event_id * 53) % 89 AS DOUBLE) AS ray,
+         CAST((event_id * 59) % 97 AS DOUBLE) AS rbx,
+         CAST((event_id * 61) % 89 AS DOUBLE) AS rby
+  FROM events WHERE event_id % 40 = 0
+"""
+
+
+def q_segment_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial-join refine kernel (ST_ClosestPoint on segment pairs,
+    changegen/db.py:129): synthetic segment pairs → closest point on the
+    left segment + distance, covering both the crossing branch (dist 0,
+    exact crossing point) and the projection branch."""
+    from changegen_spark.geo.segments import segment_pair_closest
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
+    eid = F.col("event_id")
+    pairs = ev.select(
+        eid.alias("pid"),
+        ((eid * 31) % 97).cast("double").alias("lax"),
+        ((eid * 37) % 89).cast("double").alias("lay"),
+        ((eid * 41) % 97).cast("double").alias("lbx"),
+        ((eid * 43) % 89).cast("double").alias("lby"),
+        ((eid * 47) % 97).cast("double").alias("rax"),
+        ((eid * 53) % 89).cast("double").alias("ray"),
+        ((eid * 59) % 97).cast("double").alias("rbx"),
+        ((eid * 61) % 89).cast("double").alias("rby"),
+    )
+    out = pairs.select("pid", *segment_pair_closest())
+    return out.select(
+        "pid",
+        F.round("cp_x", 6).alias("cp_x"),
+        F.round("cp_y", 6).alias("cp_y"),
+        F.round("dist", 6).alias("dist"),
+        (F.col("dist") == 0.0).alias("crossing"),
+    ).orderBy("pid")
+
+
+Q_SEGMENT_CP_SQL = f"""
+WITH pairs AS ({_SEGPAIRS_SQL}),
+c AS (
+  SELECT *,
+         (lbx-lax) AS rx, (lby-lay) AS ry,
+         (rbx-rax) AS sx, (rby-ray) AS sy,
+         (rax-lax) AS qpx, (ray-lay) AS qpy
+  FROM pairs
+), tuv AS (
+  SELECT *,
+         rx*sy - ry*sx AS denom,
+         CASE WHEN rx*sy - ry*sx != 0
+              THEN (qpx*sy - qpy*sx) / (rx*sy - ry*sx) ELSE 0 END AS t,
+         CASE WHEN rx*sy - ry*sx != 0
+              THEN (qpx*ry - qpy*rx) / (rx*sy - ry*sx) ELSE 0 END AS u
+  FROM c
+), cand AS (
+  SELECT *,
+         denom != 0 AND t >= 0 AND t <= 1 AND u >= 0 AND u <= 1 AS crossing,
+         -- candidate 1/2: right endpoints projected onto the left segment
+         CASE WHEN rx*rx + ry*ry > 0
+              THEN least(greatest(((rax-lax)*rx + (ray-lay)*ry) / (rx*rx + ry*ry), 0), 1)
+              ELSE 0 END AS t1,
+         CASE WHEN rx*rx + ry*ry > 0
+              THEN least(greatest(((rbx-lax)*rx + (rby-lay)*ry) / (rx*rx + ry*ry), 0), 1)
+              ELSE 0 END AS t2,
+         -- candidate 3/4: left endpoints projected onto the right segment
+         CASE WHEN sx*sx + sy*sy > 0
+              THEN least(greatest(((lax-rax)*sx + (lay-ray)*sy) / (sx*sx + sy*sy), 0), 1)
+              ELSE 0 END AS t3,
+         CASE WHEN sx*sx + sy*sy > 0
+              THEN least(greatest(((lbx-rax)*sx + (lby-ray)*sy) / (sx*sx + sy*sy), 0), 1)
+              ELSE 0 END AS t4
+  FROM tuv
+), scored AS (
+  SELECT *,
+         (rax - (lax + t1*rx))*(rax - (lax + t1*rx)) + (ray - (lay + t1*ry))*(ray - (lay + t1*ry)) AS d1,
+         (rbx - (lax + t2*rx))*(rbx - (lax + t2*rx)) + (rby - (lay + t2*ry))*(rby - (lay + t2*ry)) AS d2,
+         (lax - (rax + t3*sx))*(lax - (rax + t3*sx)) + (lay - (ray + t3*sy))*(lay - (ray + t3*sy)) AS d3,
+         (lbx - (rax + t4*sx))*(lbx - (rax + t4*sx)) + (lby - (ray + t4*sy))*(lby - (ray + t4*sy)) AS d4
+  FROM cand
+), tupled AS (
+  -- candidate ordering mirrors the Spark array_min struct comparison:
+  -- lexicographic on (d, qx, qy)
+  SELECT *,
+         {{'d': d1, 'qx': lax + t1*rx, 'qy': lay + t1*ry}} AS c1,
+         {{'d': d2, 'qx': lax + t2*rx, 'qy': lay + t2*ry}} AS c2,
+         {{'d': d3, 'qx': lax, 'qy': lay}} AS c3,
+         {{'d': d4, 'qx': lbx, 'qy': lby}} AS c4
+  FROM scored
+), best AS (
+  SELECT *,
+         CASE WHEN crossing THEN {{'d': 0.0, 'qx': lax + t*rx, 'qy': lay + t*ry}}
+              WHEN c1 <= c2 AND c1 <= c3 AND c1 <= c4 THEN c1
+              WHEN c2 <= c3 AND c2 <= c4 THEN c2
+              WHEN c3 <= c4 THEN c3
+              ELSE c4 END AS w
+  FROM tupled
+)
+SELECT pid,
+       round(w.qx, 6) AS cp_x,
+       round(w.qy, 6) AS cp_y,
+       round(CASE WHEN crossing THEN 0.0 ELSE sqrt(w.d) END, 6) AS dist,
+       (CASE WHEN crossing THEN 0.0 ELSE sqrt(w.d) END) = 0.0 AS crossing
+FROM best ORDER BY pid
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
     "q_insertion_index": q_insertion_index,
+    "q_segment_closest_point": q_segment_closest_point,
     "q_dwithin_semi": q_dwithin_semi,
     "q_self_join": q_self_join,
     "q_grid_dedup": q_grid_dedup,
@@ -325,6 +440,7 @@ QUERIES = {
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
     "q_insertion_index": Q_INSERTION_INDEX_SQL,
+    "q_segment_closest_point": Q_SEGMENT_CP_SQL,
     "q_dwithin_semi": Q_DWITHIN_SEMI_SQL,
     "q_self_join": Q_SELF_JOIN_SQL,
     "q_grid_dedup": Q_GRID_DEDUP_SQL,

@@ -219,6 +219,47 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- P2/F12: hstore parse + column-precedence merge, direct oracle ---
+
+def q_hstore_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the hstore layer exactly: build a Postgres-style hstore
+    literal from part columns (with an embedded comma in one value — the
+    case the reference's naive parser breaks on, changegen/db.py:20-21),
+    parse it with operators.tags.parse_hstore, merge under column
+    precedence, and emit extracted keys."""
+    from changegen_spark.operators.tags import merge_hstore_tags, parse_hstore
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 100 == 0)
+    hstore = F.concat(
+        F.lit('"brand"=>"'), F.col("p_brand"),
+        F.lit('", "typ"=>"'), F.col("p_type"),
+        F.lit('", "label"=>"sz '), F.col("p_size").cast("string"),
+        F.lit(', boxed"'),
+    )
+    col_tags = F.create_map(F.lit("brand"), F.lit("column-wins")).cast(
+        "map<string,string>"
+    )
+    merged = merge_hstore_tags(col_tags, parse_hstore(hstore))
+    return part.select(
+        "p_partkey",
+        F.element_at(merged, "brand").alias("brand"),
+        F.element_at(merged, "typ").alias("typ"),
+        F.element_at(merged, "label").alias("label"),
+        F.size(merged).alias("n_tags"),
+    ).orderBy("p_partkey")
+
+
+Q_HSTORE_SQL = """
+SELECT p_partkey,
+       'column-wins' AS brand,          -- column precedence discards hstore 'brand'
+       p_type AS typ,
+       'sz ' || CAST(p_size AS VARCHAR) || ', boxed' AS label,  -- embedded comma preserved
+       3 AS n_tags
+FROM part WHERE p_partkey % 100 = 0
+ORDER BY p_partkey
+"""
+
+
 # --- exact percentiles (ordered-statistic aggregate) ---
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,6 +289,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 QUERIES = {
+    "q_hstore_parse": q_hstore_parse,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
     "q_window_rank": q_window_rank,
@@ -259,6 +301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_hstore_parse": Q_HSTORE_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
     "q_window_rank": Q_WINDOW_RANK_SQL,
