@@ -194,6 +194,68 @@ ORDER BY o_orderkey
 """
 
 
+# --- §2.6 set operations: UNION / INTERSECT / EXCEPT ---
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops over customer key sets: customers with recent
+    orders vs high-value orders — union/intersect/except cardinalities
+    plus the except members."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    big = orders.filter(F.col("o_totalprice") > 350_000).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    u = recent.union(big).distinct().count()
+    i = recent.intersect(big).count()
+    e = recent.exceptAll(big).distinct().count()
+    return spark.createDataFrame(
+        [("union", u), ("intersect", i), ("except", e)], "op string, n long"
+    ).orderBy("op")
+
+
+Q_SET_OPS_SQL = """
+WITH recent AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+), big AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+)
+SELECT 'union' AS op, CAST((SELECT count(*) FROM (SELECT k FROM recent UNION SELECT k FROM big)) AS BIGINT) AS n
+UNION ALL
+SELECT 'intersect', (SELECT count(*) FROM (SELECT k FROM recent INTERSECT SELECT k FROM big))
+UNION ALL
+SELECT 'except', (SELECT count(*) FROM (SELECT k FROM recent EXCEPT SELECT k FROM big))
+ORDER BY op
+"""
+
+
+# --- pivot (conditional aggregation) ---
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot lineitem counts by return flag per linestatus — expressed as
+    conditional aggregation so the oracle shape is engine-neutral."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("n_A"),
+            F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("n_N"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_R"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (l_returnflag = 'A') AS n_A,
+       count(*) FILTER (l_returnflag = 'N') AS n_N,
+       count(*) FILTER (l_returnflag = 'R') AS n_R
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 # --- grouping sets / rollup (§2.4 'built-in if ever needed' — prove it) ---
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +360,8 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_scalar_funcs": q_scalar_funcs,
     "q_rollup": q_rollup,
+    "q_set_ops": q_set_ops,
+    "q_pivot": q_pivot,
 }
 
 ORACLES = {
@@ -309,4 +373,6 @@ ORACLES = {
     "q_count_distinct": Q_COUNT_DISTINCT_SQL,
     "q_scalar_funcs": Q_SCALAR_SQL,
     "q_rollup": Q_ROLLUP_SQL,
+    "q_set_ops": Q_SET_OPS_SQL,
+    "q_pivot": Q_PIVOT_SQL,
 }
