@@ -126,8 +126,6 @@ def synthesize_junctions(
         prefix="r",
     )
     pairs = segment_distance_join(lsegs, rsegs, distance_buffer)
-    if self_intersections:
-        pairs = pairs.filter(F.col("nkey") != F.col("osm_id"))
     # one junction per (new, existing) pair: the globally closest approach
     best = pairs.groupBy("nkey", "osm_id").agg(
         F.min_by(
@@ -141,6 +139,37 @@ def synthesize_junctions(
         F.col("cp.cp_x").alias("jx"),
         F.col("cp.cp_y").alias("jy"),
     )
+
+    if self_intersections:
+        # J3 --self (changegen/__main__.py:131-139): junctions among the new
+        # features themselves — the same segment grid join, new×new, with
+        # identical-feature pairs excluded.  Both directions of a crossing
+        # pair appear, so each way receives the junction; the 6-dp grid
+        # dedup collapses them to one shared node.  No osm_id: self
+        # junctions modify no existing way.
+        osegs = explode_segments(
+            new_ways.select(
+                F.col(key_col).alias("okey"), exterior(F.col("geometry")).alias("__ring")
+            ),
+            ["okey"],
+            F.col("__ring"),
+            prefix="r",
+        )
+        self_pairs = segment_distance_join(lsegs, osegs, distance_buffer).filter(
+            F.col("nkey") != F.col("okey")
+        )
+        self_best = self_pairs.groupBy("nkey", "okey").agg(
+            F.min_by(
+                F.struct("cp_x", "cp_y"), F.struct("dist", "lseg", "rseg")
+            ).alias("cp")
+        )
+        self_junctions = self_best.select(
+            "nkey",
+            F.lit(None).cast("long").alias("osm_id"),
+            F.col("cp.cp_x").alias("jx"),
+            F.col("cp.cp_y").alias("jy"),
+        )
+        junctions = junctions.unionByName(self_junctions)
     rlon, rlat = _rounded_lonlat(F.col("jx"), F.col("jy"))
     junctions = junctions.withColumn("rlon", rlon).withColumn("rlat", rlat)
     # A3 grid dedup: one node per 6-dp cell
@@ -279,7 +308,7 @@ def modify_intersecting_ways(
     fractional insertion.  Ways missing from the extract are skipped, the
     reference's logged case (generator.py:820-822).
     Output: (osm_id, member structs sorted) — ids resolved later."""
-    hit_ways = junctions.select("osm_id").distinct()
+    hit_ways = junctions.filter(F.col("osm_id").isNotNull()).select("osm_id").distinct()
     geoms = existing_ways.join(hit_ways, "osm_id", "left_semi").select(
         "osm_id", exterior(F.col("geometry")).alias("__ring")
     )
