@@ -309,7 +309,11 @@ def modify_intersecting_ways(
     reference's logged case (generator.py:820-822).
     Output: (osm_id, member structs sorted) — ids resolved later."""
     hit_ways = junctions.filter(F.col("osm_id").isNotNull()).select("osm_id").distinct()
-    geoms = existing_ways.join(hit_ways, "osm_id", "left_semi").select(
+    # Polygon intersection-modify is out of contract, matching the
+    # reference's logged-unsupported case (changegen/generator.py:836-847):
+    # non-LineString existing geometries are excluded from the rebuild.
+    lines_only = existing_ways.filter(g_type(F.col("geometry")) == "LineString")
+    geoms = lines_only.join(hit_ways, "osm_id", "left_semi").select(
         "osm_id", exterior(F.col("geometry")).alias("__ring")
     )
     verts = _vertices_with_frac(geoms, ["osm_id"])

@@ -65,3 +65,38 @@ def test_self_flag_adds_shared_junctions(spark, tables_with_diagonal):
         (F.col("kind") == "way") & (F.col("change_type") == "modify")
     ).count()
     assert mods(with_self) == mods(base)
+
+
+def test_polygon_existing_not_modified(spark):
+    """Reference parity (generator.py:836-847): junctions against a polygon
+    'existing' feature are synthesized, but the polygon is never rebuilt —
+    only LineString existing ways enter the modify path."""
+    from changegen_spark.pipeline import generate_changes
+    from changegen_spark.sources.osm import _X0, _Y0, _geom, fixture_tables
+
+    tables = dict(fixture_tables(spark))
+    # a polygon ring crossing vertical new way new-0 (x = X0+2000)
+    ring = [
+        (_X0 + 1800.0, _Y0 + 80.0),
+        (_X0 + 2200.0, _Y0 + 80.0),
+        (_X0 + 2200.0, _Y0 + 160.0),
+        (_X0 + 1800.0, _Y0 + 160.0),
+        (_X0 + 1800.0, _Y0 + 80.0),
+    ]
+    poly = spark.createDataFrame(
+        [(99, 999, "meadow", "poly-exist", _geom("Polygon", [ring]))],
+        tables["original_ways"].schema,
+    )
+    tables["original_ways"] = tables["original_ways"].unionByName(poly)
+
+    from pyspark.sql import functions as F
+
+    cset = generate_changes(spark, tables, id_offset=20_000)
+    mods = {r["id"] for r in cset.filter("kind='way' and change_type='modify'").collect()}
+    assert 999 not in mods  # polygon excluded from the rebuild
+    assert len(mods) == 6  # the six line ways unchanged
+    # but its junction with new-0 exists as a created node — ONE per
+    # (new, existing) pair, matching the reference's single ST_ClosestPoint
+    # even though the ring crosses the line twice (db.py:126-138)
+    n_nodes = cset.filter("kind='node' and change_type='create'").count()
+    assert n_nodes == 105 + 1
