@@ -128,7 +128,52 @@ ORDER BY osm_id
 """
 
 
+def q_changegen_apply_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete CDC loop: generate → apply → audit.  Emits the
+    post-apply snapshot cardinalities and the referential-integrity count
+    (0 = every way ref resolves)."""
+    from changegen_spark.operators.apply import (
+        apply_changeset,
+        referential_integrity_report,
+    )
+    from changegen_spark.sources.osm import fixture_tables
+
+    tables = fixture_tables(spark)
+    cset = _changeset(spark)
+    nodes2, ways2 = apply_changeset(tables["pbf_nodes"], tables["pbf_ways"], cset)
+    dangling = referential_integrity_report(nodes2, ways2).count()
+    junction_refs = (
+        ways2.select(F.explode("nds").alias("ref"))
+        .filter(F.col("ref") > _ID_OFFSET)
+        .count()
+    )
+    rows = [
+        ("nodes_after", nodes2.count()),
+        ("ways_after", ways2.count()),
+        ("dangling_refs", dangling),
+        ("new_id_refs_in_ways", junction_refs),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
+
+
+# Post-apply goldens: 146 pbf nodes + 105 created = 251; 13 pbf ways + 8
+# created − 2 deleted = 19; refs > id_offset in the applied ways table:
+# 4 line ways × 16 members (13 vertices + 3 inserted junctions) = 64,
+# 4 polygon rings × 5 refs (4 corners + closing repeat) = 20, plus the
+# 4 junctions woven into each of the 6 modified ways = 24 → 108.
+Q_CHANGEGEN_APPLY_SQL = """
+SELECT * FROM (VALUES
+  ('dangling_refs', CAST(0 AS BIGINT)),
+  ('new_id_refs_in_ways', CAST(108 AS BIGINT)),
+  ('nodes_after', CAST(251 AS BIGINT)),
+  ('ways_after', CAST(19 AS BIGINT))
+) AS t(metric, value)
+ORDER BY metric
+"""
+
+
 QUERIES = {
+    "q_changegen_apply_cycle": q_changegen_apply_cycle,
     "q_changegen_counts": q_changegen_counts,
     "q_changegen_modified_ways": q_changegen_modified_ways,
     "q_changegen_deletions": q_changegen_deletions,
@@ -136,6 +181,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_changegen_apply_cycle": Q_CHANGEGEN_APPLY_SQL,
     "q_changegen_counts": Q_CHANGEGEN_COUNTS_SQL,
     "q_changegen_modified_ways": Q_CHANGEGEN_MODS_SQL,
     "q_changegen_deletions": Q_CHANGEGEN_DELETIONS_SQL,
