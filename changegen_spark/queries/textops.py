@@ -529,7 +529,47 @@ ORDER BY lang, rank
 """
 
 
+# --- language-ID evaluation: confusion matrix vs the labeled column ---
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: predicted vs labeled language
+    cross-tab — the QA loop a corpus pipeline runs after every heuristic
+    change."""
+    d = _docs(spark, sf_dir)
+    pred = d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred"))
+    return (
+        pred.groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+Q_LANG_CONFUSION_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_LANG_SCORE_SQL['de']} AS s_de,
+         {_LANG_SCORE_SQL['en']} AS s_en,
+         {_LANG_SCORE_SQL['es']} AS s_es,
+         {_LANG_SCORE_SQL['fr']} AS s_fr,
+         {_LANG_SCORE_SQL['zh']} AS s_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh' END AS pred
+  FROM scores
+)
+SELECT lang, pred, count(*) AS n FROM pred GROUP BY lang, pred
+ORDER BY lang, pred
+"""
+
+
 QUERIES = {
+    "q_lang_confusion": q_lang_confusion,
     "q_dedup_clusters": q_dedup_clusters,
     "q_quality_filter": q_quality_filter,
     "q_tfidf_terms": q_tfidf_terms,
@@ -546,6 +586,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lang_confusion": Q_LANG_CONFUSION_SQL,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
     "q_tfidf_terms": Q_TFIDF_SQL,

@@ -72,3 +72,28 @@ def test_ann_broadcasts_query_side(spark, sf_dir):
     q = v.limit(3).withColumnRenamed("vec_id", "query_id")
     plan = _plan(brute_force_topk(v, q, k=5))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing date-partitioned parquet and filtering on the partition
+    column must prune partitions at the scan (PartitionFilters), not read
+    everything — the storage-layout lever for time-series at scale."""
+    import os
+
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, str(sf_dir), "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = os.path.join(tmp_path, "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("day") == "2024-01-02")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(day" in plan or "PartitionFilters: [" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "day" in scan_line
+    # count matches an unpartitioned filter → pruning lost no rows
+    expected = ev.filter(F.col("day") == "2024-01-02").count()
+    assert back.count() == expected
+    assert expected > 0
