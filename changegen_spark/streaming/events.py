@@ -96,6 +96,68 @@ def sessionize_stream(
     )
 
 
+def change_feed(
+    events: DataFrame,
+    out_dir: str,
+    id_offset: int = 0,
+    query_name: str = "change_feed",
+):
+    """Streaming changefile emission: each micro-batch of events becomes a
+    ``<create>`` node changeset written as its own ordered ``.osc`` shard
+    (``changes-<batchId>.osc``) — the incremental form of the batch
+    pipeline's sink, driven by ``foreachBatch``.
+
+    Events map to point features (event_id-keyed synthetic coordinates in
+    the fixture bbox, event attributes as tags); ids are dense per batch
+    from ``id_offset`` plus a batch stride so shards never collide.
+    Returns the StreamingQuery (caller awaits termination).
+
+    Restartability: without ``checkpointLocation`` on the writeStream a
+    restart re-numbers batches from 0 and overwrites shards; production
+    deployments add ``.option("checkpointLocation", …)`` so the feed
+    resumes exactly-once from the last committed batch.
+    """
+    import os
+
+    from changegen_spark.sinks.oscxml import write_osmchange
+
+    os.makedirs(out_dir, exist_ok=True)
+    BATCH_STRIDE = 10_000_000
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        eid = F.col("event_id")
+        lon = F.lit(-118.48) + ((eid * 7) % 560).cast("double") / 1000.0
+        lat = F.lit(48.43) + ((eid * 11) % 420).cast("double") / 1000.0
+        w = Window.orderBy("event_id")
+        elems = batch_df.select(
+            F.lit("create").alias("change_type"),
+            F.lit("node").alias("kind"),
+            (
+                F.row_number().over(w).cast("long")
+                + F.lit(id_offset + batch_id * BATCH_STRIDE)
+            ).alias("id"),
+            F.lit(1).alias("version"),
+            lat.alias("lat"),
+            lon.alias("lon"),
+            F.map_from_arrays(
+                F.array(F.lit("event_type"), F.lit("source_event")),
+                F.array(F.col("event_type"), eid.cast("string")),
+            ).alias("tags"),
+        )
+        write_osmchange(elems, os.path.join(out_dir, f"changes-{batch_id}.osc"))
+
+    return (
+        events.writeStream.foreachBatch(emit)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> DataFrame:

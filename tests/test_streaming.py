@@ -53,3 +53,36 @@ def test_streaming_plan_is_incremental(spark, sf_dir):
     stream = windowed_counts_stream(stream_events(spark, sf_dir))
     assert stream.isStreaming
     assert "EventTimeWatermark" in stream._jdf.queryExecution().logical().toString()
+
+
+def test_change_feed_emits_per_batch_changefiles(spark, sf_dir, tmp_path):
+    """Streaming changegen: each micro-batch becomes its own parseable
+    ordered .osc shard; shard contents reunion to the full event set."""
+    import glob
+    import os
+    import xml.etree.ElementTree as ET
+
+    from changegen_spark.streaming.events import change_feed, stream_events
+
+    stream = stream_events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    out = os.path.join(tmp_path, "feed")
+    q = change_feed(stream, out, id_offset=50_000)
+    q.awaitTermination()
+
+    shards = sorted(glob.glob(os.path.join(out, "changes-*.osc")))
+    assert len(shards) >= 1
+    total, ids = 0, set()
+    for s in shards:
+        root = ET.parse(s).getroot()
+        nodes = root.findall("./create/node")
+        total += len(nodes)
+        for n in nodes:
+            ids.add(int(n.attrib["id"]))
+            assert n.find("tag") is not None
+    from changegen_spark.sources.tables import load_table
+
+    expected = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 100 == 0
+    ).count()
+    assert total == expected
+    assert len(ids) == total  # ids unique across shards (batch stride)
