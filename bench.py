@@ -29,6 +29,7 @@ HEADLINE = [
     "q_distance_join",
     "q_grid_dedup",
     "q_lsh_pairs",
+    "q_lsh_pairs_fast",
     "q_ann_bruteforce",
     "q_sessionize",
     "q_event_windows",

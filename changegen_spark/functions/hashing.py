@@ -137,6 +137,7 @@ def minhash_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH candidate pair generation.
 
@@ -163,47 +164,58 @@ def minhash_candidates(
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(raw_shingles).alias("sh")
     )
-    # One md5 yields four independent 8-hex-char (32-bit) hash windows, so
-    # num_hashes permutations need num_hashes/4 md5 evaluations per shingle.
-    # The md5s are materialized as projection columns BEFORE the aggregate so
-    # each is computed exactly once per shingle row (min-aggs then slice
-    # windows out of the same value).
-    n_md5 = num_hashes // 4
-    hashed = sh.select(
-        "id",
-        *[
-            F.md5(
-                F.to_binary(F.concat(F.lit(f"{m}:"), F.col("sh")), F.lit("utf-8"))
-            ).alias(f"h{m}")
-            for m in range(n_md5)
-        ],
-    )
-    sig = hashed.groupBy("id").agg(
-        *[
-            F.min(F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8)).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    if hash_fn == "md5":
+        # One md5 yields four independent 8-hex-char (32-bit) hash windows,
+        # so num_hashes permutations need num_hashes/4 md5 evaluations per
+        # shingle.  The md5s are materialized as projection columns BEFORE
+        # the aggregate so each is computed exactly once per shingle row
+        # (min-aggs then slice windows out of the same value).  md5 keeps
+        # the DuckDB oracle bit-exact.
+        n_md5 = num_hashes // 4
+        hashed = sh.select(
+            "id",
+            *[
+                F.md5(
+                    F.to_binary(F.concat(F.lit(f"{m}:"), F.col("sh")), F.lit("utf-8"))
+                ).alias(f"h{m}")
+                for m in range(n_md5)
+            ],
+        )
+        sig = hashed.groupBy("id").agg(
+            *[
+                F.min(
+                    F.substring(F.col(f"h{s // 4}"), (s % 4) * 8 + 1, 8)
+                ).alias(f"mh{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    elif hash_fn == "xxhash64":
+        # Production path: xxhash64 is a JVM intrinsic (no byte-array
+        # round-trip, no hex strings) — one seeded hash per permutation,
+        # min over longs.  Same plan shape; not reproducible in the DuckDB
+        # oracle, so contract queries using it get rows-only checks.
+        sig = sh.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"mh{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    def band_hash(b: int):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(F.lit(b), *cols).cast("string")
+        return F.md5(
+            F.to_binary(F.concat_ws("|", *cols), F.lit("utf-8"))
+        )
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.to_binary(
-                                F.concat_ws(
-                                    "|",
-                                    *[
-                                        F.col(f"mh{b * rows_per_band + r}")
-                                        for r in range(rows_per_band)
-                                    ],
-                                ),
-                                F.lit("utf-8"),
-                            )
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )

@@ -98,7 +98,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates on the xxhash64 production path — identical
+    plan to q_lsh_pairs with JVM-intrinsic hashing (no oracle: xxhash64 is
+    not reproducible in DuckDB; candidate quality properties are pinned in
+    tests, throughput in bench)."""
+    from changegen_spark.functions.hashing import minhash_candidates
+    from changegen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(d, hash_fn="xxhash64").orderBy("id_a", "id_b")
+
+
 QUERIES = {
+    "q_lsh_pairs_fast": q_lsh_pairs_fast,
     "q_ann_ivf": q_ann_ivf,
     "q_streaming_windows": q_streaming_windows,
     "q_streaming_sessions": q_streaming_sessions,
