@@ -147,11 +147,17 @@ def minhash_candidates(
     shuffles on the band hash, so work is proportional to bucket sizes, not
     n²; signature aggregation never materializes per-doc hash arrays.
     """
-    rows_per_band = num_hashes // bands
     if num_hashes % 4 != 0:
         raise ValueError("num_hashes must be a multiple of 4")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     # No array_distinct before explode: min() is idempotent under duplicate
     # shingles, and skipping the distinct saves an O(n²)-ish array pass.
+    # Negative result worth keeping (measured at sf0.1): a "shingle-free"
+    # variant hashing token n-tuples directly (xxhash64(seed, t0, t1, t2)
+    # over exploded struct triples) was ~2.5× SLOWER than hashing one
+    # concatenated shingle string — per-seed hash input triples and the
+    # explode row widens.  One string per shingle is the right shape.
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     cnt = F.size(toks)
     raw_shingles = F.when(
@@ -189,26 +195,31 @@ def minhash_candidates(
                 for s in range(num_hashes)
             ]
         )
-    elif hash_fn == "xxhash64":
-        # Production path: xxhash64 is a JVM intrinsic (no byte-array
-        # round-trip, no hex strings) — one seeded hash per permutation,
-        # min over longs.  Same plan shape; not reproducible in the DuckDB
-        # oracle, so contract queries using it get rows-only checks.
+    else:  # xxhash64 — JVM intrinsic, one seeded hash per permutation
         sig = sh.groupBy("id").agg(
             *[
                 F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"mh{s}")
                 for s in range(num_hashes)
             ]
         )
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return _band_and_pair(sig, num_hashes, bands, max_bucket_size, hash_fn)
+
+
+def _band_and_pair(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+    hash_fn: str,
+) -> DataFrame:
+    """Band a (id, mh0..mhN) signature frame and self-join per bucket."""
+    rows_per_band = num_hashes // bands
+
     def band_hash(b: int):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         if hash_fn == "xxhash64":
             return F.xxhash64(F.lit(b), *cols).cast("string")
-        return F.md5(
-            F.to_binary(F.concat_ws("|", *cols), F.lit("utf-8"))
-        )
+        return F.md5(F.to_binary(F.concat_ws("|", *cols), F.lit("utf-8")))
 
     banded = sig.select(
         "id",
