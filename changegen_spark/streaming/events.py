@@ -172,3 +172,76 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def sessionize_custom_state(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` — the
+    arbitrary-state API for operators ``session_window`` can't express
+    (per-session custom accumulators, early emission, side conditions).
+
+    State per user: (session_start, last_ts, n_events).  A new event either
+    extends the open session or closes it (gap exceeded) and emits the
+    closed session; state timeout emits the final open session once the
+    watermark passes it.  Semantics match the batch lag/cumsum
+    sessionization (queries.events.q_sessionize) for completed sessions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            rows.append((user_id, start, last, n))
+            state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_list.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts_list:  # micros
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_seconds * 1_000_000:
+                    rows.append((user_id, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

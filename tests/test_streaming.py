@@ -86,3 +86,50 @@ def test_change_feed_emits_per_batch_changefiles(spark, sf_dir, tmp_path):
     ).count()
     assert total == expected
     assert len(ids) == total  # ids unique across shards (batch stride)
+
+
+def test_custom_state_sessionization_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization must agree with the batch
+    lag/cumsum sessionization on completed sessions (the final open session
+    per user stays in state when input ends — excluded from comparison)."""
+    from changegen_spark.queries.events import q_sessionize
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        sessionize_custom_state,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    got = run_to_memory_sink(
+        sessionize_custom_state(stream), "t_custom_sessions", mode="append"
+    )
+    batch = q_sessionize(spark, sf_dir)
+    # Each user's final session stays in state at end-of-input UNLESS the
+    # final watermark already passed its timeout (then it's emitted via
+    # EventTimeTimeout).  So: gap-closed (non-final) sessions must ALL be
+    # emitted, and every emitted session must be a genuine batch session.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    completed = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .filter(F.col("session_seq") < F.col("max_seq"))
+    )
+    g = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in got.withColumn("session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss"))
+        .collect()
+    }
+    b_completed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in completed.collect()
+    }
+    b_all = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert b_completed <= g  # every gap-closed session emitted
+    assert g <= b_all  # nothing emitted that isn't a real session
+    # the extras are exactly timed-out final sessions
+    assert all(s in b_all - b_completed for s in g - b_completed)
