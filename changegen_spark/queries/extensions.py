@@ -110,7 +110,41 @@ def q_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(d, hash_fn="xxhash64").orderBy("id_a", "id_b")
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changefile emission e2e: event stream → foreachBatch →
+    per-batch .osc shards → read back with the OSC reader.  Deterministic
+    (id stride + synthetic coords) but file-producing → rows-only check."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from changegen_spark.sources.osc import read_osmchange
+    from changegen_spark.streaming.events import change_feed, stream_events
+
+    out = tempfile.mkdtemp(prefix="q_change_feed_")
+    try:
+        stream = stream_events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+        q = change_feed(stream, out, id_offset=80_000, query_name=f"qcf_{next(_COUNTER)}")
+        q.awaitTermination()
+        shards = sorted(glob.glob(os.path.join(out, "changes-*.osc")))
+        frames = [read_osmchange(spark, s) for s in shards]
+        allel = reduce(lambda a, b: a.unionByName(b), frames)
+        result = allel.select(
+            "id", "kind", "change_type", "version",
+            F.element_at("tags", "event_type").alias("event_type"),
+            F.element_at("tags", "source_event").cast("long").alias("source_event"),
+        ).orderBy("id")
+        # read_osmchange materializes rows driver-side (createDataFrame), so
+        # the result is independent of the tmpdir lifetime
+        return result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 QUERIES = {
+    "q_change_feed": q_change_feed,
     "q_lsh_pairs_fast": q_lsh_pairs_fast,
     "q_ann_ivf": q_ann_ivf,
     "q_streaming_windows": q_streaming_windows,

@@ -82,8 +82,21 @@ def new_way_coords(j: int) -> list[tuple[float, float]]:
     return [(x, _Y0 - 500.0 + k * 500.0) for k in range(NEW_WAY_VERTICES)]
 
 
+_FIXTURE_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def fixture_tables(spark: SparkSession) -> dict[str, DataFrame]:
-    """Build every fixture table as a DataFrame."""
+    """Build every fixture table as a DataFrame (memoized per session —
+    several contract queries each need the full set)."""
+    cached = _FIXTURE_CACHE.get(id(spark))
+    if cached is not None:
+        return dict(cached)
+    tables = _build_fixture_tables(spark)
+    _FIXTURE_CACHE[id(spark)] = tables
+    return dict(tables)
+
+
+def _build_fixture_tables(spark: SparkSession) -> dict[str, DataFrame]:
     from changegen_spark.geo.geometry import GEOMETRY
 
     geom_schema_part = GEOMETRY.simpleString().replace("struct<", "struct<", 1)
