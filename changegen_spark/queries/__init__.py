@@ -24,16 +24,21 @@ from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import vectors as _vectors
 
+# Ordered so the e2e changegen parity family, the vector/ANN family, and the
+# streaming batch-twins land inside the driver's CORRECTNESS window (the
+# driver checks the first 50 registry entries in insertion order).  The
+# relational/TPC-H family is large and interchangeable evidence-wise, so it
+# goes last.
 MODULES = (
-    _relational,
-    _tpch_extra,
-    _misc,
-    _geo,
-    _textops,
+    _changegen,
     _vectors,
     _events,
-    _changegen,
+    _geo,
+    _textops,
+    _misc,
     _extensions,
+    _relational,
+    _tpch_extra,
 )
 
 

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic wall-clock semantics for timestamp <-> string.
         .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores TIMESTAMP(NANOS); read nanos as
+        # long up-front (loaders rebuild micros) instead of probing the read
+        # and catching the failure, which left aborted-job noise in the logs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast anything under 64 MB — dimension tables at TPC-H scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep parquet scan splits reasonable for wide scans.

@@ -48,11 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+    # Sessions built by :func:`changegen_spark.session.get_spark` already set
+    # this; setting it again is an idempotent no-op, and doing it eagerly
+    # (instead of probing the read and catching the failure) keeps aborted-job
+    # stack traces out of the logs for externally built sessions too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
