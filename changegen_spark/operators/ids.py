@@ -51,23 +51,23 @@ def assign_sequential_ids(
         tagged = df.withColumn("__part", part).withColumn(
             "__rn", F.row_number().over(w).cast("long")
         )
-        counts = {
-            r["__part"]: r["cnt"]
-            for r in tagged.groupBy("__part").agg(F.count("*").alias("cnt")).collect()
-        }
-        offsets, acc = {}, 0
-        for p in sorted(counts):
-            offsets[p] = acc
-            acc += counts[p]
-        off_expr = F.element_at(
-            F.create_map(
-                *[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]
-            ),
-            F.col("__part"),
-        ) if offsets else F.lit(0)
-        seq = (F.col("__rn") + off_expr + F.lit(id_offset)).cast("long")
-        out = tagged.withColumn(out_col, -seq if negative else seq)
-        return out.drop("__part", "__rn")
+        # Per-partition offsets as a broadcast join against a tiny
+        # (partition, offset) frame — NOT a driver collect() + create_map
+        # literal: at 100k partitions that literal is a 200k-node expression
+        # tree and the collect is a driver round-trip.  The prefix sum runs
+        # as a single-partition window over num_partitions rows (tiny).
+        counts = tagged.groupBy("__part").agg(F.count("*").alias("__cnt"))
+        prefix = Window.orderBy("__part").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = counts.select(
+            "__part",
+            F.coalesce(F.sum("__cnt").over(prefix), F.lit(0)).cast("long").alias("__off"),
+        )
+        out = tagged.join(F.broadcast(offs), "__part")
+        seq = (F.col("__rn") + F.col("__off") + F.lit(id_offset)).cast("long")
+        out = out.withColumn(out_col, -seq if negative else seq)
+        return out.drop("__part", "__rn", "__off")
     else:
         raise ValueError(f"unknown id mode: {mode}")
 

@@ -227,8 +227,18 @@ def build_new_ways(
     )
     unmatched = verts.join(jn, ["rlon", "rlat"], "left_anti")
 
-    # junctions of this way not coincident with any of its vertices → insert
-    way_j = junctions.select("nkey", "jx", "jy", "rlon", "rlat").distinct()
+    # junctions of this way not coincident with any of its vertices → insert.
+    # ONE row per (way, 6-dp cell): raw jx/jy from different pair joins can
+    # differ in low-order bits within the same cell (e.g. a new way crossing
+    # an existing way AND another new way at the same spot — the duplicate
+    # case the reference dedups, generator.py:132-142); a plain distinct()
+    # would keep both and double every vertex row inside the
+    # line_locate_fraction window, corrupting the insertion fraction.
+    way_j = (
+        junctions.groupBy("nkey", "rlon", "rlat")
+        .agg(F.min_by(F.struct("jx", "jy"), F.struct("jx", "jy")).alias("__j"))
+        .select("nkey", F.col("__j.jx").alias("jx"), F.col("__j.jy").alias("jy"), "rlon", "rlat")
+    )
     to_insert = way_j.join(
         verts.select("nkey", "rlon", "rlat"), ["nkey", "rlon", "rlat"], "left_anti"
     )
@@ -325,7 +335,14 @@ def modify_intersecting_ways(
     # create path
     verts = verts.join(nds, ["osm_id", "pos"], "inner").localCheckpoint(eager=True)
 
-    way_j = junctions.select("osm_id", "jx", "jy", "rlon", "rlat").distinct()
+    # Same one-row-per-(way, cell) dedup as the create path: low-order jx/jy
+    # jitter within a 6-dp cell must not duplicate insert candidates.
+    way_j = (
+        junctions.filter(F.col("osm_id").isNotNull())
+        .groupBy("osm_id", "rlon", "rlat")
+        .agg(F.min_by(F.struct("jx", "jy"), F.struct("jx", "jy")).alias("__j"))
+        .select("osm_id", F.col("__j.jx").alias("jx"), F.col("__j.jy").alias("jy"), "rlon", "rlat")
+    )
     matched = verts.join(
         way_j.select("osm_id", "rlon", "rlat").distinct(), ["osm_id", "rlon", "rlat"], "inner"
     ).select("osm_id", "pos", "frac", "rlon", "rlat", F.lit(True).alias("is_junction"))
@@ -395,6 +412,7 @@ def generate_changes(
     skip_delete_nodes: bool = True,
     check_collision: bool = True,
     key_col: str = "name",
+    hstore_col: str | None = None,
 ) -> DataFrame:
     """Full run: create new ways/points/polygons, modify intersecting
     existing ways, apply deletions.  Returns the unified element DataFrame
@@ -441,6 +459,7 @@ def generate_changes(
     if new_ways is not None:
         nb = build_new_ways(
             cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
+            hstore_col=hstore_col,
             node_limit=node_limit, chunk_size=chunk_size,
         )
         chunked_members = split_ways(
@@ -454,13 +473,28 @@ def generate_changes(
     new_points = tables.get("new_points")
     if new_points is not None:
         pt_tags = _tags_map(
-            new_points, exclude=("id", "osm_id", "geom"), hstore_col="tags"
+            new_points,
+            exclude=("id", "osm_id", "geom"),
+            # point tables historically carry their hstore in "tags"
+            # (generator.py:608-621); an explicit --hstore overrides.
+            hstore_col=hstore_col if hstore_col is not None else "tags",
         )
         from changegen_spark.geo.geometry import point_xy
+        from changegen_spark.operators.keys import feature_key
+
+        # Row key: the id column when present AND non-null; else a
+        # row-unique feature hash.  The reference iterates per-FID so a
+        # NULL id column (e.g. its own new_points fixture) still yields one
+        # create per row — a null key here would silently drop them all.
+        src = new_points
+        if "id" not in src.columns:
+            src = src.withColumn("id", F.lit(None).cast("long"))
+        src = feature_key(src, "geom")
+        pt_key = F.coalesce(F.col("id").cast("string"), F.col("__fkey"))
 
         px, py = point_xy(F.col("geom"))
-        pts = new_points.select(
-            F.col("id").alias("pt_id"),
+        pts = src.select(
+            pt_key.alias("pt_id"),
             to_4326_lon(px).alias("lon"),
             to_4326_lat(py).alias("lat"),
             pt_tags.alias("tags"),
@@ -478,9 +512,13 @@ def generate_changes(
     mod_ways_seq = mod_way_tags = None
     if existing is not None:
         mod_ways_seq = modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
+        # hstore expansion applies to intersecting-way modifies exactly as it
+        # does to new features (generator.py:190-203 → :812).
         mod_way_tags = existing.select(
             F.col("osm_id"),
-            _tags_map(existing, exclude=("id", "osm_id", "geometry")).alias("tags"),
+            _tags_map(
+                existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
+            ).alias("tags"),
         )
 
     # G: deletions
@@ -763,13 +801,16 @@ def generate_modify_meta(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     table_name: str = "mod_ways",
+    hstore_col: str | None = None,
 ) -> DataFrame:
     """C4: --modify_meta flow (changegen/__main__.py:104-113) — reuse the
     extract's node lists, replace tags only; version 2.  Geometry changes
     are out of contract (reference raises, __main__.py:188-192)."""
     mod = tables[table_name]
     tags = _tags_map(
-        mod, exclude=("id", "osm_id", "parent_osm_id", "geometry"), hstore_col="tags"
+        mod,
+        exclude=("id", "osm_id", "parent_osm_id", "geometry", "__fkey"),
+        hstore_col=hstore_col if hstore_col is not None else "tags",
     )
     keyed = mod.select(F.col("osm_id"), tags.alias("tags"))
     pbf = tables["pbf_ways"].select(F.col("id").alias("osm_id"), "nds")

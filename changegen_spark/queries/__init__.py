@@ -19,6 +19,7 @@ from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import misc as _misc
+from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import tpch_extra as _tpch_extra
@@ -31,6 +32,7 @@ from changegen_spark.queries import vectors as _vectors
 # goes last.
 MODULES = (
     _changegen,
+    _refparity,
     _vectors,
     _events,
     _geo,

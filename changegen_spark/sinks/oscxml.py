@@ -104,15 +104,17 @@ def _write_element(f: IO[str], row) -> None:
         f.write(head + "/>\n")
         return
     f.write(head + ">\n")
+    # <tag> children first, then <nd>/<member> — the reference writer's
+    # child order (changewriter.py:71-86), kept for byte-level comparability.
+    # canonical key order: map columns are unordered, the file is not
+    for k in sorted(tags):
+        f.write(f'  <tag k="{_esc(k)}" v="{_esc(tags[k])}"/>\n')
     for nd in nds:
         f.write(f'  <nd ref="{nd}"/>\n')
     for m in members:
         f.write(
             f'  <member type="{_esc(m["type"])}" ref="{m["ref"]}" role="{_esc(m["role"])}"/>\n'
         )
-    # canonical key order: map columns are unordered, the file is not
-    for k in sorted(tags):
-        f.write(f'  <tag k="{_esc(k)}" v="{_esc(tags[k])}"/>\n')
     f.write(f"</{kind}>\n")
 
 

@@ -24,6 +24,7 @@ def cli_dirs(spark, tmp_path_factory):
 
     export("trails_new", tables["new_ways"], "geometry")
     export("pois_new", tables["new_points"], "geom")
+    export("meta_mod", tables["mod_ways"], "geometry")
     export("original_ways", tables["original_ways"], "geometry")
     tables["deleted_ways"].coalesce(1).write.mode("overwrite").parquet(
         os.path.join(db, "deleted_ways.parquet")
@@ -67,6 +68,102 @@ def test_cli_end_to_end(cli_dirs, tmp_path):
         if t.attrib["k"] == "name"
     }
     assert names == {"new-0", "new-1", "new-2", "new-3"}
+
+
+def test_cli_outdir_per_table(cli_dirs, tmp_path):
+    """Reference mode: one {table}.osc per discovered table + one per
+    deletions table (changegen/__main__.py:232-263)."""
+    from changegen_spark.__main__ import main
+
+    db, ext = cli_dirs
+    outdir = os.path.join(tmp_path, "osc")
+    rc = main(
+        [
+            db,
+            "--osmsrc", ext,
+            "--outdir", outdir,
+            "--suffix", "_new",
+            "--existing", "original_ways",
+            "--deletions", "deleted_ways",
+            "--id_offset", "20000",
+        ]
+    )
+    assert rc == 0
+    trails = ET.parse(os.path.join(outdir, "trails_new.osc")).getroot()
+    pois = ET.parse(os.path.join(outdir, "pois_new.osc")).getroot()
+    dels = ET.parse(os.path.join(outdir, "deleted_ways.osc")).getroot()
+    # trails file: 24 junctions + 40 way vertices; pois file: 25 POI nodes
+    assert len(trails.findall("./create/node")) == 64
+    assert len(trails.findall("./create/way")) == 4
+    assert len(trails.findall("./modify/way")) == 6
+    assert len(pois.findall("./create/node")) == 25
+    assert len(pois.findall("./create/way")) == 0
+    assert len(dels.findall("./delete/way")) == 2
+
+
+def test_cli_modify_meta_flag(cli_dirs, tmp_path):
+    """--modify_meta as a flag over --suffix tables, hstore expanded via
+    --hstore_tags (changegen/__main__.py:104-113, generator.py:190-203)."""
+    from changegen_spark.__main__ import main
+
+    db, ext = cli_dirs
+    out = os.path.join(tmp_path, "meta.osc")
+    rc = main(
+        [
+            db,
+            "--osmsrc", ext,
+            "--output", out,
+            "--suffix", "_mod",
+            "--modify_meta",
+            "--hstore_tags", "tags",
+            "--id_offset", "20000",
+        ]
+    )
+    assert rc == 0
+    root = ET.parse(out).getroot()
+    mods = root.findall("./modify/way")
+    assert len(mods) == 5
+    ktags = {t.attrib["k"]: t.attrib["v"] for t in mods[0].findall("tag")}
+    assert ktags["surface"] == "gravel"  # hstore-expanded, not a literal
+    assert ktags["name"].startswith("mod-")  # column precedence over hstore
+
+
+def test_cli_modify_meta_existing_guard(cli_dirs):
+    """--modify_meta × --existing is rejected (changegen/__main__.py:229-230)."""
+    from changegen_spark.__main__ import main
+
+    db, ext = cli_dirs
+    with pytest.raises(RuntimeError, match="modify_meta"):
+        main(
+            [
+                db,
+                "--osmsrc", ext,
+                "--output", "/tmp/never.osc",
+                "--modify_meta",
+                "--existing", "original_ways",
+            ]
+        )
+
+
+def test_cli_no_collisions_fatal(cli_dirs, tmp_path):
+    """Collision with extract ids: warn by default, fatal only under
+    --no_collisions (changegen/__main__.py:197-208)."""
+    from changegen_spark.__main__ import main
+
+    db, ext = cli_dirs
+    out = os.path.join(tmp_path, "collide.osc")
+    rc = main(
+        [
+            db,
+            "--osmsrc", ext,
+            "--output", out,
+            "--suffix", "_new",
+            "--id_offset", "0",
+            "--no_collisions",
+        ]
+    )
+    assert rc == -1
+    assert not os.path.exists(out)
 
 
 def test_cli_rejects_multi_geometries(spark, tmp_path):
