@@ -53,15 +53,22 @@ def test_grid_join_is_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_lsh_candidates_partial_aggregate(spark, sf_dir):
-    """MinHash signature aggregation must have a map-side partial phase
-    (partial min before the shuffle) — the scale property of the dedup."""
-    from changegen_spark.functions.hashing import minhash_candidates
+def test_minhash_signature_is_shuffle_free(spark, sf_dir):
+    """The MinHash signature stage must be a pure projection — a per-doc
+    fold needs NO shuffle (r1 shape was explode → partial-min groupBy; the
+    single-pass aggregate removes the exchange entirely). The only shuffle
+    in LSH is the banded self-join."""
+    from changegen_spark.functions import hashing
     from changegen_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    plan = _plan(minhash_candidates(d))
-    assert "partial_min" in plan
+    sig = d.select(
+        F.col("doc_id"),
+        hashing.minhash_struct(hashing.word_shingles(F.col("text")), 8).alias("sig"),
+    )
+    plan = _plan(sig)
+    assert "Exchange" not in plan
 
 
 def test_ann_broadcasts_query_side(spark, sf_dir):

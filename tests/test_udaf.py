@@ -44,3 +44,22 @@ def test_udaf_in_window(spark, sf_dir):
         F.round(F.avg(F.col("l_quantity").cast("double")).over(w), 6).alias("b"),
     )
     assert out.filter(F.col("m") != F.col("b")).count() == 0
+
+
+def test_minhash_impls_agree(spark, sf_dir):
+    """The three signature implementations (pandas UDF / SQL explode-agg /
+    map-only fold) must produce identical candidate pairs — they are the
+    same hash function in three execution shapes."""
+    from changegen_spark.functions.hashing import minhash_candidates
+    from changegen_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    outs = {
+        impl: sorted(
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidates(d, impl=impl).collect()
+        )
+        for impl in ("pandas", "sql", "fold")
+    }
+    assert outs["pandas"] == outs["sql"] == outs["fold"]
+    assert len(outs["pandas"]) > 0
