@@ -86,6 +86,102 @@ def sign_lsh_bucket(vec: Column, dims: list[int]) -> Column:
     return sum(bits[1:], start=bits[0]).cast("long")
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance in the algebraic form ``⟨a,a⟩ - 2⟨a,b⟩ + ⟨b,b⟩``.
+
+    The expanded form (three sequential-fold dot products) is used instead
+    of folding ``(a-b)²`` so the SQL oracle (``list_dot_product``) computes
+    the bit-identical double value."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_train: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+) -> DataFrame:
+    """Train the IVF coarse quantizer on a BOUNDED deterministic sample and
+    return the centroid table (cell int, centroid array<double>) — persist
+    it with ``.write.parquet`` and feed it back to :func:`ivf_topk` to skip
+    training entirely.
+
+    100 TB design: training never sees the full corpus.  Rows are kept by a
+    deterministic id-hash filter (``xxhash64(id, seed) % m == 0`` with m
+    sized from a count) capped at ``max_train`` rows — O(sample) training
+    input no matter the corpus size, reproducible across runs and
+    partitionings.  The centroid table is cells × dim — kilobytes — so
+    every later use is a broadcast.
+
+    ``method="kmeans"``: MLlib k-means on the sample (best recall).
+    ``method="medoid"``: the ``n_cells`` sample vectors with the smallest
+    ``md5(id)`` become the centroids — no iterations, fully reproducible in
+    ANSI SQL (this is what the DuckDB-oracle contract query uses).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    n = v.count()  # one tiny metadata-ish job; training is ingest-time work
+    if n > max_train:
+        m = (n + max_train - 1) // max_train
+        v = v.filter(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)), F.lit(m)) == 0)
+
+    if method == "medoid":
+        from pyspark.sql import Window
+
+        hkey = F.md5(F.to_binary(F.col("vec_id").cast("string"), F.lit("utf-8")))
+        w = Window.orderBy(hkey, F.col("vec_id"))
+        return (
+            v.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_cells)
+            .select((F.col("__rn") - 1).cast("int").alias("cell"), F.col("v").alias("centroid"))
+        )
+    if method != "kmeans":
+        raise ValueError(f"unknown IVF training method {method!r}")
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = v.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+
+
+def assign_ivf_cells(
+    v: DataFrame, centroids: DataFrame, vec_expr: str = "v"
+) -> DataFrame:
+    """Nearest-centroid cell per row, map-side only.
+
+    The centroid table is kilobytes, so it is collected and inlined as
+    literal arrays; the argmin is ``F.least`` over (d2, cell) structs — a
+    pure projection with ZERO shuffle over the (possibly 100 TB) vector
+    side.  This is the "broadcast persisted centroids" deployment shape:
+    no model object, no cross-join row blowup, no groupBy to reassemble.
+    Ties break toward the smaller cell id (matches the SQL oracle's
+    ``row_number() OVER (ORDER BY d2, cell)``)."""
+    cents = centroids.select("cell", "centroid").orderBy("cell").collect()
+    structs = [
+        F.struct(
+            l2sq(
+                F.col(vec_expr),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+            ).alias("d2"),
+            F.lit(int(r["cell"])).alias("cell"),
+        )
+        for r in cents
+    ]
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return v.withColumn("cell", best["cell"])
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -96,46 +192,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+    max_train: int = 20_000,
+    method: str = "kmeans",
 ) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer + probe-top-cells.
+    """IVF approximate top-k: coarse quantizer + probe-top-cells.
 
     Scale path beyond sign-LSH: vectors partition into ``n_cells`` Voronoi
-    cells (trained once, reused across queries); each query scores only the
-    vectors of its ``n_probe`` nearest cells — an equi-join on cell id, so
-    search cost is (n_probe/n_cells) of a full scan and the shuffle is
-    keyed by cell.  Training is a one-time O(iterations · n) job; at 100 TB
-    train on a sample and broadcast the centroid table (tiny: cells × dim).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cells; each query scores only the vectors of its ``n_probe`` nearest
+    cells — an equi-join on cell id, so search cost is (n_probe/n_cells) of
+    a full scan and the shuffle is keyed by cell.  Pass a persisted
+    ``centroids`` table to skip training (the 100 TB deployment shape:
+    train once on a bounded sample — see :func:`train_ivf_centroids` — and
+    broadcast the saved centroids ever after)."""
     from pyspark.sql import Window
 
     v = vectors.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    train = v.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells=n_cells, seed=seed, max_train=max_train,
+            id_col=id_col, vec_col=vec_col, method=method,
+        )
+    centroids = centroids.localCheckpoint(eager=False)
+    assigned = assign_ivf_cells(v, centroids)
 
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cdf = vectors.sparkSession.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q")
     )
     # query → n_probe nearest cells (centroid table is tiny → broadcast)
-    qc = q.crossJoin(F.broadcast(cdf)).withColumn(
-        "cdist",
-        F.aggregate(
-            F.zip_with(F.col("q"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", l2sq(F.col("q"), F.col("centroid"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (

@@ -79,3 +79,43 @@ def test_lsh_results_subset_of_bucket(vectors, queries):
         "query_id",
     ).join(buckets, "vec_id")
     assert joined.filter(F.col("b") != F.col("qb")).count() == 0
+
+
+def test_ivf_training_is_bounded(vectors):
+    """100 TB contract: the quantizer never trains on more rows than
+    max_train — the deterministic id-hash filter caps the training input."""
+    from changegen_spark.functions.similarity import train_ivf_centroids
+
+    n = vectors.count()
+    cdf = train_ivf_centroids(vectors, n_cells=4, max_train=max(4, n // 3))
+    assert cdf.count() == 4
+    # the sample filter keeps ~n/m rows; reconstruct it to check the bound
+    from pyspark.sql import functions as F
+
+    m = (n + max(4, n // 3) - 1) // max(4, n // 3)
+    kept = vectors.filter(
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(42)), F.lit(m)) == 0
+    ).count()
+    assert kept < n
+
+
+def test_ivf_persisted_centroids_round_trip(vectors, queries, tmp_path):
+    """Centroids saved to parquet and reloaded give identical results to
+    the in-line training path (the deployment shape at scale)."""
+    from changegen_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    cdf = train_ivf_centroids(vectors, n_cells=8, method="medoid", max_train=1 << 40)
+    path = str(tmp_path / "centroids.parquet")
+    cdf.write.mode("overwrite").parquet(path)
+    reloaded = vectors.sparkSession.read.parquet(path)
+
+    direct = _result_map(
+        ivf_topk(
+            vectors, queries, k=5, n_cells=8, n_probe=2, method="medoid",
+            max_train=1 << 40,
+        )
+    )
+    persisted = _result_map(
+        ivf_topk(vectors, queries, k=5, n_probe=2, centroids=reloaded)
+    )
+    assert direct == persisted
