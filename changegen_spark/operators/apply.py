@@ -43,19 +43,35 @@ def apply_changeset(
     pbf_nodes: DataFrame,
     pbf_ways: DataFrame,
     changeset: DataFrame,
-) -> tuple[DataFrame, DataFrame]:
-    """Apply an element changeset to (nodes, ways) snapshot tables.
+    pbf_relations: DataFrame | None = None,
+    prune_dangling_members: bool = False,
+):
+    """Apply an element changeset to snapshot tables.
 
-    Returns the updated (nodes, ways).  Relations pass through unchanged
-    snapshots for now (the reference never modifies relations either —
-    it only creates them, changegen/generator.py:732-741).
+    Returns (nodes, ways) — or (nodes, ways, relations) when a
+    ``pbf_relations`` snapshot is passed.  Relation create/modify/delete
+    follow the same upsert semantics as nodes/ways (beyond-parity surface:
+    the reference only creates relations, changegen/generator.py:732-741).
+
+    ``prune_dangling_members=True`` makes the apply member-aware: members
+    whose (type, ref) target is deleted BY THIS CHANGESET are dropped from
+    every surviving relation (member order preserved).  OSM's own .osc
+    apply leaves such refs dangling; the prune option trades strictness
+    for a consistent post-apply snapshot, and
+    :func:`relation_integrity_report` audits whichever you choose.
     """
+    def col_or_null(name: str, dtype: str):
+        # partial changesets (e.g. relation-only) legitimately omit columns
+        if name in changeset.columns:
+            return F.col(name).cast(dtype)
+        return F.lit(None).cast(dtype)
+
     node_changes = changeset.filter(F.col("kind") == "node").select(
         "change_type",
         "id",
-        "lat",
-        "lon",
-        F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>")).alias("tags"),
+        col_or_null("lat", "double").alias("lat"),
+        col_or_null("lon", "double").alias("lon"),
+        F.coalesce(col_or_null("tags", "map<string,string>"), F.create_map().cast("map<string,string>")).alias("tags"),
     )
     nodes = _upsert(
         pbf_nodes.select("id", "lat", "lon", "tags"),
@@ -66,15 +82,54 @@ def apply_changeset(
     way_changes = changeset.filter(F.col("kind") == "way").select(
         "change_type",
         "id",
-        "nds",
-        F.coalesce(F.col("tags"), F.create_map().cast("map<string,string>")).alias("tags"),
+        col_or_null("nds", "array<bigint>").alias("nds"),
+        F.coalesce(col_or_null("tags", "map<string,string>"), F.create_map().cast("map<string,string>")).alias("tags"),
     )
     ways = _upsert(
         pbf_ways.select("id", "nds", "tags"),
         way_changes,
         ["nds", "tags"],
     )
-    return nodes, ways
+    if pbf_relations is None:
+        return nodes, ways
+
+    member_t = "array<struct<ref:bigint,type:string,role:string>>"
+    rel_changes = changeset.filter(F.col("kind") == "relation").select(
+        "change_type",
+        "id",
+        F.coalesce(col_or_null("members", member_t), F.array().cast(member_t)).alias("members"),
+        F.coalesce(col_or_null("tags", "map<string,string>"), F.create_map().cast("map<string,string>")).alias("tags"),
+    )
+    relations = _upsert(
+        pbf_relations.select("id", F.col("members").cast(member_t).alias("members"), "tags"),
+        rel_changes,
+        ["members", "tags"],
+    )
+    if prune_dangling_members:
+        gone = changeset.filter(F.col("change_type") == "delete").select(
+            F.col("kind").alias("__mtype"), F.col("id").alias("__mref")
+        )
+        mem = relations.select(
+            "id", F.posexplode_outer("members").alias("pos", "m")
+        )
+        kept = mem.join(
+            gone,
+            (F.col("m.type") == F.col("__mtype")) & (F.col("m.ref") == F.col("__mref")),
+            "left_anti",
+        ).filter(F.col("m").isNotNull())
+        rebuilt = kept.groupBy("id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("members")
+        )
+        relations = (
+            relations.drop("members")
+            .join(rebuilt, "id", "left")
+            .withColumn("members", F.coalesce(F.col("members"), F.array().cast(member_t)))
+            .select("id", "members", "tags")
+        )
+    return nodes, ways, relations
 
 
 def referential_integrity_report(nodes: DataFrame, ways: DataFrame) -> DataFrame:
@@ -85,3 +140,30 @@ def referential_integrity_report(nodes: DataFrame, ways: DataFrame) -> DataFrame
     result = consistent."""
     refs = ways.select(F.col("id").alias("way_id"), F.explode("nds").alias("ref"))
     return refs.join(nodes.select(F.col("id").alias("ref")), "ref", "left_anti")
+
+
+def relation_integrity_report(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame
+) -> DataFrame:
+    """Post-apply audit for relations: members whose (type, ref) target
+    does not exist in the corresponding snapshot table.
+
+    Output: (rel_id, mtype, ref) per violation; empty = consistent.  Three
+    anti-joins (one per member type), each hash-partitioned on the ref —
+    the same scale shape as the way audit."""
+    mem = relations.select(
+        F.col("id").alias("rel_id"),
+        F.explode("members").alias("m"),
+    ).select(
+        "rel_id", F.col("m.type").alias("mtype"), F.col("m.ref").alias("ref")
+    )
+    out = []
+    for mtype, target in (("node", nodes), ("way", ways), ("relation", relations)):
+        out.append(
+            mem.filter(F.col("mtype") == mtype).join(
+                target.select(F.col("id").alias("ref")), "ref", "left_anti"
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), out)

@@ -873,6 +873,83 @@ def _assemble_polygons(pp, with_id2, with_id) -> list[DataFrame]:
     return [node_elems, way_elems, rel_elems]
 
 
+def generate_relation_changes(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    mod_table: str = "mod_relations",
+    del_table: str = "deleted_relations",
+    hstore_col: str | None = None,
+) -> DataFrame:
+    """Relation modify/delete flows (beyond-parity surface: the reference
+    only CREATES relations, ``changegen/generator.py:732-741``).
+
+    ``mod_table`` rows are keyed by ``osm_id``; tags come from the row's
+    attribute columns (hstore merged).  Member lists: a ``members`` column
+    on the table replaces the relation's members outright; otherwise the
+    extract's member list (``pbf_relations``) is reused — the tags-only
+    modify, symmetric with the way ``--modify_meta`` flow.  ``del_table``
+    ids emit ``<delete>`` relations (version 99).  Apply-side semantics and
+    the member-aware prune live in ``operators/apply.py``.
+    """
+    from changegen_spark.operators.changes import assemble_changeset
+
+    member_t = "array<struct<ref:bigint,type:string,role:string>>"
+    empty_tags = F.create_map().cast("map<string,string>")
+    parts: list[DataFrame] = []
+
+    mod = tables.get(mod_table)
+    if mod is not None:
+        tags = _tags_map(
+            mod,
+            exclude=("id", "osm_id", "members", "geometry"),
+            hstore_col=hstore_col if hstore_col is not None else "tags",
+        )
+        keyed = mod.select(
+            F.col("osm_id"),
+            tags.alias("tags"),
+            *(
+                [F.col("members").cast(member_t).alias("__new_members")]
+                if "members" in mod.columns
+                else []
+            ),
+        )
+        pbf = tables["pbf_relations"].select(
+            F.col("id").alias("osm_id"), F.col("members").cast(member_t).alias("__pbf_members")
+        )
+        joined = keyed.join(pbf, "osm_id", "inner")  # missing in extract → skipped
+        members = (
+            F.coalesce(F.col("__new_members"), F.col("__pbf_members"))
+            if "members" in mod.columns
+            else F.col("__pbf_members")
+        )
+        parts.append(
+            joined.select(
+                F.lit("modify").alias("change_type"),
+                F.lit("relation").alias("kind"),
+                F.col("osm_id").alias("id"),
+                F.lit(2).alias("version"),
+                members.alias("members"),
+                "tags",
+            )
+        )
+
+    dels = tables.get(del_table)
+    if dels is not None:
+        ids = dels.select(F.col("osm_id").cast("long").alias("id")).distinct()
+        parts.append(
+            ids.select(
+                F.lit("delete").alias("change_type"),
+                F.lit("relation").alias("kind"),
+                "id",
+                F.lit(99).alias("version"),
+                empty_tags.alias("tags"),
+            )
+        )
+    if not parts:
+        raise ValueError(f"neither {mod_table} nor {del_table} present in tables")
+    return assemble_changeset(*parts)
+
+
 def generate_modify_meta(
     spark: SparkSession,
     tables: dict[str, DataFrame],

@@ -135,13 +135,18 @@ def q_changegen_apply_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from changegen_spark.operators.apply import (
         apply_changeset,
         referential_integrity_report,
+        relation_integrity_report,
     )
     from changegen_spark.sources.osm import fixture_tables
 
     tables = fixture_tables(spark)
     cset = _changeset(spark)
-    nodes2, ways2 = apply_changeset(tables["pbf_nodes"], tables["pbf_ways"], cset)
+    nodes2, ways2, rels2 = apply_changeset(
+        tables["pbf_nodes"], tables["pbf_ways"], cset,
+        pbf_relations=tables["pbf_relations"],
+    )
     dangling = referential_integrity_report(nodes2, ways2).count()
+    rel_dangling = relation_integrity_report(nodes2, ways2, rels2).count()
     junction_refs = (
         ways2.select(F.explode("nds").alias("ref"))
         .filter(F.col("ref") > _ID_OFFSET)
@@ -150,7 +155,9 @@ def q_changegen_apply_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ("nodes_after", nodes2.count()),
         ("ways_after", ways2.count()),
+        ("relations_after", rels2.count()),
         ("dangling_refs", dangling),
+        ("rel_dangling_members", rel_dangling),
         ("new_id_refs_in_ways", junction_refs),
     ]
     return spark.createDataFrame(rows, "metric string, value long").orderBy("metric")
@@ -166,6 +173,8 @@ SELECT * FROM (VALUES
   ('dangling_refs', CAST(0 AS BIGINT)),
   ('new_id_refs_in_ways', CAST(108 AS BIGINT)),
   ('nodes_after', CAST(251 AS BIGINT)),
+  ('rel_dangling_members', CAST(0 AS BIGINT)),
+  ('relations_after', CAST(1 AS BIGINT)),
   ('ways_after', CAST(19 AS BIGINT))
 ) AS t(metric, value)
 ORDER BY metric
