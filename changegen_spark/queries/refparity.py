@@ -19,11 +19,50 @@ from __future__ import annotations
 
 from changegen_spark.sources.refdata import reference_golden_counts
 
+
+def q_pbf_extract_stats(spark, sf_dir):
+    """Native ``.pbf`` ingestion (S7/S8) exercised on the reference's real
+    extract: blob-parallel decode → per-kind counts and max ids.  The
+    pinned values are independently verifiable with any OSM tool (osmium
+    fileinfo) over the shipped fixture file."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.sources.pbf import read_pbf_tables
+    from changegen_spark.sources.refdata import REF_PBF
+
+    t = read_pbf_tables(spark, REF_PBF)
+    parts = [
+        df.agg(
+            F.count("*").alias("n"), F.max("id").alias("max_id")
+        ).select(F.lit(kind).alias("kind"), "n", "max_id")
+        for kind, df in (
+            ("node", t["pbf_nodes"]),
+            ("way", t["pbf_ways"]),
+            ("relation", t["pbf_relations"]),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind")
+
+
+Q_PBF_STATS_SQL = """
+SELECT * FROM (VALUES
+    ('node', CAST(81154 AS BIGINT), CAST(9127760345 AS BIGINT)),
+    ('relation', CAST(30 AS BIGINT), CAST(13091234 AS BIGINT)),
+    ('way', CAST(2953 AS BIGINT), CAST(973217844 AS BIGINT))
+) AS t(kind, n, max_id)
+ORDER BY kind
+"""
+
 QUERIES = {
     "q_reference_goldens": lambda spark, sf_dir: reference_golden_counts(spark),
+    "q_pbf_extract_stats": q_pbf_extract_stats,
 }
 
 ORACLES = {
+    "q_pbf_extract_stats": Q_PBF_STATS_SQL,
     "q_reference_goldens": """
         SELECT * FROM (
             VALUES
