@@ -45,10 +45,18 @@ MODULES = (
 
 
 def all_queries():
-    out = {}
+    """Module-ordered registry with rows-only (no-oracle) queries demoted to
+    the end: the driver's CORRECTNESS window is the first 50 entries, and a
+    rows-only entry there would occupy a slot a hash-checkable query could
+    carry.  Rows-only queries keep their relative order after the demotion
+    (they are pytest-covered; the oracle-backed set is the hard signal)."""
+    oracles = all_oracles()
+    ordered = {}
     for m in MODULES:
-        out.update(m.QUERIES)
-    return out
+        ordered.update(m.QUERIES)
+    backed = {k: v for k, v in ordered.items() if k in oracles}
+    backed.update({k: v for k, v in ordered.items() if k not in oracles})
+    return backed
 
 
 def all_oracles():

@@ -116,14 +116,124 @@ FROM events WHERE event_id % 25 = 0 ORDER BY event_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks up the most recent
+    prior-or-simultaneous view by the same user (union–sort–window plan,
+    one shuffle — ``operators/asof.as_of_join``).  The view side is
+    pre-deduped to one row per (user, ts) because an ASOF oracle is
+    nondeterministic across duplicate timestamps."""
+    from changegen_spark.operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = as_of_join(
+        clicks,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["view_event_id"],
+        tie_col="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("right_view_event_id").alias("view_event_id"),
+        "gap_us",
+    ).orderBy("event_id")
+
+
+Q_ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       v.view_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: per error event, count + exact value sum of the
+    same user's events in the preceding 5 minutes ``[ts-5m, ts)``.  Binned
+    filter-and-refine plan (``operators/asof.range_join_binned``): hash
+    equi-join on (user, 5-minute cell), never an inequality nested-loop."""
+    from changegen_spark.operators.asof import range_join_binned
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    five_min_us = 300 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts"))
+    joined = range_join_binned(
+        errors,
+        ev.select("user_id", "ts", "value"),
+        on=["user_id"],
+        lo_us=ts_us - five_min_us,
+        hi_us=ts_us,
+        bin_width_us=five_min_us,
+    )
+    prior = joined.groupBy("event_id").agg(
+        F.count("*").alias("n_prior"),
+        F.sum(F.round(F.col("right_value") * 1e6).cast("long")).alias(
+            "sum_prior_value_e6"
+        ),
+    )
+    return (
+        errors.join(prior, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+            F.coalesce("sum_prior_value_e6", F.lit(0)).alias("sum_prior_value_e6"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q_RANGE_JOIN_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       CAST(count(v.ts) AS BIGINT) AS n_prior,
+       CAST(coalesce(sum(CAST(round(v.value * 1e6) AS BIGINT)), 0) AS BIGINT)
+         AS sum_prior_value_e6
+FROM errors e LEFT JOIN events v
+  ON e.user_id = v.user_id
+ AND v.ts >= e.ts - INTERVAL 5 MINUTE AND v.ts < e.ts
+GROUP BY e.event_id, e.user_id
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
     "q_sessionize": q_sessionize,
     "q_props_parse": q_props_parse,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
 }
 
 ORACLES = {
     "q_event_windows": Q_EVENT_WINDOWS_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_props_parse": Q_PROPS_PARSE_SQL,
+    "q_asof_join": Q_ASOF_JOIN_SQL,
+    "q_range_join": Q_RANGE_JOIN_SQL,
 }

@@ -1,0 +1,151 @@
+"""As-of join + binned range join (operators/asof.py): constructed-frame
+semantics (ties, no-match, tolerance, interval boundaries) and the plan
+shapes that make both operators survive scale."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts(10)),   # after right rows at 5 and 8 → matches 8
+            (2, 10, _ts(8)),    # equal ts → inclusive match at 8
+            (3, 10, _ts(4)),    # before every right row → no match
+            (4, 20, _ts(30)),   # key with a duplicate-ts right pair
+            (5, 30, _ts(30)),   # key with no right rows at all
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts(5)),
+            (101, 10, _ts(8)),
+            (102, 20, _ts(7)),  # duplicate ts with 103
+            (103, 20, _ts(7)),
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_ties(spark, frames):
+    from changegen_spark.operators.asof import as_of_join
+
+    left, right = frames
+    out = as_of_join(
+        left, right, on=["user_id"], ts_col="ts", right_value_cols=["rid"],
+        tie_col="rid",
+    )
+    got = {r["event_id"]: (r["right_rid"], r["gap_us"]) for r in out.collect()}
+    assert got[1] == (101, 2 * 60 * 1_000_000)
+    assert got[2] == (101, 0)               # inclusive: equal ts matches
+    assert got[3] == (None, None)           # nothing at-or-before
+    assert got[4] == (103, 23 * 60 * 1_000_000)  # greatest tie_col wins
+    assert got[5] == (None, None)           # key absent from right
+
+
+def test_asof_tolerance_drops_stale_matches(spark, frames):
+    from changegen_spark.operators.asof import as_of_join
+
+    left, right = frames
+    out = as_of_join(
+        left, right, on=["user_id"], ts_col="ts", right_value_cols=["rid"],
+        tie_col="rid", tolerance_us=5 * 60 * 1_000_000,
+    )
+    got = {r["event_id"]: r["right_rid"] for r in out.collect()}
+    assert got[1] == 101        # 2 min gap, inside tolerance
+    assert got[4] is None       # 23 min gap, dropped
+
+
+def test_asof_plan_single_shuffle_no_join(spark, frames):
+    """The union–sort–window plan must contain no join operator at all and
+    exactly one exchange keyed on the as-of keys."""
+    from changegen_spark.operators.asof import as_of_join
+
+    left, right = frames
+    plan = (
+        as_of_join(left, right, on=["user_id"], ts_col="ts",
+                   right_value_cols=["rid"], tie_col="rid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_binned_boundaries(spark):
+    from changegen_spark.operators.asof import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts(5), 1.0),             # == lo → included
+            (7, _ts(9, 59, 999999), 2.0), # just inside hi
+            (7, _ts(10), 4.0),            # == hi → excluded (exclusive)
+            (7, _ts(4, 59, 999999), 8.0), # just below lo → excluded
+            (8, _ts(9), 16.0),            # other key → excluded
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    out = range_join_binned(
+        left, right, on=["user_id"],
+        lo_us=ts_us - 300 * 1_000_000, hi_us=ts_us,
+        bin_width_us=300 * 1_000_000,
+    )
+    vals = sorted(r["right_value"] for r in out.collect())
+    assert vals == [1.0, 2.0]
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """Binned range join must plan as a hash equi-join on (key, cell) —
+    never BroadcastNestedLoop/Cartesian."""
+    from changegen_spark.operators.asof import range_join_binned
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 5).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+    )
+    right = spark.range(500).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 13_000_000).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ts_us = F.unix_micros(F.col("ts"))
+    plan = (
+        range_join_binned(left, right, on=["user_id"],
+                          lo_us=ts_us - 300_000_000, hi_us=ts_us,
+                          bin_width_us=300_000_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_and_range_queries_match_oracle(spark, sf_dir):
+    """Full oracle parity at sf0.001 under the driver's normalization."""
+    import duckdb
+
+    from changegen_spark.queries import events as evmod
+    from tools.check_oracle import normalize
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    for name in ("q_asof_join", "q_range_join"):
+        sdf = normalize(evmod.QUERIES[name](spark, sf_dir).toPandas())
+        ddf = normalize(con.execute(evmod.ORACLES[name]).df())
+        assert list(sdf.columns) == list(ddf.columns), name
+        assert len(sdf) == len(ddf), name
+        assert sdf.equals(ddf), f"{name}: value mismatch"
