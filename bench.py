@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family — scan/agg, join+topk, multi-join,
-# spatial join, dedup-LSH, ANN, sessionization, exact dedup, text scan.
+# spatial join, dedup-LSH, ANN, temporal joins, sessionization, exact dedup,
+# text scan.  (r2: q_lsh_pairs_fast left the headline — the xxhash64
+# experiment's premise was disproven once the default signature moved to the
+# Arrow UDF, making the "fast" twin the slower redundant variant; it remains
+# a contract query.  Its slot carries the as-of + range joins.)
 HEADLINE = [
     "q01_pricing_summary",
     "q_snapshot_diff",
@@ -29,8 +33,9 @@ HEADLINE = [
     "q_distance_join",
     "q_grid_dedup",
     "q_lsh_pairs",
-    "q_lsh_pairs_fast",
     "q_ann_bruteforce",
+    "q_asof_join",
+    "q_range_join",
     "q_sessionize",
     "q_event_windows",
     "q_exact_dedup",
