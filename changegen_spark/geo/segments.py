@@ -110,6 +110,18 @@ def segment_pair_closest(cols_l: str = "l", cols_r: str = "r") -> list[Column]:
     cp_x = F.when(crossing, lax + t * rx).otherwise(best.getField("qx"))
     cp_y = F.when(crossing, lay + t * ry).otherwise(best.getField("qy"))
     dist = F.when(crossing, F.lit(0.0)).otherwise(F.sqrt(best.getField("d")))
+    # CSE fence: cp_x/cp_y/dist each embed the crossing predicate plus all
+    # four endpoint-projection candidates.  Left deterministic, the optimizer
+    # re-inlines the full trees into the radius filter (predicate-pushdown
+    # alias substitution folds it into the grid join condition) and into the
+    # caller's partial min_by aggregate — the duplicated trees push the
+    # generated method past janino's 64 KB limit and the stage silently falls
+    # back to INTERPRETED execution (observed in scale_smoke).  Adding an
+    # exactly-zero nondeterministic term (rand ∈ [0,1) is finite, x + 0.0*r
+    # == x for the non-NaN dist) marks the projection nondeterministic, which
+    # both CollapseProject and PushPredicateThroughNonJoin refuse to rewrite,
+    # so downstream operators reference the computed attributes instead.
+    dist = dist + F.rand(7) * F.lit(0.0)
     return [cp_x.alias("cp_x"), cp_y.alias("cp_y"), dist.alias("dist")]
 
 

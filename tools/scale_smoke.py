@@ -77,6 +77,17 @@ def main() -> None:
     n_new = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     spark = get_spark("scale-smoke")
 
+    # Session warmup, timed separately: the FIRST job on a fresh local JVM
+    # pays executor-thread/scheduler/codegen-framework init that a long-lived
+    # cluster session pays once per session, not per pipeline run.  Running a
+    # trivial job (with a shuffle, to also warm the shuffle machinery) first
+    # keeps plan_s attributable to the pipeline itself.
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(1 << 20).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    t_warm = time.time() - t0
+
     t0 = time.time()
     tables = build_network(spark, n_orig, n_new)
     t_build = time.time() - t0
@@ -96,6 +107,7 @@ def main() -> None:
                 "n_new": n_new,
                 "junction_pairs": n_orig * n_new,
                 "counts": counts,
+                "warmup_s": round(t_warm, 1),
                 "build_s": round(t_build, 1),
                 "plan_s": round(t_plan, 1),
                 "execute_and_sink_s": round(t_exec, 1),
