@@ -19,6 +19,7 @@ from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import misc as _misc
+from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
@@ -34,11 +35,12 @@ MODULES = (
     _changegen,
     _refparity,
     _vectors,
+    _extensions,  # 1 oracle (q_ann_ivf) — early so the IVF path keeps a driver row
     _events,
+    _mlprep,
     _geo,
     _textops,
     _misc,
-    _extensions,
     _relational,
     _tpch_extra,
 )

@@ -1,0 +1,396 @@
+"""Training-data preparation operators over the documents table.
+
+The pieces of a large-scale LLM-corpus pipeline that sit between raw text
+and a training run: eval-set decontamination (n-gram overlap), PII
+detection/redaction, Gopher-style repetition quality signals, deterministic
+hash sampling (bernoulli + stratified), and fixed-size token chunking with
+stride.  All map-only column expressions except decontamination, whose plan
+is the canonical shape at 100 TB: explode n-grams, hash equi-join against
+the (small, broadcastable) eval n-gram set, aggregate per document — never
+an all-pairs comparison.
+
+Every query has an exact DuckDB oracle; doubles are rounded to 6 dp on both
+sides and hashes are md5 so the value-hash gate is byte-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _toks(col: F.Column) -> F.Column:
+    """Whitespace tokens of the trimmed text (the module's one tokenizer:
+    DuckDB twin is ``string_split_regex(trim(text), '\\s+')``)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """All word n-grams (with duplicates) as space-joined strings; empty
+    array when the document has fewer than ``n`` tokens.  Spark's
+    ``sequence`` DESCENDS when stop < start, so the short-document case
+    must be guarded, not clamped."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- eval-set decontamination -------------------------------------------------
+
+DECON_N = 5  # word n-gram order; 13 is standard for web corpora, 5 fits the
+# synthetic docs (~30-100 words from a ~30-word vocabulary)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: docs with ``doc_id % 19 = 3`` act
+    as the held-out eval set; every remaining (train) doc reports how many
+    of its distinct word 5-grams appear anywhere in the eval set.
+
+    Scale shape: distinct n-grams per doc (one shuffle), left-semi hash
+    join against the eval n-gram set — eval sets are tiny relative to the
+    corpus, so Catalyst broadcasts them — then a per-doc count.  This is
+    the standard contamination check (e.g. GPT-3 appendix C) expressed as
+    two aggregates and an equi-join, never a doc×doc comparison."""
+    d = _docs(spark, sf_dir)
+    grams = (
+        d.select("doc_id", F.explode(word_ngrams(_toks(F.col("text")), DECON_N)).alias("ng"))
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 19 == 3
+    eval_ngs = grams.filter(is_eval).select("ng").distinct()
+    train = grams.filter(~is_eval)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train.join(eval_ngs, "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), 6
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {DECON_N - 1})) AS i
+  FROM toks WHERE len(t) >= {DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {DECON_N - 1} AS INT)], ' ') AS ng
+  FROM pos
+), eval_ngs AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 19 = 3
+), train AS (
+  SELECT * FROM grams WHERE doc_id % 19 <> 3
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM train GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM train WHERE ng IN (SELECT ng FROM eval_ngs) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / t.n_ngrams, 6) AS contamination_frac
+FROM totals t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# --- PII detection / redaction ------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): char classes, bounded repetition, \\d, \\b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1 555-\d{4}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_augmented(doc_id: F.Column, text: F.Column) -> F.Column:
+    """The synthetic corpus contains no PII, so the query PLANTS
+    deterministic synthetic PII (email / phone / IPv4, presence varying by
+    doc_id) and then detects and redacts it — the detection plumbing is
+    what the operator contract covers, and the oracle constructs the
+    identical strings."""
+    sid = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 3 != 0, F.concat(F.lit(" Contact user"), sid, F.lit("@example.com"))
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 4 != 0,
+            F.concat(F.lit(" call +1 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 != 0,
+            F.concat(
+                F.lit(" from 10."),
+                (doc_id % 256).cast("string"),
+                F.lit(".0."),
+                (doc_id % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: per-document counts of emails / phone numbers /
+    IPv4 addresses and the md5 of the text after replacing each with a typed
+    placeholder.  Map-only column expressions (JVM regex, no UDF) — at
+    100 TB this pipelines into the scan like the other text signals."""
+    d = _docs(spark, sf_dir)
+    aug = _pii_augmented(F.col("doc_id"), F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(aug, F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(aug, F.lit(IP_RE)).alias("n_ip"),
+        F.md5(redacted).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG_SQL = """
+text
+|| CASE WHEN doc_id % 3 <> 0
+        THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        ELSE '' END
+|| CASE WHEN doc_id % 4 <> 0
+        THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+|| CASE WHEN doc_id % 5 <> 0
+        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        ELSE '' END
+"""
+
+Q_PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS a FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{EMAIL_RE}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(a, '\\+1 555-\\d{{4}}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(a, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ip,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(a, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '\\+1 555-\\d{{4}}', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+          ) AS redacted_hash
+FROM aug ORDER BY doc_id
+"""
+
+
+# --- repetition quality signals ----------------------------------------------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction (1 − distinct/total), top-word fraction, top-bigram fraction.
+    Two explode→groupBy aggregates (words, bigrams) joined per doc — at
+    scale both shuffles are keyed by doc and map-side combined."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", _toks(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    wc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("max_w"),
+    )
+    bc = (
+        toks.select("doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+    )
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"), F.max("count").alias("max_b")
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(F.col("max_w") / F.col("n_tokens"), 6).alias("top_word_frac"),
+            F.coalesce(
+                F.round(F.col("max_b") / F.col("n_bigrams"), 6), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), ws AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS max_w
+  FROM wc GROUP BY doc_id
+), bpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id,
+         list_extract(t, CAST(i AS INT)) || ' ' || list_extract(t, CAST(i + 1 AS INT)) AS b
+  FROM bpos
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bs AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_b FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       CAST(ws.n_tokens AS BIGINT) AS n_tokens,
+       round(1 - ws.n_distinct / ws.n_tokens, 6) AS dup_word_frac,
+       round(ws.max_w / ws.n_tokens, 6) AS top_word_frac,
+       CAST(coalesce(round(bs.max_b / bs.n_bigrams, 6), 0) AS DOUBLE)
+         AS top_bigram_frac
+FROM ws LEFT JOIN bs USING (doc_id)
+ORDER BY ws.doc_id
+"""
+
+
+# --- deterministic hash sampling ---------------------------------------------
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, retry-stable sampling: a ~20% bernoulli sample via an
+    md5 threshold (first 8 hex chars < '33333333' ⇔ u32 < 0.2·2³²) and an
+    exactly-3-per-source stratified sample via a hash-ordered row_number.
+    Hash sampling beats rand() at scale because membership is a pure
+    function of the key — task retries, AQE re-plans, and incremental
+    reruns all agree on the sample."""
+    d = _docs(spark, sf_dir)
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("source").orderBy(F.col("hkey"), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", hkey.alias("hkey"))
+        .withColumn("in_bernoulli", (F.col("hkey") < "33333333").cast("int"))
+        .withColumn("strat_rank", F.row_number().over(w))
+        .withColumn("strat_keep", (F.col("strat_rank") <= 3).cast("int"))
+        .select("doc_id", "source", "hkey", "in_bernoulli", "strat_keep")
+        .orderBy("doc_id")
+    )
+
+
+Q_HASH_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hkey
+  FROM documents
+)
+SELECT doc_id, source, hkey,
+       CAST(hkey < '33333333' AS INT) AS in_bernoulli,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) <= 3
+            AS INT) AS strat_keep
+FROM h ORDER BY doc_id
+"""
+
+
+# --- token chunking -----------------------------------------------------------
+
+CHUNK, STRIDE = 32, 16
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with stride (training-sequence chunking):
+    each document yields chunks of up to 32 tokens starting every 16.
+    Array-side ``sequence`` + ``slice`` then one explode — no shuffle; row
+    amplification is bounded by tokens/stride."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", _toks(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / STRIDE).cast("int").alias("chunk_idx"),
+            F.size(F.slice(F.col("t"), F.col("s"), F.lit(CHUNK))).alias(
+                "n_in_chunk"
+            ),
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), F.lit(CHUNK)))).alias(
+                "chunk_hash"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+Q_TOKEN_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), {STRIDE})) AS s FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // {STRIDE} AS INT) AS chunk_idx,
+       CAST(len(t[CAST(s AS INT):CAST(s + {CHUNK - 1} AS INT)]) AS INT)
+         AS n_in_chunk,
+       md5(array_to_string(t[CAST(s AS INT):CAST(s + {CHUNK - 1} AS INT)], ' '))
+         AS chunk_hash
+FROM pos ORDER BY doc_id, chunk_idx
+"""
+
+
+QUERIES = {
+    "q_decontaminate": q_decontaminate,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition": q_repetition,
+    "q_hash_sample": q_hash_sample,
+    "q_token_chunks": q_token_chunks,
+}
+
+ORACLES = {
+    "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_pii_scrub": Q_PII_SCRUB_SQL,
+    "q_repetition": Q_REPETITION_SQL,
+    "q_hash_sample": Q_HASH_SAMPLE_SQL,
+    "q_token_chunks": Q_TOKEN_CHUNKS_SQL,
+}

@@ -1,0 +1,142 @@
+"""Semantic unit tests for the training-data prep operators (queries/mlprep).
+
+Constructed micro-corpora with hand-computable expectations; the sf0.01
+value-hash parity is covered by the oracle gate (tools/check_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    from changegen_spark.queries.mlprep import word_ngrams, _toks
+
+    df = spark.createDataFrame([("a b c",), ("a b c d e f",)], "text string")
+    out = df.select(F.size(word_ngrams(_toks(F.col("text")), 5)).alias("n")).collect()
+    # 3 tokens < n=5 -> no n-grams (NOT a descending-sequence artifact);
+    # 6 tokens -> 2 five-grams
+    assert [r.n for r in out] == [0, 2]
+
+
+def test_decontaminate_flags_planted_overlap(spark, monkeypatch, tmp_path):
+    from changegen_spark.queries import mlprep
+
+    # eval doc (id 3: 3 % 19 == 3) shares its only 5-gram with train doc 1;
+    # train doc 2 shares nothing.
+    rows = [
+        (3, "alpha beta gamma delta epsilon", "en", "s", 1),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        (2, "one two three four five six", "en", "s", 1),
+    ]
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    out = {r.doc_id: r for r in mlprep.q_decontaminate(spark, "ignored").collect()}
+    assert set(out) == {1, 2}  # eval doc excluded from the report
+    assert out[1].n_ngrams == 2 and out[1].n_contaminated == 1
+    assert out[1].contamination_frac == 0.5
+    assert out[2].n_contaminated == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark, monkeypatch):
+    from changegen_spark.queries import mlprep
+
+    # doc_id 1: planted email (1%3!=0), phone (1%4!=0), ip (1%5!=0);
+    # doc_id 60: 60%3==0, 60%4==0, 60%5==0 -> nothing planted
+    df = _docs_df(spark, [(1, "hello world", "en", "s", 1), (60, "plain", "en", "s", 1)])
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    out = {r.doc_id: r for r in mlprep.q_pii_scrub(spark, "ignored").collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (1, 1, 1)
+    assert (out[60].n_email, out[60].n_phone, out[60].n_ip) == (0, 0, 0)
+    # redaction is total: rebuilding the augmented+redacted string must hash equal
+    aug_red = (
+        df.select(
+            "doc_id",
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            mlprep._pii_augmented(F.col("doc_id"), F.col("text")),
+                            mlprep.EMAIL_RE,
+                            "<EMAIL>",
+                        ),
+                        mlprep.PHONE_RE,
+                        "<PHONE>",
+                    ),
+                    mlprep.IP_RE,
+                    "<IP>",
+                )
+            ).alias("h"),
+        )
+        .collect()
+    )
+    assert {r.doc_id: r.h for r in aug_red}[1] == out[1].redacted_hash
+    # and the redacted text for doc 1 contains no raw digits of the planted PII
+    txt = df.filter(F.col("doc_id") == 1).select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    mlprep._pii_augmented(F.col("doc_id"), F.col("text")),
+                    mlprep.EMAIL_RE,
+                    "<EMAIL>",
+                ),
+                mlprep.PHONE_RE,
+                "<PHONE>",
+            ),
+            mlprep.IP_RE,
+            "<IP>",
+        ).alias("t")
+    ).collect()[0].t
+    assert "<EMAIL>" in txt and "<PHONE>" in txt and "<IP>" in txt
+    assert "@example.com" not in txt and "555-" not in txt and "10." not in txt
+
+
+def test_repetition_hand_computed(spark, monkeypatch):
+    from changegen_spark.queries import mlprep
+
+    # "a a a b": 4 tokens, 2 distinct -> dup 0.5; top word a=3/4; bigrams
+    # [a a, a a, a b]: top 2/3
+    df = _docs_df(spark, [(1, "a a a b", "en", "s", 1)])
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    r = mlprep.q_repetition(spark, "ignored").collect()[0]
+    assert r.n_tokens == 4
+    assert r.dup_word_frac == 0.5
+    assert r.top_word_frac == 0.75
+    assert r.top_bigram_frac == round(2 / 3, 6)
+
+
+def test_hash_sample_is_deterministic_and_stratified(spark, monkeypatch):
+    from changegen_spark.queries import mlprep
+
+    rows = [(i, f"doc {i}", "en", f"src{i % 2}", 1) for i in range(20)]
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    a = mlprep.q_hash_sample(spark, "ignored").collect()
+    b = mlprep.q_hash_sample(spark, "ignored").collect()
+    assert a == b  # pure function of doc_id -> retry/re-run stable
+    per_src = {}
+    for r in a:
+        per_src[r.source] = per_src.get(r.source, 0) + r.strat_keep
+    assert per_src == {"src0": 3, "src1": 3}
+
+
+def test_token_chunks_boundaries(spark, monkeypatch):
+    from changegen_spark.queries import mlprep
+
+    # 40 tokens, chunk 32 / stride 16 -> starts 1,17,33 with sizes 32,24,8
+    df = _docs_df(spark, [(1, " ".join(f"t{i}" for i in range(40)), "en", "s", 1)])
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    out = mlprep.q_token_chunks(spark, "ignored").collect()
+    assert [(r.chunk_idx, r.n_in_chunk) for r in out] == [(0, 32), (1, 24), (2, 8)]
+    # overlapping windows share content: chunk 1 starts at token 17
+    assert len({r.chunk_hash for r in out}) == 3
+
+
+def test_decontaminate_plan_is_equi_join(spark, sf_dir):
+    from changegen_spark.queries.mlprep import q_decontaminate
+
+    plan = q_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
