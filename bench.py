@@ -41,6 +41,10 @@ HEADLINE = [
     "q_exact_dedup",
     "q_token_count",
     "q_way_chunking",
+    # r2: training-data prep family representatives — the n-gram semi-join
+    # (decontamination) and the per-source prefix-sum packer.
+    "q_decontaminate",
+    "q_pack_sequences",
 ]
 
 

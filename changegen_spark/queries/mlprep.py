@@ -62,6 +62,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard contamination check (e.g. GPT-3 appendix C) expressed as
     two aggregates and an equi-join, never a doc×doc comparison."""
     d = _docs(spark, sf_dir)
+    # Plan note (measured at sf0.1): explode → one (doc_id, ng) distinct
+    # exchange, REUSED by all three consumers (eval set, totals, hits), is
+    # the winning shape at 3.1 s warm.  Two "optimizations" lose: per-doc
+    # array_distinct dedup with a repartition(doc_id) exchange (7 s — the
+    # array shuffle carries the same bytes in fatter rows), and array-side
+    # dedup with no exchange at all (16 s — the interpreted n-gram transform
+    # runs once per consumer).  The exploded distinct keeps the interpreted
+    # transform to ONE execution ahead of the reused exchange.
     grams = (
         d.select("doc_id", F.explode(word_ngrams(_toks(F.col("text")), DECON_N)).alias("ng"))
         .distinct()
@@ -379,12 +387,83 @@ FROM pos ORDER BY doc_id, chunk_idx
 """
 
 
+# --- sequence packing ---------------------------------------------------------
+
+PACK_BUDGET = 64  # tokens per training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing (the standard pretraining packer):
+    within each source, documents are concatenated in doc_id order and cut
+    into fixed 64-token training sequences; each document reports the
+    sequence it starts in, its offset there, and how many sequences it
+    spans.  One prefix-sum window PER SOURCE — packing parallelizes across
+    sources, and a single giant source would swap in the two-phase
+    per-partition prefix sum used by ``operators/ids.py`` distributed mode
+    (per-partition counts + broadcast offsets) rather than a global sort."""
+    from changegen_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        toks.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long").alias("seq_id"),
+            (F.col("start_tok") % PACK_BUDGET).alias("offset_in_seq"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_BUDGET)
+                - F.floor(F.col("start_tok") / PACK_BUDGET)
+                + 1
+            )
+            .cast("long")
+            .alias("n_seqs_spanned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS offset_in_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (start_tok + n_tokens - 1) // {PACK_BUDGET}
+                      - start_tok // {PACK_BUDGET} + 1
+            END AS BIGINT) AS n_seqs_spanned
+FROM pos ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
     "q_token_chunks": q_token_chunks,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -393,4 +472,5 @@ ORACLES = {
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_token_chunks": Q_TOKEN_CHUNKS_SQL,
+    "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
 }

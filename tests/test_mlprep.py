@@ -134,6 +134,28 @@ def test_token_chunks_boundaries(spark, monkeypatch):
     assert len({r.chunk_hash for r in out}) == 3
 
 
+def test_pack_sequences_hand_computed(spark, monkeypatch):
+    from changegen_spark.queries import mlprep
+
+    # Budget 64.  Source s: docs of 50, 30, 100 tokens in doc_id order.
+    #   doc 1: start 0   -> seq 0 off 0,  spans ceil: tokens 0-49   -> 1 seq
+    #   doc 2: start 50  -> seq 0 off 50, tokens 50-79  -> seqs 0-1 -> 2
+    #   doc 3: start 80  -> seq 1 off 16, tokens 80-179 -> seqs 1-2 -> 2
+    rows = [
+        (1, " ".join(["w"] * 50), "en", "s", 1),
+        (2, " ".join(["w"] * 30), "en", "s", 1),
+        (3, " ".join(["w"] * 100), "en", "s", 1),
+        (4, " ".join(["w"] * 10), "en", "other", 1),  # independent stream
+    ]
+    df = _docs_df(spark, rows)
+    monkeypatch.setattr(mlprep, "_docs", lambda s, d: df)
+    out = {r.doc_id: r for r in mlprep.q_pack_sequences(spark, "ignored").collect()}
+    assert (out[1].seq_id, out[1].offset_in_seq, out[1].n_seqs_spanned) == (0, 0, 1)
+    assert (out[2].seq_id, out[2].offset_in_seq, out[2].n_seqs_spanned) == (0, 50, 2)
+    assert (out[3].seq_id, out[3].offset_in_seq, out[3].n_seqs_spanned) == (1, 16, 2)
+    assert (out[4].seq_id, out[4].offset_in_seq) == (0, 0)  # per-source reset
+
+
 def test_decontaminate_plan_is_equi_join(spark, sf_dir):
     from changegen_spark.queries.mlprep import q_decontaminate
 
