@@ -51,6 +51,35 @@ DECON_N = 5  # word n-gram order; 13 is standard for web corpora, 5 fits the
 # synthetic docs (~30-100 words from a ~30-word vocabulary)
 
 
+def distinct_ngrams_pandas(n: int):
+    """Arrow-batched distinct word n-grams: text → sorted array<string>.
+
+    Same justification as ``hashing.minhash_pandas_signature``: shingle
+    construction in Catalyst higher-order functions runs interpreted, and
+    Python's split + set comprehension over Arrow batches is ~2× faster for
+    the whole decontamination query (3.1 s → 1.4 s warm at sf0.1).  Output
+    is sorted for determinism; values are identical to the
+    ``word_ngrams`` + distinct formulation, so the DuckDB oracle is
+    unchanged."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def ngrams(texts):
+        out = []
+        for t in texts:
+            toks = (t or "").strip().split()
+            if len(toks) >= n:
+                out.append(
+                    sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return ngrams
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram decontamination: docs with ``doc_id % 19 = 3`` act
     as the held-out eval set; every remaining (train) doc reports how many
@@ -64,14 +93,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # Plan note (measured at sf0.1): explode → one (doc_id, ng) distinct
     # exchange, REUSED by all three consumers (eval set, totals, hits), is
-    # the winning shape at 3.1 s warm.  Two "optimizations" lose: per-doc
-    # array_distinct dedup with a repartition(doc_id) exchange (7 s — the
-    # array shuffle carries the same bytes in fatter rows), and array-side
-    # dedup with no exchange at all (16 s — the interpreted n-gram transform
-    # runs once per consumer).  The exploded distinct keeps the interpreted
-    # transform to ONE execution ahead of the reused exchange.
+    # the winning shape.  Two "optimizations" lose: per-doc array_distinct
+    # dedup with a repartition(doc_id) exchange (7 s — the array shuffle
+    # carries the same bytes in fatter rows), and array-side dedup with no
+    # exchange at all (16 s — the interpreted n-gram transform runs once per
+    # consumer).  The n-gram builder itself is the Arrow UDF (1.4 s vs the
+    # Catalyst transform's 3.1 s); the exchange keeps it to ONE execution.
     grams = (
-        d.select("doc_id", F.explode(word_ngrams(_toks(F.col("text")), DECON_N)).alias("ng"))
+        d.select(
+            "doc_id",
+            F.explode(distinct_ngrams_pandas(DECON_N)(F.col("text"))).alias("ng"),
+        )
         .distinct()
     )
     is_eval = F.col("doc_id") % 19 == 3

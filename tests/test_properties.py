@@ -135,3 +135,71 @@ def test_minhash_identical_docs_always_pair(sp, texts):
     for i in range(n):
         assert (i, i + n) in pairs  # each doc pairs with its duplicate
     assert all(a < b for a, b in pairs)
+
+
+@SET
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8)
+)
+def test_pack_sequences_properties(sp, sizes):
+    """Packing invariants for any doc-size sequence: offsets stay inside the
+    budget, starts are the running sum, spans cover exactly the token range."""
+    from changegen_spark.queries import mlprep
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", "en", "s", n)
+        for i, n in enumerate(sizes)
+    ]
+    df = sp.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mlprep._docs
+    mlprep._docs = lambda s, d: df
+    try:
+        out = {r.doc_id: r for r in mlprep.q_pack_sequences(sp, "x").collect()}
+    finally:
+        mlprep._docs = orig
+    B = mlprep.PACK_BUDGET
+    start = 0
+    for i, n in enumerate(sizes):
+        r = out[i]
+        assert r.n_tokens == n
+        assert 0 <= r.offset_in_seq < B
+        assert r.seq_id == start // B
+        assert r.offset_in_seq == start % B
+        if n == 0:
+            assert r.n_seqs_spanned == 0
+        else:
+            assert r.n_seqs_spanned == (start + n - 1) // B - start // B + 1
+        start += n
+
+
+@SET
+@given(n=st.integers(min_value=1, max_value=300))
+def test_token_chunks_cover_all_tokens(sp, n):
+    """Chunk windows tile the token sequence: starts every STRIDE, last
+    window reaches the final token, sizes bounded by CHUNK."""
+    from changegen_spark.queries import mlprep
+
+    df = sp.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(n)), "en", "s", n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = mlprep._docs
+    mlprep._docs = lambda s, d: df
+    try:
+        out = sorted(
+            mlprep.q_token_chunks(sp, "x").collect(), key=lambda r: r.chunk_idx
+        )
+    finally:
+        mlprep._docs = orig
+    S, C = mlprep.STRIDE, mlprep.CHUNK
+    assert [r.chunk_idx for r in out] == list(range(len(out)))
+    # starts: 1, 1+S, ... <= n; sizes min(C, n-start+1)
+    assert len(out) == (n - 1) // S + 1
+    for r in out:
+        s = r.chunk_idx * S + 1
+        assert r.n_in_chunk == min(C, n - s + 1)
+    # the last chunk ends exactly at token n
+    last = out[-1]
+    assert last.chunk_idx * S + last.n_in_chunk == n
