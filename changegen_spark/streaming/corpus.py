@@ -1,0 +1,96 @@
+"""Streaming twins of the training-data prep family (documents table).
+
+A corpus ingestion pipeline at 100 TB is a stream: new crawl drops land in
+an object store and must be deduplicated, quality-filtered, and scrubbed
+incrementally, not by recomputing the corpus.  Structured Streaming gives
+this for free where the batch expression is stateless (quality, PII — the
+batch column expressions ARE the streaming plan), and via keyed state for
+exact dedup:
+
+  * ``dedup_stream`` — first-writer-wins exact dedup on a content hash.
+    ``dropDuplicates`` keyed state; the watermarked variant
+    (``dropDuplicatesWithinWatermark`` over an ingest-time column) bounds
+    state for production where re-crawls arrive within a bounded horizon.
+  * ``quality_filter_stream`` / ``pii_scrub_stream`` — stateless map-only
+    reuse of the exact batch expressions from ``queries/mlprep`` and
+    ``functions/text``.
+
+Tests stage file-source directories (the object-store drop-dir interface)
+and assert batch parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(spark: SparkSession, src_dir: str) -> DataFrame:
+    """documents parquet directory as an unbounded file-source stream."""
+    return spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+
+
+def content_hash(text: F.Column) -> F.Column:
+    """Exact-dedup key: md5 of the trimmed text (same key as the batch
+    ``q_exact_dedup``)."""
+    return F.md5(F.trim(text))
+
+
+def dedup_stream(
+    docs: DataFrame, watermark_col: str | None = None, horizon: str = "1 hour"
+) -> DataFrame:
+    """First-writer-wins streaming exact dedup on the content hash.
+
+    Without ``watermark_col`` the keyed state is unbounded (fine for a
+    bounded backfill run via ``availableNow``); with it, state older than
+    ``horizon`` is evicted — the production mode when duplicate arrivals
+    are known to cluster in time (re-crawls, retry storms).
+    """
+    hashed = docs.withColumn("content_hash", content_hash(F.col("text")))
+    if watermark_col is None:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(watermark_col, horizon).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def quality_filter_stream(docs: DataFrame, min_tokens: int = 10) -> DataFrame:
+    """Stateless streaming quality gate: identical expressions to the batch
+    quality scorer (``functions.text.quality_features``) — no state, no
+    watermark, pure map."""
+    from changegen_spark.functions.text import quality_features
+
+    feats = quality_features(F.col("text"))  # includes n_tokens
+    out = docs.select(
+        "doc_id",
+        "source",
+        *[expr.alias(name) for name, expr in feats.items()],
+    )
+    return out.filter(F.col("n_tokens") >= min_tokens)
+
+
+def pii_scrub_stream(docs: DataFrame) -> DataFrame:
+    """Stateless streaming PII redaction: the batch regex expressions from
+    ``queries/mlprep`` applied to the raw text column (no synthetic
+    augmentation here — the stream scrubs what arrives)."""
+    from changegen_spark.queries.mlprep import EMAIL_RE, IP_RE, PHONE_RE
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RE)).alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(IP_RE)).alias("n_ip"),
+        redacted.alias("redacted"),
+    )

@@ -1,0 +1,92 @@
+"""Streaming twins of the training-data prep family: batch parity over a
+finite file source (availableNow), the core Structured Streaming guarantee."""
+
+import os
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _stage_docs(spark, tmp_path):
+    """A corpus drop-dir with planted duplicates and PII, written as two
+    separate files (micro-batch boundaries land between files)."""
+    rows1 = [
+        (1, "alpha beta gamma delta", "en", "s0", 22),
+        (2, "unique text one with words", "en", "s0", 26),
+        (3, "alpha beta gamma delta", "en", "s1", 22),  # dup of 1
+        (4, "mail me at bob@example.com now", "en", "s1", 30),
+    ]
+    rows2 = [
+        (5, "unique text one with words", "en", "s2", 26),  # dup of 2
+        (6, "server at 192.168.1.10 logged +1 555-0199", "en", "s2", 41),
+        (7, "short", "en", "s2", 5),
+    ]
+    d = str(tmp_path / "docs_drop")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows1, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _run(stream_df, name):
+    from changegen_spark.streaming.events import run_to_memory_sink
+
+    return run_to_memory_sink(stream_df, name, mode="append")
+
+
+def test_dedup_stream_first_writer_wins(spark, tmp_path):
+    from changegen_spark.streaming.corpus import dedup_stream, stream_documents
+
+    d = _stage_docs(spark, tmp_path)
+    out = _run(dedup_stream(stream_documents(spark, d)), "t_dedup_stream")
+    rows = out.select("doc_id", "content_hash").collect()
+    hashes = [r.content_hash for r in rows]
+    # one survivor per distinct content
+    assert len(hashes) == len(set(hashes)) == 5
+    # batch parity on the kept-hash set
+    batch = (
+        spark.read.parquet(d)
+        .select(F.md5(F.trim("text")).alias("h"))
+        .distinct()
+    )
+    assert set(hashes) == {r.h for r in batch.collect()}
+
+
+def test_dedup_stream_plan_is_streaming(spark, tmp_path):
+    from changegen_spark.streaming.corpus import dedup_stream, stream_documents
+
+    d = _stage_docs(spark, tmp_path)
+    df = dedup_stream(stream_documents(spark, d))
+    assert df.isStreaming
+
+
+def test_quality_filter_stream_matches_batch(spark, tmp_path):
+    from changegen_spark.streaming.corpus import (
+        quality_filter_stream,
+        stream_documents,
+    )
+
+    d = _stage_docs(spark, tmp_path)
+    got = _run(
+        quality_filter_stream(stream_documents(spark, d), min_tokens=4),
+        "t_quality_stream",
+    )
+    batch = quality_filter_stream(spark.read.parquet(d), min_tokens=4)
+    assert not batch.isStreaming
+    a = sorted([tuple(r) for r in got.collect()])
+    b = sorted([tuple(r) for r in batch.collect()])
+    assert a == b and len(a) == 6  # doc 7 ("short") filtered out
+
+
+def test_pii_scrub_stream_redacts(spark, tmp_path):
+    from changegen_spark.streaming.corpus import pii_scrub_stream, stream_documents
+
+    d = _stage_docs(spark, tmp_path)
+    got = {r.doc_id: r for r in _run(
+        pii_scrub_stream(stream_documents(spark, d)), "t_pii_stream"
+    ).collect()}
+    assert got[4].n_email == 1 and "<EMAIL>" in got[4].redacted
+    assert got[6].n_ip == 1 and got[6].n_phone == 1
+    assert "<IP>" in got[6].redacted and "<PHONE>" in got[6].redacted
+    assert got[1].n_email == got[1].n_phone == got[1].n_ip == 0
