@@ -350,8 +350,83 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev / covariance / correlation) per
+    return flag, computed from EXACT integer sums: built-in stddev/corr
+    aggregate in float and their partial-merge order differs between
+    engines, so instead Σx, Σx², Σy, Σy², Σxy accumulate as longs
+    (order-independent) and the closed-form moment formulas run once on the
+    exact sums — bit-identical across engines, and at scale still one
+    map-side-combined shuffle.  x = quantity, y = price in whole dollars."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - 1))
+    var_y = (n * syy - sy * sy) / (n * (n - 1))
+    cov = (n * sxy - sx * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+Q_STATS_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_extendedprice) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS stddev_qty,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6)
+         AS stddev_price,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+         AS covar_qty_price,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM s ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_hstore_parse": q_hstore_parse,
+    "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
     "q_window_rank": q_window_rank,
@@ -366,6 +441,7 @@ QUERIES = {
 
 ORACLES = {
     "q_hstore_parse": Q_HSTORE_SQL,
+    "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
     "q_window_rank": Q_WINDOW_RANK_SQL,

@@ -177,12 +177,148 @@ ORDER BY l_partkey, l_suppkey
 """
 
 
+# --- Q6 shape: pure scan + filter + agg (pushdown showcase) ---
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table scan with every predicate pushable to the
+    parquet reader; the whole query is one map-side partial sum.  Money in
+    exact cents×discount-percent units (e4)."""
+    from changegen_spark.queries.relational import cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    out = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & disc_pct.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(cents(F.col("l_extendedprice")) * disc_pct).alias("revenue_e4"))
+    return out
+
+
+Q06_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+# --- Q10 shape: 4-way join + top-k by aggregated revenue ---
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer over one quarter —
+    fact-fact equi-join on orderkey, broadcast dims (customer, nation),
+    top-20 with a total tie-break order."""
+    from changegen_spark.queries.relational import cents
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents(F.col("l_extendedprice")) * (100 - disc_pct)).alias("revenue_e4"))
+    )
+    return (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("revenue_e4"),
+            cents(F.col("c_acctbal")).alias("acctbal_cents"),
+            F.col("n_name"),
+        )
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q14 shape: join + conditional aggregation ratio ---
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month — lineitem×part
+    broadcast join, conditional sum, ratio computed from exact integer
+    sums (float division of exact longs is deterministic)."""
+    from changegen_spark.queries.relational import cents
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents(F.col("l_extendedprice")) * (100 - disc_pct)
+    out = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))).alias(
+                "promo_revenue_e4"
+            ),
+            F.sum(rev).alias("total_revenue_e4"),
+        )
+        .select(
+            "promo_revenue_e4",
+            "total_revenue_e4",
+            F.round(100.0 * F.col("promo_revenue_e4") / F.col("total_revenue_e4"), 6).alias(
+                "promo_pct"
+            ),
+        )
+    )
+    return out
+
+
+Q14_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT promo_revenue_e4, total_revenue_e4,
+       round(100.0 * promo_revenue_e4 / total_revenue_e4, 6) AS promo_pct
+FROM agg
+"""
+
+
 QUERIES = {
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q04_order_priority": q04_order_priority,
     "q13_customer_distribution": q13_customer_distribution,
     "q16_part_supplier": q16_part_supplier,
     "q18_large_orders": q18_large_orders,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
 }
 
 ORACLES = {
@@ -191,4 +327,7 @@ ORACLES = {
     "q13_customer_distribution": Q13_SQL,
     "q16_part_supplier": Q16_SQL,
     "q18_large_orders": Q18_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
 }

@@ -135,8 +135,49 @@ ORDER BY id_a, id_b
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/IVF building block as a
+    standalone operator): posexplode to (label, dim) cells, sum in exact
+    scaled-integer units (order-independent), divide once at the end.
+    One shuffle keyed by (label, pos) with map-side combine — at 100 TB
+    the reduce state is n_labels × dim, independent of row count."""
+    v = _vecs(spark, sf_dir)
+    vd = as_double(F.col("embedding"))
+    el = v.select("label", F.posexplode(vd).alias("pos", "val"))
+    return (
+        el.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1e6).cast("long")).alias("sum_e6"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("sum_e6") / F.col("n_vecs") / 1e6, 6).alias("centroid_val"),
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = f"""
+WITH el AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest({_VD}) AS val
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       round(sum(CAST(round(val * 1e6) AS BIGINT)) / count(*) / 1e6, 6)
+         AS centroid_val,
+       count(*) AS n_vecs
+FROM el GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 QUERIES = {
     "q_embed_norm": q_embed_norm,
+    "q_label_centroids": q_label_centroids,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
     "q_embedding_dedup": q_embedding_dedup,
@@ -144,6 +185,7 @@ QUERIES = {
 
 ORACLES = {
     "q_embed_norm": Q_EMBED_NORM_SQL,
+    "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
     "q_ann_bruteforce": Q_ANN_BRUTE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_embedding_dedup": Q_EMBED_DEDUP_SQL,
