@@ -42,9 +42,11 @@ HEADLINE = [
     "q_token_count",
     "q_way_chunking",
     # r2: training-data prep family representatives — the n-gram semi-join
-    # (decontamination) and the per-source prefix-sum packer.
+    # (decontamination), the per-source prefix-sum packer, and the
+    # end-to-end corpus pipeline (dedup → quality → decon → pack).
     "q_decontaminate",
     "q_pack_sequences",
+    "q_corpus_pipeline",
 ]
 
 

@@ -489,8 +489,152 @@ FROM pos ORDER BY doc_id
 """
 
 
+# --- end-to-end corpus pipeline ----------------------------------------------
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline, end to end in one plan: exact
+    dedup (min doc_id per content hash) → quality gate (≥20 tokens,
+    alpha_ratio ≥ 0.5) → eval-set exclusion + decontamination (≤0.5
+    5-gram overlap) → per-source sequence packing.  Every stage is the
+    already-oracle-checked operator; the composition itself is what a user
+    runs to turn a raw corpus into training sequences, so it gets its own
+    hash-checked contract row.  Shuffle inventory at scale: one hash agg
+    (dedup), one n-gram distinct + semi-join (decon), one per-source
+    window (pack) — nothing quadratic, nothing driver-side."""
+    from changegen_spark.functions.text import quality_features
+
+    d = _docs(spark, sf_dir)
+    # 1. exact dedup, first-writer (min doc_id) wins
+    hashed = d.withColumn("__h", F.md5(F.trim("text")))
+    keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    dedup = hashed.join(keep, ["__h", "doc_id"], "left_semi")
+    # 2. quality gate (exact quality_features expressions)
+    feats = quality_features(F.col("text"))
+    qual = dedup.select(
+        "doc_id",
+        "source",
+        "text",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.5))
+    # 3. decontamination vs the eval split (docs with <5 tokens have no
+    # n-grams → no decon row → treated as clean; they cannot reach here
+    # anyway with the ≥20-token gate)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(distinct_ngrams_pandas(DECON_N)(F.col("text"))).alias("ng"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 19 == 3
+    eval_ngs = grams.filter(is_eval).select("ng").distinct()
+    train = grams.filter(~is_eval)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    hits = (
+        train.join(eval_ngs, "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    decon = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.col("n_ngrams"), 6).alias(
+            "contamination_frac"
+        ),
+    )
+    final = (
+        qual.filter(~is_eval)
+        .join(decon, "doc_id", "left")
+        .withColumn(
+            "contamination_frac", F.coalesce("contamination_frac", F.lit(0.0))
+        )
+        .filter(F.col("contamination_frac") <= 0.5)
+    )
+    # 4. pack survivors into training sequences per source
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        final.withColumn("start_tok", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "contamination_frac",
+            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long").alias("seq_id"),
+            (F.col("start_tok") % PACK_BUDGET).alias("offset_in_seq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_CORPUS_PIPELINE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source, text, md5(trim(text)) AS h FROM documents
+), keepmin AS (
+  SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h
+), dedup AS (
+  SELECT hashed.* FROM hashed JOIN keepmin USING (h, doc_id)
+), qual AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / length(text), 6)
+              ELSE 0.0 END AS alpha_ratio
+  FROM dedup
+), quals AS (
+  SELECT * FROM qual WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {DECON_N - 1})) AS i
+  FROM toks WHERE len(t) >= {DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {DECON_N - 1} AS INT)], ' ') AS ng
+  FROM pos
+), eval_ngs AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 19 = 3
+), train AS (
+  SELECT * FROM grams WHERE doc_id % 19 <> 3
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM train GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM train WHERE ng IN (SELECT ng FROM eval_ngs) GROUP BY doc_id
+), decon AS (
+  SELECT t.doc_id,
+         round(coalesce(h.n_hits, 0) / t.n_ngrams, 6) AS contamination_frac
+  FROM totals t LEFT JOIN hits h USING (doc_id)
+), final AS (
+  SELECT q.doc_id, q.source, q.n_tokens,
+         coalesce(d.contamination_frac, 0.0) AS contamination_frac
+  FROM quals q LEFT JOIN decon d USING (doc_id)
+  WHERE q.doc_id % 19 <> 3 AND coalesce(d.contamination_frac, 0.0) <= 0.5
+), packed AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM final
+)
+SELECT doc_id, source, n_tokens, contamination_frac,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM packed ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_decontaminate": q_decontaminate,
+    "q_corpus_pipeline": q_corpus_pipeline,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
@@ -500,6 +644,7 @@ QUERIES = {
 
 ORACLES = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
     "q_pii_scrub": Q_PII_SCRUB_SQL,
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
