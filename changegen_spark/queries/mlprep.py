@@ -632,9 +632,71 @@ FROM packed ORDER BY doc_id
 """
 
 
+# --- data-mixing plan ---------------------------------------------------------
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing budget plan: target half the corpus tokens, split evenly
+    across sources; each source reports its sampling rate (capped at 1.0)
+    and the exact token count it contributes (integer arithmetic, so the
+    plan is reproducible).  Shape at scale: one groupBy(source) with
+    map-side combine + a broadcast of the one-row totals — the planning
+    step ahead of a weighted `q_hash_sample`-style rate-threshold pass."""
+    from changegen_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    budget = F.floor(
+        F.floor(F.col("total_tokens") / 2) / F.col("n_sources")
+    ).cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            budget.alias("budget_tokens"),
+            F.round(
+                F.least(F.lit(1.0), budget / F.col("n_tokens")), 6
+            ).alias("sample_rate"),
+            F.least(F.col("n_tokens"), budget).alias("contrib_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q_MIXTURE_PLAN_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             END) AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((total_tokens // 2) // n_sources AS BIGINT) AS budget_tokens,
+       round(least(1.0, CAST((total_tokens // 2) // n_sources AS DOUBLE) / n_tokens), 6)
+         AS sample_rate,
+       CAST(least(n_tokens, (total_tokens // 2) // n_sources) AS BIGINT)
+         AS contrib_tokens
+FROM per_src CROSS JOIN totals
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_corpus_pipeline": q_corpus_pipeline,
+    "q_mixture_plan": q_mixture_plan,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
@@ -645,6 +707,7 @@ QUERIES = {
 ORACLES = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
+    "q_mixture_plan": Q_MIXTURE_PLAN_SQL,
     "q_pii_scrub": Q_PII_SCRUB_SQL,
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
