@@ -24,6 +24,7 @@ from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import tpch_extra as _tpch_extra
+from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import vectors as _vectors
 
 # Ordered so the e2e changegen parity family, the vector/ANN family, and the
@@ -43,6 +44,7 @@ MODULES = (
     _misc,
     _relational,
     _tpch_extra,
+    _tpch_full,
 )
 
 

@@ -149,3 +149,34 @@ def test_q06_pushes_filters_to_scan(spark, sf_dir):
     scan = next(l for l in plan.splitlines() if "FileScan" in l or "PushedFilters" in l)
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan[plan.index("PushedFilters"):][:400]
+
+
+def test_q07_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q7's two nation-resolution chains must broadcast their dims; the
+    fact-fact orderkey join is the only shuffle-worthy join."""
+    from changegen_spark.queries.tpch_full import q07_volume_shipping
+
+    plan = _plan(q07_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_broadcast_not_collect(spark, sf_dir):
+    """Q11's 1/1000-of-total threshold must appear as a broadcast of a
+    1-row aggregate (BroadcastNestedLoopJoin over one row is fine) — the
+    scalar subquery never becomes a driver collect in the operator code."""
+    from changegen_spark.queries.tpch_full import q11_important_stock
+
+    plan = _plan(q11_important_stock(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_equi_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT-EXISTS pair must run as aggregate + equi-joins —
+    no nested-loop per-order probing."""
+    from changegen_spark.queries.tpch_full import q21_suppliers_waiting
+
+    plan = _plan(q21_suppliers_waiting(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
