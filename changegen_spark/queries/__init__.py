@@ -22,6 +22,7 @@ from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
+from changegen_spark.queries import scale as _scale
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import tpch_full as _tpch_full
@@ -42,6 +43,8 @@ MODULES = (
     _geo,
     _textops,
     _misc,
+    _scale,  # after the window boundary: new r2 additions must not displace
+    # the families the driver's 50-entry CORRECTNESS window already carries
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -1,0 +1,325 @@
+"""Scale-pattern operators: the shapes that keep 100 TB pipelines off the
+shuffle cliff.
+
+Four families, each oracle-backed (every construct is deterministic md5 /
+integer arithmetic shared by Spark and DuckDB):
+
+* **Bloom-prefiltered semi-join** (``q_bloom_decontaminate``): membership
+  against a large reference set via a fixed-size hash-bucket filter BEFORE
+  the exact join.  At 100 TB the eval n-gram set may be too big to
+  broadcast as strings; its k=3 16-bit bucket projections are bounded at
+  3x65536 rows regardless of eval-set size, so the probe side is three
+  map-side broadcast semi-joins and only surviving candidates reach the
+  exact (shuffled) confirm join.  No false negatives, so the result is
+  byte-identical to the plain semi-join the oracle runs.
+* **Z-order clustering** (``q_zorder_cells``): Morton-interleaved spatial
+  sort keys — the standard layout trick (Delta/Iceberg ``OPTIMIZE ZORDER``)
+  that turns 2-D locality into 1-D ranges so parquet row-group min/max
+  stats prune bbox queries.  Pure bit arithmetic, generated from one
+  Python helper for both engines.
+* **Count-min sketch** (``q_countmin_topk``): fixed-size frequency sketch
+  (depth 3 x width 16 here; width is a knob) with the one-sided
+  overestimate guarantee — the bounded-memory alternative to an exact
+  groupBy when the key space explodes.  The sketch build is a map-side
+  combined aggregate into depth*width cells.
+* **SCD2 intervals** (``q_scd2_intervals``): change events -> validity
+  intervals (valid_from/valid_to/is_current) with one window per entity
+  key — the warehouse-standard temporal model; scales with the key
+  partitioning, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.queries.mlprep import DECON_N, distinct_ngrams_pandas
+from changegen_spark.sources.tables import load_table
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+BLOOM_K = 3  # hash functions; buckets are 4-hex-char md5 prefixes (16 bit)
+
+
+def _bloom_bucket(ng: F.Column, j: int) -> F.Column:
+    return F.substring(F.md5(F.concat(ng, F.lit(f"#{j}"))), 1, 4)
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination with a Bloom-style prefilter.
+
+    Same contract as ``mlprep.q_decontaminate`` (docs with ``doc_id%19=3``
+    are the eval split) plus ``n_candidates``: the count of train n-grams
+    that survive the k-bucket filter (candidates >= contaminated; the gap
+    is the false-positive mass the exact confirm join removes).
+
+    Plan at scale: the three bucket sets are DISTINCT projections of the
+    eval n-grams — bounded at 65,536 rows each whatever the eval set size —
+    explicitly ``broadcast()`` so the train side is filtered map-side; the
+    exact confirm join then shuffles only candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(distinct_ngrams_pandas(DECON_N)(F.col("text"))).alias("ng"),
+        )
+        .distinct()
+    )
+    is_eval = F.col("doc_id") % 19 == 3
+    eval_ngs = grams.filter(is_eval).select("ng").distinct()
+    train = grams.filter(~is_eval)
+
+    cand = train
+    for j in range(1, BLOOM_K + 1):
+        pos_j = F.broadcast(
+            eval_ngs.select(_bloom_bucket(F.col("ng"), j).alias("b")).distinct()
+        )
+        cand = cand.join(pos_j, _bloom_bucket(F.col("ng"), j) == pos_j["b"], "left_semi")
+
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    n_cand = cand.groupBy("doc_id").agg(F.count("*").alias("n_candidates"))
+    n_conf = (
+        cand.join(eval_ngs, "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(n_cand, "doc_id", "left")
+        .join(n_conf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_BLOOM_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {DECON_N - 1})) AS i
+  FROM toks WHERE len(t) >= {DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {DECON_N - 1} AS INT)], ' ') AS ng
+  FROM pos
+), eval_ngs AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 19 = 3
+), train AS (
+  SELECT * FROM grams WHERE doc_id % 19 <> 3
+), cand AS (
+  SELECT * FROM train
+  WHERE substr(md5(ng || '#1'), 1, 4) IN
+          (SELECT substr(md5(ng || '#1'), 1, 4) FROM eval_ngs)
+    AND substr(md5(ng || '#2'), 1, 4) IN
+          (SELECT substr(md5(ng || '#2'), 1, 4) FROM eval_ngs)
+    AND substr(md5(ng || '#3'), 1, 4) IN
+          (SELECT substr(md5(ng || '#3'), 1, 4) FROM eval_ngs)
+), totals AS (
+  SELECT doc_id, count(*) AS n_ngrams FROM train GROUP BY doc_id
+), n_cand AS (
+  SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id
+), n_conf AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM cand WHERE ng IN (SELECT ng FROM eval_ngs) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       coalesce(c.n_candidates, 0) AS n_candidates,
+       coalesce(f.n_contaminated, 0) AS n_contaminated
+FROM totals t
+LEFT JOIN n_cand c USING (doc_id)
+LEFT JOIN n_conf f USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+# --- Z-order (Morton) clustering ---------------------------------------------
+
+ZBITS = 10  # 10 bits per axis -> 20-bit z-key over a 1024x1024 grid
+
+
+def zorder_key(ix: F.Column, iy: F.Column, bits: int = ZBITS) -> F.Column:
+    """Morton interleave of two ``bits``-bit non-negative ints.  Disjoint
+    bit positions, so ``+`` is bitwise OR; the whole key is one codegen'd
+    integer expression — no UDF."""
+    out = None
+    for b in range(bits):
+        tx = F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 2 * b)
+        ty = F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out
+
+
+def zorder_key_sql(ix: str, iy: str, bits: int = ZBITS) -> str:
+    """The identical interleave as engine-neutral SQL text (DuckDB twin)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over the synthetic point field (same
+    deterministic points as the geo family): per 256-cell z-prefix, the
+    point count and the cell's tight bbox.  Sorting/range-partitioning by
+    ``zkey`` is what a table-layout ``OPTIMIZE ZORDER BY (x, y)`` job
+    writes; the per-cell bbox being tight is exactly why parquet min/max
+    stats then prune 2-D bbox predicates (locality pinned in
+    ``tests/test_scale_queries.py``)."""
+    from changegen_spark.queries.geo import _points
+
+    pts = _points(spark, sf_dir)
+    ix = F.round(F.col("x") * 10).cast("int")
+    iy = F.round(F.col("y") * 10).cast("int")
+    z = zorder_key(ix, iy)
+    return (
+        pts.select("pid", z.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 12).alias("zcell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+        .orderBy("zcell")
+    )
+
+
+_Z_SQL = zorder_key_sql("ix", "iy")
+
+Q_ZORDER_CELLS_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         CAST((event_id * 37 + (event_id // 11) * 193) % 1000 AS DOUBLE) / 10 AS x,
+         CAST((event_id * 61 + (event_id // 13) * 389) % 1000 AS DOUBLE) / 10 AS y
+  FROM events
+), ints AS (
+  SELECT pid, CAST(round(x * 10) AS INT) AS ix, CAST(round(y * 10) AS INT) AS iy
+  FROM pts
+), keyed AS (
+  SELECT pid, {_Z_SQL} AS zkey FROM ints
+)
+SELECT zkey >> 12 AS zcell, count(*) AS n_points,
+       min(zkey) AS zmin, max(zkey) AS zmax
+FROM keyed GROUP BY zcell ORDER BY zcell
+"""
+
+
+# --- Count-min sketch frequency top-k ----------------------------------------
+
+CMS_DEPTH = 3
+CMS_HEX = 1  # bucket = first hex char of md5 -> width 16 (small so the
+# synthetic ~30-word vocabulary actually collides; width is the knob)
+
+
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word frequencies vs exact counts: top 20 words by
+    sketch estimate with their true counts — ``est_count >= true_count``
+    always (one-sided error), equality when no bucket collision.
+
+    Scale shape: the sketch is a groupBy into depth x width = 48 cells
+    (map-side combined — the memory-bounded alternative to an exact
+    word-count when keys explode); estimates come from ``depth`` broadcast
+    joins of the distinct keys against the 16-row sketch slices."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("true_count"))
+
+    est = None
+    out = wc
+    for j in range(1, CMS_DEPTH + 1):
+        bucket = F.substring(F.md5(F.concat(F.col("w"), F.lit(f"#{j}"))), 1, CMS_HEX)
+        sk = F.broadcast(
+            wc.groupBy(bucket.alias("b")).agg(F.sum("true_count").alias(f"cell_{j}"))
+        )
+        out = out.join(sk, bucket == sk["b"], "left").drop("b")
+        est = F.col(f"cell_{j}") if est is None else F.least(est, F.col(f"cell_{j}"))
+    return (
+        out.select("w", est.alias("est_count"), "true_count")
+        .orderBy(F.desc("est_count"), "w")
+        .limit(20)
+    )
+
+
+_CMS_CELLS = ", ".join(
+    f"(SELECT sum(true_count) FROM wc i WHERE substr(md5(i.w || '#{j}'), 1, {CMS_HEX})"
+    f" = substr(md5(o.w || '#{j}'), 1, {CMS_HEX})) AS cell_{j}"
+    for j in range(1, CMS_DEPTH + 1)
+)
+
+Q_COUNTMIN_TOPK_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS true_count FROM words WHERE w <> '' GROUP BY w
+), est AS (
+  SELECT o.w, o.true_count, {_CMS_CELLS}
+  FROM wc o
+)
+SELECT w, least(cell_1, cell_2, cell_3) AS est_count, true_count
+FROM est
+ORDER BY est_count DESC, w
+LIMIT 20
+"""
+
+
+# --- SCD2 validity intervals --------------------------------------------------
+
+SCD2_OPEN_END = "9999-01-01 00:00:00"
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event stream: each
+    user's events become validity intervals — ``valid_from`` = event time,
+    ``valid_to`` = next event's time (open-ended sentinel for the latest),
+    ``is_current`` flagging the newest row.  One ``lead`` window per
+    user_id: the shuffle is keyed by entity, so 10^9 entities parallelize;
+    there is no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit(SCD2_OPEN_END)
+        ).alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        F.round(F.col("value") * 1e6).cast("long").alias("value_e6"),
+    ).orderBy("event_id")
+
+
+Q_SCD2_INTERVALS_SQL = f"""
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(
+         strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '%Y-%m-%d %H:%M:%S'),
+         '{SCD2_OPEN_END}') AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS INT) AS is_current,
+       CAST(round(value * 1000000) AS BIGINT) AS value_e6
+FROM events ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "q_bloom_decontaminate": q_bloom_decontaminate,
+    "q_zorder_cells": q_zorder_cells,
+    "q_countmin_topk": q_countmin_topk,
+    "q_scd2_intervals": q_scd2_intervals,
+}
+
+ORACLES = {
+    "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
+    "q_zorder_cells": Q_ZORDER_CELLS_SQL,
+    "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
+    "q_scd2_intervals": Q_SCD2_INTERVALS_SQL,
+}

@@ -1,0 +1,104 @@
+"""Semantic tests for the scale-pattern operators (queries/scale).
+
+The sf0.01 value parity is covered by the oracle gate; these pin the
+properties the oracle cannot express: Bloom one-sidedness and its broadcast
+plan, z-order locality, count-min overestimate, SCD2 interval integrity.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bloom_is_superset_and_confirm_exact(spark, sf_dir):
+    from changegen_spark.queries.scale import q_bloom_decontaminate
+    from changegen_spark.queries.mlprep import q_decontaminate
+
+    bloom = {r.doc_id: r for r in q_bloom_decontaminate(spark, sf_dir).collect()}
+    exact = {r.doc_id: r for r in q_decontaminate(spark, sf_dir).collect()}
+    assert set(bloom) == set(exact)
+    for doc_id, b in bloom.items():
+        e = exact[doc_id]
+        # no false negatives: confirmed == exact; candidates may only add
+        assert b.n_contaminated == e.n_contaminated
+        assert b.n_candidates >= b.n_contaminated
+        assert b.n_ngrams == e.n_ngrams
+
+
+def test_bloom_prefilter_broadcasts(spark, sf_dir):
+    from changegen_spark.queries.scale import q_bloom_decontaminate
+
+    plan = q_bloom_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the three bucket-set semi-joins must be broadcast (map-side filter),
+    # never shuffled exchanges of the train side per filter
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+
+
+def test_zorder_key_locality(spark):
+    from changegen_spark.queries.scale import zorder_key
+
+    # 32x32 grid: points sharing a z-prefix must be spatially adjacent.
+    df = spark.range(1024).select(
+        (F.col("id") % 32).cast("int").alias("ix"),
+        (F.col("id") / 32).cast("int").alias("iy"),
+    )
+    keyed = df.select("ix", "iy", zorder_key(F.col("ix"), F.col("iy"), bits=5).alias("z"))
+    rows = keyed.collect()
+    assert sorted({r.z for r in rows}) == list(range(1024))  # bijective
+    # each 16-key z-range (a 4x4 block) spans a bbox of at most 4x4
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r.z // 16, []).append((r.ix, r.iy))
+    for pts in by_block.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3
+
+
+def test_zorder_sql_twin_matches(spark):
+    from changegen_spark.queries.scale import zorder_key, zorder_key_sql
+
+    import duckdb
+
+    spark_rows = (
+        spark.range(500)
+        .select(
+            (F.col("id") * 7 % 1000).cast("int").alias("ix"),
+            (F.col("id") * 13 % 1000).cast("int").alias("iy"),
+        )
+        .select("ix", "iy", zorder_key(F.col("ix"), F.col("iy")).alias("z"))
+        .collect()
+    )
+    sql = zorder_key_sql("ix", "iy")
+    duck = duckdb.sql(
+        "SELECT CAST(range * 7 % 1000 AS INT) AS ix, CAST(range * 13 % 1000 AS INT) AS iy,"
+        f" {sql} AS z FROM range(500)"
+    ).fetchall()
+    assert {(r.ix, r.iy): r.z for r in spark_rows} == {(ix, iy): z for ix, iy, z in duck}
+
+
+def test_countmin_overestimates_only(spark, sf_dir):
+    from changegen_spark.queries.scale import q_countmin_topk
+
+    rows = q_countmin_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.est_count >= r.true_count for r in rows)
+    # width 16 with a ~30-word vocabulary must actually collide somewhere
+    assert any(r.est_count > r.true_count for r in rows)
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    from changegen_spark.queries.scale import q_scd2_intervals, SCD2_OPEN_END
+
+    rows = q_scd2_intervals(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: (r.valid_from, r.event_id))
+        # exactly one current row per user; intervals chain without gaps
+        assert sum(r.is_current for r in user_rows) == 1
+        assert user_rows[-1].is_current == 1
+        assert user_rows[-1].valid_to == SCD2_OPEN_END
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a.valid_to == b.valid_from
