@@ -365,14 +365,14 @@ def minhash_struct(shingles: Column, num_hashes: int, hash_fn: str = "md5") -> C
     )
 
 
-def _band_and_pair(
-    sig: DataFrame,
-    num_hashes: int,
-    bands: int,
-    max_bucket_size: int | None,
-    hash_fn: str,
+def lsh_band_frame(
+    sig: DataFrame, num_hashes: int, bands: int, hash_fn: str = "md5"
 ) -> DataFrame:
-    """Band a (id, mh0..mhN) signature frame and self-join per bucket."""
+    """(id, mh0..mhN) signature frame → (id, band, bh) band-hash rows.
+
+    Shared by the self-join candidate path (`_band_and_pair`) and
+    cross-frame band joins (e.g. incremental dedup of a new batch against
+    a persisted corpus band table, `queries/scale.q_incremental_dedup`)."""
     rows_per_band = num_hashes // bands
 
     def band_hash(b: int):
@@ -381,7 +381,7 @@ def _band_and_pair(
             return F.xxhash64(F.lit(b), *cols).cast("string")
         return F.md5(F.to_binary(F.concat_ws("|", *cols), F.lit("utf-8")))
 
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -392,6 +392,17 @@ def _band_and_pair(
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bh")
+
+
+def _band_and_pair(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+    hash_fn: str,
+) -> DataFrame:
+    """Band a (id, mh0..mhN) signature frame and self-join per bucket."""
+    banded = lsh_band_frame(sig, num_hashes, bands, hash_fn)
     if max_bucket_size is not None:
         # Hot-bucket guard (production default at corpus scale): a
         # degenerate bucket of B docs costs B² pair rows; buckets past the

@@ -310,8 +310,137 @@ FROM events ORDER BY event_id
 """
 
 
+# --- incremental dedup (new batch vs persisted corpus) ------------------------
+
+INC_NGRAM, INC_HASHES, INC_BANDS = 3, 8, 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the existing corpus — the production
+    shape of dedup (a daily increment vs a 100 TB "seen" set), vs the
+    one-shot self-join of ``q_lsh_pairs``.  Docs with ``doc_id%10>=8`` are
+    the incoming batch; the rest are the persisted corpus.
+
+    Per batch doc: ``is_exact_dup`` (content md5 seen in the corpus),
+    ``n_near_dup_docs`` (distinct corpus docs sharing any MinHash-LSH band
+    bucket), and a keep/dup_exact/dup_near status with exact taking
+    precedence.
+
+    Scale shape: the corpus side of both joins is what a real pipeline
+    PRE-COMPUTES and persists — content hashes and band rows, stored
+    bucketed by join key (``sources/bucketed.py``) so each day's increment
+    joins co-located with zero corpus shuffle.  Only the (small) batch is
+    hashed/signed per run; nothing is ever all-pairs."""
+    from changegen_spark.functions.hashing import (
+        lsh_band_frame,
+        minhash_pandas_signature,
+    )
+
+    d = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 >= 8
+    corpus, batch = d.filter(~is_batch), d.filter(is_batch)
+
+    content_h = F.md5(F.to_binary(F.col("text"), F.lit("utf-8")))
+    corpus_h = corpus.select(content_h.alias("h")).distinct()
+    exact = (
+        batch.select("doc_id", content_h.alias("h"))
+        .join(corpus_h, "h", "left_semi")
+        .select("doc_id", F.lit(1).alias("is_exact_dup"))
+    )
+
+    sig_udf = minhash_pandas_signature(INC_NGRAM, INC_HASHES)
+
+    def bands_of(part: DataFrame) -> DataFrame:
+        sig = part.select(
+            F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
+        ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(INC_HASHES)])
+        return lsh_band_frame(sig, INC_HASHES, INC_BANDS)
+
+    near = (
+        bands_of(batch)
+        .withColumnRenamed("id", "doc_id")
+        .join(
+            bands_of(corpus).withColumnRenamed("id", "corpus_id"), ["band", "bh"]
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near_dup_docs"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(0)).alias("is_exact_dup"),
+            F.coalesce("n_near_dup_docs", F.lit(0)).alias("n_near_dup_docs"),
+            F.when(F.coalesce("is_exact_dup", F.lit(0)) == 1, "dup_exact")
+            .when(F.coalesce("n_near_dup_docs", F.lit(0)) > 0, "dup_near")
+            .otherwise("keep")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _inc_minhash_terms() -> str:
+    # same 4-window-per-md5 construction as textops._minhash_terms
+    return ",\n         ".join(
+        f"min(substr(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8)) AS mh{i}"
+        for i in range(INC_HASHES)
+    )
+
+
+_INC_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS bh FROM sig"
+    for b in range(INC_BANDS)
+)
+
+Q_INCREMENTAL_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(t) >= {INC_NGRAM}
+              THEN list_extract(t, CAST(i AS INT)) || ' ' || list_extract(t, CAST(i AS INT)+1) || ' ' || list_extract(t, CAST(i AS INT)+2)
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-{INC_NGRAM - 1}, 1))) AS i FROM toks)
+), sig AS (
+  SELECT doc_id, {_inc_minhash_terms()}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {_INC_BANDS_SQL}
+), exact AS (
+  SELECT doc_id, 1 AS is_exact_dup FROM documents
+  WHERE doc_id % 10 >= 8
+    AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 10 < 8)
+), near AS (
+  SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_near_dup_docs
+  FROM banded b JOIN banded c ON b.band = c.band AND b.bh = c.bh
+  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(e.is_exact_dup, 0) AS is_exact_dup,
+       CAST(coalesce(n.n_near_dup_docs, 0) AS BIGINT) AS n_near_dup_docs,
+       CASE WHEN coalesce(e.is_exact_dup, 0) = 1 THEN 'dup_exact'
+            WHEN coalesce(n.n_near_dup_docs, 0) > 0 THEN 'dup_near'
+            ELSE 'keep' END AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near n USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q_bloom_decontaminate": q_bloom_decontaminate,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_zorder_cells": q_zorder_cells,
     "q_countmin_topk": q_countmin_topk,
     "q_scd2_intervals": q_scd2_intervals,
@@ -319,6 +448,7 @@ QUERIES = {
 
 ORACLES = {
     "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
+    "q_incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,
     "q_zorder_cells": Q_ZORDER_CELLS_SQL,
     "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
     "q_scd2_intervals": Q_SCD2_INTERVALS_SQL,

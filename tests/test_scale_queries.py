@@ -87,6 +87,30 @@ def test_countmin_overestimates_only(spark, sf_dir):
     assert any(r.est_count > r.true_count for r in rows)
 
 
+def test_incremental_dedup_planted(spark, monkeypatch):
+    from changegen_spark.queries import scale
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # corpus (doc_id % 10 < 8)
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+        (2, base + " end", "en", "s", 1),
+        # batch (doc_id % 10 >= 8)
+        (18, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),  # exact
+        (19, base + " fin", "en", "s", 1),  # near (one trailing word differs)
+        (28, "completely unrelated words about spark shuffles and parquet", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(scale, "_docs", lambda s, d: df)
+    out = {r.doc_id: r for r in scale.q_incremental_dedup(spark, "ignored").collect()}
+    assert set(out) == {18, 19, 28}
+    assert out[18].status == "dup_exact" and out[18].is_exact_dup == 1
+    assert out[19].status == "dup_near" and out[19].n_near_dup_docs >= 1
+    assert out[28].status == "keep" and out[28].n_near_dup_docs == 0
+
+
 def test_scd2_intervals_partition_time(spark, sf_dir):
     from changegen_spark.queries.scale import q_scd2_intervals, SCD2_OPEN_END
 
