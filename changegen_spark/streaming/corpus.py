@@ -56,6 +56,66 @@ def dedup_stream(
     )
 
 
+def corpus_band_frame(
+    corpus: DataFrame, ngram: int = 3, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(band, bh) LSH bucket rows of the persisted corpus — the static side
+    of the stream-static near-dup join.  In production this frame is
+    computed once per corpus snapshot and stored bucketed by (band, bh)
+    (``sources/bucketed.py``) so every arriving micro-batch joins
+    co-located; here it is derived on the fly from the corpus docs."""
+    from changegen_spark.functions.hashing import (
+        lsh_band_frame,
+        minhash_pandas_signature,
+    )
+
+    sig_udf = minhash_pandas_signature(ngram, num_hashes)
+    sig = corpus.select(
+        F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
+    ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(num_hashes)])
+    return lsh_band_frame(sig, num_hashes, bands).select("band", "bh").distinct()
+
+
+def near_dup_hits_stream(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    ngram: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming near-dup detection against a static corpus: emit one
+    (doc_id, band, bh) hit event per stream document band that lands in an
+    existing corpus LSH bucket — the streaming twin of
+    ``queries/scale.q_incremental_dedup``'s band join.
+
+    The signature UDF and band explode are stateless maps, and the
+    left-semi join against the static bucket frame needs no streaming
+    state at all (stream-static joins keep nothing across micro-batches),
+    so this runs with bounded memory at any corpus size.  Downstream
+    per-doc consolidation is the consumer's choice: at-least-once hit
+    events as emitted here, or ``dropDuplicatesWithinWatermark`` on
+    doc_id when exactly-one-flag-per-doc matters.  Batch parity: the same
+    function applied to a batch DataFrame computes the identical result
+    (pinned in tests)."""
+    from changegen_spark.functions.hashing import (
+        lsh_band_hashes,
+        minhash_pandas_signature,
+    )
+
+    sig_udf = minhash_pandas_signature(ngram, num_hashes)
+    sig_arr = F.array(
+        *[F.col("__g")[f"mh{s}"] for s in range(num_hashes)]
+    )
+    exploded = (
+        docs.withColumn("__g", sig_udf(F.col("text")))
+        .withColumn(
+            "__b", F.explode(lsh_band_hashes(sig_arr, bands, num_hashes // bands))
+        )
+        .select("doc_id", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
+    )
+    return exploded.join(corpus_bands, ["band", "bh"], "left_semi")
+
+
 def quality_filter_stream(docs: DataFrame, min_tokens: int = 10) -> DataFrame:
     """Stateless streaming quality gate: identical expressions to the batch
     quality scorer (``functions.text.quality_features``) — no state, no

@@ -90,3 +90,41 @@ def test_pii_scrub_stream_redacts(spark, tmp_path):
     assert got[6].n_ip == 1 and got[6].n_phone == 1
     assert "<IP>" in got[6].redacted and "<PHONE>" in got[6].redacted
     assert got[1].n_email == got[1].n_phone == got[1].n_ip == 0
+
+
+def test_near_dup_hits_stream_static_join(spark, tmp_path):
+    """Stream-static LSH band join: stream docs sharing a bucket with the
+    persisted corpus emit hit events; batch applying the same function is
+    value-identical (the stream-static join holds no state)."""
+    from changegen_spark.streaming.corpus import (
+        corpus_band_frame,
+        near_dup_hits_stream,
+        stream_documents,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " end", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta", "en", "s", 1),
+        ],
+        DOC_SCHEMA,
+    )
+    stream_rows = [
+        (10, base + " fin", "en", "s", 1),  # near-dup of corpus doc 1
+        (11, "completely different words about parquet and shuffles", "en", "s", 1),
+    ]
+    d = str(tmp_path / "near_drop")
+    spark.createDataFrame(stream_rows, DOC_SCHEMA).coalesce(1).write.parquet(d)
+
+    bands = corpus_band_frame(corpus)
+    out = _run(near_dup_hits_stream(stream_documents(spark, d), bands), "t_near_dup")
+    hit_docs = {r.doc_id for r in out.collect()}
+    assert hit_docs == {10}
+
+    # batch parity: the identical function on the batch read
+    batch_hits = {
+        r.doc_id
+        for r in near_dup_hits_stream(spark.read.parquet(d), bands).collect()
+    }
+    assert batch_hits == {10}
