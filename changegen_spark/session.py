@@ -49,6 +49,10 @@ def get_spark(
         # long up-front (loaders rebuild micros) instead of probing the read
         # and catching the failure, which left aborted-job noise in the logs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Zone-less parquet timestamps (timestamp[us]) should read as
+        # session-tz TIMESTAMP (UTC), not TIMESTAMP_NTZ — keeps unix_micros
+        # and window/bucket arithmetic valid on the events table.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Broadcast anything under 64 MB — dimension tables at TPC-H scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Keep parquet scan splits reasonable for wide scans.

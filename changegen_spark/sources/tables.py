@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # timestamp[us] with no zone reads as TIMESTAMP_NTZ under Spark 4's
+            # inferTimestampNTZ default; normalize to session-tz TIMESTAMP
+            # (session tz is pinned UTC) so unix_micros / window functions and
+            # the DuckDB oracle's string renderings agree.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -49,8 +49,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # keep column order identical to the batch loader
     return stream.select(*batch.columns)
 
