@@ -18,6 +18,7 @@ from changegen_spark.queries import changegen as _changegen
 from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
+from changegen_spark.queries import lm as _lm
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import refparity as _refparity
@@ -45,6 +46,7 @@ MODULES = (
     _misc,
     _scale,  # after the window boundary: new r2 additions must not displace
     # the families the driver's 50-entry CORRECTNESS window already carries
+    _lm,
     _relational,
     _tpch_extra,
     _tpch_full,

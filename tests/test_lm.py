@@ -1,0 +1,169 @@
+"""Tests for queries/lm.py + functions/bpe.py: duplicate spans, bigram-LM
+scoring, and BPE training/encoding.
+
+The BPE trainer is pinned against an INDEPENDENT reference implementation
+(Sennrich-style regex merge over a space-joined symbol vocabulary) — this
+is the hard check for the rows-only driver entries."""
+
+import collections
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# --- independent BPE reference (regex over space-joined symbols) -------------
+
+
+def _ref_bpe(word_freqs, num_merges):
+    vocab = {" ".join(list(w)) + " </w>": c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = collections.Counter()
+        for word, freq in vocab.items():
+            symbols = word.split()
+            for i in range(len(symbols) - 1):
+                pairs[(symbols[i], symbols[i + 1])] += freq
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        pat = re.compile(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)")
+        vocab = {pat.sub(a + b, w): f for w, f in vocab.items()}
+        merges.append((a, b, a + b, c))
+    return merges, vocab
+
+
+CORPUS = [
+    "lower lower lowest newer newer newer wider low new",
+    "newer wider wider lowest lower new new low low lower",
+    "the newer the lower the wider the lowest",
+]
+
+
+def test_train_matches_reference_implementation(spark):
+    from changegen_spark.functions.bpe import bpe_train, word_counts
+
+    freqs = collections.Counter(" ".join(CORPUS).split())
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = bpe_train(word_counts(docs), num_merges=15)
+    want, _ = _ref_bpe(freqs, 15)
+    assert got == want
+    # sanity: the corpus supports a non-trivial number of merges
+    assert len(got) >= 10
+
+
+def test_encode_matches_trained_vocab_state(spark):
+    """Greedy lowest-rank-first encoding must reproduce exactly the symbol
+    sequence training left each word in."""
+    from changegen_spark.functions.bpe import _encode_word, bpe_train, word_counts
+
+    freqs = collections.Counter(" ".join(CORPUS).split())
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = bpe_train(word_counts(docs), num_merges=15)
+    ranks = {(l, r): i for i, (l, r, _m, _c) in enumerate(merges)}
+    _, final_vocab = _ref_bpe(freqs, 15)
+    rep = {w.replace(" ", "").replace("</w>", ""): w.split() for w in final_vocab}
+    for word in freqs:
+        assert _encode_word(word, ranks) == rep[word], word
+
+
+def test_encode_udf_rebuilds_words(spark):
+    from changegen_spark.functions.bpe import bpe_encode_udf, bpe_train, word_counts
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    merges = bpe_train(word_counts(docs), num_merges=8)
+    enc = bpe_encode_udf(merges)
+    out = docs.select("doc_id", enc(F.col("text")).alias("toks")).collect()
+    by_id = {r.doc_id: r.toks for r in out}
+    for i, text in enumerate(CORPUS):
+        rebuilt = [w for w in "".join(by_id[i]).split("</w>") if w]
+        assert rebuilt == text.split()
+
+
+def test_encode_no_merges_is_chars(spark):
+    from changegen_spark.functions.bpe import _encode_word
+
+    assert _encode_word("abc", {}) == ["a", "b", "c", "</w>"]
+
+
+# --- duplicate spans ---------------------------------------------------------
+
+
+def test_dup_spans_planted_duplicate(spark, monkeypatch):
+    from changegen_spark.queries import lm
+
+    # docs 1 and 2 share tokens d1..d9 (two overlapping duplicated 8-grams
+    # -> one merged span of 9 tokens); doc 3 shares nothing.
+    shared = " ".join(f"d{i}" for i in range(1, 10))
+    rows = [
+        (1, "a1 a2 " + shared + " a3 a4", "en", "s", 1),
+        (2, shared + " b1 b2 b3 b4 b5", "en", "s", 1),
+        (3, " ".join(f"c{i}" for i in range(1, 15)), "en", "s", 1),
+    ]
+    monkeypatch.setattr(lm, "_docs", lambda s, d: _docs_df(spark, rows))
+    out = {(r.doc_id, r.span_start): r for r in lm.q_dup_spans(spark, "x").collect()}
+    assert set(out) == {(1, 3), (2, 1)}
+    r1 = out[(1, 3)]
+    assert (r1.span_end, r1.span_tokens, r1.n_dup_grams) == (11, 9, 2)
+    r2 = out[(2, 1)]
+    assert (r2.span_end, r2.span_tokens, r2.n_dup_grams) == (9, 9, 2)
+
+
+def test_dup_spans_islands_split_on_gap(spark, monkeypatch):
+    from changegen_spark.queries import lm
+
+    # doc 1 contains the shared 8-gram twice, separated by >7 unique tokens
+    # -> two spans in doc 1 (and one in doc 2); within-doc repetition counts.
+    shared = " ".join(f"d{i}" for i in range(1, 9))
+    gap = " ".join(f"g{i}" for i in range(1, 11))
+    rows = [
+        (1, shared + " " + gap + " " + shared, "en", "s", 1),
+        (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "en", "s", 1),
+    ]
+    monkeypatch.setattr(lm, "_docs", lambda s, d: _docs_df(spark, rows))
+    out = [(r.doc_id, r.span_start, r.span_end) for r in lm.q_dup_spans(spark, "x").collect()]
+    assert out == [(1, 1, 8), (1, 19, 26)]
+
+
+# --- bigram LM score ---------------------------------------------------------
+
+
+def test_lm_score_hand_computed(spark, monkeypatch):
+    from changegen_spark.queries import lm
+
+    rows = [
+        (1, "a b a b", "en", "s", 1),
+        (2, "a b c", "en", "s", 1),
+        (3, "z", "en", "s", 1),  # <2 tokens -> absent
+    ]
+    monkeypatch.setattr(lm, "_docs", lambda s, d: _docs_df(spark, rows))
+    out = {r.doc_id: r for r in lm.q_lm_score(spark, "x").collect()}
+    assert set(out) == {1, 2}
+
+    toks = [r[1].split() for r in rows]
+    uni = collections.Counter(w for t in toks for w in t)
+    big = collections.Counter(
+        (t[i], t[i + 1]) for t in toks for i in range(len(t) - 1)
+    )
+    v = len(uni)
+
+    def nll(t):
+        lps = [
+            math.log((big[(t[i], t[i + 1])] + 1.0) / (uni[t[i]] + v))
+            for i in range(len(t) - 1)
+        ]
+        return -sum(lps) / len(lps)
+
+    assert out[1].n_bigrams == 3
+    assert out[1].nll == pytest.approx(round(nll(toks[0]), 6), abs=1e-6)
+    assert out[2].nll == pytest.approx(round(nll(toks[1]), 6), abs=1e-6)
+    assert out[1].ppl == pytest.approx(round(math.exp(nll(toks[0])), 3), abs=1e-3)
