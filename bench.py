@@ -47,6 +47,9 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_corpus_pipeline",
+    # r2 continuation: substring-level dedup + LM quality scoring
+    "q_dup_spans",
+    "q_lm_score",
 ]
 
 
