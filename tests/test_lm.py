@@ -118,6 +118,28 @@ def test_dup_spans_planted_duplicate(spark, monkeypatch):
     assert (r2.span_end, r2.span_tokens, r2.n_dup_grams) == (9, 9, 2)
 
 
+def test_dup_spans_abutting_windows_merge(spark, monkeypatch):
+    from changegen_spark.queries import lm
+
+    # doc 1 = A(8 tokens) + B(8 tokens); doc 2 contains A and B separately
+    # with a 9-token gap.  In doc 1 only the windows at pos 1 (=A) and
+    # pos 9 (=B) are duplicated — abutting intervals [1,8] and [9,16] —
+    # which must merge into ONE maximal span [1,16] (interval union).
+    a = " ".join(f"a{i}" for i in range(1, 9))
+    b = " ".join(f"b{i}" for i in range(1, 9))
+    gap = " ".join(f"g{i}" for i in range(1, 10))
+    rows = [
+        (1, a + " " + b, "en", "s", 1),
+        (2, a + " " + gap + " " + b, "en", "s", 1),
+    ]
+    monkeypatch.setattr(lm, "_docs", lambda s, d: _docs_df(spark, rows))
+    out = [
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+        for r in lm.q_dup_spans(spark, "x").collect()
+    ]
+    assert out == [(1, 1, 16, 16, 2), (2, 1, 8, 8, 1), (2, 18, 25, 8, 1)]
+
+
 def test_dup_spans_islands_split_on_gap(spark, monkeypatch):
     from changegen_spark.queries import lm
 
