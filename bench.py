@@ -25,6 +25,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # experiment's premise was disproven once the default signature moved to the
 # Arrow UDF, making the "fast" twin the slower redundant variant; it remains
 # a contract query.  Its slot carries the as-of + range joins.)
+# Per-query wall-clock ceilings (sec, sf0.1 warm): 1.3× the BENCH_r02
+# recording, except the two r3-rewritten queries which get the verdict's
+# explicit < 4 s targets.  bench.py reports violations in the JSON line
+# ("over_budget") so round-over-round drift is visible at the source
+# instead of surfacing two rounds later as a verdict regression note.
+BUDGETS = {
+    "q01_pricing_summary": 2.1,
+    "q_snapshot_diff": 2.2,
+    "q03_top_orders": 1.6,
+    "q05_region_revenue": 1.9,
+    "q_distance_join": 1.6,
+    "q_grid_dedup": 0.8,
+    "q_lsh_pairs": 3.1,
+    "q_ann_bruteforce": 2.1,
+    "q_asof_join": 1.2,
+    "q_range_join": 1.6,
+    "q_sessionize": 0.7,
+    "q_event_windows": 0.6,
+    "q_exact_dedup": 0.6,
+    "q_token_count": 0.5,
+    "q_way_chunking": 0.7,
+    "q_decontaminate": 1.9,
+    "q_pack_sequences": 0.6,
+    "q_corpus_pipeline": 2.3,
+    "q_dup_spans": 4.0,
+    "q_lm_score": 4.0,
+}
+
 HEADLINE = [
     "q01_pricing_summary",
     "q_snapshot_diff",
@@ -60,10 +88,14 @@ def main() -> None:
     spark = get_spark("changegen_spark-bench")
     queries = all_queries()
 
-    # Steady-state methodology: run each query once to absorb one-time JVM
-    # class-load + whole-stage-codegen compilation + page-cache fill, then
-    # time the second run — that is the repeated-execution throughput a
-    # long-lived cluster delivers.  cold_total is also reported.
+    # Steady-state methodology (r3: n=3 warm runs, min reported): run each
+    # query once to absorb one-time JVM class-load + whole-stage-codegen
+    # compilation + page-cache fill, then time three further runs and keep
+    # the minimum — that is the repeated-execution throughput a long-lived
+    # cluster delivers, and min-of-3 removes the GC/compile jitter that made
+    # sub-2 s queries drift 1.1-1.5× between single-sample rounds (r2
+    # verdict).  cold_total is also reported.
+    WARM_RUNS = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -71,10 +103,18 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(WARM_RUNS):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
+    over_budget = {
+        n: {"sec": timings[n], "budget": BUDGETS[n]}
+        for n in HEADLINE
+        if n in BUDGETS and timings[n] > BUDGETS[n]
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -90,6 +130,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cold_total": round(sum(cold.values()), 3),
+                "warm_runs": WARM_RUNS,
+                "over_budget": over_budget,
             }
         )
     )

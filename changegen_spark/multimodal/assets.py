@@ -92,10 +92,22 @@ except ImportError:
 
 
 def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
-    if payload[:4] != _MAGIC["image"]:
-        raise ValueError("not a CGIM payload")
-    w, h = struct.unpack("<HH", payload[4:8])
-    return w, h, payload[8 : 8 + w * h]
+    """Dispatch on magic: real PNG (pure-Python codec, r3) or the CGIM toy
+    container; PIL, when present, takes precedence for formats beyond both
+    (JPEG etc.).  Unknown magics raise → quarantine."""
+    from changegen_spark.multimodal.png import PNG_SIG, decode_png
+
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:4] == _MAGIC["image"]:
+        w, h = struct.unpack("<HH", payload[4:8])
+        return w, h, payload[8 : 8 + w * h]
+    if _HAVE_PIL:  # pragma: no cover - not in this container
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return img.width, img.height, img.tobytes()
+    raise ValueError("unrecognized image payload (not PNG or CGIM)")
 
 
 DECODED_SCHEMA = (

@@ -53,23 +53,47 @@ MODULES = (
 )
 
 
+def _base_oracles():
+    out = {}
+    for m in MODULES:
+        out.update(m.ORACLES)
+    return out
+
+
 def all_queries():
     """Module-ordered registry with rows-only (no-oracle) queries demoted to
     the end: the driver's CORRECTNESS window is the first 50 entries, and a
     rows-only entry there would occupy a slot a hash-checkable query could
     carry.  Rows-only queries keep their relative order after the demotion
-    (they are pytest-covered; the oracle-backed set is the hard signal)."""
-    oracles = all_oracles()
+    (they are pytest-covered; the oracle-backed set is the hard signal).
+
+    Slot 0 is ``q_relational_digest`` (queries/digest.py): the one window
+    row that transitively hash-checks every oracle-backed entry OUTSIDE
+    the window, so rotation never again leaves a family unverified."""
+    from changegen_spark.queries import digest as _digest
+
+    oracles = _base_oracles()
     ordered = {}
     for m in MODULES:
         ordered.update(m.QUERIES)
-    backed = {k: v for k, v in ordered.items() if k in oracles}
-    backed.update({k: v for k, v in ordered.items() if k not in oracles})
-    return backed
+    out = {"q_relational_digest": _digest.q_relational_digest}
+    out.update({k: v for k, v in ordered.items() if k in oracles})
+    out.update({k: v for k, v in ordered.items() if k not in oracles})
+    return out
+
+
+def covered_by_digest():
+    """Oracle-backed registry entries outside the driver's 50-slot window —
+    the set q_relational_digest re-verifies transitively."""
+    oracles = _base_oracles()
+    return [n for n in list(all_queries())[50:] if n in oracles]
 
 
 def all_oracles():
-    out = {}
-    for m in MODULES:
-        out.update(m.ORACLES)
+    from changegen_spark.queries import digest as _digest
+
+    out = _base_oracles()
+    out["q_relational_digest"] = _digest.build_oracle_sql(
+        covered_by_digest(), out
+    )
     return out

@@ -1,0 +1,183 @@
+"""Transitive re-verification of out-of-window oracle queries.
+
+The driver's CORRECTNESS gate hash-checks only the FIRST 50 registry
+entries.  Round 2 rotated the relational/TPC-H family out of that window to
+make room for newer families, which meant the driver no longer re-verified
+it each round (r2 verdict item #5).  ``q_relational_digest`` closes that
+hole: ONE in-window query that computes, for every oracle-backed registry
+entry OUTSIDE the window, an order-insensitive content digest of its full
+result — and whose DuckDB oracle computes the identical digest over the
+same entries' oracle SQL.  A green digest row therefore transitively
+re-verifies the whole out-of-window family every round.
+
+Digest definition (must be computable identically in Spark SQL and DuckDB
+SQL — no driver-side normalization):
+
+* per column, in sorted-column-name order, a canonical string:
+  - ``num``  (int/bigint)  → CAST(col AS string)
+  - ``e6``   (double)      → CAST(round(col * 1e6) AS bigint) AS string
+    (every query already rounds doubles to ≤6 dp by registry convention,
+    so the scaled integer is engine-exact)
+  - ``str``  (string)      → the value itself
+  nulls → ``<null>`` after conversion;
+* per row: ``md5(concat_ws('|', cols))``, first 10 hex chars parsed as a
+  40-bit integer (Spark ``conv(_,16,10)`` / DuckDB ``CAST('0x'||_ AS
+  BIGINT)``) — 40 bits so a BIGINT sum cannot overflow at any row count
+  the sf0.01 gate produces (and Spark's wrapping long-sum can never
+  diverge from DuckDB's hugeint sum);
+* per query: ``(n_rows, sum(row_hash))`` — order-insensitive, so neither
+  engine needs a global sort.
+
+The column-kind map is STATIC (generated from the live Spark schemas) so
+the DuckDB side can be generated as plain SQL text;
+tests/test_digest.py pins the map against the live registry, so a schema
+drift fails tests before it can silently desync the two digest sides.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NULL_TOKEN = "<null>"
+HASH_HEX_CHARS = 10  # 40-bit row hashes: sum of ~10^6 of them fits BIGINT
+
+# Spark result-schema kinds for every query the digest may cover, sorted
+# per-query by column name at use time.  Regenerate with
+# tests/test_digest.py::test_kinds_match_live_schemas guidance on failure.
+KINDS = {
+    "q_stats_moments": {"l_returnflag": "str", "n": "num", "stddev_qty": "e6", "stddev_price": "e6", "covar_qty_price": "e6", "corr_qty_price": "e6"},
+    "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
+    "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
+    "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},
+    "q_array_ops": {"l_orderkey": "num", "linenumbers_csv": "str", "partkeys_csv": "str", "n_lines": "num", "first_partkey": "num"},
+    "q_count_distinct": {"l_returnflag": "str", "n_parts": "num", "n_supps": "num", "n_rows": "num"},
+    "q_scalar_funcs": {"o_orderkey": "num", "prio_upper": "str", "prio_num": "num", "status_len": "num", "status_key": "str", "y": "num", "m": "num", "d": "num", "mod97": "num", "abs_delta": "num", "floor_price": "num"},
+    "q_rollup": {"l_returnflag": "str", "l_linestatus": "str", "n": "num"},
+    "q_set_ops": {"op": "str", "n": "num"},
+    "q_pivot": {"l_linestatus": "str", "n_A": "num", "n_N": "num", "n_R": "num"},
+    "q_bloom_decontaminate": {"doc_id": "num", "n_ngrams": "num", "n_candidates": "num", "n_contaminated": "num"},
+    "q_incremental_dedup": {"doc_id": "num", "is_exact_dup": "num", "n_near_dup_docs": "num", "status": "str"},
+    "q_zorder_cells": {"zcell": "num", "n_points": "num", "zmin": "num", "zmax": "num"},
+    "q_countmin_topk": {"w": "str", "est_count": "num", "true_count": "num"},
+    "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
+    "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
+    "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
+    "q01_pricing_summary": {"l_returnflag": "str", "l_linestatus": "str", "sum_qty": "num", "sum_base_cents": "num", "sum_disc_price_e4": "num", "sum_charge_e6": "num", "avg_qty": "e6", "avg_price": "e6", "avg_disc": "e6", "count_order": "num"},
+    "q_snapshot_diff": {"o_orderkey": "num", "change_type": "str", "version": "num", "o_orderstatus": "str", "o_orderpriority": "str", "price_cents": "num"},
+    "q03_top_orders": {"l_orderkey": "num", "orderdate": "str", "revenue_e4": "num"},
+    "q05_region_revenue": {"r_name": "str", "n_name": "str", "revenue_e4": "num", "n_items": "num"},
+    "q_semi_join": {"c_custkey": "num", "c_name": "str"},
+    "q_anti_join": {"c_custkey": "num", "c_name": "str"},
+    "q_distinct": {"o_orderstatus": "str", "o_orderpriority": "str"},
+    "q_topk_freq": {"l_partkey": "num", "n": "num"},
+    "q_max_ids": {"tbl": "str", "max_id": "num"},
+    "q_global_ids": {"p_partkey": "num", "new_id": "num"},
+    "q_global_ids_negative": {"p_partkey": "num", "new_id": "num"},
+    "q_cumulative_fraction": {"l_orderkey": "num", "l_linenumber": "num", "cum_qty": "num", "total_qty": "num", "frac": "e6"},
+    "q_way_chunking": {"l_orderkey": "num", "chunk": "num", "n_nodes": "num", "first_pos": "num", "last_pos": "num"},
+    "q_tag_unpivot": {"p_partkey": "num", "key": "str", "value": "str"},
+    "q_change_assembly": {"change_type": "str", "id": "num", "version": "num"},
+    "q_delete_expansion": {"kind": "str", "elem_id": "num"},
+    "q_id_lookup_join": {"o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str", "o_totalprice": "e6"},
+    "q02_min_cost_supplier": {"l_partkey": "num", "l_suppkey": "num", "bal": "e6"},
+    "q04_order_priority": {"o_orderpriority": "str", "order_count": "num"},
+    "q13_customer_distribution": {"c_count": "num", "custdist": "num"},
+    "q16_part_supplier": {"p_brand": "str", "p_size": "num", "supplier_cnt": "num"},
+    "q18_large_orders": {"c_name": "str", "c_custkey": "num", "o_orderkey": "num", "orderdate": "str", "total_qty": "num"},
+    "q06_forecast_revenue": {"revenue_e4": "num"},
+    "q10_returned_items": {"c_custkey": "num", "c_name": "str", "revenue_e4": "num", "acctbal_cents": "num", "n_name": "str"},
+    "q14_promo_revenue": {"promo_revenue_e4": "num", "total_revenue_e4": "num", "promo_pct": "e6"},
+    "q07_volume_shipping": {"supp_nation": "str", "cust_nation": "str", "l_year": "num", "revenue_e4": "num"},
+    "q08_market_share": {"o_year": "num", "nation_revenue_e4": "num", "total_revenue_e4": "num", "mkt_share": "e6"},
+    "q09_product_profit": {"nation": "str", "o_year": "num", "profit_e4": "num"},
+    "q11_important_stock": {"l_partkey": "num", "value_e2": "num"},
+    "q12_priority_lines": {"l_linestatus": "str", "high_line_count": "num", "low_line_count": "num"},
+    "q15_top_supplier": {"s_suppkey": "num", "s_name": "str", "total_revenue_e4": "num"},
+    "q17_small_quantity": {"total_cents": "num", "avg_yearly": "e6"},
+    "q19_discounted_revenue": {"revenue_e4": "num"},
+    "q20_dominant_suppliers": {"s_suppkey": "num", "s_name": "str"},
+    "q21_suppliers_waiting": {"s_name": "str", "numwait": "num"},
+    "q22_sales_opportunity": {"cntrycode": "str", "numcust": "num", "totacctbal_cents": "num"},
+}
+
+
+def kind_of(data_type) -> str:
+    """Spark DataType → digest kind (the rule KINDS was generated with)."""
+    t = data_type.simpleString()
+    if t in ("double", "float"):
+        return "e6"
+    if t == "string":
+        return "str"
+    return "num"
+
+
+def _canon_spark(name: str, kind: str) -> F.Column:
+    c = F.col(name)
+    if kind == "e6":
+        e = F.round(c * 1000000).cast("long").cast("string")
+    else:
+        e = c.cast("string")
+    return F.coalesce(e, F.lit(NULL_TOKEN))
+
+
+def _canon_duck(name: str, kind: str) -> str:
+    q = f'"{name}"'
+    if kind == "e6":
+        e = f"CAST(CAST(round({q} * 1000000) AS BIGINT) AS VARCHAR)"
+    else:
+        e = f"CAST({q} AS VARCHAR)"
+    return f"coalesce({e}, '{NULL_TOKEN}')"
+
+
+def _digest_one_spark(name: str, df: DataFrame) -> DataFrame:
+    kinds = {f.name: kind_of(f.dataType) for f in df.schema.fields}
+    row_str = F.concat_ws(
+        "|", *[_canon_spark(c, kinds[c]) for c in sorted(df.columns)]
+    )
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, HASH_HEX_CHARS), 16, 10).cast("long")
+    return df.select(row_str.alias("s")).agg(
+        F.lit(name).alias("query_name"),
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum(h), F.lit(0)).alias("hash_sum"),
+    )
+
+
+def q_relational_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_name, n_rows, hash_sum) for every oracle-backed registry
+    entry outside the driver's 50-slot window — one row per query, the
+    whole family verified through one in-window slot."""
+    from changegen_spark.queries import all_queries, covered_by_digest
+
+    qs = all_queries()
+    parts = [
+        _digest_one_spark(n, qs[n](spark, sf_dir)) for n in covered_by_digest()
+    ]
+    return reduce(DataFrame.unionByName, parts).orderBy("query_name")
+
+
+def _digest_one_duck(name: str, sql: str) -> str:
+    kinds = KINDS[name]
+    canons = ", ".join(_canon_duck(c, kinds[c]) for c in sorted(kinds))
+    return (
+        f"SELECT '{name}' AS query_name, count(*) AS n_rows,\n"
+        f"       CAST(coalesce(sum(CAST(('0x' || substr(md5(concat_ws('|', {canons})), 1, {HASH_HEX_CHARS})) AS BIGINT)), 0) AS BIGINT) AS hash_sum\n"
+        f"FROM (\n{sql.strip().rstrip(';')}\n)"
+    )
+
+
+def build_oracle_sql(covered: list[str], oracles: dict[str, str]) -> str:
+    """UNION ALL of the per-query digest aggregates, one subquery per
+    covered entry's oracle SQL (the driver executes this as one DuckDB
+    statement with the standard table views registered)."""
+    missing = [n for n in covered if n not in KINDS]
+    if missing:
+        raise KeyError(f"digest KINDS map missing entries: {missing}")
+    parts = [_digest_one_duck(n, oracles[n]) for n in covered]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY query_name"
+
+
+QUERIES = {}  # registered explicitly (window slot 0) by queries/__init__.py
+ORACLES = {}

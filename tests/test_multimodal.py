@@ -67,6 +67,79 @@ def test_sample_frames(spark):
     assert len(f["frame"]) == metas[f["asset_id"]]["width"] * metas[f["asset_id"]]["height"]
 
 
+# --- real PNG decode (pure-Python codec, multimodal/png.py) ------------------
+
+
+def _checker(w, h):
+    return bytes(((x + y) % 2) * 255 for y in range(h) for x in range(w))
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    from changegen_spark.multimodal.png import decode_png, encode_png
+
+    gray = _checker(13, 7)  # odd sizes exercise stride edges
+    for ft in range(5):
+        for ct in (0, 2, 4, 6):
+            data = encode_png(13, 7, gray, filter_type=ft, color_type=ct)
+            w, h, px = decode_png(data)
+            assert (w, h) == (13, 7), (ft, ct)
+            if ct in (0, 4):
+                assert px == gray, (ft, ct)
+            else:
+                # RGB luma of (v,v,v): (77+150+29)*v >> 8 == v for 0/255
+                assert px == gray, (ft, ct)
+
+
+def test_png_gradient_roundtrip():
+    from changegen_spark.multimodal.png import decode_png, encode_png
+
+    gray = bytes((x * 7 + y * 13) % 256 for y in range(32) for x in range(24))
+    for ft in (1, 3, 4):  # the arithmetic filters on non-trivial data
+        w, h, px = decode_png(encode_png(24, 32, gray, filter_type=ft))
+        assert (w, h, px) == (24, 32, gray)
+
+
+def test_decode_images_parses_actual_png(spark):
+    from changegen_spark.multimodal import decode_images
+    from changegen_spark.multimodal.png import encode_png
+
+    gray = _checker(16, 16)
+    png = encode_png(16, 16, gray, filter_type=4, color_type=2)
+    df = spark.createDataFrame(
+        [(42, "image", png, None)],
+        "asset_id long, kind string, payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    r = decode_images(df).collect()[0]
+    assert r["ok"] is True
+    assert (r["width"], r["height"], r["n_pixels"]) == (16, 16, 256)
+    assert r["mean_px"] == round(sum(gray) / 256, 6)
+
+
+def test_decode_images_quarantines_truncated_png(spark):
+    from changegen_spark.multimodal import decode_images
+    from changegen_spark.multimodal.png import encode_png
+
+    png = encode_png(16, 16, _checker(16, 16))
+    for cut in (len(png) - 7, 20, 9):  # mid-IEND, mid-IHDR, mid-signature+1
+        df = spark.createDataFrame(
+            [(1, "image", png[:cut], None)],
+            "asset_id long, kind string, payload binary, meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+        )
+        rows = decode_images(df).collect()
+        assert len(rows) == 1 and rows[0]["ok"] is False, cut
+
+
+def test_png_rejects_corrupt_crc():
+    import pytest
+
+    from changegen_spark.multimodal.png import decode_png, encode_png
+
+    data = bytearray(encode_png(8, 8, _checker(8, 8)))
+    data[20] ^= 0xFF  # flip a byte inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
 def test_payloads_deterministic():
     from changegen_spark.multimodal.assets import encode_image
 
