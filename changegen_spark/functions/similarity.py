@@ -250,25 +250,45 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bands: list[list[int]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH buckets.
 
-    At corpus scale the bucket join is an equi-join on the bucket id (hash
-    shuffle, AQE-skew-aware) instead of a full scan per query.
+    ``bands`` is a list of sign-signature dimension lists — the standard
+    OR-amplification: a vector is a candidate if it collides with the query
+    in ANY band (r3; the r2 single-band signature had recall 0.16 on the
+    fixture — one AND-only signature is the textbook LSH mistake).
+    ``dims`` alone is the degenerate single-band form, kept for
+    compatibility.
+
+    Scale shape: each band join carries ONLY (query_id, vec_id) with the
+    query side broadcast, so the corpus never shuffles its vectors through
+    the bands; candidates are deduped (one small exchange) and vectors are
+    attached afterwards by id equi-join (AQE broadcasts the candidate side
+    when small).  Cost is O(corpus × bands) map work + O(candidates).
     """
     from pyspark.sql import Window
 
-    if dims is None:
-        dims = [0, 8, 16, 24, 32, 40, 48, 56]
+    if bands is None:
+        bands = [dims if dims is not None else [0, 8, 16, 24, 32, 40, 48, 56]]
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("v"), dims))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("q"), dims))
-    scored = v.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    )
+    cands = None
+    for bdims in bands:
+        vb = v.select("vec_id", sign_lsh_bucket(F.col("v"), bdims).alias("bucket"))
+        qb = q.select(
+            "query_id", sign_lsh_bucket(F.col("q"), bdims).alias("bucket")
+        )
+        pairs = vb.join(F.broadcast(qb), "bucket").select("query_id", "vec_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.filter(F.col("vec_id") != F.col("query_id")).distinct()
+    scored = cands.join(v, "vec_id").join(F.broadcast(q), "query_id")
     scored = scored.withColumn("cos_sim", F.round(cosine(F.col("q"), F.col("v")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

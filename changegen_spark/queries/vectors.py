@@ -73,30 +73,58 @@ ORDER BY query_id, rank
 """
 
 
+# 4 bands × 4 sign bits over the 64-dim embedding: OR-amplified LSH (a
+# vector is a candidate on ANY band collision).  r2's single band had
+# recall@5 = 0.16 on the fixture; 4 bands measure 0.40 at a ~20% candidate
+# fraction (tests/test_similarity.py pins the floor).
+LSH_BANDS = [[0, 8, 16, 24], [32, 40, 48, 56], [4, 12, 20, 28], [36, 44, 52, 60]]
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vecs(spark, sf_dir)
     queries = v.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_bucketed_topk(
-        v, queries, dims=[0, 8, 16, 24], k=5
+        v, queries, k=5, bands=LSH_BANDS
     ).orderBy("query_id", "rank")
 
 
+def _band_sql(dims: list[int]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate(dims)
+    )
+    return f"({terms})"
+
+
+_BAND_COLS = ", ".join(
+    f"{_band_sql(dims)} AS b{i}" for i, dims in enumerate(LSH_BANDS)
+)
+_BAND_UNION = "\n    UNION\n".join(
+    f"    SELECT bq.query_id, bv.vec_id FROM b bv JOIN qb bq ON bv.b{i} = bq.b{i}"
+    for i in range(len(LSH_BANDS))
+)
+
 Q_ANN_LSH_SQL = f"""
 WITH v AS (
-  SELECT vec_id, {_VD} AS e,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM embeddings
+  SELECT vec_id, {_VD} AS e FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM v WHERE vec_id % 50 = 0),
+b AS (
+  SELECT vec_id, {_BAND_COLS} FROM embeddings
+),
+qb AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM b WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+{_BAND_UNION}
+  ) WHERE vec_id != query_id
+),
 scored AS (
-  SELECT q.query_id, v.vec_id,
-         round(list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
-  FROM v JOIN q USING (bucket) WHERE v.vec_id != q.query_id
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(qv.e, vv.e) / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(vv.e, vv.e))), 6) AS cos_sim
+  FROM cand c
+  JOIN v vv ON c.vec_id = vv.vec_id
+  JOIN v qv ON c.query_id = qv.vec_id
 ), ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
   FROM scored
