@@ -319,53 +319,60 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup an incoming batch against the existing corpus — the production
-    shape of dedup (a daily increment vs a 100 TB "seen" set), vs the
-    one-shot self-join of ``q_lsh_pairs``.  Docs with ``doc_id%10>=8`` are
-    the incoming batch; the rest are the persisted corpus.
+_CONTENT_HASH = F.md5(F.to_binary(F.col("text"), F.lit("utf-8")))
 
-    Per batch doc: ``is_exact_dup`` (content md5 seen in the corpus),
-    ``n_near_dup_docs`` (distinct corpus docs sharing any MinHash-LSH band
-    bucket), and a keep/dup_exact/dup_near status with exact taking
-    precedence.
 
-    Scale shape: the corpus side of both joins is what a real pipeline
-    PRE-COMPUTES and persists — content hashes and band rows, stored
-    bucketed by join key (``sources/bucketed.py``) so each day's increment
-    joins co-located with zero corpus shuffle.  Only the (small) batch is
-    hashed/signed per run; nothing is ever all-pairs."""
+def dedup_bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (id, bh) MinHash-LSH band rows — the corpus
+    artifact a production pipeline computes at ingest and persists.
+
+    The band index is FOLDED INTO the band hash (``md5(band:bh)``) so the
+    artifact has a single join key: a bh-bucketed table then satisfies the
+    join's distribution outright.  Keeping band as a separate equi-join
+    column can never reuse the bucket layout —
+    ``requireAllClusterKeysForCoPartition`` defaults true, and a post-join
+    band filter gets re-fused into the join keys by the optimizer (both
+    observed; this construction is the fix)."""
     from changegen_spark.functions.hashing import (
         lsh_band_frame,
         minhash_pandas_signature,
     )
 
-    d = _docs(spark, sf_dir)
-    is_batch = F.col("doc_id") % 10 >= 8
-    corpus, batch = d.filter(~is_batch), d.filter(is_batch)
-
-    content_h = F.md5(F.to_binary(F.col("text"), F.lit("utf-8")))
-    corpus_h = corpus.select(content_h.alias("h")).distinct()
-    exact = (
-        batch.select("doc_id", content_h.alias("h"))
-        .join(corpus_h, "h", "left_semi")
-        .select("doc_id", F.lit(1).alias("is_exact_dup"))
+    sig_udf = minhash_pandas_signature(INC_NGRAM, INC_HASHES)
+    sig = docs.select(
+        F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
+    ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(INC_HASHES)])
+    banded = lsh_band_frame(sig, INC_HASHES, INC_BANDS)
+    return banded.select(
+        "id",
+        F.md5(
+            F.to_binary(
+                F.concat_ws(":", F.col("band").cast("string"), F.col("bh")),
+                F.lit("utf-8"),
+            )
+        ).alias("bh"),
     )
 
-    sig_udf = minhash_pandas_signature(INC_NGRAM, INC_HASHES)
 
-    def bands_of(part: DataFrame) -> DataFrame:
-        sig = part.select(
-            F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
-        ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(INC_HASHES)])
-        return lsh_band_frame(sig, INC_HASHES, INC_BANDS)
+def incremental_dedup_flags(
+    batch: DataFrame, corpus_hashes: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Per-batch-doc dedup verdicts against corpus artifacts.
 
+    ``corpus_hashes`` is (h) distinct content md5s; ``corpus_bands`` is
+    (corpus_id, band, bh).  Both can be the persisted bucketed tables from
+    :func:`persist_dedup_corpus` — then neither corpus side shuffles
+    (plan-pinned by tests/test_bucketed.py) — or inline frames (the oracle
+    query's form)."""
+    exact = (
+        batch.select("doc_id", _CONTENT_HASH.alias("h"))
+        .join(corpus_hashes, "h", "left_semi")
+        .select("doc_id", F.lit(1).alias("is_exact_dup"))
+    )
     near = (
-        bands_of(batch)
+        dedup_bands_of(batch)
         .withColumnRenamed("id", "doc_id")
-        .join(
-            bands_of(corpus).withColumnRenamed("id", "corpus_id"), ["band", "bh"]
-        )
+        .join(corpus_bands, "bh")
         .select("doc_id", "corpus_id")
         .distinct()
         .groupBy("doc_id")
@@ -386,6 +393,53 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def persist_dedup_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    prefix: str = "dedup_corpus",
+    num_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time corpus artifacts, persisted BUCKETED by their join keys
+    (``sources/bucketed.py``): content hashes by ``h``, band rows by
+    ``bh``.  Every later increment's dedup joins then read the corpus
+    co-located — zero corpus-side Exchange per day, no matter how many
+    increments run (the 100 TB contract; the corpus is hashed once,
+    not once per day)."""
+    from changegen_spark.sources.bucketed import write_bucketed
+
+    hashes = corpus.select(_CONTENT_HASH.alias("h")).distinct()
+    write_bucketed(hashes, f"{prefix}_hashes", "h", num_buckets)
+    bands = dedup_bands_of(corpus).withColumnRenamed("id", "corpus_id")
+    write_bucketed(bands, f"{prefix}_bands", "bh", num_buckets)
+    return spark.table(f"{prefix}_hashes"), spark.table(f"{prefix}_bands")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the existing corpus — the production
+    shape of dedup (a daily increment vs a 100 TB "seen" set), vs the
+    one-shot self-join of ``q_lsh_pairs``.  Docs with ``doc_id%10>=8`` are
+    the incoming batch; the rest are the persisted corpus.
+
+    Per batch doc: ``is_exact_dup`` (content md5 seen in the corpus),
+    ``n_near_dup_docs`` (distinct corpus docs sharing any MinHash-LSH band
+    bucket), and a keep/dup_exact/dup_near status with exact taking
+    precedence.
+
+    Scale shape: the corpus side of both joins is what a real pipeline
+    PRE-COMPUTES and persists — :func:`persist_dedup_corpus` writes the
+    content hashes and band rows bucketed by join key, and
+    tests/test_bucketed.py pins that the daily-increment join plan has
+    ZERO corpus-side Exchange.  This oracle query computes the same
+    artifacts inline (DuckDB has no bucket layout to mirror); the verdicts
+    are identical either way (also pinned)."""
+    d = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 >= 8
+    corpus, batch = d.filter(~is_batch), d.filter(is_batch)
+    corpus_hashes = corpus.select(_CONTENT_HASH.alias("h")).distinct()
+    corpus_bands = dedup_bands_of(corpus).withColumnRenamed("id", "corpus_id")
+    return incremental_dedup_flags(batch, corpus_hashes, corpus_bands)
 
 
 def _inc_minhash_terms() -> str:

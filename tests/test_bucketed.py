@@ -37,3 +37,82 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         "o_orderstatus"
     ).agg(F.count("*").alias("n"))
     assert result == sorted(map(tuple, plain.collect()))
+
+
+def test_incremental_dedup_persisted_corpus_no_corpus_shuffle(spark, sf_dir):
+    """The daily-increment dedup against the PERSISTED bucketed corpus
+    (r2 verdict item #8): the corpus side of both the exact-hash semi-join
+    and the LSH band join must read its bucketed layout with zero
+    Exchange — only the (small) batch side shuffles.  Verdicts must equal
+    the inline-corpus oracle query's."""
+    from changegen_spark.queries.scale import (
+        incremental_dedup_flags,
+        persist_dedup_corpus,
+        q_incremental_dedup,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    d = load_table(spark, str(sf_dir), "documents")
+    is_batch = F.col("doc_id") % 10 >= 8
+    corpus, batch = d.filter(~is_batch), d.filter(is_batch)
+    ch, cb = persist_dedup_corpus(spark, corpus, prefix="t_dedup", num_buckets=8)
+
+    # plant one exact duplicate (a corpus doc re-sent in the batch) so
+    # AQE's empty-relation propagation cannot prune the exact-hash
+    # semi-join out of the final plan
+    planted = batch.unionByName(
+        corpus.orderBy("doc_id").limit(1).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_dedup_flags(planted, ch, cb)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1_000_000].status == "dup_exact"  # semi-join exercised
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        lines = plan.splitlines()
+        # both corpus scans must read their bucketed layout...
+        scans = [
+            i
+            for i, l in enumerate(lines)
+            if "SelectedBucketsCount" in l and "t_dedup_" in l
+        ]
+        # both artifacts read their bucketed layout (a subtree may be
+        # planned twice; every occurrence must be a bucketed scan)
+        assert {
+            "hashes" if "t_dedup_hashes" in lines[i] else "bands" for i in scans
+        } == {"hashes", "bands"}, plan
+        # ...and have NO Exchange between the scan and their join: climb
+        # the ancestor path (the nearest line above at strictly smaller
+        # operator indent is the parent; anything else belongs to a
+        # sibling subtree) — the first Join-or-Exchange ancestor must be
+        # the Join itself
+        import re
+
+        def op_depth(line):
+            m = re.search(r"[+:]- ", line)
+            return m.start() if m else None
+
+        for i in scans:
+            depth = op_depth(lines[i])
+            j = i
+            while j > 0:
+                j -= 1
+                dj = op_depth(lines[j])
+                if dj is None or dj >= depth:
+                    continue
+                if "Join" in lines[j] or "Exchange" in lines[j]:
+                    assert "Join" in lines[j], lines[j]
+                    break
+                depth = dj  # non-join parent: keep climbing the path
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # verdicts from the persisted-corpus path match the inline oracle query
+    got = [tuple(r) for r in incremental_dedup_flags(batch, ch, cb).collect()]
+    want = [tuple(r) for r in q_incremental_dedup(spark, str(sf_dir)).collect()]
+    assert got == want
