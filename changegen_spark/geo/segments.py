@@ -107,20 +107,44 @@ def segment_pair_closest(cols_l: str = "l", cols_r: str = "r") -> list[Column]:
             F.struct(d4.alias("d"), lbx.alias("qx"), lby.alias("qy")),
         )
     )
-    cp_x = F.when(crossing, lax + t * rx).otherwise(best.getField("qx"))
-    cp_y = F.when(crossing, lay + t * ry).otherwise(best.getField("qy"))
-    dist = F.when(crossing, F.lit(0.0)).otherwise(F.sqrt(best.getField("d")))
-    # CSE fence: cp_x/cp_y/dist each embed the crossing predicate plus all
-    # four endpoint-projection candidates.  Left deterministic, the optimizer
-    # re-inlines the full trees into the radius filter (predicate-pushdown
-    # alias substitution folds it into the grid join condition) and into the
-    # caller's partial min_by aggregate — the duplicated trees push the
-    # generated method past janino's 64 KB limit and the stage silently falls
-    # back to INTERPRETED execution (observed in scale_smoke).  Adding an
-    # exactly-zero nondeterministic term (rand ∈ [0,1) is finite, x + 0.0*r
-    # == x for the non-NaN dist) marks the projection nondeterministic, which
-    # both CollapseProject and PushPredicateThroughNonJoin refuse to rewrite,
-    # so downstream operators reference the computed attributes instead.
+    # Single-copy intermediate (r3): the four-candidate tree, the crossing
+    # predicate and the crossing point are each emitted ONCE as struct
+    # fields.  The r2 shape inlined the full candidates tree into each of
+    # cp_x / cp_y / dist — 3× the analysis/physical-planning work on the
+    # pipeline's hottest expression (the plan-build floor, GAPS #2).  The
+    # caller splits the final cp_x/cp_y/dist extraction into a SECOND
+    # projection behind the nondeterministic fence.
+    return F.struct(
+        crossing.alias("xing"),
+        (lax + t * rx).alias("xx"),
+        (lay + t * ry).alias("xy"),
+        best.getField("qx").alias("qx"),
+        best.getField("qy").alias("qy"),
+        best.getField("d").alias("d"),
+    )
+
+
+def closest_point_cols(cp: Column = None) -> list[Column]:
+    """[cp_x, cp_y, dist] from the ``segment_pair_closest`` struct column.
+
+    ``dist`` carries the CSE fence: left deterministic, the optimizer
+    re-inlines the full candidate trees into the radius filter
+    (predicate-pushdown alias substitution folds it into the grid join
+    condition) and into the caller's partial min_by aggregate — the
+    duplicated trees push the generated method past janino's 64 KB limit
+    and the stage silently falls back to INTERPRETED execution (observed
+    in scale_smoke).  Adding an exactly-zero nondeterministic term
+    (rand ∈ [0,1) is finite, x + 0.0*r == x for the non-NaN dist) marks
+    the projection nondeterministic, which both CollapseProject and
+    PushPredicateThroughNonJoin refuse to rewrite, so downstream operators
+    reference the computed attributes instead."""
+    if cp is None:
+        cp = F.col("__cp")
+    cp_x = F.when(cp.getField("xing"), cp.getField("xx")).otherwise(cp.getField("qx"))
+    cp_y = F.when(cp.getField("xing"), cp.getField("xy")).otherwise(cp.getField("qy"))
+    dist = F.when(cp.getField("xing"), F.lit(0.0)).otherwise(
+        F.sqrt(cp.getField("d"))
+    )
     dist = dist + F.rand(7) * F.lit(0.0)
     return [cp_x.alias("cp_x"), cp_y.alias("cp_y"), dist.alias("dist")]
 
@@ -175,5 +199,6 @@ def segment_distance_join(
         # small-region fixed cost, measured).
         coord_cols = {f"{p}{e}" for p in ("l", "r") for e in ("ax", "ay", "bx", "by")}
         pairs = pairs.dropDuplicates([c for c in pairs.columns if c not in coord_cols])
-    pairs = pairs.select("*", *segment_pair_closest())
+    pairs = pairs.select("*", segment_pair_closest().alias("__cp"))
+    pairs = pairs.select("*", *closest_point_cols()).drop("__cp")
     return pairs.filter(F.col("dist") <= F.lit(radius))

@@ -42,6 +42,50 @@ from pyspark.sql import functions as F
 # re-measurement.
 CHECKPOINT_EAGER = os.environ.get("CHANGEGEN_LAZY_CKPT", "") != "1"
 
+# Input size (bytes, Catalyst plan stats) below which the pipeline plans
+# its checkpoint fences WITHOUT whole-stage codegen.  Janino compilation of
+# the segment-join subtrees costs ~2-3 s of driver-serial time per fence —
+# on a 100 TB run that is noise against minutes of execution (codegen
+# stays on), but on an interactive small-diff run it IS the latency floor,
+# and interpreted execution of a few thousand rows is equally fast.  The
+# same size-adaptive reasoning as AQE, applied to compile time.
+SMALL_INPUT_CODEGEN_OFF_BYTES = int(
+    os.environ.get("CHANGEGEN_CODEGEN_OFF_BYTES", 256 * 1024 * 1024)
+)
+
+
+def _inputs_are_small(tables: dict) -> bool:
+    """True when every input table's Catalyst size estimate sums below the
+    interpreted-fence threshold (cheap: optimizer stats, no job)."""
+    total = 0
+    for df in tables.values():
+        if df is None:
+            continue
+        try:
+            total += int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return False  # unknown size: assume big, keep codegen
+        if total >= SMALL_INPUT_CODEGEN_OFF_BYTES:
+            return False
+    return True
+
+
+@contextlib.contextmanager
+def _maybe_interpreted(spark: SparkSession, interpreted: bool):
+    """Scoped whole-stage-codegen disable for small-input fence planning."""
+    if not interpreted:
+        yield
+        return
+    key = "spark.sql.codegen.wholeStage"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
 
 @contextlib.contextmanager
 def _timed(label: str):
@@ -130,6 +174,7 @@ def synthesize_junctions(
     distance_buffer: float = DISTANCE_BUFFER_DEFAULT,
     self_intersections: bool = False,
     checkpoint: bool = False,
+    eager: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage A: (junction_nodes keyed by rounded lon/lat, per-pair junctions).
 
@@ -205,7 +250,12 @@ def synthesize_junctions(
         # dedicated checkpoint job cost more than the per-consumer re-agg.
         # (The r1 shape — independent checkpoints of nodes AND junctions —
         # analyzed and executed the whole segment join twice.)
-        junctions = junctions.localCheckpoint(eager=CHECKPOINT_EAGER)
+        # eager=False + a caller-side async force lets the materialization
+        # job overlap the driver's stage-B/C plan building (r3) — the
+        # lineage fence (LogicalRDD) exists either way.
+        junctions = junctions.localCheckpoint(
+            eager=CHECKPOINT_EAGER if eager is None else eager
+        )
     # A3 grid dedup: one node per 6-dp cell
     junction_nodes = junctions.groupBy("rlon", "rlat").agg(
         F.min(to_4326_lon(F.col("jx"))).alias("lon"),
@@ -254,6 +304,8 @@ def build_new_ways(
     # keeps every consumer's analysis tree shallow
     verts = _vertices_with_frac(geoms, ["nkey"])
     if os.environ.get("CHANGEGEN_VERTS_CKPT", "1") == "1":
+        # no barrier needed: verts derive from new_ways only, so this
+        # eager job cannot race the junction materialization
         verts = verts.localCheckpoint(eager=CHECKPOINT_EAGER)
 
     jn = junction_nodes.select("rlon", "rlat")
@@ -346,6 +398,7 @@ def modify_intersecting_ways(
     existing_ways: DataFrame,
     junctions: DataFrame,
     pbf_ways: DataFrame,
+    ckpt_barrier=None,
 ) -> DataFrame:
     """Stage C: rebuild intersecting existing ways with junction nodes.
 
@@ -371,6 +424,11 @@ def modify_intersecting_ways(
     # create path
     verts = verts.join(nds, ["osm_id", "pos"], "inner")
     if os.environ.get("CHANGEGEN_VERTS_CKPT", "1") == "1":
+        if ckpt_barrier is not None:
+            # this subtree consumes the junction frame (hit_ways): wait for
+            # its async materialization so a lazy junction checkpoint is
+            # never computed twice by racing consumers
+            ckpt_barrier()
         verts = verts.localCheckpoint(eager=CHECKPOINT_EAGER)
 
     # Same one-row-per-(way, cell) dedup as the create path: low-order jx/jy
@@ -460,22 +518,32 @@ def generate_changes(
     from changegen_spark.operators.changes import expand_deleted_ways
     from changegen_spark.sources.osm import max_pbf_ids
 
-    # Sequential head: overlapping the max-id scan with junction synthesis
-    # was measured SLOWER in local mode — concurrent jobs contend for the
-    # same executor threads and janino compile is driver-serial.  (On a
-    # multi-node cluster the overlap would be a win; local[] is the bench
-    # target.)  The scan itself is one union-of-aggs job.
-    if check_collision:
-        with _timed("head:max_pbf_ids"):
-            maxids = max_pbf_ids(tables)
-        check_id_collision(max(maxids.values()), id_offset, negative_ids)
-
-    pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+    # Overlapped head (r3, measured on scale_smoke 300×200): the max-id
+    # scan runs as an EXECUTOR-side job while the driver builds the
+    # junction plan — py4j/Catalyst work — removing ~2 s of serial
+    # wall-clock.  The junction checkpoint is created LAZY (the LogicalRDD
+    # lineage fence exists immediately, bounding every consumer's analysis
+    # tree) and materializes inside stage C's eager checkpoint job — the
+    # single plan-phase consumer of the junction frame, so no duplicate
+    # compute and one fused job instead of two.  Stage B's checkpoint
+    # derives from new_ways only and safely runs concurrently.  Collision
+    # check stays fail-fast: its result is read before any output exists.
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    fut_maxids = pool.submit(max_pbf_ids, tables) if check_collision else None
 
     cs = ChangeSet(spark)
     new_ways = tables.get("new_ways")
     existing = tables.get("original_ways")
     way_key_col = key_col
+
+    # Small inputs: plan the checkpoint fences interpreted (see
+    # SMALL_INPUT_CODEGEN_OFF_BYTES) — the conf stays off through the
+    # fence-building/materialization section below and is restored before
+    # the returned DataFrame is ever executed, so the big final plan (the
+    # one a 100 TB run spends its time in) still compiles.
+    interp = _inputs_are_small(tables)
+    codegen_scope = _maybe_interpreted(spark, interp)
+    codegen_scope.__enter__()
 
     # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
     if new_ways is not None and existing is not None:
@@ -483,11 +551,11 @@ def generate_changes(
         # re-references the junction frames many times, and the segment-join
         # expression tree is deep — one materialization bounds Catalyst
         # analysis cost for all consumers.
-        with _timed("A:junctions"):
+        with _timed("A:junctions(build)"):
             junction_nodes, junctions = synthesize_junctions(
                 new_ways, existing, key_col=way_key_col,
                 distance_buffer=distance_buffer, self_intersections=self_intersections,
-                checkpoint=True,
+                checkpoint=True, eager=False,
             )
     else:
         junction_nodes = spark.createDataFrame(
@@ -498,6 +566,11 @@ def generate_changes(
         )
     jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
     cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
+
+    if fut_maxids is not None:
+        with _timed("head:max_pbf_ids"):
+            maxids = fut_maxids.result()
+        check_id_collision(max(maxids.values()), id_offset, negative_ids)
 
 
     # B: new ways.  Way splitting happens on the member-KEY sequences, so
@@ -527,33 +600,17 @@ def generate_changes(
     def _stage_c():
         return modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
 
+    # Stages D/E/G below are pure driver-side plan building with no
+    # dependency on B/C — they run while the pool's checkpoint jobs
+    # execute; the B/C futures are joined just before resolve
+    # (request_ids order is immaterial: resolve sorts by kind+key).
     fut_b = fut_c = None
-    try:
-        if new_ways is not None:
-            fut_b = pool.submit(_stage_b)
-        if existing is not None:
-            fut_c = pool.submit(_stage_c)
-
-        if fut_b is not None:
-            with _timed("B:build_new_ways"):
-                nb, chunked_members = fut_b.result()
-            cs.request_ids(chunked_members, _K_WAY, wkey)
-
-        # C: modify intersecting existing ways (joined here; submitted above)
-        mod_ways_seq = mod_way_tags = None
-        if fut_c is not None:
-            with _timed("C:modify_intersecting"):
-                mod_ways_seq = fut_c.result()
-            # hstore expansion applies to intersecting-way modifies exactly
-            # as it does to new features (generator.py:190-203 → :812).
-            mod_way_tags = existing.select(
-                F.col("osm_id"),
-                _tags_map(
-                    existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
-                ).alias("tags"),
-            )
-    finally:
-        pool.shutdown(wait=True)
+    nb = chunked_members = None
+    mod_ways_seq = mod_way_tags = None
+    if new_ways is not None:
+        fut_b = pool.submit(_stage_b)
+    if existing is not None:
+        fut_c = pool.submit(_stage_c)
 
     # D: new points
     pts = None
@@ -601,6 +658,27 @@ def generate_changes(
         del_ways, del_nodes = expand_deleted_ways(
             tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
         )
+
+    # join the overlapped B/C stages
+    try:
+        if fut_b is not None:
+            with _timed("B:build_new_ways"):
+                nb, chunked_members = fut_b.result()
+            cs.request_ids(chunked_members, _K_WAY, wkey)
+        if fut_c is not None:
+            with _timed("C:modify_intersecting"):
+                mod_ways_seq = fut_c.result()
+            # hstore expansion applies to intersecting-way modifies exactly
+            # as it does to new features (generator.py:190-203 → :812).
+            mod_way_tags = existing.select(
+                F.col("osm_id"),
+                _tags_map(
+                    existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
+                ).alias("tags"),
+            )
+    finally:
+        pool.shutdown(wait=True)
+        codegen_scope.__exit__(None, None, None)
 
     # --- resolve ids and assemble elements ---
     with _timed("ids:resolve"):

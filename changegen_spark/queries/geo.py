@@ -333,7 +333,7 @@ def q_segment_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     changegen/db.py:129): synthetic segment pairs → closest point on the
     left segment + distance, covering both the crossing branch (dist 0,
     exact crossing point) and the projection branch."""
-    from changegen_spark.geo.segments import segment_pair_closest
+    from changegen_spark.geo.segments import closest_point_cols, segment_pair_closest
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 0)
     eid = F.col("event_id")
@@ -348,7 +348,8 @@ def q_segment_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((eid * 59) % 97).cast("double").alias("rbx"),
         ((eid * 61) % 89).cast("double").alias("rby"),
     )
-    out = pairs.select("pid", *segment_pair_closest())
+    out = pairs.select("pid", segment_pair_closest().alias("__cp"))
+    out = out.select("pid", *closest_point_cols())
     return out.select(
         "pid",
         F.round("cp_x", 6).alias("cp_x"),

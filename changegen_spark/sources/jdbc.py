@@ -3,8 +3,12 @@
 Parquet snapshots are this engine's canonical input (reproducible diffs,
 object-store-scan parallelism), but parity with the reference means being
 able to point at the imposm3 PostGIS database directly.  This module builds
-the partitioned-read plan; there is no database in the test container, so
-the reader construction is unit-tested and the execution path documented.
+the partitioned-read plan.  The execution path runs LIVE in
+tests/test_jdbc_live.py against a real JDBC endpoint (the container's
+DuckDB JDBC driver): suffix discovery, the 4-partition read, predicate
+pushdown, and snapshot_to_parquet all execute against an actual database.
+Only the PostGIS-specific ST_AsBinary export leg remains environmental
+(no Postgres server or pg JDBC driver in the container).
 
 Scale rules encoded here:
   * always partition the read (``partitionColumn``/bounds/numPartitions`) —
