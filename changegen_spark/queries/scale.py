@@ -319,7 +319,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-_CONTENT_HASH = F.md5(F.to_binary(F.col("text"), F.lit("utf-8")))
+def _content_hash() -> F.Column:
+    # built lazily: constructing Columns at import time would require an
+    # active SparkContext before any session exists
+    return F.md5(F.to_binary(F.col("text"), F.lit("utf-8")))
 
 
 def dedup_bands_of(docs: DataFrame) -> DataFrame:
@@ -365,7 +368,7 @@ def incremental_dedup_flags(
     (plan-pinned by tests/test_bucketed.py) — or inline frames (the oracle
     query's form)."""
     exact = (
-        batch.select("doc_id", _CONTENT_HASH.alias("h"))
+        batch.select("doc_id", _content_hash().alias("h"))
         .join(corpus_hashes, "h", "left_semi")
         .select("doc_id", F.lit(1).alias("is_exact_dup"))
     )
@@ -409,7 +412,7 @@ def persist_dedup_corpus(
     not once per day)."""
     from changegen_spark.sources.bucketed import write_bucketed
 
-    hashes = corpus.select(_CONTENT_HASH.alias("h")).distinct()
+    hashes = corpus.select(_content_hash().alias("h")).distinct()
     write_bucketed(hashes, f"{prefix}_hashes", "h", num_buckets)
     bands = dedup_bands_of(corpus).withColumnRenamed("id", "corpus_id")
     write_bucketed(bands, f"{prefix}_bands", "bh", num_buckets)
@@ -437,7 +440,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     is_batch = F.col("doc_id") % 10 >= 8
     corpus, batch = d.filter(~is_batch), d.filter(is_batch)
-    corpus_hashes = corpus.select(_CONTENT_HASH.alias("h")).distinct()
+    corpus_hashes = corpus.select(_content_hash().alias("h")).distinct()
     corpus_bands = dedup_bands_of(corpus).withColumnRenamed("id", "corpus_id")
     return incremental_dedup_flags(batch, corpus_hashes, corpus_bands)
 

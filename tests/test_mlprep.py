@@ -162,3 +162,27 @@ def test_decontaminate_plan_is_equi_join(spark, sf_dir):
     plan = q_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_external_decontaminate_against_shipped_artifact(spark):
+    """The shipped eval-set artifact (fixtures/evalset_ngrams.parquet,
+    tools/make_evalset.py) was built from the sf0.01 held-out split
+    (doc_id % 19 = 3): at sf0.01 every eval-split doc with >=5 tokens
+    must therefore be FULLY contaminated, and the artifact must broadcast
+    (kilobytes against the corpus side)."""
+    import os
+
+    from changegen_spark.queries.mlprep import EVALSET_PATH, q_external_decontaminate
+
+    assert os.path.exists(EVALSET_PATH)
+    out = q_external_decontaminate(spark, "/root/testdata/sf0.01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    evald = [r for d, r in rows.items() if d % 19 == 3]
+    assert evald, "eval split empty at sf0.01?"
+    assert all(r.contamination_frac == 1.0 for r in evald)
+    # non-eval docs: the small shared vocabulary makes some overlap
+    # expected, but not total
+    train_fracs = [r.contamination_frac for d, r in rows.items() if d % 19 != 3]
+    assert any(f < 1.0 for f in train_fracs)
