@@ -296,3 +296,154 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic medoid PQ codebooks: ``m`` subspaces × ``ks`` code
+    vectors of ``dim/m`` components.
+
+    The ``ks`` training vectors are the sample with the smallest
+    ``(md5(vec_id), vec_id)`` — the same fully-SQL-reproducible medoid
+    contract as the IVF quantizer; a k-means refinement per subspace is a
+    drop-in upgrade that keeps every downstream expression identical.
+    Returned as plain Python lists (m × ks × sub) — kilobytes — to be
+    inlined as literals, so encoding is a ZERO-shuffle map-side
+    projection no matter the corpus size (the point of PQ at 100 TB:
+    vectors compress ~dim*4 bytes → m codes)."""
+    sub = dim // m
+    sample = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn(
+            "__h", F.md5(F.to_binary(F.col("vec_id").cast("string"), F.lit("utf-8")))
+        )
+        .orderBy("__h", "vec_id")
+        .limit(ks)
+        .collect()
+    )
+    return [
+        [[float(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in sample]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): nearest code per subspace, ties to the
+    smaller code id.  Map-only Arrow UDF (the codebook travels in the
+    closure — kilobytes) — the ingest-time compression job.
+
+    Fold-exactness contract with the SQL oracle: every distance is the
+    expanded ``⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩`` where each dot is a ≤8-element
+    numpy reduce — sequential at that length, bit-identical to DuckDB's
+    ``list_dot_product`` fold — so the argmin can never disagree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    m, sub = len(C), C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vecs):
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            d = (
+                (S * S).sum(-1)[:, None]
+                - 2.0 * (S[:, None, :] * C[j][None, :, :]).sum(-1)
+                + (C[j] * C[j]).sum(-1)[None, :]
+            )
+            out[:, j] = d.argmin(1)
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        enc(as_double(F.col(vec_col))).alias("codes"),
+    )
+
+
+def pq_adc_udf(codebooks: list[list[list[float]]]):
+    """(query vec, candidate codes) → asymmetric distance estimate.
+    Same fold-exact arithmetic as :func:`pq_encode`; the j-accumulation is
+    sequential (matches a left-to-right sum; the oracle's unordered SQL
+    ``sum()`` differs only at ~1e-15, absorbed by the 6-dp round)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    m, sub = len(C), C[0].shape[1]
+
+    @pandas_udf("double")
+    def adc(qv, codes):
+        Q = np.array(qv.tolist(), dtype=np.float64)
+        K = np.array(codes.tolist(), dtype=np.int64)
+        est = np.zeros(len(Q))
+        for j in range(m):
+            S = Q[:, j * sub : (j + 1) * sub]
+            cv = C[j][K[:, j]]
+            est = est + (
+                (S * S).sum(-1) - 2.0 * (S * cv).sum(-1) + (cv * cv).sum(-1)
+            )
+        return pd.Series(est)
+
+    return adc
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    ks: int = 64,
+    dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): the corpus is
+    scanned as ``m`` small integer codes; each query computes the exact
+    distance from its raw subvectors to the code vectors its candidates
+    chose.  Rank is over the 6-dp-rounded estimate with a vec_id
+    tie-break, so both engines order identically.
+
+    Scale shape: ``pq_encode``'s output is the persisted artifact (corpus
+    read is m bytes per vector, not dim×4); queries broadcast; the only
+    shuffle is the per-query top-k window."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_codebooks(vectors, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q")
+    )
+    adc = pq_adc_udf(codebooks)
+    scored = codes.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn("est_d2", F.round(adc(F.col("q"), F.col("codes")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.asc("est_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "est_d2", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -50,6 +50,7 @@ HASH_HEX_CHARS = 10  # 40-bit row hashes: sum of ~10^6 of them fits BIGINT
 KINDS = {
     "q_stats_moments": {"l_returnflag": "str", "n": "num", "stddev_qty": "e6", "stddev_price": "e6", "covar_qty_price": "e6", "corr_qty_price": "e6"},
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},
+    "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},

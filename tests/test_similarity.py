@@ -94,6 +94,48 @@ def test_recall_golden_ivf_medoid_registry(vectors, queries):
     assert _mean_recall(exact, approx, 10) >= 0.6
 
 
+def test_recall_golden_pq_registry(vectors, queries):
+    """q_ann_pq's config (m=16 subspaces, 64 medoid codes — 16×
+    compression): measured recall@10 0.50 vs the exact-cosine top-10 —
+    floor 0.45.  (m=4/ks=16 measured 0.12; the parameter sweep is in the
+    r3 notes.)"""
+    from changegen_spark.functions.similarity import brute_force_topk, pq_topk
+
+    exact = _result_map(brute_force_topk(vectors, queries, k=10))
+    approx = _result_map(pq_topk(vectors, queries, k=10, m=16, ks=64))
+    assert _mean_recall(exact, approx, 10) >= 0.45
+
+
+def test_pq_codes_artifact_roundtrip(vectors, queries, tmp_path):
+    """PQ codes persisted to parquet and re-scored give identical results
+    to inline encoding — the compressed-corpus deployment shape (the
+    100 TB corpus is read as m bytes/vector, re-encoded never)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.similarity import (
+        as_double, pq_adc_udf, pq_codebooks, pq_encode, pq_topk,
+    )
+
+    cbs = pq_codebooks(vectors, m=16, ks=64)
+    path = str(tmp_path / "pq_codes.parquet")
+    pq_encode(vectors, cbs).write.mode("overwrite").parquet(path)
+    codes = vectors.sparkSession.read.parquet(path)
+
+    q = queries.select("query_id", as_double(F.col("embedding")).alias("q"))
+    adc = pq_adc_udf(cbs)
+    scored = codes.join(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.withColumn("est_d2", F.round(adc(F.col("q"), F.col("codes")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.asc("est_d2"), F.asc("vec_id"))
+    persisted = _result_map(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    inline = _result_map(pq_topk(vectors, queries, k=10, m=16, ks=64, codebooks=cbs))
+    assert persisted == inline
+
+
 def test_recall_golden_lsh_registry(vectors):
     """q_ann_lsh's 4-band config: measured 0.40 (vs 0.16 for r2's single
     band) — floor 0.35."""
