@@ -394,6 +394,37 @@ def lsh_band_frame(
     ).select("id", "b.band", "b.bh")
 
 
+def folded_band_artifact(
+    docs: DataFrame,
+    ngram: int,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bh) MinHash-LSH band rows with the band index FOLDED into the
+    band hash (``md5(band:bh)``) — the canonical persisted dedup-corpus
+    artifact (single join key, so a bh-bucketed table satisfies the join
+    distribution outright; see queries/scale.persist_dedup_corpus).
+    Shared by the batch incremental-dedup path and the streaming
+    near-dup twin so both sides of a stream-static join compute
+    byte-identical keys."""
+    sig_udf = minhash_pandas_signature(ngram, num_hashes)
+    sig = docs.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("g")
+    ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(num_hashes)])
+    banded = lsh_band_frame(sig, num_hashes, bands)
+    return banded.select(
+        "id",
+        F.md5(
+            F.to_binary(
+                F.concat_ws(":", F.col("band").cast("string"), F.col("bh")),
+                F.lit("utf-8"),
+            )
+        ).alias("bh"),
+    )
+
+
 def _band_and_pair(
     sig: DataFrame,
     num_hashes: int,

@@ -335,26 +335,12 @@ def dedup_bands_of(docs: DataFrame) -> DataFrame:
     column can never reuse the bucket layout —
     ``requireAllClusterKeysForCoPartition`` defaults true, and a post-join
     band filter gets re-fused into the join keys by the optimizer (both
-    observed; this construction is the fix)."""
-    from changegen_spark.functions.hashing import (
-        lsh_band_frame,
-        minhash_pandas_signature,
-    )
+    observed; this construction is the fix).  Construction shared with the
+    streaming twin via ``hashing.folded_band_artifact`` so stream-static
+    joins against the persisted artifact compute byte-identical keys."""
+    from changegen_spark.functions.hashing import folded_band_artifact
 
-    sig_udf = minhash_pandas_signature(INC_NGRAM, INC_HASHES)
-    sig = docs.select(
-        F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
-    ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(INC_HASHES)])
-    banded = lsh_band_frame(sig, INC_HASHES, INC_BANDS)
-    return banded.select(
-        "id",
-        F.md5(
-            F.to_binary(
-                F.concat_ws(":", F.col("band").cast("string"), F.col("bh")),
-                F.lit("utf-8"),
-            )
-        ).alias("bh"),
-    )
+    return folded_band_artifact(docs, INC_NGRAM, INC_HASHES, INC_BANDS)
 
 
 def incremental_dedup_flags(

@@ -59,21 +59,18 @@ def dedup_stream(
 def corpus_band_frame(
     corpus: DataFrame, ngram: int = 3, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """(band, bh) LSH bucket rows of the persisted corpus — the static side
-    of the stream-static near-dup join.  In production this frame is
-    computed once per corpus snapshot and stored bucketed by (band, bh)
-    (``sources/bucketed.py``) so every arriving micro-batch joins
-    co-located; here it is derived on the fly from the corpus docs."""
-    from changegen_spark.functions.hashing import (
-        lsh_band_frame,
-        minhash_pandas_signature,
-    )
+    """(bh) folded LSH bucket rows of the persisted corpus — the static
+    side of the stream-static near-dup join, the SAME single-key artifact
+    `queries/scale.persist_dedup_corpus` writes bucketed by ``bh`` (r3
+    unification: one corpus artifact serves the batch daily-increment
+    dedup and the streaming twin; a bh-bucketed table joins with zero
+    corpus-side shuffle in both).  Here derived on the fly from docs;
+    production reads ``spark.table(…_bands)``."""
+    from changegen_spark.functions.hashing import folded_band_artifact
 
-    sig_udf = minhash_pandas_signature(ngram, num_hashes)
-    sig = corpus.select(
-        F.col("doc_id").alias("id"), sig_udf(F.col("text")).alias("g")
-    ).select("id", *[F.col(f"g.mh{s}").alias(f"mh{s}") for s in range(num_hashes)])
-    return lsh_band_frame(sig, num_hashes, bands).select("band", "bh").distinct()
+    return folded_band_artifact(corpus, ngram, num_hashes, bands).select(
+        "bh"
+    ).distinct()
 
 
 def near_dup_hits_stream(
@@ -96,24 +93,20 @@ def near_dup_hits_stream(
     events as emitted here, or ``dropDuplicatesWithinWatermark`` on
     doc_id when exactly-one-flag-per-doc matters.  Batch parity: the same
     function applied to a batch DataFrame computes the identical result
-    (pinned in tests)."""
-    from changegen_spark.functions.hashing import (
-        lsh_band_hashes,
-        minhash_pandas_signature,
-    )
+    (pinned in tests).
 
-    sig_udf = minhash_pandas_signature(ngram, num_hashes)
-    sig_arr = F.array(
-        *[F.col("__g")[f"mh{s}"] for s in range(num_hashes)]
+    ``corpus_bands`` carries the folded single-key ``bh`` (r3) — the
+    exact artifact ``persist_dedup_corpus`` bucket-writes, so pointing
+    this at ``spark.table("…_bands")`` joins each micro-batch with zero
+    corpus-side shuffle."""
+    from changegen_spark.functions.hashing import folded_band_artifact
+
+    stream_bands = folded_band_artifact(docs, ngram, num_hashes, bands)
+    return (
+        stream_bands.withColumnRenamed("id", "doc_id")
+        .join(corpus_bands.select("bh"), "bh", "left_semi")
+        .select("doc_id", "bh")
     )
-    exploded = (
-        docs.withColumn("__g", sig_udf(F.col("text")))
-        .withColumn(
-            "__b", F.explode(lsh_band_hashes(sig_arr, bands, num_hashes // bands))
-        )
-        .select("doc_id", F.col("__b.band").alias("band"), F.col("__b.bh").alias("bh"))
-    )
-    return exploded.join(corpus_bands, ["band", "bh"], "left_semi")
 
 
 def quality_filter_stream(docs: DataFrame, min_tokens: int = 10) -> DataFrame:

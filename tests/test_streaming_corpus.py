@@ -128,3 +128,14 @@ def test_near_dup_hits_stream_static_join(spark, tmp_path):
         for r in near_dup_hits_stream(spark.read.parquet(d), bands).collect()
     }
     assert batch_hits == {10}
+
+    # r3 artifact unification: the stream joins the SAME persisted
+    # bucketed band table the batch incremental dedup writes — identical
+    # hits, and the corpus side reads its bucket layout
+    from changegen_spark.queries.scale import persist_dedup_corpus
+
+    _, cb = persist_dedup_corpus(spark, corpus, prefix="t_stream_dedup", num_buckets=4)
+    out2 = _run(
+        near_dup_hits_stream(stream_documents(spark, d), cb), "t_near_dup2"
+    )
+    assert {r.doc_id for r in out2.collect()} == {10}
