@@ -545,122 +545,124 @@ def generate_changes(
     codegen_scope = _maybe_interpreted(spark, interp)
     codegen_scope.__enter__()
 
-    # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
-    if new_ways is not None and existing is not None:
-        # checkpoint=True truncates lineage inside: every downstream stage
-        # re-references the junction frames many times, and the segment-join
-        # expression tree is deep — one materialization bounds Catalyst
-        # analysis cost for all consumers.
-        with _timed("A:junctions(build)"):
-            junction_nodes, junctions = synthesize_junctions(
-                new_ways, existing, key_col=way_key_col,
-                distance_buffer=distance_buffer, self_intersections=self_intersections,
-                checkpoint=True, eager=False,
-            )
-    else:
-        junction_nodes = spark.createDataFrame(
-            [], "rlon double, rlat double, lon double, lat double"
-        )
-        junctions = spark.createDataFrame(
-            [], "nkey string, osm_id long, jx double, jy double, rlon double, rlat double"
-        )
-    jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
-    cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
-
-    if fut_maxids is not None:
-        with _timed("head:max_pbf_ids"):
-            maxids = fut_maxids.result()
-        check_id_collision(max(maxids.values()), id_offset, negative_ids)
-
-
-    # B: new ways.  Way splitting happens on the member-KEY sequences, so
-    # way ids can be requested in the same single resolve as node ids (the
-    # chunk count depends only on member counts, not on resolved ids).
-    nb = None
-    chunked_members = None
-    wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
-    # Stages B and C are independent once the junction frame is
-    # materialized; each ends in an eager localCheckpoint (a separate Spark
-    # job with its own codegen compile).  Running them on two threads
-    # overlaps those jobs — py4j releases the GIL on socket IO, and Spark
-    # job submission is thread-safe.  cs.request_ids appends under the GIL;
-    # resolve() orders by (kind, key), so request order is immaterial.
-    def _stage_b():
-        nb_ = build_new_ways(
-            cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
-            hstore_col=hstore_col,
-            node_limit=node_limit, chunk_size=chunk_size,
-        )
-        cm = split_ways(
-            nb_["ordered_members"], nds_col="mseq",
-            node_limit=node_limit, chunk_size=chunk_size,
-        )
-        return nb_, cm
-
-    def _stage_c():
-        return modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
-
-    # Stages D/E/G below are pure driver-side plan building with no
-    # dependency on B/C — they run while the pool's checkpoint jobs
-    # execute; the B/C futures are joined just before resolve
-    # (request_ids order is immaterial: resolve sorts by kind+key).
-    fut_b = fut_c = None
-    nb = chunked_members = None
-    mod_ways_seq = mod_way_tags = None
-    if new_ways is not None:
-        fut_b = pool.submit(_stage_b)
-    if existing is not None:
-        fut_c = pool.submit(_stage_c)
-
-    # D: new points
-    pts = None
-    new_points = tables.get("new_points")
-    if new_points is not None:
-        pt_tags = _tags_map(
-            new_points,
-            exclude=("id", "osm_id", "geom"),
-            # point tables historically carry their hstore in "tags"
-            # (generator.py:608-621); an explicit --hstore overrides.
-            hstore_col=hstore_col if hstore_col is not None else "tags",
-        )
-        from changegen_spark.geo.geometry import point_xy
-        from changegen_spark.operators.keys import feature_key
-
-        # Row key: the id column when present AND non-null; else a
-        # row-unique feature hash.  The reference iterates per-FID so a
-        # NULL id column (e.g. its own new_points fixture) still yields one
-        # create per row — a null key here would silently drop them all.
-        src = new_points
-        if "id" not in src.columns:
-            src = src.withColumn("id", F.lit(None).cast("long"))
-        src = feature_key(src, "geom")
-        pt_key = F.coalesce(F.col("id").cast("string"), F.col("__fkey"))
-
-        px, py = point_xy(F.col("geom"))
-        pts = src.select(
-            pt_key.alias("pt_id"),
-            to_4326_lon(px).alias("lon"),
-            to_4326_lat(py).alias("lat"),
-            pt_tags.alias("tags"),
-        )
-        cs.request_ids(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id")))
-
-    # E: polygons
-    polys = tables.get("new_polygons")
-    poly_parts = _build_polygons(cs, polys) if polys is not None else None
-    if poly_parts is not None:
-        cs.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
-        cs.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
-
-    # G: deletions
-    del_ways = del_nodes = None
-    if tables.get("deleted_ways") is not None:
-        del_ways, del_nodes = expand_deleted_ways(
-            tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
-        )
-
-    # join the overlapped B/C stages
+    # ONE try/finally spans the whole fence-planning section: any failure
+    # (including the collision guard's designed abort) must restore the
+    # codegen conf and stop the pool threads, not leak them to the caller.
     try:
+        # A: junctions (single evaluation serves J1 closest-points AND J2 ids)
+        if new_ways is not None and existing is not None:
+            # checkpoint=True truncates lineage inside: every downstream stage
+            # re-references the junction frames many times, and the segment-join
+            # expression tree is deep — one materialization bounds Catalyst
+            # analysis cost for all consumers.
+            with _timed("A:junctions(build)"):
+                junction_nodes, junctions = synthesize_junctions(
+                    new_ways, existing, key_col=way_key_col,
+                    distance_buffer=distance_buffer, self_intersections=self_intersections,
+                    checkpoint=True, eager=False,
+                )
+        else:
+            junction_nodes = spark.createDataFrame(
+                [], "rlon double, rlat double, lon double, lat double"
+            )
+            junctions = spark.createDataFrame(
+                [], "nkey string, osm_id long, jx double, jy double, rlon double, rlat double"
+            )
+        jkey = F.concat_ws(",", F.col("rlon"), F.col("rlat"))
+        cs.request_ids(junction_nodes, _K_JUNCTION, jkey)
+
+        if fut_maxids is not None:
+            with _timed("head:max_pbf_ids"):
+                maxids = fut_maxids.result()
+            check_id_collision(max(maxids.values()), id_offset, negative_ids)
+
+        # B: new ways.  Way splitting happens on the member-KEY sequences, so
+        # way ids can be requested in the same single resolve as node ids (the
+        # chunk count depends only on member counts, not on resolved ids).
+        nb = None
+        chunked_members = None
+        wkey = F.concat_ws(":", F.col("nkey"), F.col("chunk"))
+        # Stages B and C are independent once the junction frame is
+        # materialized; each ends in an eager localCheckpoint (a separate Spark
+        # job with its own codegen compile).  Running them on two threads
+        # overlaps those jobs — py4j releases the GIL on socket IO, and Spark
+        # job submission is thread-safe.  cs.request_ids appends under the GIL;
+        # resolve() orders by (kind, key), so request order is immaterial.
+        def _stage_b():
+            nb_ = build_new_ways(
+                cs, new_ways, junction_nodes, junctions, key_col=way_key_col,
+                hstore_col=hstore_col,
+                node_limit=node_limit, chunk_size=chunk_size,
+            )
+            cm = split_ways(
+                nb_["ordered_members"], nds_col="mseq",
+                node_limit=node_limit, chunk_size=chunk_size,
+            )
+            return nb_, cm
+
+        def _stage_c():
+            return modify_intersecting_ways(existing, junctions, tables["pbf_ways"])
+
+        # Stages D/E/G below are pure driver-side plan building with no
+        # dependency on B/C — they run while the pool's checkpoint jobs
+        # execute; the B/C futures are joined just before resolve
+        # (request_ids order is immaterial: resolve sorts by kind+key).
+        fut_b = fut_c = None
+        nb = chunked_members = None
+        mod_ways_seq = mod_way_tags = None
+        if new_ways is not None:
+            fut_b = pool.submit(_stage_b)
+        if existing is not None:
+            fut_c = pool.submit(_stage_c)
+
+        # D: new points
+        pts = None
+        new_points = tables.get("new_points")
+        if new_points is not None:
+            pt_tags = _tags_map(
+                new_points,
+                exclude=("id", "osm_id", "geom"),
+                # point tables historically carry their hstore in "tags"
+                # (generator.py:608-621); an explicit --hstore overrides.
+                hstore_col=hstore_col if hstore_col is not None else "tags",
+            )
+            from changegen_spark.geo.geometry import point_xy
+            from changegen_spark.operators.keys import feature_key
+
+            # Row key: the id column when present AND non-null; else a
+            # row-unique feature hash.  The reference iterates per-FID so a
+            # NULL id column (e.g. its own new_points fixture) still yields one
+            # create per row — a null key here would silently drop them all.
+            src = new_points
+            if "id" not in src.columns:
+                src = src.withColumn("id", F.lit(None).cast("long"))
+            src = feature_key(src, "geom")
+            pt_key = F.coalesce(F.col("id").cast("string"), F.col("__fkey"))
+
+            px, py = point_xy(F.col("geom"))
+            pts = src.select(
+                pt_key.alias("pt_id"),
+                to_4326_lon(px).alias("lon"),
+                to_4326_lat(py).alias("lat"),
+                pt_tags.alias("tags"),
+            )
+            cs.request_ids(pts, _K_POINT, F.concat(F.lit("pt:"), F.col("pt_id")))
+
+        # E: polygons
+        polys = tables.get("new_polygons")
+        poly_parts = _build_polygons(cs, polys) if polys is not None else None
+        if poly_parts is not None:
+            cs.request_ids(poly_parts["rings"], _K_WAY, F.col("ring_key"))
+            cs.request_ids(poly_parts["relations"], _K_RELATION, F.col("pkey"))
+
+        # G: deletions
+        del_ways = del_nodes = None
+        if tables.get("deleted_ways") is not None:
+            del_ways, del_nodes = expand_deleted_ways(
+                tables["deleted_ways"], tables["pbf_ways"], skip_nodes=skip_delete_nodes
+            )
+
+        # join the overlapped B/C stages
         if fut_b is not None:
             with _timed("B:build_new_ways"):
                 nb, chunked_members = fut_b.result()

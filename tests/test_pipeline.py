@@ -238,3 +238,18 @@ def test_deletions_with_node_expansion(spark, tables):
     c = _counts(out)
     assert c[("delete", "way")] == 2
     assert c[("delete", "node")] == 22  # 2 ways × 11 distinct nodes
+
+
+def test_collision_abort_restores_session_state(spark, tables):
+    """The collision guard's fail-fast abort must not leak the pipeline's
+    scoped planning conf (whole-stage codegen off for small inputs) or
+    leave pool threads running — r3 regression guard for the overlapped
+    head's try/finally."""
+    import pytest as _pytest
+
+    from changegen_spark.pipeline import generate_changes
+
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    with _pytest.raises(ValueError, match="collide"):
+        generate_changes(spark, tables, id_offset=0)  # max pbf id > 0
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == prev
