@@ -5,13 +5,15 @@ with a typed metadata struct; decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages so the heavy bytes never
 leave the executors and never explode into JVM row objects.
 
-This container has no image/audio libraries, so payloads use a toy
-self-describing container (header ``CGIM``/``CGAU``/``CGVD`` + dimensions +
-raw bytes).  The decode UDFs genuinely parse it — schema, partitioning,
-UDF signatures and batch shapes are production-real; only the codec is a
-stand-in.  Where a real decoder would slot in is marked with import-gated
-hooks (PIL / av): if those libraries exist they are used, otherwise the toy
-parser runs.
+This container has no image/audio libraries, so the repo carries its own
+pure-Python codecs for formats the stdlib can genuinely handle — PNG
+(multimodal/png.py), GIF incl. LZW + interlacing (gif.py), RIFF/WAVE PCM +
+float (wav.py), and YUV4MPEG2 raw video (y4m.py) — plus a legacy toy
+container (``CGIM``/``CGVD``) kept for the synthetic asset generator.  The
+decode UDFs dispatch on magic bytes; import-gated hooks (PIL / av) take
+precedence for formats beyond those (JPEG etc.) when the libraries exist.
+Real-media parity is oracle-verified end to end via the shipped fixture
+(tools/make_media.py, queries/media.py).
 
 Scale notes: every stage is map-only (no shuffle); Arrow batch size is the
 knob for executor memory vs throughput (set in session.py); frame sampling
@@ -92,13 +94,16 @@ except ImportError:
 
 
 def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic: real PNG (pure-Python codec, r3) or the CGIM toy
-    container; PIL, when present, takes precedence for formats beyond both
-    (JPEG etc.).  Unknown magics raise → quarantine."""
+    """Dispatch on magic: real PNG / GIF (pure-Python codecs) or the CGIM
+    toy container; PIL, when present, takes precedence for formats beyond
+    all three (JPEG etc.).  Unknown magics raise → quarantine."""
+    from changegen_spark.multimodal.gif import GIF_SIGS, decode_gif
     from changegen_spark.multimodal.png import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif(payload)
     if payload[:4] == _MAGIC["image"]:
         w, h = struct.unpack("<HH", payload[4:8])
         return w, h, payload[8 : 8 + w * h]
@@ -107,7 +112,7 @@ def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
 
         img = Image.open(io.BytesIO(payload)).convert("L")
         return img.width, img.height, img.tobytes()
-    raise ValueError("unrecognized image payload (not PNG or CGIM)")
+    raise ValueError("unrecognized image payload (not PNG, GIF, or CGIM)")
 
 
 DECODED_SCHEMA = (
@@ -128,8 +133,11 @@ def decode_images(assets: DataFrame) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
                     w, h, px = _parse_image(bytes(payload))
-                    mean = sum(px) / len(px) if px else 0.0
-                    out.append((asset_id, w, h, len(px), round(mean, 6), True))
+                    # integer-exact 6-dp mean ((s*1e6 + n/2) // n, half-up):
+                    # bit-stable across engines, matches the fixture builder
+                    n = len(px)
+                    mean = ((sum(px) * 1_000_000 + n // 2) // n) / 1e6 if n else 0.0
+                    out.append((asset_id, w, h, n, mean, True))
                 except Exception:
                     out.append((asset_id, None, None, None, None, False))
             yield pd.DataFrame(
@@ -140,6 +148,44 @@ def decode_images(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("kind") == "image").select("asset_id", "payload").mapInPandas(
         fn, DECODED_SCHEMA
     )
+
+
+AUDIO_SCHEMA = (
+    "asset_id long, sample_rate int, n_channels int, n_frames long, "
+    "duration_e6 long, rms_e6 long, peak_e6 long, zero_crossings long, ok boolean"
+)
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Audio decode stage: WAV binary → integer feature row, Arrow-batched,
+    map-only.  Same quarantine contract as ``decode_images``: malformed
+    payloads yield ok=false rows.  Features are the shared definitions from
+    multimodal/wav.py (see that module for why they are the parity check)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from changegen_spark.multimodal.wav import audio_features, decode_wav
+
+        cols = [
+            "asset_id", "sample_rate", "n_channels", "n_frames",
+            "duration_e6", "rms_e6", "peak_e6", "zero_crossings", "ok",
+        ]
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, nch, arr = decode_wav(bytes(payload))
+                    f = audio_features(rate, arr)
+                    out.append(
+                        (asset_id, rate, nch, f["n_frames"], f["duration_e6"],
+                         f["rms_e6"], f["peak_e6"], f["zero_crossings"], True)
+                    )
+                except Exception:
+                    out.append((asset_id,) + (None,) * 7 + (False,))
+            yield pd.DataFrame(out, columns=cols)
+
+    return assets.filter(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, AUDIO_SCHEMA)
 
 
 FEATURES_SCHEMA = "asset_id long, embedding array<float>"
@@ -177,14 +223,29 @@ FRAMES_SCHEMA = "asset_id long, frame_idx int, frame bytes, mean_px double"
 
 def sample_frames(assets: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling: video payload → one row per kept frame (every k-th).
-    Row amplification happens inside the pandas iterator — streaming, not
-    a collected explode."""
+    Dispatches on magic: real Y4M streams (luma plane per frame, integer-
+    exact e6 mean → ``mean_px``) or the toy CGVD container.  Row
+    amplification happens inside the pandas iterator — streaming, not a
+    collected explode."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from changegen_spark.multimodal.y4m import (
+            Y4M_SIG,
+            decode_y4m,
+            frame_mean_e6,
+        )
+
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload)
+                if b.startswith(Y4M_SIG):
+                    _w, _h, _fn, _fd, planes = decode_y4m(b)
+                    for k in range(0, len(planes), every):
+                        rows.append(
+                            (asset_id, k, planes[k], frame_mean_e6(planes[k]) / 1e6)
+                        )
+                    continue
                 if b[:4] != _MAGIC["video"]:
                     continue
                 w, h, nf = struct.unpack("<HHH", b[4:10])

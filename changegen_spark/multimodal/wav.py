@@ -1,0 +1,135 @@
+"""Pure-stdlib RIFF/WAVE audio codec for the multimodal decode path.
+
+A real audio decoder (no external library): RIFF chunk walk, ``fmt ``
+parse, PCM 8-bit unsigned / 16/24/32-bit signed little-endian, and IEEE
+float 32/64, any channel count.  Anything else (ADPCM, extensible headers,
+truncated data) raises ValueError -> the caller's quarantine path, mirroring
+the PNG codec's contract (multimodal/png.py).
+
+``audio_features`` is the SHARED feature definition: the fixture builder
+(tools/make_media.py) applies it to the raw pre-encoding sample array and
+stores the result as expected columns; the Spark decode stage applies it to
+the array it re-decodes from the WAV bytes.  PCM is lossless, so a correct
+decoder reproduces the source array bit-for-bit and the features hash-match
+-- the decode step itself is what the oracle verifies.
+
+All feature outputs are integers (e6-scaled where fractional) so the
+digest/oracle comparison never touches engine float formatting.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WAV_SIG = b"RIFF"
+
+# (audio_format, bits) -> numpy dtype for the frame payload
+_PCM_DTYPES = {
+    (1, 8): np.uint8,
+    (1, 16): np.dtype("<i2"),
+    (1, 32): np.dtype("<i4"),
+    (3, 32): np.dtype("<f4"),
+    (3, 64): np.dtype("<f8"),
+}
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes -> (sample_rate, n_channels, float64 array [frames, ch])
+    normalized to [-1, 1].
+
+    Raises ValueError on malformed/truncated/unsupported input."""
+    if len(data) < 12 or data[:4] != WAV_SIG or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("truncated RIFF payload")
+    pos = 12
+    fmt = None
+    frames: bytes | None = None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack("<4sI", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            frames = body
+    if fmt is None:
+        raise ValueError("missing fmt chunk")
+    if frames is None:
+        raise ValueError("missing data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("implausible fmt values")
+    if (audio_format, bits) == (1, 24):
+        if len(frames) % (3 * n_channels):
+            raise ValueError("data chunk not frame-aligned")
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        # sign-extend 24-bit little-endian into int32
+        raw = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+        arr = raw.astype(np.float64) / float(1 << 23)
+    else:
+        dtype = _PCM_DTYPES.get((audio_format, bits))
+        if dtype is None:
+            raise ValueError(
+                f"unsupported format/bits: {audio_format}/{bits}"
+            )
+        if block_align and len(frames) % block_align:
+            raise ValueError("data chunk not frame-aligned")
+        raw = np.frombuffer(frames, dtype=dtype)
+        if audio_format == 3:
+            arr = raw.astype(np.float64)
+        elif bits == 8:
+            arr = (raw.astype(np.float64) - 128.0) / 128.0
+        else:
+            arr = raw.astype(np.float64) / float(1 << (bits - 1))
+    if arr.size % n_channels:
+        raise ValueError("sample count not divisible by channel count")
+    return sample_rate, n_channels, arr.reshape(-1, n_channels)
+
+
+def audio_features(sample_rate: int, samples: np.ndarray) -> dict[str, int]:
+    """Deterministic integer feature set over a [frames, channels] float
+    array in [-1, 1].  Shared between the fixture builder (pre-encoding
+    source array) and the decode stage (post-decode array); see module
+    docstring for why that factoring is the parity check.
+
+    - duration_e6: exact integer microseconds (round-half-up)
+    - rms_e6 / peak_e6: e6-scaled, computed in float64 then rounded --
+      bit-stable because both sides run the identical numpy expression on
+      identical arrays
+    - zero_crossings: strict sign flips on channel 0 (zeros break a run)
+    """
+    n_frames = int(samples.shape[0])
+    duration_e6 = (n_frames * 2_000_000 + sample_rate) // (2 * sample_rate)
+    if n_frames == 0:
+        return {
+            "n_frames": 0,
+            "duration_e6": 0,
+            "rms_e6": 0,
+            "peak_e6": 0,
+            "zero_crossings": 0,
+        }
+    flat = samples.reshape(-1)
+    rms = float(np.sqrt(np.mean(flat * flat)))
+    peak = float(np.max(np.abs(flat)))
+    ch0 = samples[:, 0]
+    zc = int(np.sum(ch0[:-1] * ch0[1:] < 0.0))
+    return {
+        "n_frames": n_frames,
+        "duration_e6": duration_e6,
+        "rms_e6": int(round(rms * 1_000_000)),
+        "peak_e6": int(round(peak * 1_000_000)),
+        "zero_crossings": zc,
+    }

@@ -19,6 +19,7 @@ from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import lm as _lm
+from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import refparity as _refparity
@@ -47,6 +48,7 @@ MODULES = (
     _scale,  # after the window boundary: new r2 additions must not displace
     # the families the driver's 50-entry CORRECTNESS window already carries
     _lm,
+    _media,  # real-codec decode parity (r3) — out-of-window, digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -1,0 +1,129 @@
+"""Real-media decode parity queries over the shipped fixture.
+
+The multimodal contract the reference world cares about — media as opaque
+binary columns decoded executor-side — verified on REAL bytes: PNG and GIF
+images, PCM/float WAV audio, and Y4M raw video, all generated without
+PIL/libav (tools/make_media.py).  The Spark side runs the actual decode
+stages from multimodal/assets.py (Arrow-batched ``mapInPandas``, map-only);
+the DuckDB oracle reads the fixture's expected columns, which were computed
+from the raw SOURCE arrays before encoding.  Lossless codecs must
+reproduce those arrays bit-for-bit, so a hash-match is end-to-end evidence
+the decoders are correct — the same shipped-artifact oracle pattern as
+``q_external_decontaminate`` and ``q_reference_goldens``.
+
+Scale notes: every stage is map-only over a binary column (no shuffle, no
+driver traffic); at 100 TB the fixture parquet is replaced by the media
+lake and the plan is unchanged.  All outputs are integers (e6-scaled) so
+the digest/oracle never compares engine float formatting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.multimodal.assets import (
+    decode_audio,
+    decode_images,
+    sample_frames,
+)
+
+FIXDIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+)
+ASSETS_PATH = os.path.join(FIXDIR, "media_assets.parquet")
+FRAMES_PATH = os.path.join(FIXDIR, "media_frames.parquet")
+
+FRAME_EVERY = 2  # q_media_frame_stats keeps every 2nd frame
+
+
+def _assets(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(ASSETS_PATH)
+
+
+def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture image (PNG: all 5 filters x 4 color types; GIF: palette
+    sizes 4..256, plain + interlaced) decoded to (width, height, e6 mean
+    luma).  ``sf_dir`` is unused — the fixture is the versioned input."""
+    a = _assets(spark)
+    dec = decode_images(a).filter(F.col("ok"))
+    fmts = a.select("asset_id", "fmt")
+    return (
+        dec.join(fmts, "asset_id")
+        .select(
+            "asset_id",
+            "fmt",
+            "width",
+            "height",
+            # integer-exact (sum*1e6 + n/2) // n, matching the builder:
+            # mean_px is sum/n rounded to 6 dp, so *1e6 rounds back exactly
+            F.round(F.col("mean_px") * 1_000_000).cast("long").alias("mean_e6"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_IMAGE_SQL = f"""
+SELECT asset_id, fmt, CAST(exp_width AS INT) AS width,
+       CAST(exp_height AS INT) AS height, exp_mean_e6 AS mean_e6
+FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
+"""
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture WAV (PCM 8/16/24/32-bit and IEEE float32, mono+stereo)
+    decoded to the shared integer feature set (multimodal/wav.py)."""
+    a = _assets(spark)
+    dec = decode_audio(a).filter(F.col("ok"))
+    fmts = a.select("asset_id", "fmt")
+    return (
+        dec.join(fmts, "asset_id")
+        .select(
+            "asset_id", "fmt", "sample_rate", "n_channels", "n_frames",
+            "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
+        )
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_AUDIO_SQL = f"""
+SELECT asset_id, fmt, CAST(exp_sample_rate AS INT) AS sample_rate,
+       CAST(exp_n_channels AS INT) AS n_channels, exp_n_frames AS n_frames,
+       exp_duration_e6 AS duration_e6, exp_rms_e6 AS rms_e6,
+       exp_peak_e6 AS peak_e6, exp_zero_crossings AS zero_crossings
+FROM '{ASSETS_PATH}' WHERE kind = 'audio' ORDER BY asset_id
+"""
+
+
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M frame sampling (every {FRAME_EVERY}nd frame) across chroma
+    formats 420/422/444/mono → per-kept-frame integer mean luma."""
+    a = _assets(spark)
+    kept = sample_frames(a, every=FRAME_EVERY)
+    return kept.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("mean_px") * 1_000_000).cast("long").alias("mean_luma_e6"),
+    ).orderBy("asset_id", "frame_idx")
+
+
+Q_MEDIA_FRAMES_SQL = f"""
+SELECT asset_id, frame_idx, exp_mean_e6 AS mean_luma_e6
+FROM '{FRAMES_PATH}' WHERE frame_idx % {FRAME_EVERY} = 0
+ORDER BY asset_id, frame_idx
+"""
+
+
+QUERIES = {
+    "q_media_image_decode": q_media_image_decode,
+    "q_media_audio_features": q_media_audio_features,
+    "q_media_frame_stats": q_media_frame_stats,
+}
+
+ORACLES = {
+    "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
+    "q_media_audio_features": Q_MEDIA_AUDIO_SQL,
+    "q_media_frame_stats": Q_MEDIA_FRAMES_SQL,
+}

@@ -1,0 +1,235 @@
+"""Real-media codec tests: WAV (RIFF PCM/float), Y4M raw video, GIF (LZW).
+
+Round-trips go through INDEPENDENT encoder paths (stdlib ``wave`` for PCM
+WAV; the from-scratch LZW encoder vs decoder in gif.py; encode_y4m vs the
+parser), so decode(encode(x)) == x is a genuine two-implementation check.
+The committed fixture (tools/make_media.py) is verified payload-by-payload
+against its expected columns — the same data the q_media_* oracles use.
+"""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from changegen_spark.multimodal.gif import decode_gif, encode_gif
+from changegen_spark.multimodal.wav import audio_features, decode_wav
+from changegen_spark.multimodal.y4m import decode_y4m, encode_y4m, frame_mean_e6
+
+RNG = np.random.default_rng(7)
+
+
+def _pcm_wav(bits: int, channels: int, rate: int, n: int):
+    """stdlib-wave encoded bytes + the normalized source array."""
+    if bits == 8:
+        src = RNG.integers(0, 256, size=(n, channels), dtype=np.int64)
+        raw = src.astype(np.uint8).tobytes()
+        norm = (src.astype(np.float64) - 128.0) / 128.0
+    else:
+        lo, hi = -(1 << (bits - 1)), 1 << (bits - 1)
+        src = RNG.integers(lo, hi, size=(n, channels), dtype=np.int64)
+        if bits == 24:
+            raw = b"".join(
+                int(v & 0xFFFFFF).to_bytes(3, "little") for v in src.reshape(-1)
+            )
+        else:
+            raw = src.astype(f"<i{bits // 8}").tobytes()
+        norm = src.astype(np.float64) / float(1 << (bits - 1))
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    w.writeframes(raw)
+    w.close()
+    return buf.getvalue(), norm
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_pcm_roundtrip(bits, channels):
+    data, norm = _pcm_wav(bits, channels, 16000, 800)
+    rate, nch, arr = decode_wav(data)
+    assert (rate, nch) == (16000, channels)
+    assert np.array_equal(arr, norm)  # PCM is lossless: bit-exact
+
+
+def test_wav_float32():
+    f = RNG.uniform(-1, 1, size=(300, 2)).astype("<f4")
+    data = f.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 44100, 44100 * 8, 8, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, nch, arr = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, nch) == (44100, 2)
+    assert np.array_equal(arr, f.astype(np.float64))
+
+
+def test_wav_quarantine_paths():
+    good, _ = _pcm_wav(16, 1, 8000, 100)
+    for bad in (
+        b"RIFX" + good[4:],          # wrong container magic
+        good[:40],                   # truncated data chunk
+        good[:12],                   # no chunks at all
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # unsupported codec id (ADPCM=2) in an otherwise valid header
+    adpcm = bytearray(good)
+    adpcm[20] = 2
+    with pytest.raises(ValueError, match="unsupported format"):
+        decode_wav(bytes(adpcm))
+
+
+def test_audio_features_shared_definition():
+    data, norm = _pcm_wav(16, 2, 16000, 1000)
+    rate, _, arr = decode_wav(data)
+    # decoder output and pre-encoding source give identical features —
+    # the factoring the q_media_audio_features oracle relies on
+    assert audio_features(rate, arr) == audio_features(16000, norm)
+    f = audio_features(16000, norm)
+    assert f["n_frames"] == 1000 and f["duration_e6"] == 62500
+
+
+@pytest.mark.parametrize("chroma", ["420jpeg", "420", "422", "444", "mono"])
+def test_y4m_roundtrip(chroma):
+    w, h = 16, 12
+    planes = [
+        bytes(RNG.integers(0, 256, size=w * h, dtype=np.uint8)) for _ in range(4)
+    ]
+    W, H, fn, fd, got = decode_y4m(encode_y4m(w, h, planes, fps=(25, 1), chroma=chroma))
+    assert (W, H, fn, fd) == (w, h, 25, 1)
+    assert got == planes
+
+
+def test_y4m_malformed():
+    good = encode_y4m(8, 8, [bytes(64)])
+    with pytest.raises(ValueError):
+        decode_y4m(good[:-10])  # truncated frame payload
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W16 F30:1\n")  # missing H
+    with pytest.raises(ValueError, match="chroma"):
+        decode_y4m(b"YUV4MPEG2 W8 H8 C410\nFRAME\n" + bytes(96))
+    with pytest.raises(ValueError):
+        decode_y4m(good.replace(b"FRAME", b"FRAMX"))
+
+
+@pytest.mark.parametrize(
+    "size,ncol,interlace",
+    [((16, 16), 4, False), ((64, 48), 64, False), ((100, 80), 250, True),
+     ((200, 200), 256, False)],  # 40k px forces width growth + table clears
+)
+def test_gif_roundtrip(size, ncol, interlace):
+    w, h = size
+    pal = [(i % 256, i % 256, i % 256) for i in range(ncol)]
+    idx = bytes(RNG.integers(0, ncol, size=w * h, dtype=np.uint8))
+    gw, gh, gray = decode_gif(encode_gif(w, h, idx, pal, interlace=interlace))
+    # gray palette (r==g==b==v): integer luma returns v exactly
+    assert (gw, gh) == (w, h)
+    assert gray == bytes(pal[v][0] for v in idx)
+
+
+def test_gif_nongray_palette_luma():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    idx = bytes([0, 1, 2, 3])
+    _, _, gray = decode_gif(encode_gif(2, 2, idx, pal))
+    assert gray == bytes(
+        [(77 * 255) >> 8, (150 * 255) >> 8, (29 * 255) >> 8, (256 * 255) >> 8]
+    )
+
+
+def test_gif_malformed():
+    pal = [(i, i, i) for i in range(4)]
+    good = encode_gif(8, 8, bytes(RNG.integers(0, 4, size=64, dtype=np.uint8)), pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + good[6:])
+    with pytest.raises(ValueError):
+        decode_gif(good[:-6])  # truncated sub-block chain
+    # inflate the declared height (descriptor at 6+7+12: 0x2C l t w h):
+    # LZW then exhausts before producing the claimed pixel count
+    corrupt = bytearray(good)
+    struct.pack_into("<H", corrupt, 25 + 7, 200)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(corrupt))
+
+
+def test_fixture_matches_expected_columns():
+    """The committed media fixture decodes to exactly its expected columns
+    (pure-pandas twin of the q_media_* oracle comparison)."""
+    import pyarrow.parquet as pq
+
+    from changegen_spark.multimodal.assets import _parse_image
+    from changegen_spark.queries.media import ASSETS_PATH, FRAMES_PATH
+
+    t = pq.read_table(ASSETS_PATH).to_pylist()
+    frames = {(r["asset_id"], r["frame_idx"]): r["exp_mean_e6"]
+              for r in pq.read_table(FRAMES_PATH).to_pylist()}
+    assert len(t) >= 30 and frames
+    for r in t:
+        payload = r["payload"]
+        if r["kind"] == "image":
+            w, h, px = _parse_image(payload)
+            n = len(px)
+            assert (w, h) == (r["exp_width"], r["exp_height"]), r["fmt"]
+            assert (sum(px) * 1_000_000 + n // 2) // n == r["exp_mean_e6"], r["fmt"]
+        elif r["kind"] == "audio":
+            rate, nch, arr = decode_wav(payload)
+            assert (rate, nch) == (r["exp_sample_rate"], r["exp_n_channels"])
+            f = audio_features(rate, arr)
+            for k in ("n_frames", "duration_e6", "rms_e6", "peak_e6",
+                      "zero_crossings"):
+                assert f[k] == r[f"exp_{k}"], (r["fmt"], k)
+        else:
+            w, h, _fn, _fd, planes = decode_y4m(payload)
+            assert (w, h, len(planes)) == (
+                r["exp_width"], r["exp_height"], r["exp_n_frames"]
+            )
+            for k, p in enumerate(planes):
+                assert frame_mean_e6(p) == frames[(r["asset_id"], k)]
+
+
+def test_decode_audio_quarantines(spark):
+    from changegen_spark.multimodal.assets import decode_audio
+
+    good, _ = _pcm_wav(16, 1, 8000, 50)
+    df = spark.createDataFrame(
+        [(1, "audio", good), (2, "audio", good[:30]), (3, "audio", b"junk")],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in decode_audio(df).collect()}
+    assert rows[1]["ok"] and rows[1]["n_frames"] == 50
+    assert not rows[2]["ok"] and not rows[3]["ok"]
+
+
+def test_decode_images_parses_gif(spark):
+    from changegen_spark.multimodal.assets import decode_images
+
+    pal = [(i, i, i) for i in range(16)]
+    idx = bytes(RNG.integers(0, 16, size=12 * 10, dtype=np.uint8))
+    gif = encode_gif(12, 10, idx, pal)
+    df = spark.createDataFrame(
+        [(7, "image", gif)], "asset_id long, kind string, payload binary"
+    )
+    r = decode_images(df).collect()[0]
+    assert r["ok"] and (r["width"], r["height"]) == (12, 10)
+    n = len(idx)
+    assert r["mean_px"] == ((sum(idx) * 1_000_000 + n // 2) // n) / 1e6
+
+
+def test_sample_frames_parses_y4m(spark):
+    from changegen_spark.multimodal.assets import sample_frames
+
+    planes = [bytes([k * 10] * 64) for k in range(5)]
+    df = spark.createDataFrame(
+        [(3, "video", encode_y4m(8, 8, planes))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = sample_frames(df, every=2).orderBy("frame_idx").collect()
+    assert [(r["frame_idx"], r["mean_px"]) for r in rows] == [
+        (0, 0.0), (2, 20.0), (4, 40.0)
+    ]
+    assert bytes(rows[1]["frame"]) == planes[2]

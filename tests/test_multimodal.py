@@ -112,7 +112,7 @@ def test_decode_images_parses_actual_png(spark):
     r = decode_images(df).collect()[0]
     assert r["ok"] is True
     assert (r["width"], r["height"], r["n_pixels"]) == (16, 16, 256)
-    assert r["mean_px"] == round(sum(gray) / 256, 6)
+    assert r["mean_px"] == ((sum(gray) * 1_000_000 + 128) // 256) / 1e6
 
 
 def test_decode_images_quarantines_truncated_png(spark):

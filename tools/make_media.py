@@ -1,0 +1,187 @@
+"""Build the shipped real-media fixture for the multimodal decode queries.
+
+The container has no PIL/libav, so the repo ships REAL media bytes it can
+both generate and verify without them:
+
+* images  — PNG (every filter type x color type, via multimodal/png.py's
+  encoder) and GIF (multimodal/gif.py's spec-compliant LZW encoder, plain
+  and interlaced).  Gray-valued palettes/channels make the integer luma
+  ((77R+150G+29B)>>8 == v when r==g==b==v) reproduce the source array
+  exactly, so expected means are computed from the SOURCE pixels.
+* audio   — WAV written by the STDLIB ``wave`` module (8/16/24/32-bit PCM
+  — an encoder fully independent of multimodal/wav.py) plus IEEE-float32
+  WAVs from a 10-line struct writer here.
+* video   — Y4M streams (multimodal/y4m.py encoder) across chroma formats.
+
+Every expected column is computed from the raw source arrays BEFORE
+encoding (via the shared feature definitions ``audio_features`` /
+``frame_mean_e6`` / the integer mean).  Lossless codecs must reproduce the
+source arrays bit-for-bit, so a green oracle hash-match on these columns
+verifies the DECODE step end to end.
+
+Outputs (committed):
+    fixtures/media_assets.parquet  — one row per asset, payload + expected
+    fixtures/media_frames.parquet  — one row per video frame, expected mean
+
+Rerun only when codecs/fixture shapes change:  python tools/make_media.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import sys
+import wave
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from changegen_spark.multimodal.gif import encode_gif
+from changegen_spark.multimodal.png import encode_png
+from changegen_spark.multimodal.wav import audio_features
+from changegen_spark.multimodal.y4m import encode_y4m, frame_mean_e6
+
+FIXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "fixtures"))
+
+
+def mean_e6(px: bytes) -> int:
+    """Integer-exact e6-scaled mean — the image twin of frame_mean_e6."""
+    return (sum(px) * 1_000_000 + len(px) // 2) // len(px) if px else 0
+
+
+def write_float32_wav(rate: int, channels: int, arr: np.ndarray) -> bytes:
+    """IEEE-float (format 3) WAV writer — stdlib wave can't; independent of
+    the decoder's parsing path."""
+    data = arr.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, channels, rate, rate * 4 * channels, 4 * channels, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def main() -> None:
+    rng = np.random.default_rng(42)
+    assets = []  # (id, kind, fmt, payload, exp dict)
+    frames = []  # (asset_id, frame_idx, exp_mean_e6)
+    aid = 0
+
+    def add(kind, fmt, payload, **exp):
+        nonlocal aid
+        assets.append((aid, kind, fmt, payload, exp))
+        aid += 1
+
+    # --- images: PNG across filters x color types -------------------------
+    for filt in range(5):
+        for ctype in (0, 2, 4, 6):
+            w, h = 24 + 4 * filt, 18 + 2 * ctype
+            gray = bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8))
+            add(
+                "image", f"png_f{filt}c{ctype}",
+                encode_png(w, h, gray, filter_type=filt, color_type=ctype),
+                width=w, height=h, mean_e6=mean_e6(gray),
+            )
+    # --- images: GIF (palette sizes, plain + interlaced) ------------------
+    for ncol, interlace in ((4, False), (64, False), (250, True), (256, False)):
+        w, h = 40, 30
+        pal = [(i, i, i) for i in range(ncol)]  # gray palette: luma == index
+        idx = bytes(rng.integers(0, ncol, size=w * h, dtype=np.uint8))
+        add(
+            "image", "gif_i" if interlace else f"gif{ncol}",
+            encode_gif(w, h, idx, pal, interlace=interlace),
+            width=w, height=h, mean_e6=mean_e6(idx),
+        )
+
+    # --- audio: stdlib-wave PCM + float32 ---------------------------------
+    def pcm_norm(bits, src):
+        if bits == 8:
+            return (src.astype(np.float64) - 128.0) / 128.0
+        return src.astype(np.float64) / float(1 << (bits - 1))
+
+    for bits in (8, 16, 24, 32):
+        for channels in (1, 2):
+            rate = 8000 if channels == 1 else 16000
+            n = 1200 + 100 * bits
+            if bits == 8:
+                src = rng.integers(0, 256, size=(n, channels), dtype=np.int64)
+                raw = src.astype(np.uint8).tobytes()
+            else:
+                lo, hi = -(1 << (bits - 1)), 1 << (bits - 1)
+                src = rng.integers(lo, hi, size=(n, channels), dtype=np.int64)
+                if bits == 24:
+                    raw = b"".join(
+                        int(v & 0xFFFFFF).to_bytes(3, "little") for v in src.reshape(-1)
+                    )
+                else:
+                    raw = src.astype(f"<i{bits // 8}").tobytes()
+            buf = io.BytesIO()
+            wf = wave.open(buf, "wb")
+            wf.setnchannels(channels)
+            wf.setsampwidth(bits // 8)
+            wf.setframerate(rate)
+            wf.writeframes(raw)
+            wf.close()
+            feats = audio_features(rate, pcm_norm(bits, src))
+            add(
+                "audio", f"wav{bits}c{channels}", buf.getvalue(),
+                sample_rate=rate, n_channels=channels, **feats,
+            )
+    for channels in (1, 2):
+        rate, n = 22050, 1700
+        arr = rng.uniform(-1, 1, size=(n, channels)).astype("<f4").astype(np.float64)
+        add(
+            "audio", f"wavf32c{channels}",
+            write_float32_wav(rate, channels, arr),
+            sample_rate=rate, n_channels=channels, **audio_features(rate, arr),
+        )
+
+    # --- video: Y4M across chroma formats ---------------------------------
+    for chroma, nf in (("420jpeg", 6), ("422", 4), ("444", 5), ("mono", 8)):
+        w, h = 32, 24
+        planes = [
+            bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8)) for _ in range(nf)
+        ]
+        vid_id = aid
+        add(
+            "video", f"y4m{chroma}",
+            encode_y4m(w, h, planes, fps=(25, 1), chroma=chroma),
+            width=w, height=h, n_frames=nf,
+        )
+        for k, p in enumerate(planes):
+            frames.append((vid_id, k, frame_mean_e6(p)))
+
+    exp_keys = [
+        "width", "height", "mean_e6", "sample_rate", "n_channels",
+        "n_frames", "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
+    ]
+    cols = {
+        "asset_id": pa.array([a[0] for a in assets], pa.int64()),
+        "kind": pa.array([a[1] for a in assets], pa.string()),
+        "fmt": pa.array([a[2] for a in assets], pa.string()),
+        "payload": pa.array([a[3] for a in assets], pa.binary()),
+    }
+    for k in exp_keys:
+        cols[f"exp_{k}"] = pa.array(
+            [a[4].get(k) for a in assets], pa.int64()
+        )
+    os.makedirs(FIXDIR, exist_ok=True)
+    pq.write_table(pa.table(cols), os.path.join(FIXDIR, "media_assets.parquet"))
+    pq.write_table(
+        pa.table({
+            "asset_id": pa.array([f[0] for f in frames], pa.int64()),
+            "frame_idx": pa.array([f[1] for f in frames], pa.int64()),
+            "exp_mean_e6": pa.array([f[2] for f in frames], pa.int64()),
+        }),
+        os.path.join(FIXDIR, "media_frames.parquet"),
+    )
+    total = sum(len(a[3]) for a in assets)
+    print(f"wrote {len(assets)} assets ({total} payload bytes), {len(frames)} frame rows")
+
+
+if __name__ == "__main__":
+    main()
