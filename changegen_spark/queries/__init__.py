@@ -18,6 +18,7 @@ from changegen_spark.queries import changegen as _changegen
 from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import geo as _geo
+from changegen_spark.queries import graph as _graph
 from changegen_spark.queries import lm as _lm
 from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
@@ -49,6 +50,7 @@ MODULES = (
     # the families the driver's 50-entry CORRECTNESS window already carries
     _lm,
     _media,  # real-codec decode parity (r3) — out-of-window, digest-covered
+    _graph,  # iterative PageRank (r3) — out-of-window, digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

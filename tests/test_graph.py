@@ -1,0 +1,58 @@
+"""Integer-exact PageRank tests: Spark vs an independent dict-based
+reference implementation, plus the invariants the integer formulation
+guarantees (determinism across partitionings, rank bounds)."""
+
+from changegen_spark.queries.graph import INIT_E9, pagerank
+
+
+def _ref_pagerank(arcs, iters):
+    """Straight-line dict implementation of the same integer recurrence."""
+    outdeg = {}
+    for s, _d in arcs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {n: INIT_E9 for n in outdeg}
+    for _ in range(iters):
+        sums = {}
+        for s, d in arcs:
+            sums[d] = sums.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {n: 150_000_000 + (85 * v + 50) // 100 for n, v in sums.items()}
+    return ranks
+
+
+ARCS = [
+    ("a", "b"), ("b", "a"),
+    ("a", "c"), ("c", "a"),
+    ("b", "c"), ("c", "b"),
+    ("c", "d"), ("d", "c"),
+    ("d", "e"), ("e", "d"),
+]
+
+
+def test_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(ARCS, "src string, dst string")
+    got = {r["node"]: r["rank_e9"] for r in pagerank(df, iters=3).collect()}
+    assert got == _ref_pagerank(ARCS, 3)
+    # hub c (degree 3) outranks the periphery; leaf e is lowest
+    assert got["c"] == max(got.values())
+    assert got["e"] == min(got.values())
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer arithmetic makes the result independent of shuffle order:
+    1 partition and 7 partitions must agree bit-for-bit."""
+    df1 = spark.createDataFrame(ARCS, "src string, dst string").coalesce(1)
+    df7 = spark.createDataFrame(ARCS, "src string, dst string").repartition(7)
+    r1 = sorted(map(tuple, pagerank(df1, iters=2).collect()))
+    r7 = sorted(map(tuple, pagerank(df7, iters=2).collect()))
+    assert r1 == r7
+
+
+def test_pagerank_regular_graph_is_uniform(spark):
+    """On a k-regular graph every node keeps exactly the same rank, and the
+    closed form is representable exactly in the integer recurrence."""
+    cycle = [("n%d" % i, "n%d" % ((i + 1) % 4)) for i in range(4)]
+    arcs = cycle + [(d, s) for s, d in cycle]
+    df = spark.createDataFrame(arcs, "src string, dst string")
+    got = {r["node"]: r["rank_e9"] for r in pagerank(df, iters=3).collect()}
+    assert len(set(got.values())) == 1  # symmetry preserved exactly
+    assert got == _ref_pagerank(arcs, 3)
