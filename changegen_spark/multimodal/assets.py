@@ -94,16 +94,20 @@ except ImportError:
 
 
 def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Dispatch on magic: real PNG / GIF (pure-Python codecs) or the CGIM
-    toy container; PIL, when present, takes precedence for formats beyond
-    all three (JPEG etc.).  Unknown magics raise → quarantine."""
+    """Dispatch on magic: real PNG / GIF / baseline JPEG (pure-Python
+    codecs) or the CGIM toy container; PIL, when present, takes precedence
+    for formats beyond those (WebP etc.).  Unknown magics raise →
+    quarantine."""
     from changegen_spark.multimodal.gif import GIF_SIGS, decode_gif
+    from changegen_spark.multimodal.jpeg import JPEG_SOI, decode_jpeg
     from changegen_spark.multimodal.png import PNG_SIG, decode_png
 
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:6] in GIF_SIGS:
         return decode_gif(payload)
+    if payload[:2] == JPEG_SOI:
+        return decode_jpeg(payload)
     if payload[:4] == _MAGIC["image"]:
         w, h = struct.unpack("<HH", payload[4:8])
         return w, h, payload[8 : 8 + w * h]
@@ -112,7 +116,7 @@ def _parse_image(payload: bytes) -> tuple[int, int, bytes]:
 
         img = Image.open(io.BytesIO(payload)).convert("L")
         return img.width, img.height, img.tobytes()
-    raise ValueError("unrecognized image payload (not PNG, GIF, or CGIM)")
+    raise ValueError("unrecognized image payload (not PNG, GIF, JPEG, or CGIM)")
 
 
 DECODED_SCHEMA = (

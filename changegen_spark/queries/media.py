@@ -1,15 +1,18 @@
 """Real-media decode parity queries over the shipped fixture.
 
 The multimodal contract the reference world cares about — media as opaque
-binary columns decoded executor-side — verified on REAL bytes: PNG and GIF
-images, PCM/float WAV audio, and Y4M raw video, all generated without
-PIL/libav (tools/make_media.py).  The Spark side runs the actual decode
-stages from multimodal/assets.py (Arrow-batched ``mapInPandas``, map-only);
-the DuckDB oracle reads the fixture's expected columns, which were computed
-from the raw SOURCE arrays before encoding.  Lossless codecs must
-reproduce those arrays bit-for-bit, so a hash-match is end-to-end evidence
-the decoders are correct — the same shipped-artifact oracle pattern as
-``q_external_decontaminate`` and ``q_reference_goldens``.
+binary columns decoded executor-side — verified on REAL bytes: PNG, GIF,
+and baseline JPEG images, PCM/float WAV audio, and Y4M raw video, all
+generated without PIL/libav (tools/make_media.py).  The Spark side runs
+the actual decode stages from multimodal/assets.py (Arrow-batched
+``mapInPandas``, map-only); the DuckDB oracle reads the fixture's expected
+columns, which were computed from the raw SOURCE arrays before encoding.
+Lossless codecs must reproduce those arrays bit-for-bit, so a hash-match
+is end-to-end evidence the decoders are correct — the same
+shipped-artifact oracle pattern as ``q_external_decontaminate`` and
+``q_reference_goldens``.  JPEG is lossy, so its expected values are a
+decode-determinism pin instead (multimodal/jpeg.py docstring has the
+two-implementation evidence chain).
 
 Scale notes: every stage is map-only over a binary column (no shuffle, no
 driver traffic); at 100 TB the fixture parquet is replaced by the media

@@ -86,6 +86,42 @@ def main() -> None:
                 encode_png(w, h, gray, filter_type=filt, color_type=ctype),
                 width=w, height=h, mean_e6=mean_e6(gray),
             )
+    # --- images: baseline JPEG (gray, restarts, 4:4:4 / 4:2:0 color) ------
+    # JPEG is lossy: expected means come from DECODING the encoded bytes
+    # (a decode-determinism pin, not source parity — the two-implementation
+    # correctness evidence is the encoder/decoder round-trip PSNR suite in
+    # tests/test_jpeg.py; see multimodal/jpeg.py docstring).
+    from changegen_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    jy = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    jpegs = [
+        ("jpeg_gray", encode_jpeg(jy.tobytes(), 48, 40)),
+        ("jpeg_rst", encode_jpeg(jy.tobytes(), 48, 40, restart_interval=2)),
+        ("jpeg_odd", encode_jpeg(jy[:19, :21].copy().tobytes(), 21, 19)),
+        (
+            "jpeg_444",
+            encode_jpeg(
+                jy.tobytes(), 48, 40,
+                cb=np.full((40, 48), 120, np.uint8).tobytes(),
+                cr=np.full((40, 48), 136, np.uint8).tobytes(),
+                sampling=1,
+            ),
+        ),
+        (
+            "jpeg_420",
+            encode_jpeg(
+                jy.tobytes(), 48, 40,
+                cb=np.full((20, 24), 120, np.uint8).tobytes(),
+                cr=np.full((20, 24), 136, np.uint8).tobytes(),
+                sampling=2,
+            ),
+        ),
+    ]
+    for fmt, payload in jpegs:
+        w, h, px = decode_jpeg(payload)
+        add("image", fmt, payload, width=w, height=h, mean_e6=mean_e6(px))
+
     # --- images: GIF (palette sizes, plain + interlaced) ------------------
     for ncol, interlace in ((4, False), (64, False), (250, True), (256, False)):
         w, h = 40, 30
