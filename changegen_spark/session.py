@@ -62,5 +62,11 @@ def get_spark(
         # lives in the driver JVM — the 1g default is far too small.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 captures a Python call-site (stack walk + py4j round
+        # trip) on EVERY DataFrame API call to enrich error messages;
+        # measured at ~0.5 s of the changegen plan phase alone (309 calls).
+        # An engine builds plans programmatically — the enriched frames
+        # would point into our operator code anyway, so turn it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
