@@ -1,0 +1,122 @@
+"""Feature-space operators for model training: the hashing trick and
+skip-gram context-pair extraction.
+
+* ``q_feature_hash`` — Vowpal/​sklearn-style feature hashing: tokens map to
+  a fixed bucket space via a stable hash, so the feature matrix has a
+  bounded width with NO vocabulary pass (the property that matters at
+  100 TB: one map-side explode + one counting shuffle, no global dictionary
+  to build, broadcast, or keep consistent between runs).
+* ``q_skipgram_pairs`` — word2vec-style (center, context) pair counts with
+  a +-K window.  The scale-relevant shape: contexts come from ARRAY
+  OFFSETS on the already-tokenized row (explode over the fixed offset
+  list), never from a positional self-join — the join-free plan is what
+  survives a 100x corpus, since the only shuffle is the final count.
+
+Both hash/count pipelines are exact integer computations, so the DuckDB
+oracles match bit-for-bit.  Registered OUT of the driver's 50-slot window;
+q_relational_digest re-verifies them transitively every round (KINDS
+entries in queries/digest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.queries.mlprep import _docs, _toks
+
+N_BUCKETS = 64
+SKIP_WINDOW = 2
+TOP_PAIRS = 200
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed bag-of-words: (doc_id, bucket, n) with
+    bucket = first-8-hex-of-md5(token) mod {N_BUCKETS} — the same
+    stable-hash idiom the sampling and digest operators use, so
+    membership is a pure function of the token across engines, runs,
+    and retries."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % N_BUCKETS
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+Q_FEATURE_HASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % {N_BUCKETS} AS bucket,
+       count(*) AS n
+FROM toks WHERE w <> ''
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (center, context) pair counts within a +-{SKIP_WINDOW}
+    token window, top {TOP_PAIRS} with a total (n desc, w1, w2) order.
+    Contexts are taken by array offset on the tokenized row — no
+    positional self-join (see module docstring)."""
+    d = _docs(spark, sf_dir)
+    offs = [o for o in range(-SKIP_WINDOW, SKIP_WINDOW + 1) if o != 0]
+    t = d.select(_toks(F.col("text")).alias("t"))
+    pairs = t.select(F.posexplode("t").alias("p", "w1"), F.col("t")).select(
+        "w1",
+        # F.get is 0-based and yields NULL outside the array — exactly the
+        # window-clipping semantics at document edges (element_at would
+        # throw on 0 and wrap negatives)
+        F.explode(
+            F.array(*[F.get("t", F.col("p") + F.lit(o)) for o in offs])
+        ).alias("w2"),
+    )
+    counts = (
+        pairs.filter(F.col("w2").isNotNull() & (F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(TOP_PAIRS)
+    )
+    return counts
+
+
+Q_SKIPGRAM_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+), centers AS (
+  SELECT t, unnest(generate_series(1, len(t))) AS p FROM toks
+), pairs AS (
+  SELECT t[CAST(p AS INT)] AS w1, t[CAST(p + o AS INT)] AS w2
+  FROM centers, (SELECT unnest([{", ".join(str(o) for o in range(-SKIP_WINDOW, SKIP_WINDOW + 1) if o != 0)}]) AS o)
+  WHERE p + o >= 1 AND p + o <= len(t)
+)
+SELECT w1, w2, count(*) AS n
+FROM pairs WHERE w1 <> '' AND w2 <> ''
+GROUP BY w1, w2
+ORDER BY n DESC, w1, w2
+LIMIT {TOP_PAIRS}
+"""
+
+
+QUERIES = {
+    "q_feature_hash": q_feature_hash,
+    "q_skipgram_pairs": q_skipgram_pairs,
+}
+
+ORACLES = {
+    "q_feature_hash": Q_FEATURE_HASH_SQL,
+    "q_skipgram_pairs": Q_SKIPGRAM_SQL,
+}
