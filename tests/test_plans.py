@@ -211,3 +211,38 @@ def test_q21_decorrelates_to_equi_joins(spark, sf_dir):
     plan = _plan(q21_suppliers_waiting(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skipgram_pairs_plan_is_join_free(spark, sf_dir):
+    """Skip-gram contexts come from array offsets on the tokenized row —
+    the plan must contain NO join of any kind; the only exchange is the
+    final pair count (plus its top-k sort)."""
+    from changegen_spark.queries.features import q_skipgram_pairs
+
+    plan = _plan(q_skipgram_pairs(spark, sf_dir))
+    assert "Join" not in plan  # matches SortMergeJoin/BroadcastHashJoin/...
+    assert "CartesianProduct" not in plan
+
+
+def test_feature_hash_single_aggregation(spark, sf_dir):
+    """The hashing trick needs no vocabulary pass: exactly one aggregate
+    (with a map-side partial) over the exploded tokens, no join."""
+    from changegen_spark.queries.features import q_feature_hash
+
+    plan = _plan(q_feature_hash(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_pagerank_iterations_use_partial_aggregation(spark, sf_dir):
+    """Each PageRank step's integer SUM must combine map-side (partial +
+    final HashAggregate per iteration), and the rank/edge joins must be
+    equi-joins — never nested-loop."""
+    from changegen_spark.queries.graph import q_pagerank
+
+    plan = _plan(q_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 3 iterations x (partial + final) for the contribution sums, plus the
+    # outdegree aggregate pair
+    assert plan.count("HashAggregate") >= 8
