@@ -51,6 +51,7 @@ BUDGETS = {
     "q_corpus_pipeline": 2.3,
     "q_dup_spans": 4.0,
     "q_lm_score": 4.0,
+    "q_feature_hash": 1.0,
 }
 
 HEADLINE = [
@@ -78,6 +79,10 @@ HEADLINE = [
     # r2 continuation: substring-level dedup + LM quality scoring
     "q_dup_spans",
     "q_lm_score",
+    # r3: vocabulary-free feature hashing (hashing-trick representative;
+    # q_pagerank stays a contract query — its local wall time is fixed
+    # stage overhead, not data, see queries/graph.py docstring)
+    "q_feature_hash",
 ]
 
 

