@@ -1,0 +1,115 @@
+"""Ordered-sequence funnel analysis over the event stream.
+
+The product-analytics staple the reference world runs on events: how many
+users progress view -> click -> purchase, where each step must occur
+STRICTLY AFTER the previous one and the whole funnel must complete within
+a conversion window of the first step.  Strict ordering uses the
+(ts, event_id) pair — event_id breaks timestamp ties identically in both
+engines, and the window arithmetic is microsecond-exact (``unix_micros`` /
+``epoch_us``), so the oracle hash-matches bit for bit.
+
+Scale design: each step is a type-filtered scan aggregated to ONE row per
+user (min of a (ts, id) struct — map-side combinable), then a per-user
+equi-join to gate the next step.  Join inputs are |users|-sized on one
+side and a type-filtered fraction of events on the other; nothing is ever
+ordered globally and no window function spans a user's full history (the
+sessionize query covers that shape).  At 100 TB the same plan holds with
+the user-id shuffle as the only data movement; a funnel of K steps is K
+such join-aggregate rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+CONVERSION_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h, microsecond-exact
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view -> click -> purchase funnel: first view, first click
+    strictly after it, first purchase strictly after that and within 24 h
+    of the view.  One row per user with a view; step timestamps formatted,
+    nulls where the funnel stalled; steps_completed in 1..3."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def step(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id").alias("id")).alias("s"),
+        )
+
+    v = step("view").groupBy("user_id").agg(F.min("s").alias("s1"))
+    c = (
+        step("click")
+        .join(v, "user_id")
+        .filter(F.col("s") > F.col("s1"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("s2"), F.min("s1").alias("s1c"))
+    )
+    p = (
+        step("purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("s") > F.col("s2"))
+            & (
+                F.unix_micros(F.col("s.ts")) - F.unix_micros(F.col("s1c.ts"))
+                <= CONVERSION_WINDOW_US
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("s").alias("s3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("s1.ts", _FMT).alias("t_view"),
+            F.date_format("s2.ts", _FMT).alias("t_click"),
+            F.date_format("s3.ts", _FMT).alias("t_purchase"),
+            (
+                F.lit(1)
+                + F.col("s2").isNotNull().cast("int")
+                + F.col("s3").isNotNull().cast("int")
+            ).alias("steps_completed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_FUNNEL_SQL = f"""
+WITH st AS (
+  SELECT user_id, event_type, {{'ts': ts, 'id': event_id}} AS s FROM events
+), v AS (
+  SELECT user_id, min(s) AS s1 FROM st WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT st.user_id, min(st.s) AS s2, min(v.s1) AS s1c
+  FROM st JOIN v USING (user_id)
+  WHERE st.event_type = 'click' AND st.s > v.s1
+  GROUP BY st.user_id
+), p AS (
+  SELECT st.user_id, min(st.s) AS s3
+  FROM st JOIN c USING (user_id)
+  WHERE st.event_type = 'purchase' AND st.s > c.s2
+    AND epoch_us(st.s.ts) - epoch_us(c.s1c.ts) <= {CONVERSION_WINDOW_US}
+  GROUP BY st.user_id
+)
+SELECT v.user_id,
+       strftime(v.s1.ts, '%Y-%m-%d %H:%M:%S') AS t_view,
+       strftime(c.s2.ts, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(p.s3.ts, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS steps_completed
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
+QUERIES = {"q_funnel": q_funnel}
+ORACLES = {"q_funnel": Q_FUNNEL_SQL}
