@@ -111,5 +111,49 @@ ORDER BY v.user_id
 """
 
 
-QUERIES = {"q_funnel": q_funnel}
-ORACLES = {"q_funnel": Q_FUNNEL_SQL}
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday-start week of
+    their FIRST event; for each (cohort_week, week_offset) the count of
+    cohort members active that week.  The activity set is distinct
+    (user, week) pairs, so the plan is two map-side-combinable aggregates
+    and one per-user equi-join — the cohort frame is |users|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    activity = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((a.week - c.cohort_week) // 7 AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+QUERIES = {"q_funnel": q_funnel, "q_retention": q_retention}
+ORACLES = {"q_funnel": Q_FUNNEL_SQL, "q_retention": Q_RETENTION_SQL}

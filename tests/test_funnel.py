@@ -68,3 +68,37 @@ def test_funnel_window_boundary(spark):
     got = _funnel_on(spark, rows)
     assert got[1]["steps_completed"] == 3
     assert got[2]["steps_completed"] == 2
+
+
+def test_retention_cohorts(spark):
+    """Two cohorts a week apart; a member active in weeks 0 and 2 (gap
+    week uncounted), the other cohort active in week 0 only."""
+    import changegen_spark.queries.funnels as fu
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: first event Mon 2024-01-01 week, active again 2 weeks on
+        (1, _ts(10), 1, "view"),
+        (2, dt.datetime(2024, 1, 16, 10), 1, "click"),
+        # user 2: same cohort, active only in week 0
+        (3, dt.datetime(2024, 1, 3, 9), 2, "view"),
+        # user 3: cohort one week later
+        (4, dt.datetime(2024, 1, 9, 8), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).withColumn("value", F.lit(0.0)).withColumn("props", F.lit(""))
+    orig = fu.load_table
+    fu.load_table = lambda _spark, _sf, _name: df
+    try:
+        got = {
+            (r["cohort_week"], r["week_offset"]): r["n_active"]
+            for r in fu.q_retention(spark, "unused").collect()
+        }
+    finally:
+        fu.load_table = orig
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
