@@ -19,6 +19,7 @@ from changegen_spark.queries import events as _events
 from changegen_spark.queries import extensions as _extensions
 from changegen_spark.queries import features as _features
 from changegen_spark.queries import funnels as _funnels
+from changegen_spark.queries import olap as _olap
 from changegen_spark.queries import geo as _geo
 from changegen_spark.queries import graph as _graph
 from changegen_spark.queries import lm as _lm
@@ -55,6 +56,7 @@ MODULES = (
     _graph,  # iterative PageRank (r3) — out-of-window, digest-covered
     _features,  # hashing trick + skip-grams (r3) — out-of-window, digest-covered
     _funnels,  # ordered-sequence funnels (r3) — out-of-window, digest-covered
+    _olap,  # CUBE lattice (r3) — out-of-window, digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

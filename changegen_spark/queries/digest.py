@@ -73,6 +73,7 @@ KINDS = {
     "q_skipgram_pairs": {"w1": "str", "w2": "str", "n": "num"},
     "q_funnel": {"user_id": "num", "t_view": "str", "t_click": "str", "t_purchase": "str", "steps_completed": "num"},
     "q_retention": {"cohort_week": "str", "week_offset": "num", "n_active": "num"},
+    "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
     "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
     "q01_pricing_summary": {"l_returnflag": "str", "l_linestatus": "str", "sum_qty": "num", "sum_base_cents": "num", "sum_disc_price_e4": "num", "sum_charge_e6": "num", "avg_qty": "e6", "avg_price": "e6", "avg_disc": "e6", "count_order": "num"},
