@@ -32,7 +32,7 @@ TOP_PAIRS = 200
 
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document hashed bag-of-words: (doc_id, bucket, n) with
-    bucket = first-8-hex-of-md5(token) mod {N_BUCKETS} — the same
+    bucket = first-8-hex-of-md5(token) mod N_BUCKETS (64) — the same
     stable-hash idiom the sampling and digest operators use, so
     membership is a pure function of the token across engines, runs,
     and retries."""
@@ -67,8 +67,8 @@ ORDER BY doc_id, bucket
 
 
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide (center, context) pair counts within a +-{SKIP_WINDOW}
-    token window, top {TOP_PAIRS} with a total (n desc, w1, w2) order.
+    """Corpus-wide (center, context) pair counts within a +-SKIP_WINDOW (2)
+    token window, top TOP_PAIRS (200) with a total (n desc, w1, w2) order.
     Contexts are taken by array offset on the tokenized row — no
     positional self-join (see module docstring)."""
     d = _docs(spark, sf_dir)

@@ -18,13 +18,16 @@ Integer sums are associative bit-for-bit, so any shuffle order, AQE
 re-plan, or engine gives the identical result — the same scaled-integer
 discipline the TPC-H money aggregates use (queries/__init__ conventions).
 
-Scale design (100 TB web graph, 1000 executors): each iteration is two
-equi-joins on ``src`` (edges⋈ranks and edges⋈outdeg share the same key, so
-one Exchange serves both; pre-bucketing edges by src makes them map-side)
-plus one ``groupBy(dst)`` whose integer SUM combines map-side.  The loop is
-unrolled a FIXED number of times (3), keeping Catalyst's plan finite; a
-production run at higher iteration counts inserts a checkpoint every ~5
-iterations to cut lineage, exactly like operators/dedup's component loop.
+Scale design (100 TB web graph, 1000 executors): the edge list is FENCED
+(lazy localCheckpoint) before iterating, so the graph is derived once, not
+re-scanned per step.  Ranks carry the static out-degree, so each iteration
+is ONE |E|-sized equi-join on ``src`` (pre-bucketing edges by src makes it
+map-side) plus one ``groupBy(dst)`` whose integer SUM combines map-side;
+re-attaching the out-degree costs a |V|-sized join, skipped on the final
+step.  The loop is unrolled a FIXED number of times (3), keeping
+Catalyst's plan finite; a production run at higher iteration counts
+inserts an eager checkpoint every ~5 iterations to cut lineage, exactly
+like operators/dedup's component loop.
 """
 
 from __future__ import annotations
@@ -101,7 +104,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> Dat
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All node ranks after {PR_ITERS} integer-exact PageRank iterations
+    """All node ranks after PR_ITERS (3) integer-exact PageRank iterations
     over the mirrored customer<->supplier graph."""
     return pagerank(_edges(spark, sf_dir)).orderBy("node")
 

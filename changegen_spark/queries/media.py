@@ -101,7 +101,7 @@ FROM '{ASSETS_PATH}' WHERE kind = 'audio' ORDER BY asset_id
 
 
 def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Y4M frame sampling (every {FRAME_EVERY}nd frame) across chroma
+    """Y4M frame sampling (every 2nd frame, FRAME_EVERY) across chroma
     formats 420/422/444/mono → per-kept-frame integer mean luma."""
     a = _assets(spark)
     kept = sample_frames(a, every=FRAME_EVERY)
