@@ -60,8 +60,9 @@ def q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fmt",
             "width",
             "height",
-            # integer-exact (sum*1e6 + n/2) // n, matching the builder:
-            # mean_px is sum/n rounded to 6 dp, so *1e6 rounds back exactly
+            # decode_images computes mean_px as the integer-exact
+            # ((sum*1e6 + n/2) // n) / 1e6, so *1e6 rounds back to the
+            # builder's integer exactly
             F.round(F.col("mean_px") * 1_000_000).cast("long").alias("mean_e6"),
         )
         .orderBy("asset_id")

@@ -116,3 +116,36 @@ def test_incremental_dedup_persisted_corpus_no_corpus_shuffle(spark, sf_dir):
     got = [tuple(r) for r in incremental_dedup_flags(batch, ch, cb).collect()]
     want = [tuple(r) for r in q_incremental_dedup(spark, str(sf_dir)).collect()]
     assert got == want
+
+
+def test_pagerank_bucketed_edges_no_src_exchange(spark, sf_dir):
+    """The SCALE.md claim for iterative graph scoring: pre-bucketing the
+    edge list by ``src`` satisfies BOTH per-iteration distributions keyed
+    on src (the out-degree aggregate and the edges x ranks join) from the
+    bucketed layout — no Exchange keyed on src anywhere in the plan; the
+    only shuffles left are keyed on dst (the contribution sums).  Results
+    must equal the unbucketed plan's bit for bit."""
+    from changegen_spark.queries.graph import _edges, pagerank
+    from changegen_spark.sources.bucketed import write_bucketed
+
+    edges = _edges(spark, str(sf_dir))
+    write_bucketed(edges, "t_pr_edges", "src", num_buckets=8)
+    bedges = spark.table("t_pr_edges")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # fence=False: the bucketed table IS the materialized artifact —
+        # fencing through an RDD would erase the bucket metadata Catalyst
+        # needs to drop the src exchanges
+        pr = pagerank(bedges, iters=2, fence=False)
+        rows = sorted(map(tuple, pr.collect()))
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning(src" not in plan, plan
+        assert "Exchange hashpartitioning(dst" in plan  # the real shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    plain = sorted(map(tuple, pagerank(edges, iters=2, fence=False).collect()))
+    assert rows == plain
