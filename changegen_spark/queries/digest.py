@@ -69,9 +69,11 @@ KINDS = {
     "q_media_audio_features": {"asset_id": "num", "fmt": "str", "sample_rate": "num", "n_channels": "num", "n_frames": "num", "duration_e6": "num", "rms_e6": "num", "peak_e6": "num", "zero_crossings": "num"},
     "q_media_frame_stats": {"asset_id": "num", "frame_idx": "num", "mean_luma_e6": "num"},
     "q_pagerank": {"node": "str", "rank_e9": "num"},
+    "q_pagerank_weighted": {"node": "str", "rank_e9": "num"},
     "q_feature_hash": {"doc_id": "num", "bucket": "num", "n": "num"},
     "q_skipgram_pairs": {"w1": "str", "w2": "str", "n": "num"},
     "q_funnel": {"user_id": "num", "t_view": "str", "t_click": "str", "t_purchase": "str", "steps_completed": "num"},
+    "q_normalize_text": {"doc_id": "num", "norm_md5": "str", "norm_len": "num", "n_same_norm": "num"},
     "q_retention": {"cohort_week": "str", "week_offset": "num", "n_active": "num"},
     "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},

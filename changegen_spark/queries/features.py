@@ -111,12 +111,59 @@ LIMIT {TOP_PAIRS}
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the step every corpus pipeline runs BEFORE exact
+    dedup so near-identical bytes collide: lowercase, strip non-alnum
+    (ASCII-level, so Java regex and RE2 agree), collapse whitespace, trim.
+    Emits the md5 of the normalized text so the oracle comparison is
+    strict on every byte, plus the collision count the dedup would see.
+    Map-only + one count shuffle."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", norm.alias("norm"))
+    dup = n.groupBy("norm").agg(F.count("*").alias("n_same_norm"))
+    return (
+        n.join(dup, "norm")
+        .select(
+            "doc_id",
+            F.md5("norm").alias("norm_md5"),
+            F.length("norm").alias("norm_len"),
+            "n_same_norm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+), dup AS (
+  SELECT norm, count(*) AS n_same_norm FROM n GROUP BY norm
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+       CAST(length(norm) AS INT) AS norm_len, n_same_norm
+FROM n JOIN dup USING (norm)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_feature_hash": q_feature_hash,
     "q_skipgram_pairs": q_skipgram_pairs,
+    "q_normalize_text": q_normalize_text,
 }
 
 ORACLES = {
     "q_feature_hash": Q_FEATURE_HASH_SQL,
     "q_skipgram_pairs": Q_SKIPGRAM_SQL,
+    "q_normalize_text": Q_NORMALIZE_SQL,
 }

@@ -75,7 +75,16 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> Dat
     an iterative algorithm and an accident."""
     if fence:
         edges = edges.localCheckpoint(eager=False)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    weighted = "w" in edges.columns
+    # out-degree generalizes to out-strength (sum of edge weights) on a
+    # weighted graph; share(u->v) = (rank * w_uv) div strength_u — still
+    # all-integer, so the exactness argument is unchanged.
+    if weighted:
+        outdeg = edges.groupBy("src").agg(F.sum("w").alias("od"))
+        share = F.expr("(rank_e9 * w) div od")
+    else:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+        share = F.expr("rank_e9 div od")
     # ranks CARRIES the (static) out-degree so each iteration needs one
     # |E|-sized join (edges x ranks), not two — re-attaching od after the
     # aggregation is a |V|-sized join, and the final iteration skips it.
@@ -87,7 +96,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> Dat
     for it in range(iters):
         sums = (
             edges.join(ranks, edges.src == ranks.node)
-            .select(F.col("dst"), F.expr("rank_e9 div od").alias("share"))
+            .select(F.col("dst"), share.alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("s"))
         )
@@ -107,6 +116,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All node ranks after PR_ITERS (3) integer-exact PageRank iterations
     over the mirrored customer<->supplier graph."""
     return pagerank(_edges(spark, sf_dir)).orderBy("node")
+
+
+def _edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading pairs weighted by distinct order count — hub strength now
+    reflects volume, not mere adjacency."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            "o_orderkey",
+        )
+        .groupBy("cnode", "snode")
+        .agg(F.count_distinct("o_orderkey").alias("w"))
+    )
+    return pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"), "w")
+    )
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted PageRank: identical recurrence with
+    share = (rank * w) div strength — integer-exact like the uniform
+    variant."""
+    return pagerank(_edges_weighted(spark, sf_dir)).orderBy("node")
 
 
 def _it_sql(prev: str) -> str:
@@ -140,5 +178,41 @@ SELECT node, rank_e9 FROM r3 ORDER BY node
 """
 
 
-QUERIES = {"q_pagerank": q_pagerank}
-ORACLES = {"q_pagerank": Q_PAGERANK_SQL}
+def _it_w_sql(prev: str) -> str:
+    return f"""
+  SELECT e.dst AS node,
+         CAST(150000000 + (85 * sum((r.rank_e9 * e.w) // o.od) + 50) // 100
+              AS BIGINT) AS rank_e9
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst"""
+
+
+Q_PAGERANK_WEIGHTED_SQL = f"""
+WITH pairs AS (
+  SELECT 'c' || o.o_custkey AS cnode, 's' || l.l_suppkey AS snode,
+         count(DISTINCT o.o_orderkey) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY cnode, snode
+), edges AS (
+  SELECT cnode AS src, snode AS dst, w FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst, w FROM pairs
+), outdeg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS od FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST({INIT_E9} AS BIGINT) AS rank_e9 FROM outdeg
+), r1 AS ({_it_w_sql('r0')}
+), r2 AS ({_it_w_sql('r1')}
+), r3 AS ({_it_w_sql('r2')}
+)
+SELECT node, rank_e9 FROM r3 ORDER BY node
+"""
+
+
+QUERIES = {"q_pagerank": q_pagerank, "q_pagerank_weighted": q_pagerank_weighted}
+ORACLES = {
+    "q_pagerank": Q_PAGERANK_SQL,
+    "q_pagerank_weighted": Q_PAGERANK_WEIGHTED_SQL,
+}

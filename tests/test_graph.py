@@ -56,3 +56,38 @@ def test_pagerank_regular_graph_is_uniform(spark):
     got = {r["node"]: r["rank_e9"] for r in pagerank(df, iters=3).collect()}
     assert len(set(got.values())) == 1  # symmetry preserved exactly
     assert got == _ref_pagerank(arcs, 3)
+
+
+def test_weighted_pagerank_matches_reference(spark):
+    """Weighted recurrence vs an independent dict implementation; a heavy
+    edge must pull rank toward its endpoint relative to the uniform run."""
+    arcs_w = [(s, d, 1) for s, d in ARCS]
+    # overweight the a<->b link 5x
+    arcs_w = [
+        (s, d, 5 if {s, d} == {"a", "b"} else w) for s, d, w in arcs_w
+    ]
+
+    def ref(arcs, iters):
+        strength = {}
+        for s, _d, w in arcs:
+            strength[s] = strength.get(s, 0) + w
+        ranks = {n: 1_000_000_000 for n in strength}
+        for _ in range(iters):
+            sums = {}
+            for s, d, w in arcs:
+                sums[d] = sums.get(d, 0) + (ranks[s] * w) // strength[s]
+            ranks = {
+                n: 150_000_000 + (85 * v + 50) // 100 for n, v in sums.items()
+            }
+        return ranks
+
+    from changegen_spark.queries.graph import pagerank
+
+    df = spark.createDataFrame(arcs_w, "src string, dst string, w long")
+    got = {r["node"]: r["rank_e9"] for r in pagerank(df, iters=3).collect()}
+    assert got == ref(arcs_w, 3)
+    # uniform ranks for comparison: b gains from the heavy a-link
+    uni = {r["node"]: r["rank_e9"] for r in pagerank(
+        spark.createDataFrame(ARCS, "src string, dst string"), iters=3
+    ).collect()}
+    assert got["b"] > uni["b"]
