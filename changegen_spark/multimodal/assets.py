@@ -156,22 +156,29 @@ def decode_images(assets: DataFrame) -> DataFrame:
 
 AUDIO_SCHEMA = (
     "asset_id long, sample_rate int, n_channels int, n_frames long, "
-    "duration_e6 long, rms_e6 long, peak_e6 long, zero_crossings long, ok boolean"
+    "duration_e6 long, rms_e6 long, peak_e6 long, zero_crossings long, "
+    "centroid_e3 long, rolloff_e3 long, ok boolean"
 )
 
 
 def decode_audio(assets: DataFrame) -> DataFrame:
-    """Audio decode stage: WAV binary → integer feature row, Arrow-batched,
-    map-only.  Same quarantine contract as ``decode_images``: malformed
-    payloads yield ok=false rows.  Features are the shared definitions from
-    multimodal/wav.py (see that module for why they are the parity check)."""
+    """Audio decode stage: WAV binary → integer feature row (time-domain +
+    rfft spectral), Arrow-batched, map-only.  Same quarantine contract as
+    ``decode_images``: malformed payloads yield ok=false rows.  Features
+    are the shared definitions from multimodal/wav.py (see that module for
+    why they are the parity check)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from changegen_spark.multimodal.wav import audio_features, decode_wav
+        from changegen_spark.multimodal.wav import (
+            audio_features,
+            decode_wav,
+            spectral_features,
+        )
 
         cols = [
             "asset_id", "sample_rate", "n_channels", "n_frames",
-            "duration_e6", "rms_e6", "peak_e6", "zero_crossings", "ok",
+            "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
+            "centroid_e3", "rolloff_e3", "ok",
         ]
         for pdf in batches:
             out = []
@@ -179,12 +186,14 @@ def decode_audio(assets: DataFrame) -> DataFrame:
                 try:
                     rate, nch, arr = decode_wav(bytes(payload))
                     f = audio_features(rate, arr)
+                    sp = spectral_features(rate, arr)
                     out.append(
                         (asset_id, rate, nch, f["n_frames"], f["duration_e6"],
-                         f["rms_e6"], f["peak_e6"], f["zero_crossings"], True)
+                         f["rms_e6"], f["peak_e6"], f["zero_crossings"],
+                         sp["centroid_e3"], sp["rolloff_e3"], True)
                     )
                 except Exception:
-                    out.append((asset_id,) + (None,) * 7 + (False,))
+                    out.append((asset_id,) + (None,) * 9 + (False,))
             yield pd.DataFrame(out, columns=cols)
 
     return assets.filter(F.col("kind") == "audio").select(

@@ -133,3 +133,33 @@ def audio_features(sample_rate: int, samples: np.ndarray) -> dict[str, int]:
         "peak_e6": int(round(peak * 1_000_000)),
         "zero_crossings": zc,
     }
+
+
+def spectral_features(sample_rate: int, samples: np.ndarray) -> dict[str, int]:
+    """Frequency-domain features of channel 0 via rfft, e3-scaled Hz ints:
+
+    - centroid_e3: magnitude-weighted mean frequency
+    - rolloff_e3:  lowest frequency below which 85% of spectral ENERGY
+      (magnitude^2) lies
+
+    Shared-definition contract like ``audio_features``: builder and decode
+    stage run the identical numpy expression on identical arrays (PCM is
+    lossless), so the e3-rounded integers hash-match."""
+    n = int(samples.shape[0])
+    if n < 2:
+        return {"centroid_e3": 0, "rolloff_e3": 0}
+    ch0 = samples[:, 0]
+    mag = np.abs(np.fft.rfft(ch0))
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    total = float(np.sum(mag))
+    if total <= 0.0:
+        return {"centroid_e3": 0, "rolloff_e3": 0}
+    centroid = float(np.sum(freqs * mag) / total)
+    energy = mag * mag
+    cum = np.cumsum(energy)
+    k = int(np.searchsorted(cum, 0.85 * cum[-1]))
+    rolloff = float(freqs[min(k, len(freqs) - 1)])
+    return {
+        "centroid_e3": int(round(centroid * 1000)),
+        "rolloff_e3": int(round(rolloff * 1000)),
+    }

@@ -78,7 +78,9 @@ FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every fixture WAV (PCM 8/16/24/32-bit and IEEE float32, mono+stereo)
-    decoded to the shared integer feature set (multimodal/wav.py)."""
+    decoded to the shared integer feature set — time-domain (duration,
+    rms, peak, zero crossings) AND rfft spectral (centroid, 85%-energy
+    rolloff) — from multimodal/wav.py."""
     a = _assets(spark)
     dec = decode_audio(a).filter(F.col("ok"))
     fmts = a.select("asset_id", "fmt")
@@ -87,6 +89,7 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "asset_id", "fmt", "sample_rate", "n_channels", "n_frames",
             "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
+            "centroid_e3", "rolloff_e3",
         )
         .orderBy("asset_id")
     )
@@ -96,7 +99,8 @@ Q_MEDIA_AUDIO_SQL = f"""
 SELECT asset_id, fmt, CAST(exp_sample_rate AS INT) AS sample_rate,
        CAST(exp_n_channels AS INT) AS n_channels, exp_n_frames AS n_frames,
        exp_duration_e6 AS duration_e6, exp_rms_e6 AS rms_e6,
-       exp_peak_e6 AS peak_e6, exp_zero_crossings AS zero_crossings
+       exp_peak_e6 AS peak_e6, exp_zero_crossings AS zero_crossings,
+       exp_centroid_e3 AS centroid_e3, exp_rolloff_e3 AS rolloff_e3
 FROM '{ASSETS_PATH}' WHERE kind = 'audio' ORDER BY asset_id
 """
 

@@ -15,7 +15,11 @@ import numpy as np
 import pytest
 
 from changegen_spark.multimodal.gif import decode_gif, encode_gif
-from changegen_spark.multimodal.wav import audio_features, decode_wav
+from changegen_spark.multimodal.wav import (
+    audio_features,
+    decode_wav,
+    spectral_features,
+)
 from changegen_spark.multimodal.y4m import decode_y4m, encode_y4m, frame_mean_e6
 
 RNG = np.random.default_rng(7)
@@ -180,8 +184,9 @@ def test_fixture_matches_expected_columns():
             rate, nch, arr = decode_wav(payload)
             assert (rate, nch) == (r["exp_sample_rate"], r["exp_n_channels"])
             f = audio_features(rate, arr)
+            f.update(spectral_features(rate, arr))
             for k in ("n_frames", "duration_e6", "rms_e6", "peak_e6",
-                      "zero_crossings"):
+                      "zero_crossings", "centroid_e3", "rolloff_e3"):
                 assert f[k] == r[f"exp_{k}"], (r["fmt"], k)
         else:
             w, h, _fn, _fd, planes = decode_y4m(payload)
@@ -233,3 +238,20 @@ def test_sample_frames_parses_y4m(spark):
         (0, 0.0), (2, 20.0), (4, 40.0)
     ]
     assert bytes(rows[1]["frame"]) == planes[2]
+
+
+def test_spectral_features_pure_tone():
+    """A pure 1 kHz sine concentrates both the centroid and the 85%-energy
+    rolloff at the tone (within one rfft bin of an 8000-sample window)."""
+    rate, n, f0 = 16000, 8000, 1000.0
+    t = np.arange(n) / rate
+    sig = np.sin(2 * np.pi * f0 * t).reshape(-1, 1)
+    sp = spectral_features(rate, sig)
+    bin_hz = rate / n  # 2 Hz bins
+    assert abs(sp["centroid_e3"] / 1000 - f0) < 2 * bin_hz
+    assert abs(sp["rolloff_e3"] / 1000 - f0) <= bin_hz
+    # silence and sub-2-frame edge cases degrade to zeros, not errors
+    assert spectral_features(rate, np.zeros((100, 1))) == {
+        "centroid_e3": 0, "rolloff_e3": 0
+    }
+    assert spectral_features(rate, np.zeros((1, 1)))["centroid_e3"] == 0

@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 
 from changegen_spark.multimodal.gif import encode_gif
 from changegen_spark.multimodal.png import encode_png
-from changegen_spark.multimodal.wav import audio_features
+from changegen_spark.multimodal.wav import audio_features, spectral_features
 from changegen_spark.multimodal.y4m import encode_y4m, frame_mean_e6
 
 FIXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "fixtures"))
@@ -162,10 +162,11 @@ def main() -> None:
             wf.setframerate(rate)
             wf.writeframes(raw)
             wf.close()
-            feats = audio_features(rate, pcm_norm(bits, src))
+            norm = pcm_norm(bits, src)
             add(
                 "audio", f"wav{bits}c{channels}", buf.getvalue(),
-                sample_rate=rate, n_channels=channels, **feats,
+                sample_rate=rate, n_channels=channels,
+                **audio_features(rate, norm), **spectral_features(rate, norm),
             )
     for channels in (1, 2):
         rate, n = 22050, 1700
@@ -173,7 +174,8 @@ def main() -> None:
         add(
             "audio", f"wavf32c{channels}",
             write_float32_wav(rate, channels, arr),
-            sample_rate=rate, n_channels=channels, **audio_features(rate, arr),
+            sample_rate=rate, n_channels=channels,
+            **audio_features(rate, arr), **spectral_features(rate, arr),
         )
 
     # --- video: Y4M across chroma formats ---------------------------------
@@ -194,6 +196,7 @@ def main() -> None:
     exp_keys = [
         "width", "height", "mean_e6", "sample_rate", "n_channels",
         "n_frames", "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
+        "centroid_e3", "rolloff_e3",
     ]
     cols = {
         "asset_id": pa.array([a[0] for a in assets], pa.int64()),
