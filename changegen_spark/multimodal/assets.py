@@ -201,6 +201,40 @@ def decode_audio(assets: DataFrame) -> DataFrame:
     ).mapInPandas(fn, AUDIO_SCHEMA)
 
 
+MOTION_SCHEMA = "asset_id long, frame_idx int, mad_e6 long"
+
+
+def frame_motion(assets: DataFrame) -> DataFrame:
+    """Motion metric stage: per consecutive Y4M frame pair, the
+    integer-exact e6-scaled mean absolute luma difference (scene-cut
+    spikes, static runs near zero).  Map-only ``mapInPandas``; row k
+    describes the (k-1, k) transition, so frame 0 emits nothing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from changegen_spark.multimodal.y4m import Y4M_SIG, decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(Y4M_SIG):
+                    continue
+                _w, _h, _fn, _fd, planes = decode_y4m(b)
+                for k in range(1, len(planes)):
+                    a = np.frombuffer(planes[k - 1], np.uint8).astype(np.int32)
+                    c = np.frombuffer(planes[k], np.uint8).astype(np.int32)
+                    s = int(np.sum(np.abs(a - c)))
+                    n = a.size
+                    rows.append((asset_id, k, (s * 1_000_000 + n // 2) // n))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "mad_e6"])
+
+    return assets.filter(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, MOTION_SCHEMA)
+
+
 FEATURES_SCHEMA = "asset_id long, embedding array<float>"
 
 

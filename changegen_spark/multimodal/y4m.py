@@ -101,6 +101,18 @@ def frame_mean_e6(plane: bytes) -> int:
     return (s * 1_000_000 + n // 2) // n
 
 
+def frame_mad_e6(a: bytes, b: bytes) -> int:
+    """Integer-exact e6-scaled mean absolute luma difference between two
+    frames — the standard cheap motion metric (scene-cut spikes, static
+    segments near zero).  Same shared-definition parity contract as
+    frame_mean_e6."""
+    if len(a) != len(b) or not a:
+        raise ValueError("frame size mismatch")
+    s = sum(abs(x - y) for x, y in zip(a, b))
+    n = len(a)
+    return (s * 1_000_000 + n // 2) // n
+
+
 def encode_y4m(
     width: int,
     height: int,

@@ -68,6 +68,7 @@ KINDS = {
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},
     "q_media_audio_features": {"asset_id": "num", "fmt": "str", "sample_rate": "num", "n_channels": "num", "n_frames": "num", "duration_e6": "num", "rms_e6": "num", "peak_e6": "num", "zero_crossings": "num", "centroid_e3": "num", "rolloff_e3": "num"},
     "q_media_frame_stats": {"asset_id": "num", "frame_idx": "num", "mean_luma_e6": "num"},
+    "q_media_motion": {"asset_id": "num", "frame_idx": "num", "mad_e6": "num"},
     "q_pagerank": {"node": "str", "rank_e9": "num"},
     "q_pagerank_weighted": {"node": "str", "rank_e9": "num"},
     "q_feature_hash": {"doc_id": "num", "bucket": "num", "n": "num"},

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from changegen_spark.multimodal.assets import (
     decode_audio,
     decode_images,
+    frame_motion,
     sample_frames,
 )
 
@@ -124,14 +125,34 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def q_media_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per consecutive frame pair of every Y4M asset: integer-exact mean
+    absolute luma difference (the cheap motion metric)."""
+    a = _assets(spark)
+    return frame_motion(a).select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "mad_e6",
+    ).orderBy("asset_id", "frame_idx")
+
+
+Q_MEDIA_MOTION_SQL = f"""
+SELECT asset_id, frame_idx, exp_mad_e6 AS mad_e6
+FROM '{FRAMES_PATH}' WHERE frame_idx >= 1
+ORDER BY asset_id, frame_idx
+"""
+
+
 QUERIES = {
     "q_media_image_decode": q_media_image_decode,
     "q_media_audio_features": q_media_audio_features,
     "q_media_frame_stats": q_media_frame_stats,
+    "q_media_motion": q_media_motion,
 }
 
 ORACLES = {
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,
     "q_media_frame_stats": Q_MEDIA_FRAMES_SQL,
+    "q_media_motion": Q_MEDIA_MOTION_SQL,
 }

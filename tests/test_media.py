@@ -20,7 +20,12 @@ from changegen_spark.multimodal.wav import (
     decode_wav,
     spectral_features,
 )
-from changegen_spark.multimodal.y4m import decode_y4m, encode_y4m, frame_mean_e6
+from changegen_spark.multimodal.y4m import (
+    decode_y4m,
+    encode_y4m,
+    frame_mad_e6,
+    frame_mean_e6,
+)
 
 RNG = np.random.default_rng(7)
 
@@ -170,8 +175,9 @@ def test_fixture_matches_expected_columns():
     from changegen_spark.queries.media import ASSETS_PATH, FRAMES_PATH
 
     t = pq.read_table(ASSETS_PATH).to_pylist()
-    frames = {(r["asset_id"], r["frame_idx"]): r["exp_mean_e6"]
-              for r in pq.read_table(FRAMES_PATH).to_pylist()}
+    frows = pq.read_table(FRAMES_PATH).to_pylist()
+    frames = {(r["asset_id"], r["frame_idx"]): r["exp_mean_e6"] for r in frows}
+    mads = {(r["asset_id"], r["frame_idx"]): r["exp_mad_e6"] for r in frows}
     assert len(t) >= 30 and frames
     for r in t:
         payload = r["payload"]
@@ -195,6 +201,12 @@ def test_fixture_matches_expected_columns():
             )
             for k, p in enumerate(planes):
                 assert frame_mean_e6(p) == frames[(r["asset_id"], k)]
+                if k:
+                    assert frame_mad_e6(planes[k - 1], p) == mads[
+                        (r["asset_id"], k)
+                    ]
+                else:
+                    assert mads[(r["asset_id"], 0)] is None
 
 
 def test_decode_audio_quarantines(spark):
@@ -255,3 +267,26 @@ def test_spectral_features_pure_tone():
         "centroid_e3": 0, "rolloff_e3": 0
     }
     assert spectral_features(rate, np.zeros((1, 1)))["centroid_e3"] == 0
+
+
+def test_frame_motion(spark):
+    """Static repeats score 0; a uniform +10 shift scores exactly 10e6."""
+    from changegen_spark.multimodal.assets import frame_motion
+
+    p0 = bytes([100] * 64)
+    planes = [p0, p0, bytes([110] * 64)]
+    df = spark.createDataFrame(
+        [(5, "video", encode_y4m(8, 8, planes))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {r["frame_idx"]: r["mad_e6"] for r in frame_motion(df).collect()}
+    assert rows == {1: 0, 2: 10_000_000}
+
+
+def test_frame_mad_shared_definition():
+    a = bytes(RNG.integers(0, 256, size=100, dtype=np.uint8))
+    b = bytes(RNG.integers(0, 256, size=100, dtype=np.uint8))
+    s = sum(abs(x - y) for x, y in zip(a, b))
+    assert frame_mad_e6(a, b) == (s * 1_000_000 + 50) // 100
+    with pytest.raises(ValueError):
+        frame_mad_e6(a, a[:50])

@@ -43,7 +43,7 @@ import pyarrow.parquet as pq
 from changegen_spark.multimodal.gif import encode_gif
 from changegen_spark.multimodal.png import encode_png
 from changegen_spark.multimodal.wav import audio_features, spectral_features
-from changegen_spark.multimodal.y4m import encode_y4m, frame_mean_e6
+from changegen_spark.multimodal.y4m import encode_y4m, frame_mad_e6, frame_mean_e6
 
 FIXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "fixtures"))
 
@@ -191,7 +191,8 @@ def main() -> None:
             width=w, height=h, n_frames=nf,
         )
         for k, p in enumerate(planes):
-            frames.append((vid_id, k, frame_mean_e6(p)))
+            mad = frame_mad_e6(planes[k - 1], p) if k else None
+            frames.append((vid_id, k, frame_mean_e6(p), mad))
 
     exp_keys = [
         "width", "height", "mean_e6", "sample_rate", "n_channels",
@@ -215,6 +216,7 @@ def main() -> None:
             "asset_id": pa.array([f[0] for f in frames], pa.int64()),
             "frame_idx": pa.array([f[1] for f in frames], pa.int64()),
             "exp_mean_e6": pa.array([f[2] for f in frames], pa.int64()),
+            "exp_mad_e6": pa.array([f[3] for f in frames], pa.int64()),
         }),
         os.path.join(FIXDIR, "media_frames.parquet"),
     )
