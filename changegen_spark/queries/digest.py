@@ -79,6 +79,9 @@ KINDS = {
     "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
     "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
+    "q_resample": {"event_type": "str", "hour": "num", "n_events": "num", "sum_value_e6": "num", "avg_value_locf": "e6"},
+    "q_moving_avg": {"event_type": "str", "hour": "num", "c": "num", "ma": "e6", "z": "e6", "is_anomaly": "num"},
+    "q_markov_transitions": {"prev_type": "str", "next_type": "str", "n": "num", "p": "e6"},
     "q01_pricing_summary": {"l_returnflag": "str", "l_linestatus": "str", "sum_qty": "num", "sum_base_cents": "num", "sum_disc_price_e4": "num", "sum_charge_e6": "num", "avg_qty": "e6", "avg_price": "e6", "avg_disc": "e6", "count_order": "num"},
     "q_snapshot_diff": {"o_orderkey": "num", "change_type": "str", "version": "num", "o_orderstatus": "str", "o_orderpriority": "str", "price_cents": "num"},
     "q03_top_orders": {"l_orderkey": "num", "orderdate": "str", "revenue_e4": "num"},

@@ -1,0 +1,287 @@
+"""Time-series operators over the events stream: hourly resampling with
+gap-fill + last-observation-carried-forward, trailing moving averages with
+z-score anomaly flags, and a Markov transition matrix of event sequences.
+
+Beyond-parity surface (the reference has no time-series family); these are
+the observability / feature-engineering shapes a training-data pipeline
+runs over click/impression logs before joining them to documents.
+
+Determinism: every aggregate is built from exact integers — event counts,
+and ``value`` scaled to e6 micro-units per ROW before summation
+(``CAST(round(value * 1e6) AS BIGINT)``), so no engine's summation order
+can move a bit (the registry's scaled-integer discipline,
+queries/__init__).  Double outputs (means, z-scores, probabilities) are
+computed from those exact sums and rounded to 6 dp.
+
+Scale design (100 TB event log, 1000 executors):
+
+* The hourly rollup is ONE groupBy((event_type, hour)) with map-side
+  partial aggregation — the cardinality after the combine is
+  |types| x |hours|, tiny regardless of input rows.
+* Gap-filling generates the hour spine with ``sequence()`` per event_type
+  (bounded: hours-in-range rows per type), so the dense grid never
+  round-trips through the driver; the fill join is an equi-join on the
+  rolled-up (tiny) side.
+* LOCF uses the portable gaps-and-islands form — a running count of
+  non-null observations defines the carry group, then one max per
+  (type, group) window — two window passes over the DENSE grid (small),
+  never over raw events, and identical semantics in DuckDB (no reliance
+  on engine-specific ``IGNORE NULLS``).
+* The Markov pass is a per-user ``lag`` window (shuffle keyed by user_id,
+  the natural partitioning of a clickstream) followed by a tiny
+  (prev, next) aggregate.  Skewed power-users are bounded by their own
+  event counts; no cross-user state exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _hour() -> F.Column:
+    # F.expr needs a live SparkContext, so these are built per-call
+    return F.expr("CAST(floor(unix_micros(ts) / 3600000000) AS BIGINT)")
+
+
+def _val_e6() -> F.Column:
+    return F.expr("CAST(round(value * 1000000) AS BIGINT)")
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the event stream per event_type over the global
+    [min, max] hour range, with empty buckets gap-filled (n_events = 0)
+    and the hourly mean value carried forward from the last non-empty
+    bucket (LOCF; leading gaps stay null).
+
+    Output: (event_type, hour, n_events, sum_value_e6, avg_value_locf)
+    where ``hour`` is the epoch-hour bucket (unix seconds / 3600) and
+    ``avg_value_locf`` the carried-forward hourly mean of ``value`` in e6
+    micro-units (sum_value_e6 / n_events, rounded to 6 dp).
+    """
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type"), _hour().alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(_val_e6()).alias("sum_value_e6"),
+    )
+    # Hour spine: one sequence() row per event_type over the global range —
+    # executor-side dense-grid generation, no driver round-trip.
+    bounds = ev.agg(
+        F.min(_hour()).alias("h0"), F.max(_hour()).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value_e6", F.lit(0)).alias("sum_value_e6"),
+        F.when(
+            F.col("n_events").isNotNull(),
+            F.col("sum_value_e6") / F.col("n_events"),
+        ).alias("avg_obs"),
+    )
+    # Portable LOCF: the running count of non-null observations is the
+    # carry group; the group's single observation is its max.
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grp = F.count("avg_obs").over(w)
+    wg = Window.partitionBy("event_type", "grp")
+    return (
+        dense.withColumn("grp", grp)
+        .withColumn("avg_value_locf", F.round(F.max("avg_obs").over(wg), 6))
+        .select(
+            "event_type", "hour", "n_events", "sum_value_e6", "avg_value_locf"
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+         CAST(round(value * 1000000) AS BIGINT) AS v6
+  FROM events
+), hourly AS (
+  SELECT event_type, hour, count(*) AS n_events,
+         CAST(sum(v6) AS BIGINT) AS sum_value_e6
+  FROM ev GROUP BY event_type, hour
+), bounds AS (
+  SELECT min(hour) AS h0, max(hour) AS h1 FROM ev
+), spine AS (
+  SELECT t.event_type, CAST(h.h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) h
+), dense AS (
+  SELECT s.event_type, s.hour,
+         coalesce(n_events, 0) AS n_events,
+         coalesce(sum_value_e6, 0) AS sum_value_e6,
+         CASE WHEN n_events IS NOT NULL
+              THEN (sum_value_e6 * 1.0) / n_events END AS avg_obs
+  FROM spine s LEFT JOIN hourly USING (event_type, hour)
+), grpd AS (
+  SELECT *, count(avg_obs) OVER (PARTITION BY event_type ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS grp
+  FROM dense
+)
+SELECT event_type, hour, n_events, sum_value_e6,
+       round(max(avg_obs) OVER (PARTITION BY event_type, grp), 6)
+         AS avg_value_locf
+FROM grpd
+ORDER BY event_type, hour
+"""
+
+
+MA_WINDOW = 6  # trailing buckets (current + 5 preceding)
+Z_THRESH = 2.0
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {MA_WINDOW}-hour moving average of hourly event counts per
+    event_type, plus a per-type z-score of each hour's count and an
+    anomaly flag at |z| > {Z_THRESH}.
+
+    Mean and std come from the exact integer (sum, sumsq, n) of hourly
+    counts — population std, one deterministic double per event_type —
+    so the flag cannot flip across engines.  Empty hours inside the range
+    count as 0 (the dense spine, as q_resample).
+    """
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.col("event_type"), _hour().alias("hour")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = ev.agg(F.min(_hour()).alias("h0"), F.max(_hour()).alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(MA_WINDOW - 1), Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    n = F.count("*").over(wt)
+    s = F.sum("c").over(wt)
+    s2 = F.sum(F.col("c") * F.col("c")).over(wt)
+    mean = s / n
+    std = F.sqrt(s2 / n - mean * mean)
+    z = (F.col("c") - mean) / std
+    return (
+        dense.withColumn(
+            "ma", F.round(F.sum("c").over(wma) / F.count("*").over(wma), 6)
+        )
+        .withColumn("z", F.round(z, 6))
+        .withColumn("is_anomaly", (F.abs(z) > Z_THRESH).cast("boolean"))
+        .select("event_type", "hour", "c", "ma", "z", "is_anomaly")
+        .orderBy("event_type", "hour")
+    )
+
+
+Q_MOVING_AVG_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour
+  FROM events
+), hourly AS (
+  SELECT event_type, hour, count(*) AS c FROM ev GROUP BY event_type, hour
+), bounds AS (
+  SELECT min(hour) AS h0, max(hour) AS h1 FROM ev
+), spine AS (
+  SELECT t.event_type, CAST(h.h AS BIGINT) AS hour
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) h
+), dense AS (
+  SELECT s.event_type, s.hour, coalesce(c, 0) AS c
+  FROM spine s LEFT JOIN hourly USING (event_type, hour)
+), stats AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS {MA_WINDOW - 1} PRECEDING) * 1.0
+           / count(*) OVER (PARTITION BY event_type ORDER BY hour
+                            ROWS {MA_WINDOW - 1} PRECEDING) AS ma_raw,
+         sum(c) OVER (PARTITION BY event_type) * 1.0
+           / count(*) OVER (PARTITION BY event_type) AS mean,
+         sum(c * c) OVER (PARTITION BY event_type) * 1.0
+           / count(*) OVER (PARTITION BY event_type) AS ex2
+  FROM dense
+)
+SELECT event_type, hour, c, round(ma_raw, 6) AS ma,
+       round((c - mean) / sqrt(ex2 - mean * mean), 6) AS z,
+       abs((c - mean) / sqrt(ex2 - mean * mean)) > {Z_THRESH} AS is_anomaly
+FROM stats
+ORDER BY event_type, hour
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    for each (prev_type, next_type) pair, the transition count and the
+    row-normalized probability (6 dp).
+
+    Events are ordered per user by the total (ts, event_id) key — the same
+    strict ordering contract as q_funnel — so the lag is deterministic
+    even under timestamp ties.  Probabilities divide two exact counts.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("p", F.round(F.col("n") / F.sum("n").over(wr), 6))
+        .select("prev_type", "next_type", "n", "p")
+        .orderBy("prev_type", "next_type")
+    )
+
+
+Q_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
+QUERIES = {
+    "q_resample": q_resample,
+    "q_moving_avg": q_moving_avg,
+    "q_markov_transitions": q_markov_transitions,
+}
+
+ORACLES = {
+    "q_resample": Q_RESAMPLE_SQL,
+    "q_moving_avg": Q_MOVING_AVG_SQL,
+    "q_markov_transitions": Q_MARKOV_SQL,
+}
