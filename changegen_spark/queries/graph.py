@@ -211,8 +211,180 @@ SELECT node, rank_e9 FROM r3 ORDER BY node
 """
 
 
-QUERIES = {"q_pagerank": q_pagerank, "q_pagerank_weighted": q_pagerank_weighted}
+# --- triangle counting (degree-oriented enumeration) -------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase graph: distinct (p1 < p2) pairs of parts
+    appearing in the same order.  Unlike the supplier co-order graph (which
+    is near-complete at every SF — measured), this one stays sparse as data
+    grows: edges ~ orders x (parts-per-order choose 2) over a quadratically
+    growing part domain."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts in the co-purchase graph:
+    (p_partkey, n_triangles) for every part in >= 1 triangle.
+
+    Algorithm: degree-oriented triangle enumeration — every edge is
+    directed from the endpoint with the smaller (degree, node) key to the
+    larger, wedges (a->x, a->y) are enumerated with x before y in that
+    SAME total order, and the closing edge is then always the oriented
+    (x->y).  Each triangle is found exactly once, and the out-degree of
+    any vertex is O(sqrt(|E|)) regardless of its raw degree (the classic
+    arboricity bound), so the wedge join cannot blow up on hub nodes —
+    THE property that makes triangle enumeration survive a 100x scale-up
+    where naive neighbor-pair expansion dies on skew.  All joins are
+    equi-joins on vertex keys; the (degree, node) comparisons ride along
+    as join filters — no global rank, no window over an unpartitioned
+    frame, no driver-side state."""
+    return (
+        triangle_counts(_copurchase_edges(spark, sf_dir))
+        .withColumnRenamed("node", "p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """(p1, p2) undirected distinct edges -> (node, n_triangles) for every
+    node in >= 1 triangle, each triangle counted once per vertex.  See
+    q_triangle_counts for the orientation argument."""
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by the (degree, node) total order; carry the head's order key
+    # so the wedge join never re-fetches degrees
+    k1 = F.struct(F.col("d1").alias("d"), F.col("p1").alias("p"))
+    k2 = F.struct(F.col("d2").alias("d"), F.col("p2").alias("p"))
+    ed = (
+        e.join(deg.withColumnRenamed("p", "p1").withColumnRenamed("d", "d1"), "p1")
+        .join(deg.withColumnRenamed("p", "p2").withColumnRenamed("d", "d2"), "p2")
+        .select(
+            F.when(k1 < k2, F.col("p1")).otherwise(F.col("p2")).alias("a"),
+            F.when(k1 < k2, F.col("p2")).otherwise(F.col("p1")).alias("b"),
+            F.when(k1 < k2, k2).otherwise(k1).alias("kb"),
+        )
+    )
+    e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.kb") < F.col("e2.kb")),
+        )
+        .select(
+            F.col("e1.a").alias("ta"),
+            F.col("e1.b").alias("tx"),
+            F.col("e2.b").alias("ty"),
+        )
+        .join(
+            e3,
+            (F.col("tx") == F.col("e3.a")) & (F.col("ty") == F.col("e3.b")),
+        )
+        .select("ta", "tx", "ty")
+    )
+    return (
+        tri.select(F.explode(F.array("ta", "tx", "ty")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+Q_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT p, count(*) AS d
+  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+  GROUP BY p
+), o AS (
+  SELECT CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p1 ELSE e.p2 END AS a,
+         CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN e.p2 ELSE e.p1 END AS b,
+         CASE WHEN (d1.d, e.p1) < (d2.d, e.p2) THEN d2.d ELSE d1.d END AS db
+  FROM e JOIN deg d1 ON e.p1 = d1.p JOIN deg d2 ON e.p2 = d2.p
+), tri AS (
+  SELECT e1.a AS ta, e1.b AS tx, e2.b AS ty
+  FROM o e1
+  JOIN o e2 ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT p_partkey, count(*) AS n_triangles
+FROM (SELECT ta AS p_partkey FROM tri
+      UNION ALL SELECT tx FROM tri
+      UNION ALL SELECT ty FROM tri)
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucket degree histogram of the co-purchase graph:
+    (bucket, n_parts, min_degree, max_degree) where bucket =
+    floor(log2(degree)).  The one-line summary a pipeline checks before
+    choosing a join strategy on graph data (hub detection)."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionAll(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    bucket = F.floor(F.log2("d")).cast("long")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_DEGREE_HIST_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT p, count(*) AS d
+  FROM (SELECT p1 AS p FROM e UNION ALL SELECT p2 FROM e)
+  GROUP BY p
+)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket, count(*) AS n_parts,
+       min(d) AS min_degree, max(d) AS max_degree
+FROM deg
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "q_pagerank": q_pagerank,
+    "q_pagerank_weighted": q_pagerank_weighted,
+    "q_triangle_counts": q_triangle_counts,
+    "q_degree_hist": q_degree_hist,
+}
 ORACLES = {
     "q_pagerank": Q_PAGERANK_SQL,
     "q_pagerank_weighted": Q_PAGERANK_WEIGHTED_SQL,
+    "q_triangle_counts": Q_TRIANGLES_SQL,
+    "q_degree_hist": Q_DEGREE_HIST_SQL,
 }

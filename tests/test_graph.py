@@ -91,3 +91,33 @@ def test_weighted_pagerank_matches_reference(spark):
         spark.createDataFrame(ARCS, "src string, dst string"), iters=3
     ).collect()}
     assert got["b"] > uni["b"]
+
+
+def test_triangle_counts_known_graphs(spark):
+    from changegen_spark.queries.graph import triangle_counts
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "p1 long, p2 long")
+        return {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    # K4: every one of the 4 triangles hits 3 of the 4 vertices
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert run(k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # path graph: no triangles at all
+    assert run([(1, 2), (2, 3), (3, 4)]) == {}
+    # hub-and-spoke plus one rim edge: exactly one triangle (hub, 2, 3) —
+    # the hub's high degree must not multiply the count (orientation bound)
+    hub = [(10, 2), (10, 3), (10, 4), (10, 5), (10, 6), (2, 3)]
+    assert run(hub) == {10: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_partitioning_invariant(spark):
+    from changegen_spark.queries.graph import triangle_counts
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    df1 = spark.createDataFrame(k5, "p1 long, p2 long").coalesce(1)
+    df7 = spark.createDataFrame(k5, "p1 long, p2 long").repartition(7)
+    r1 = sorted(map(tuple, triangle_counts(df1).collect()))
+    r7 = sorted(map(tuple, triangle_counts(df7).collect()))
+    # K5 has C(4,2)=6 triangles through each vertex
+    assert r1 == r7 == [(n, 6) for n in range(1, 6)]
