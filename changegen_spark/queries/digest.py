@@ -79,6 +79,8 @@ KINDS = {
     "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
     "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
+    "q_bm25_search": {"doc_id": "num", "n_terms_hit": "num", "score_e9": "num"},
+    "q_profile": {"col_name": "str", "n_rows": "num", "n_null": "num", "n_distinct": "num", "min_s": "str", "max_s": "str"},
     "q_triangle_counts": {"p_partkey": "num", "n_triangles": "num"},
     "q_degree_hist": {"bucket": "num", "n_parts": "num", "min_degree": "num", "max_degree": "num"},
     "q_resample": {"event_type": "str", "hour": "num", "n_events": "num", "sum_value_e6": "num", "avg_value_locf": "e6"},

@@ -424,8 +424,105 @@ FROM s ORDER BY l_returnflag
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the orders table — the one-pass summary a
+    pipeline materializes before planning joins/partitioning on unfamiliar
+    data: (col_name, n_rows, n_null, n_distinct, min_s, max_s) with min/max
+    rendered canonically per type (doubles as cents, timestamps formatted)
+    so the strings are engine-exact.
+
+    Plan shape: ONE aggregate pass over the table produces a single row
+    carrying all per-column stats, then an ``explode`` unpivots it to one
+    row per column — the table is scanned once, not once per column.  The
+    multi-column exact ``count_distinct`` expands the aggregate input
+    |cols|-fold (Spark's Expand node) — the honest exact-answer cost; a
+    100 TB profiler would swap in ``approx_count_distinct`` per column
+    (single pass, no expand) and tolerate the ~2% HLL error, which the
+    oracle cannot hash-match — exactness is the contract here."""
+    o = load_table(spark, sf_dir, "orders")
+    money = lambda c: F.round(F.col(c) * 100).cast("long").cast("string")  # noqa: E731
+    ts = lambda c: F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    plain = lambda c: F.col(c).cast("string")  # noqa: E731
+    specs = [
+        ("o_orderkey", plain),
+        ("o_custkey", plain),
+        ("o_orderstatus", plain),
+        ("o_totalprice", money),
+        ("o_orderdate", ts),
+        ("o_orderpriority", plain),
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for c, canon in specs:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(canon(c)).alias(f"mn_{c}"),
+            F.max(canon(c)).alias(f"mx_{c}"),
+        ]
+    one = load_table(spark, sf_dir, "orders").agg(*aggs)
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+            )
+            for c, _ in specs
+        ]
+    )
+    return (
+        one.select("n_rows", F.explode(cols).alias("s"))
+        .select(
+            F.col("s.col_name").alias("col_name"),
+            "n_rows",
+            F.col("s.n_null").alias("n_null"),
+            F.col("s.n_distinct").alias("n_distinct"),
+            F.col("s.min_s").alias("min_s"),
+            F.col("s.max_s").alias("max_s"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _profile_canon_duck(c: str) -> str:
+    if c == "o_totalprice":
+        return f"CAST(CAST(round({c} * 100) AS BIGINT) AS VARCHAR)"
+    if c == "o_orderdate":
+        return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({c} AS VARCHAR)"
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+Q_PROFILE_SQL = (
+    "WITH agg AS (\n  SELECT count(*) AS n_rows,\n"
+    + ",\n".join(
+        f"    count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c},\n"
+        f"    min({_profile_canon_duck(c)}) AS mn_{c}, max({_profile_canon_duck(c)}) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    + "\n  FROM orders\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null,\n"
+        f"       nd_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM agg"
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+
 QUERIES = {
     "q_hstore_parse": q_hstore_parse,
+    "q_profile": q_profile,
     "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
@@ -441,6 +538,7 @@ QUERIES = {
 
 ORACLES = {
     "q_hstore_parse": Q_HSTORE_SQL,
+    "q_profile": Q_PROFILE_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
