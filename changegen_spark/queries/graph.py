@@ -59,7 +59,12 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    fence: bool = True,
+    checkpoint_every: int | None = 5,
+) -> DataFrame:
     """(src, dst) arcs -> (node, rank_e9) after ``iters`` exact-integer
     PageRank steps.  Every node must appear as a src (callers mirror arcs);
     with mirrored arcs the dst set equals the node set, so each step's
@@ -72,7 +77,16 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> Dat
     3-iteration plan; 0 FileScans with the fence).  Local wall time is
     stage-overhead-bound either way (~4.5 s at sf0.1 on local[32]), but at
     100 TB re-scanning the graph per iteration is the difference between
-    an iterative algorithm and an accident."""
+    an iterative algorithm and an accident.
+
+    ``checkpoint_every`` bounds PLAN growth at depth: every N iterations
+    the rank frame is eagerly localCheckpoint-ed, cutting both the lineage
+    (a 20-iteration unrolled join tree otherwise re-optimizes and
+    re-codegens the whole prefix each AQE re-plan) and the driver's
+    per-iteration Catalyst cost from O(iters^2) to O(iters).  Ranks are
+    a |V|-sized frame, so the materialization is the cheap side of the
+    trade — the standard iterative-algorithm discipline (same idiom as
+    operators/dedup's component loop)."""
     if fence:
         edges = edges.localCheckpoint(eager=False)
     weighted = "w" in edges.columns
@@ -109,6 +123,8 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, fence: bool = True) -> Dat
             ranks = sums.select(
                 F.col("dst").alias("node"), new_rank.alias("rank_e9")
             )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

