@@ -49,7 +49,7 @@ BUDGETS = {
     "q_decontaminate": 1.9,
     "q_pack_sequences": 0.6,
     "q_corpus_pipeline": 2.3,
-    "q_dup_spans": 4.0,
+    "q_dup_spans": 2.7,  # r3 Arrow positioned-gram rewrite: ~2.0 s warm
     "q_lm_score": 4.0,
     "q_feature_hash": 1.0,
 }

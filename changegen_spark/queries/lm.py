@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from changegen_spark.queries.mlprep import word_ngrams, _toks
+from changegen_spark.queries.mlprep import _toks
 from changegen_spark.sources.tables import load_table
 
 
@@ -50,6 +50,42 @@ DUP_N = 8  # word n-gram order; Lee et al. use 50 BPE tokens — 8 words fits
 # the ~54-word synthetic docs while exercising the identical plan shape
 
 
+def pos_gram_hashes_pandas(n: int):
+    """Arrow-batched positioned n-gram hashes: text →
+    array<struct<pos:long, gh:binary>> with pos 1-based and gh the 16-byte
+    md5 digest of the space-joined gram.
+
+    Same justification as ``mlprep.distinct_ngrams_pandas`` /
+    ``hashing.minhash_pandas_signature``: the Catalyst
+    transform/slice/concat_ws n-gram build runs interpreted (no
+    whole-stage codegen inside higher-order functions) and was the
+    dominant cost of q_dup_spans (measured r3: 3.6 s → ~2 s warm at
+    sf0.1 from this change).  The hash is query-internal (the output is
+    doc/pos spans; the DuckDB oracle recomputes duplication from the raw
+    grams), so the digest BYTES are used directly — a 16-byte shuffle key
+    instead of the 32-char hex string."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos:long,gh:binary>>")
+    def pg(texts):
+        md5 = hashlib.md5
+        out = []
+        for t in texts:
+            toks = (t or "").strip().split()
+            out.append(
+                [
+                    (i + 1, md5(" ".join(toks[i : i + n]).encode()).digest())
+                    for i in range(len(toks) - n + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return pg
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -60,19 +96,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the gap to the previous duplicated window exceeds DUP_N — i.e.
     overlapping AND abutting windows merge into one maximal span.
 
-    Plan shape (r3): the positioned-n-gram explode is materialized ONCE and
-    the corpus-wide frequency is a window ``count over (partition by gh)``
-    — one exchange on the 16-byte hash — instead of the r2
-    groupBy + left-semi pair, whose two consumers re-ran the explode."""
+    Plan shape (r3): the positioned-n-gram build is ONE Arrow UDF pass
+    (``pos_gram_hashes_pandas``) materialized once, and the corpus-wide
+    frequency is a window ``count over (partition by gh)`` — one exchange
+    on the 16-byte digest — instead of the r2 groupBy + left-semi pair,
+    whose two consumers re-ran the explode."""
     docs = _docs(spark, sf_dir)
     grams = docs.select(
         "doc_id",
-        F.posexplode(word_ngrams(_toks(F.col("text")), DUP_N)).alias("p0", "ng"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("long").alias("pos"),
-        F.md5(F.col("ng")).alias("gh"),  # 16-byte shuffle key, not the string
-    )
+        F.explode(pos_gram_hashes_pandas(DUP_N)(F.col("text"))).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     hits = (
         grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("c") > 1)
