@@ -51,6 +51,7 @@ KINDS = {
     "q_stats_moments": {"l_returnflag": "str", "n": "num", "stddev_qty": "e6", "stddev_price": "e6", "covar_qty_price": "e6", "corr_qty_price": "e6"},
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
+    "q_simhash": {"doc_id": "num", "simhash": "num"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},
@@ -79,6 +80,7 @@ KINDS = {
     "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
     "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
+    "q_interval_overlap": {"user_id": "num", "session_seq": "num", "incident_id": "num", "overlap_us": "num"},
     "q_bm25_search": {"doc_id": "num", "n_terms_hit": "num", "score_e9": "num"},
     "q_profile": {"col_name": "str", "n_rows": "num", "n_null": "num", "n_distinct": "num", "min_s": "str", "max_s": "str"},
     "q_triangle_counts": {"p_partkey": "num", "n_triangles": "num"},

@@ -222,8 +222,106 @@ ORDER BY e.event_id
 """
 
 
+INCIDENT_HALF_WIDTH_US = 300_000_000  # ±5 min around each incident event
+OVERLAP_BUCKET_US = 600_000_000  # 10-min buckets ~ typical session length
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlapped an incident window?  Set A: 30-min-gap
+    sessions of users with ``user_id % 10 = 0`` (the q_sessionize cohort)
+    as [first_ts, last_ts] closed intervals.  Set B: incident windows —
+    error events with ``event_id % 97 = 0`` widened ±5 min.  Output one
+    row per overlapping (session, incident) pair with the exact overlap
+    in integer microseconds.
+
+    The join is ``operators.intervals.overlap_join`` — bucketized into
+    10-min buckets so Catalyst plans a plain hash equi-join on the bucket
+    key instead of the BroadcastNestedLoopJoin a raw overlap predicate
+    produces (plan-pinned in tests/test_plans.py).  All endpoints are
+    epoch micros (exact longs), so the overlap arithmetic hash-matches
+    any engine."""
+    from changegen_spark.operators.intervals import overlap_join
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessions = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_start"),
+            F.max(F.unix_micros("ts")).alias("s_end"),
+        )
+    )
+    incidents = (
+        _events(spark, sf_dir)
+        .filter((F.col("event_type") == "error") & (F.col("event_id") % 97 == 0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.unix_micros("ts") - F.lit(INCIDENT_HALF_WIDTH_US)).alias("i_start"),
+            (F.unix_micros("ts") + F.lit(INCIDENT_HALF_WIDTH_US)).alias("i_end"),
+        )
+    )
+    pairs = overlap_join(
+        sessions, incidents, "s_start", "s_end", "i_start", "i_end",
+        OVERLAP_BUCKET_US,
+    )
+    return pairs.select(
+        "user_id",
+        "session_seq",
+        "incident_id",
+        (
+            F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+        ).alias("overlap_us"),
+    ).orderBy("user_id", "session_seq", "incident_id")
+
+
+Q_INTERVAL_OVERLAP_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 0),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+  FROM numbered GROUP BY user_id, session_seq
+), incidents AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) - {INCIDENT_HALF_WIDTH_US} AS i_start,
+         epoch_us(ts) + {INCIDENT_HALF_WIDTH_US} AS i_end
+  FROM events
+  WHERE event_type = 'error' AND event_id % 97 = 0
+)
+SELECT user_id, session_seq, incident_id,
+       least(s_end, i_end) - greatest(s_start, i_start) AS overlap_us
+FROM sessions JOIN incidents
+  ON s_start <= i_end AND i_start <= s_end
+ORDER BY user_id, session_seq, incident_id
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
+    "q_interval_overlap": q_interval_overlap,
     "q_sessionize": q_sessionize,
     "q_props_parse": q_props_parse,
     "q_asof_join": q_asof_join,
@@ -232,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "q_event_windows": Q_EVENT_WINDOWS_SQL,
+    "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_props_parse": Q_PROPS_PARSE_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,
