@@ -43,11 +43,10 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOPK} documents by Okapi BM25 against the fixed query
-    ``{BM25_TERMS}``:  score = sum_t idf(t) * tf*(k1+1) /
-    (tf + k1*(1 - b + b*dl/avgdl)) with the Robertson-Sparck Jones idf
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+def bm25_scored(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
+    """Okapi BM25 top-``topk`` against the fixed query ``BM25_TERMS``:
+    score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with the Robertson-Sparck Jones idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
 
     Output: (doc_id, n_terms_hit, score_e9) — score in e9 fixed-point,
     ties broken by doc_id ascending.
@@ -88,13 +87,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_e9").alias("score_e9"),
         )
         .orderBy(F.desc("score_e9"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(topk)
     )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} BM25 documents (see ``bm25_scored``)."""
+    return bm25_scored(spark, sf_dir, BM25_TOPK)
 
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-Q_BM25_SQL = f"""
+def _bm25_sql(topk: int) -> str:
+    return f"""
 WITH lens AS (
   SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
   FROM documents
@@ -125,9 +130,120 @@ SELECT doc_id, count(*) AS n_terms_hit, CAST(sum(s_e9) AS BIGINT) AS score_e9
 FROM scored
 GROUP BY doc_id
 ORDER BY score_e9 DESC, doc_id
-LIMIT {BM25_TOPK}
+LIMIT {topk}
 """
 
 
-QUERIES = {"q_bm25_search": q_bm25_search}
-ORACLES = {"q_bm25_search": Q_BM25_SQL}
+Q_BM25_SQL = _bm25_sql(BM25_TOPK)
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+HYBRID_POOL = 50  # per-retriever candidate pool
+HYBRID_QUERY_VEC = 0  # query = vec 0's embedding (deterministic fixture)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-{HYBRID_POOL} fused with
+    cosine-similarity vector top-{HYBRID_POOL} by reciprocal-rank fusion
+    ``rrf(d) = Σ_lists 1/(RRF_K + rank_list(d))``, top-20 out.
+    ``vec_id`` is the embedding id of document ``doc_id`` (aligned synthetic
+    fixture); the vector query is embedding {HYBRID_QUERY_VEC}.
+
+    Determinism: ranks are exact integers with total tie-break orders;
+    each reciprocal term is e9-scaled and rounded BEFORE the integer sum,
+    so fusion scores are engine-exact.
+
+    Scale shape: the two candidate lists are top-k results (tiny) — the
+    fusion join is broadcast-sized regardless of corpus size; each
+    retriever keeps its own scale story (BM25: pre-shuffle term filter;
+    vectors: brute-force here, swap in the LSH/IVF/PQ variants from
+    queries/vectors.py for the 100 TB path — fusion is agnostic to how
+    the lists were produced)."""
+    from pyspark.sql import Window
+
+    from changegen_spark.functions.similarity import as_double, cosine
+
+    # both pools arrive already LIMIT-ed (per-partition top-k + k-row
+    # merge), so the global row_number windows below run over <= POOL rows
+    # — rank assignment on a k-sized frame, never on the corpus
+    lex = bm25_scored(spark, sf_dir, HYBRID_POOL)
+    wl = Window.orderBy(F.desc("score_e9"), F.asc("doc_id"))
+    lex_ranked = lex.withColumn("rank_lex", F.row_number().over(wl)).select(
+        "doc_id", "rank_lex"
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qv = vecs.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        vecs.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(as_double(F.col("embedding")), as_double(F.col("q_emb"))), 6
+            ).alias("cos_sim"),
+        )
+    )
+    pool = sims.orderBy(F.desc("cos_sim"), F.asc("doc_id")).limit(HYBRID_POOL)
+    wv = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    vec_ranked = pool.withColumn("rank_vec", F.row_number().over(wv)).select(
+        "doc_id", "rank_vec"
+    )
+
+    rrf = lambda r: F.when(  # noqa: E731
+        r.isNotNull(), F.round(F.lit(1e9) / (F.lit(RRF_K) + r)).cast("long")
+    ).otherwise(F.lit(0))
+    return (
+        lex_ranked.join(vec_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_vec",
+            (rrf(F.col("rank_lex")) + rrf(F.col("rank_vec"))).alias("rrf_e9"),
+        )
+        .orderBy(F.desc("rrf_e9"), "doc_id")
+        .limit(20)
+    )
+
+
+Q_HYBRID_SQL = f"""
+WITH lex_pool AS (
+{_bm25_sql(HYBRID_POOL).strip()}
+), lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS INT)
+           AS rank_lex
+  FROM lex_pool
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), qv AS (
+  SELECT e AS qe FROM v WHERE vec_id = {HYBRID_QUERY_VEC}
+), sims AS (
+  SELECT v.vec_id AS doc_id,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS cos_sim
+  FROM v CROSS JOIN qv WHERE v.vec_id != {HYBRID_QUERY_VEC}
+), vec AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+             AS rank_vec
+    FROM sims
+  ) WHERE rank_vec <= {HYBRID_POOL}
+)
+SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+       CAST(coalesce(CAST(round(1e9 / ({RRF_K} + rank_lex)) AS BIGINT), 0)
+          + coalesce(CAST(round(1e9 / ({RRF_K} + rank_vec)) AS BIGINT), 0)
+          AS BIGINT) AS rrf_e9
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf_e9 DESC, doc_id
+LIMIT 20
+"""
+
+
+QUERIES = {"q_bm25_search": q_bm25_search, "q_hybrid_search": q_hybrid_search}
+ORACLES = {"q_bm25_search": Q_BM25_SQL, "q_hybrid_search": Q_HYBRID_SQL}
