@@ -248,3 +248,72 @@ def sessionize_custom_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def hourly_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean/std of hourly counts over the HISTORICAL batch
+    data — the static side of the streaming anomaly join.  Same population
+    stats (dense spine: empty hours count as 0) as the batch
+    ``queries.timeseries.q_moving_avg``, produced from exact integer
+    (sum, sumsq, n) so stream and batch flags can never disagree."""
+    from changegen_spark.queries.timeseries import _events, _hour
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.col("event_type"), _hour().alias("hour")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = ev.agg(F.min(_hour()).alias("h0"), F.max(_hour()).alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    dense = spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return dense.groupBy("event_type").agg(
+        (F.sum("c") / F.count("*")).alias("mean"),
+        F.sqrt(
+            F.sum(F.col("c") * F.col("c")) / F.count("*")
+            - (F.sum("c") / F.count("*")) * (F.sum("c") / F.count("*"))
+        ).alias("std"),
+    )
+
+
+def anomaly_stream(
+    events: DataFrame,
+    stats: DataFrame,
+    z_thresh: float = 2.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming hourly anomaly flags: tumbling 1-hour counts per
+    event_type, z-scored against the broadcast static baseline stats
+    (``hourly_count_stats``) — the streaming twin of the batch
+    ``q_moving_avg`` anomaly flag on observed (non-empty) hours.
+
+    Scale shape: a stream-STATIC broadcast join (rows pick up their type's
+    baseline map-side — no streaming state grows with the baseline) feeding
+    a watermarked windowed aggregate (bounded state).  The join runs BEFORE
+    the aggregation so the plan stays valid in every output mode; mean/std
+    are per-type constants, so carrying them through the aggregate with
+    ``max`` is exact.  Baseline refresh is a batch job — the standard
+    lambda-free split for monitoring at 100 TB/day ingest."""
+    hourly = (
+        events.join(F.broadcast(stats), "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.max("mean").alias("mean"),
+            F.max("std").alias("std"),
+        )
+    )
+    z = (F.col("c") - F.col("mean")) / F.col("std")
+    return hourly.select(
+        "event_type",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "c",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > z_thresh).cast("boolean").alias("is_anomaly"),
+    )

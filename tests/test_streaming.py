@@ -133,3 +133,36 @@ def test_custom_state_sessionization_matches_batch(spark, sf_dir):
     assert g <= b_all  # nothing emitted that isn't a real session
     # the extras are exactly timed-out final sessions
     assert all(s in b_all - b_completed for s in g - b_completed)
+
+
+def test_anomaly_stream_matches_batch_flags(spark, sf_dir):
+    """Streaming z-scores against the static baseline must equal the batch
+    q_moving_avg z/flag on every observed (non-empty) hour."""
+    from changegen_spark.queries.timeseries import q_moving_avg
+    from changegen_spark.streaming.events import (
+        anomaly_stream,
+        hourly_count_stats,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    stats = hourly_count_stats(spark, sf_dir)
+    stream = anomaly_stream(stream_events(spark, sf_dir), stats)
+    # complete mode: emit every window (append would withhold the windows
+    # the final watermark hasn't closed — eviction-based lateness, GAPS.md)
+    got = {
+        (r["event_type"], r["hour_start"]): (r["c"], r["z"], r["is_anomaly"])
+        for r in run_to_memory_sink(stream, "anomalies", mode="complete").collect()
+    }
+    assert got  # the finite source produced output
+
+    import datetime as dt
+
+    batch = {}
+    for r in q_moving_avg(spark, sf_dir).collect():
+        if r["c"] > 0:  # stream emits only observed hours
+            hs = dt.datetime.fromtimestamp(
+                r["hour"] * 3600, dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            batch[(r["event_type"], hs)] = (r["c"], r["z"], r["is_anomaly"])
+    assert got == batch
