@@ -52,6 +52,7 @@ KINDS = {
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_simhash": {"doc_id": "num", "simhash": "num"},
+    "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},
@@ -61,6 +62,7 @@ KINDS = {
     "q_rollup": {"l_returnflag": "str", "l_linestatus": "str", "n": "num"},
     "q_set_ops": {"op": "str", "n": "num"},
     "q_pivot": {"l_linestatus": "str", "n_A": "num", "n_N": "num", "n_R": "num"},
+    "q_weighted_sample": {"doc_id": "num", "w": "num", "c": "num", "n_picks": "num"},
     "q_bloom_decontaminate": {"doc_id": "num", "n_ngrams": "num", "n_candidates": "num", "n_contaminated": "num"},
     "q_incremental_dedup": {"doc_id": "num", "is_exact_dup": "num", "n_near_dup_docs": "num", "status": "str"},
     "q_zorder_cells": {"zcell": "num", "n_points": "num", "zmin": "num", "zmax": "num"},

@@ -767,8 +767,90 @@ ORDER BY source
 """
 
 
+WS_SAMPLES = 50  # systematic sample size
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted systematic (PPS) sampling: {WS_SAMPLES} sample points
+    at positions k·W/{WS_SAMPLES} (k = 0..m-1) over the cumulative weight
+    line of documents ordered by doc_id, weight = n_chars.  A document is
+    picked once per sample point falling inside its weight interval
+    [c_i, c_i + w_i) — large documents can be picked multiply, the defined
+    PPS-with-multiplicity contract (the inclusion-probability shape data
+    mixtures use to sample by token budget rather than by document count).
+
+    Everything is integer arithmetic:  n_picks_i =
+    ceil((c_i+w_i)·m / W) - ceil(c_i·m / W) with ceil(a/b) =
+    (a + b - 1) div b — engine-exact, and Σ n_picks = m by telescoping.
+
+    Scale shape: the exclusive prefix sum c_i is the two-phase distributed
+    pattern (operators/ids.py mode="distributed"): range-partition by
+    doc_id, intra-partition running sum, then per-partition offsets from a
+    window over the TINY (num_partitions)-row frame broadcast back.  No
+    global single-partition pass ever touches the data; the result is
+    partitioning-invariant because the prefix sum is defined by the global
+    doc_id order, not by where partition boundaries fall."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .repartitionByRange(8, "doc_id")
+    )
+    part = F.spark_partition_id()
+    win = Window.partitionBy("__part").orderBy("doc_id")
+    tagged = d.withColumn("__part", part).withColumn(
+        "__c_intra",
+        F.coalesce(
+            F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    counts = tagged.groupBy("__part").agg(F.sum("w").alias("__pw"))
+    prefix = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__part",
+        F.coalesce(F.sum("__pw").over(prefix), F.lit(0)).cast("long").alias("__off"),
+    )
+    tot = d.agg(F.sum("w").cast("long").alias("tw"))
+    m = F.lit(WS_SAMPLES).cast("long")
+    c = (F.col("__c_intra") + F.col("__off")).cast("long")
+    ceil_div = lambda a: F.expr(f"({a} + tw - 1) div tw")  # noqa: E731
+    return (
+        tagged.join(F.broadcast(offs), "__part")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("c", c)
+        .withColumn(
+            "n_picks",
+            (
+                ceil_div(f"(c + w) * {WS_SAMPLES}") - ceil_div(f"c * {WS_SAMPLES}")
+            ).cast("long"),
+        )
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "w", "c", "n_picks")
+        .orderBy("doc_id")
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS c
+  FROM documents
+), t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents)
+SELECT doc_id, w, c,
+       CAST(((c + w) * {WS_SAMPLES} + tw - 1) // tw
+            - (c * {WS_SAMPLES} + tw - 1) // tw AS BIGINT) AS n_picks
+FROM d CROSS JOIN t
+WHERE ((c + w) * {WS_SAMPLES} + tw - 1) // tw
+      - (c * {WS_SAMPLES} + tw - 1) // tw > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_decontaminate": q_decontaminate,
+    "q_weighted_sample": q_weighted_sample,
     "q_external_decontaminate": q_external_decontaminate,
     "q_corpus_pipeline": q_corpus_pipeline,
     "q_mixture_plan": q_mixture_plan,
@@ -781,6 +863,7 @@ QUERIES = {
 
 ORACLES = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_external_decontaminate": Q_EXTERNAL_DECONTAMINATE_SQL,
     "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,
     "q_mixture_plan": Q_MIXTURE_PLAN_SQL,

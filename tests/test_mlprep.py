@@ -186,3 +186,30 @@ def test_external_decontaminate_against_shipped_artifact(spark):
     # expected, but not total
     train_fracs = [r.contamination_frac for d, r in rows.items() if d % 19 != 3]
     assert any(f < 1.0 for f in train_fracs)
+
+
+def test_weighted_sample_exact_pps(spark):
+    """PPS systematic sampling: pick counts telescope to exactly m, a
+    dominant-weight doc is picked multiple times, and the result is
+    partitioning-invariant (the prefix sum is defined by doc_id order,
+    not partition boundaries)."""
+    import changegen_spark.queries.mlprep as mp
+
+    rows = [(i, "t", "en", "s", 10) for i in range(1, 40)] + [(99, "t", "en", "s", 2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mp._docs
+    try:
+        mp._docs = lambda _s, _d: df.repartition(7)
+        got7 = sorted(map(tuple, mp.q_weighted_sample(spark, "u").collect()))
+        mp._docs = lambda _s, _d: df.coalesce(1)
+        got1 = sorted(map(tuple, mp.q_weighted_sample(spark, "u").collect()))
+    finally:
+        mp._docs = orig
+    assert got7 == got1
+    total = sum(r[3] for r in got7)
+    assert total == mp.WS_SAMPLES
+    by_id = {r[0]: r[3] for r in got7}
+    # doc 99 carries 2000/2390 of the weight -> ~42 of the 50 picks
+    assert by_id[99] >= 40
