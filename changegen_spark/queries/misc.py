@@ -451,13 +451,17 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate", ts),
         ("o_orderpriority", plain),
     ]
+    # min/max aggregate on the NATIVE column (numeric/timestamp order) and
+    # are canonicalized to strings only afterwards, on the single aggregated
+    # value — canonicalizing per row and min/maxing strings would silently
+    # switch numerics to lexicographic order ("99999" > "100000")
     aggs = [F.count("*").alias("n_rows")]
-    for c, canon in specs:
+    for c, _canon in specs:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
             F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(canon(c)).alias(f"mn_{c}"),
-            F.max(canon(c)).alias(f"mx_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
         ]
     one = load_table(spark, sf_dir, "orders").agg(*aggs)
     cols = F.array(
@@ -466,10 +470,10 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(c).alias("col_name"),
                 (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
                 F.col(f"nd_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_s"),
-                F.col(f"mx_{c}").alias("max_s"),
+                canon(f"mn_{c}").alias("min_s"),
+                canon(f"mx_{c}").alias("max_s"),
             )
-            for c, _ in specs
+            for c, canon in specs
         ]
     )
     return (
@@ -487,9 +491,9 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _profile_canon_duck(c: str) -> str:
-    if c == "o_totalprice":
+    if c.endswith("o_totalprice"):
         return f"CAST(CAST(round({c} * 100) AS BIGINT) AS VARCHAR)"
-    if c == "o_orderdate":
+    if c.endswith("o_orderdate"):
         return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
     return f"CAST({c} AS VARCHAR)"
 
@@ -507,13 +511,15 @@ Q_PROFILE_SQL = (
     "WITH agg AS (\n  SELECT count(*) AS n_rows,\n"
     + ",\n".join(
         f"    count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c},\n"
-        f"    min({_profile_canon_duck(c)}) AS mn_{c}, max({_profile_canon_duck(c)}) AS mx_{c}"
+        f"    min({c}) AS mn_{c}, max({c}) AS mx_{c}"
         for c in _PROFILE_COLS
     )
     + "\n  FROM orders\n)\n"
     + "\nUNION ALL\n".join(
         f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_null,\n"
-        f"       nd_{c} AS n_distinct, mn_{c} AS min_s, mx_{c} AS max_s FROM agg"
+        f"       nd_{c} AS n_distinct,\n"
+        f"       {_profile_canon_duck(f'mn_{c}')} AS min_s,\n"
+        f"       {_profile_canon_duck(f'mx_{c}')} AS max_s FROM agg"
         for c in _PROFILE_COLS
     )
     + "\nORDER BY col_name"
