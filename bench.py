@@ -52,6 +52,10 @@ BUDGETS = {
     "q_dup_spans": 2.7,  # r3 Arrow positioned-gram rewrite: ~2.0 s warm
     "q_lm_score": 4.0,
     "q_feature_hash": 1.0,
+    # r3 late additions (measured warm min-of-3 at sf0.1: 0.73 / 0.74 / 0.39)
+    "q_resample": 1.1,
+    "q_hybrid_search": 1.1,
+    "q_interval_overlap": 0.6,
 }
 
 HEADLINE = [
@@ -83,6 +87,12 @@ HEADLINE = [
     # q_pagerank stays a contract query — its local wall time is fixed
     # stage overhead, not data, see queries/graph.py docstring)
     "q_feature_hash",
+    # r3 late additions — one per new family: time-series resample+LOCF,
+    # hybrid lexical+vector retrieval (runs BM25 inside), and the
+    # bucketized interval-overlap join
+    "q_resample",
+    "q_hybrid_search",
+    "q_interval_overlap",
 ]
 
 
