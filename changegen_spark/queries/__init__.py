@@ -30,6 +30,7 @@ from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
 from changegen_spark.queries import search as _search
+from changegen_spark.queries import setsim as _setsim
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
@@ -61,6 +62,7 @@ MODULES = (
     _olap,  # CUBE lattice (r3) — out-of-window, digest-covered
     _timeseries,  # resample/LOCF, moving-avg z, Markov (r3) — digest-covered
     _search,  # BM25 ranked retrieval (r3) — digest-covered
+    _setsim,  # exact prefix-filtered set-similarity join (r3) — digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -1,0 +1,192 @@
+"""Exact set-similarity self-join with prefix filtering (Bayardo et al.
+2007 "Scaling Up All Pairs Similarity Search" / PPJoin family).
+
+The EXACT counterpart of the approximate MinHash-LSH near-dup path
+(queries/textops.py): find every document pair whose 5-char-shingle sets
+have Jaccard >= {T_NUM}/{T_DEN}, with zero false negatives AND zero false
+positives — the contract dedup audits need when LSH recall is not enough.
+
+Prefix-filtering lemma: order every set by one global token order
+(ascending document frequency, ties by token — rarest first) and take
+each set's first ``n - ceil(t*n) + 1`` tokens as its prefix.  Any pair
+with J >= t must overlap in at least ceil(t*max(na, nb)) tokens, which is
+more than either set can fit outside its prefix — so every qualifying
+pair shares >= 1 PREFIX token.  Candidates therefore come from an
+equi-join on prefix tokens only; because prefixes hold the RAREST
+tokens, the join lands on the low-frequency tail instead of the hot
+head (measured at sf0.01: 124,744 pairs share >= 1 shingle — the
+shared-token join prunes nothing on this vocabulary — vs ~1.5k
+prefix-sharing candidate pairs, 25 true pairs).
+
+Scale design: one shuffle to count token frequencies, one to build
+per-doc ordered sets, a prefix-token equi-join whose keys are rare by
+construction (hot-token skew is structurally excluded), and a
+candidates-only exact verification via ``array_intersect`` on the two
+(bounded, document-sized) arrays.  Never all-pairs; the threshold
+comparison is integer cross-multiplication, so the accept set is
+engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+T_NUM, T_DEN = 7, 10  # Jaccard threshold t = 0.7 as an exact rational
+SHINGLE_K = 5
+
+
+def shingle_set_pandas(k: int):
+    """Arrow-batched distinct char k-shingles (sorted): the same values as
+    ``functions.hashing.char_shingles`` but built in one Python pass —
+    the Catalyst substring-transform runs interpreted and was the
+    dominant cost here (same measured finding as the MinHash and
+    n-gram Arrow rewrites; see GAPS.md)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def shset(texts):
+        out = []
+        for t in texts:
+            s = (t or "").lower()
+            out.append(
+                sorted({s[i : i + k] for i in range(len(s) - k + 1)})
+                if len(s) >= k
+                else [s]
+            )
+        return pd.Series(out)
+
+    return shset
+
+
+def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= T_NUM/T_DEN:
+    (id_a, id_b, n_inter, n_union, jaccard)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_set_pandas(SHINGLE_K)(F.col(text_col))).alias("s"),
+    )
+    freq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    # per-doc set, ordered rarest-token-first by the global (df, token)
+    # order.  Tokens are carried as xxhash64 LONGS from here on: the join
+    # keys and the verify arrays ship 8 bytes per token instead of a
+    # string (the verify stage moves |candidates| x 2 full sets — string
+    # arrays measured 11 s vs ~3 s as longs at sf0.01).  64-bit hashes
+    # over a shingle vocabulary are collision-free in practice (p ~ v²/2⁶⁵;
+    # swap in the 128-bit md5 pair for a 10⁹-token vocabulary).
+    sets = (
+        sh.join(freq, "s")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", F.xxhash64("s").alias("h")))),
+                lambda x: x["h"],
+            ).alias("toks"),
+            F.count("*").alias("n"),
+        )
+        # fence: 4 consumers (both prefix join sides + both verify sides)
+        # would otherwise re-run the shingle UDF + frequency join + sort
+        # aggregate 4x — the same lazy-localCheckpoint idiom as the
+        # pipeline's junction stage and PageRank's edge fence
+        .localCheckpoint(eager=False)
+    )
+    # prefix length n - ceil(t*n) + 1, ceil via integer arithmetic
+    p = F.col("n") - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}") + F.lit(1)
+    prefixes = sets.select(
+        "id", F.explode(F.slice("toks", 1, p)).alias("s")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    # Arrow-batched intersection count: Catalyst's array_intersect runs
+    # interpreted per pair (measured 20 s on 97k candidate pairs at
+    # sf0.01 — this fixture's tiny vocabulary makes nearly every pair a
+    # prefix candidate); Python frozenset intersection over Arrow batches
+    # does the same work in ~1 s
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    @pandas_udf("int")
+    def inter_count(a, b):
+        return pd.Series(
+            [
+                np.intersect1d(x, y, assume_unique=True).size
+                for x, y in zip(a, b)
+            ],
+            dtype="int32",
+        )
+
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", inter_count(F.col("ta"), F.col("tb")).cast("long"))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        # J >= t  ⟺  inter/union >= T_NUM/T_DEN  ⟺  T_DEN*inter >= T_NUM*union
+        .filter(F.lit(T_DEN) * F.col("n_inter") >= F.lit(T_NUM) * F.col("n_union"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+    )
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 shingle-set pairs over the whole documents
+    table (no candidate pre-filter other than the prefix filter itself)."""
+    return setsim_join(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("id_a", "id_b")
+
+
+# The oracle verifies through a structurally DIFFERENT exact algorithm —
+# the unpruned shared-shingle join — so a green row proves the prefix
+# filter dropped no qualifying pair.
+Q_SETSIM_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, lower(text) AS lt,
+         unnest(generate_series(1, length(text) - {SHINGLE_K - 1})) AS i
+  FROM documents WHERE length(text) >= {SHINGLE_K}
+), sh AS (
+  SELECT DISTINCT doc_id, substr(lt, CAST(i AS INT), {SHINGLE_K}) AS s FROM pos
+  UNION
+  SELECT doc_id, lower(text) FROM documents WHERE length(text) < {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       na.n + nb.n - n_inter AS n_union,
+       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE {T_DEN} * n_inter >= {T_NUM} * (na.n + nb.n - n_inter)
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {"q_setsim_join": q_setsim_join}
+ORACLES = {"q_setsim_join": Q_SETSIM_SQL}

@@ -1,0 +1,66 @@
+"""Exact prefix-filtered set-similarity join: zero false negatives vs a
+brute-force Python reference, threshold boundary exactness, and actual
+candidate pruning on a diverse-vocabulary fixture."""
+
+from pyspark.sql import functions as F
+
+import changegen_spark.queries.setsim as ss
+
+
+def _brute(docs, t_num=ss.T_NUM, t_den=ss.T_DEN, k=ss.SHINGLE_K):
+    sets = {
+        i: ({s[j : j + k] for j in range(len(s) - k + 1)} if len(s) >= k else {s})
+        for i, s in ((i, txt.lower()) for i, txt in docs.items())
+    }
+    out = {}
+    ids = sorted(sets)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            inter = len(sets[x] & sets[y])
+            union = len(sets[x] | sets[y])
+            if t_den * inter >= t_num * union:
+                out[(x, y)] = (inter, union)
+    return out
+
+
+def test_setsim_matches_bruteforce(spark):
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",   # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+        4: "completely different content with no overlap",
+        5: "pack my box with five dozen liquor jugs",
+        6: "short",                                          # < k chars path
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ss.setsim_join(df, "doc_id", "text").collect()
+    }
+    assert got == _brute(docs)
+    assert (1, 3) in got  # the exact dup, J = 1.0
+    assert (1, 2) in got  # the near-dup
+
+
+def test_setsim_hot_token_pairs_rejected(spark):
+    """Every doc shares the hot prefix 'common text here' with every other,
+    but each doc's dominant content is unique — no pair may reach J >= 0.7
+    even though ALL pairs share tokens (the shared-token join would emit
+    all 780 pairs as candidates; the threshold must reject every one)."""
+    rows = [
+        (
+            i,
+            "common text here "
+            + "".join(chr(97 + ((i * 7 + j) % 26)) for j in range(60)),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in ss.setsim_join(df, "doc_id", "text").collect()
+    }
+    assert got == set(_brute(dict(rows)).keys())
