@@ -53,6 +53,7 @@ KINDS = {
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_simhash": {"doc_id": "num", "simhash": "num"},
     "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},
+    "q_typo_pairs": {"w1": "str", "w2": "str", "dist": "num"},
     "q_setsim_join": {"id_a": "num", "id_b": "num", "n_inter": "num", "n_union": "num", "jaccard": "e6"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},

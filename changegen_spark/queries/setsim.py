@@ -188,5 +188,98 @@ ORDER BY id_a, id_b
 """
 
 
-QUERIES = {"q_setsim_join": q_setsim_join}
-ORACLES = {"q_setsim_join": Q_SETSIM_SQL}
+# --- edit-distance <= 1 vocabulary join (deletion-neighborhood blocking) ------
+
+
+TYPO_MAX_DIST = 2
+
+
+def deletion_neighborhood_pandas(k: int):
+    """Arrow-batched FastSS deletion neighborhood: every string reachable
+    by deleting up to ``k`` characters (the string itself included),
+    sorted.  The vocabulary frame is kilobytes, so Python set-building
+    beats wrestling Spark's descending-``sequence`` guard through three
+    nested higher-order functions."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def dels(words):
+        def grow(s):
+            return {w[:i] + w[i + 1 :] for w in s for i in range(len(w))}
+
+        out = []
+        for w in words:
+            acc, frontier = {w}, {w}
+            for _ in range(k):
+                frontier = grow(frontier)
+                acc |= frontier
+            out.append(sorted(acc))
+        return pd.Series(out)
+
+    return dels
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All DISTINCT corpus-token pairs within Levenshtein distance
+    {TYPO_MAX_DIST} — the typo-clustering / vocabulary-normalization pass
+    of a text pipeline, exact, via FastSS deletion-neighborhood blocking
+    (Bocek et al. 2007).
+
+    Key fact: if ed(a, b) <= k, deleting the differing positions from
+    each side lands on a common member of their k-deletion
+    neighborhoods — so candidates come from an equi-join on neighborhood
+    keys with NO false negatives; a Levenshtein verify removes the
+    false positives the blocking admits.
+
+    Scale: the vocabulary (distinct tokens) is already tiny relative to
+    the corpus (one groupBy); deletion keys multiply it by ~len^k/k! —
+    all map-side; the join is an equi-join.  The ORACLE brute-forces all
+    vocabulary pairs with DuckDB's built-in levenshtein — a structurally
+    different exact algorithm, so a green row proves the blocking
+    admitted no misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .distinct()
+    )
+    dels = vocab.select(
+        "w",
+        F.explode(deletion_neighborhood_pandas(TYPO_MAX_DIST)(F.col("w"))).alias("k"),
+    ).distinct()
+    cand = (
+        dels.alias("a")
+        .join(
+            dels.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("w1", "w2"))
+        .filter(F.col("dist") <= TYPO_MAX_DIST)
+        .orderBy("w1", "w2")
+    )
+
+
+Q_TYPO_PAIRS_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+)
+SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS INT) AS dist
+FROM vocab a JOIN vocab b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= {TYPO_MAX_DIST}
+     AND levenshtein(a.w, b.w) <= {TYPO_MAX_DIST}
+ORDER BY w1, w2
+"""
+
+
+QUERIES = {"q_setsim_join": q_setsim_join, "q_typo_pairs": q_typo_pairs}
+ORACLES = {"q_setsim_join": Q_SETSIM_SQL, "q_typo_pairs": Q_TYPO_PAIRS_SQL}

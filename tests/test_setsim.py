@@ -64,3 +64,47 @@ def test_setsim_hot_token_pairs_rejected(spark):
         (r["id_a"], r["id_b"]) for r in ss.setsim_join(df, "doc_id", "text").collect()
     }
     assert got == set(_brute(dict(rows)).keys())
+
+
+def test_typo_pairs_matches_bruteforce(spark):
+    """FastSS k=2 blocking + verify must equal an all-pairs Levenshtein
+    scan on a typo-rich vocabulary (substitutions, transposition = two
+    substitutions, inserts, deletes, and far-apart words)."""
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    words = [
+        "spark", "spork", "sprk", "sparks", "shark",
+        "table", "cable", "tale", "tables",
+        "window", "widow", "meadow",
+        "zz", "zx",
+    ]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    import changegen_spark.queries.setsim as ss2
+
+    orig = ss2.load_table
+    ss2.load_table = lambda _s, _d, _n: df
+    try:
+        got = {
+            (r["w1"], r["w2"]): r["dist"]
+            for r in ss2.q_typo_pairs(spark, "u").collect()
+        }
+    finally:
+        ss2.load_table = orig
+    expected = {
+        (a, b): lev(a, b)
+        for a in words
+        for b in words
+        if a < b and lev(a, b) <= ss2.TYPO_MAX_DIST
+    }
+    assert got == expected
+    assert got[("spark", "spork")] == 1
+    assert got[("widow", "window")] == 1
+    assert got[("cable", "tale")] == 2
