@@ -296,6 +296,13 @@ def triangle_counts(e: DataFrame) -> DataFrame:
             F.when(k1 < k2, F.col("p2")).otherwise(F.col("p1")).alias("b"),
             F.when(k1 < k2, k2).otherwise(k1).alias("kb"),
         )
+        # NO fence here, deliberately: the three consumers (both wedge
+        # sides + the closing-edge probe) are identical subtrees, so
+        # ReuseExchange already deduplicates the derivation — a lazy
+        # localCheckpoint measured SLOWER (8.9 s → 11.2 s at sf0.1: the
+        # RDD fence blocks whole-stage codegen fusion and adds a
+        # materialization, while saving nothing that wasn't already
+        # reused).  Contrast with pagerank/setsim, whose consumers differ.
     )
     e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
     tri = (
