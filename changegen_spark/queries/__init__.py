@@ -26,6 +26,7 @@ from changegen_spark.queries import lm as _lm
 from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
+from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
@@ -63,6 +64,7 @@ MODULES = (
     _timeseries,  # resample/LOCF, moving-avg z, Markov (r3) — digest-covered
     _search,  # BM25 ranked retrieval (r3) — digest-covered
     _setsim,  # exact prefix-filtered set-similarity join (r3) — digest-covered
+    _quality,  # DQ constraint audit + association rules (r3) — digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -53,6 +53,8 @@ KINDS = {
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_simhash": {"doc_id": "num", "simhash": "num"},
     "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},
+    "q_dq_audit": {"check_name": "str", "n_checked": "num", "n_violations": "num", "passed": "num"},
+    "q_assoc_rules": {"part_a": "num", "part_b": "num", "n_ab": "num", "n_a": "num", "n_b": "num", "confidence": "e6", "lift": "e6"},
     "q_typo_pairs": {"w1": "str", "w2": "str", "dist": "num"},
     "q_setsim_join": {"id_a": "num", "id_b": "num", "n_inter": "num", "n_union": "num", "jaccard": "e6"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},

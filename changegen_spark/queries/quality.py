@@ -1,0 +1,218 @@
+"""Data-quality audit (Deequ-style constraint checks) and market-basket
+association rules — the two remaining table-stakes operators of a
+production analytics pipeline.
+
+``q_dq_audit`` runs the constraint suite a pipeline gates ingestion on:
+primary-key uniqueness, referential integrity across the star schema,
+range/domain checks, and derived-column consistency — one row per check
+with exact violation counts (integer, engine-exact).
+
+``q_assoc_rules`` mines pairwise association rules from the order
+baskets: support, confidence and lift for co-purchased part pairs above
+a support floor.  The classic shape: distinct (order, item) → per-order
+pair expansion (bounded by basket size squared, NOT by catalog size) →
+integer count aggregates; confidence/lift are ratios of exact counts.
+
+Scale design: every check and every rule statistic is a count aggregate
+with map-side partial aggregation; the FK checks are left-anti hash
+joins on the key (broadcast when the dimension fits).  The basket pair
+expansion is the only super-linear term — |orders| x (basket choose 2)
+— and baskets are bounded by business reality (~7 lines), so it scales
+linearly in orders; a degenerate mega-basket would need the per-order
+cap the docstring of _basket_pairs notes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite audit over the star schema:
+    (check_name, n_checked, n_violations, passed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame, violation: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_checked"),
+            F.count_if(violation).alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias(
+            "n_violations"
+        ),
+    )
+    fk_li = check(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    fk_cust = check(
+        "orders_fk_customer",
+        orders.join(
+            customer.select("c_custkey"),
+            orders.o_custkey == customer.c_custkey,
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    qty = check(
+        "lineitem_qty_range",
+        lineitem,
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100),
+    )
+    price = check("orders_price_nonneg", orders, F.col("o_totalprice") < 0)
+    ts = check(
+        "events_ts_bounds",
+        events,
+        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2024-03-01").cast("timestamp")),
+    )
+    nchars = check(
+        "documents_nchars_consistent",
+        documents,
+        F.col("n_chars") != F.length("text"),
+    )
+    out = reduce(
+        DataFrame.unionByName, [pk, fk_li, fk_cust, qty, price, ts, nchars]
+    )
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("boolean").alias("passed"),
+    ).orderBy("check_name")
+
+
+Q_DQ_AUDIT_SQL = """
+SELECT check_name, n_checked, n_violations,
+       n_violations = 0 AS passed FROM (
+  SELECT 'orders_pk_unique' AS check_name, count(*) AS n_checked,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'lineitem_fk_orders', count(*),
+         count(*) FILTER (o.o_orderkey IS NULL)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_fk_customer', count(*),
+         count(*) FILTER (c.c_custkey IS NULL)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_qty_range', count(*),
+         count(*) FILTER (l_quantity <= 0 OR l_quantity > 100) FROM lineitem
+  UNION ALL
+  SELECT 'orders_price_nonneg', count(*),
+         count(*) FILTER (o_totalprice < 0) FROM orders
+  UNION ALL
+  SELECT 'events_ts_bounds', count(*),
+         count(*) FILTER (ts < TIMESTAMP '2024-01-01'
+                          OR ts >= TIMESTAMP '2024-03-01') FROM events
+  UNION ALL
+  SELECT 'documents_nchars_consistent', count(*),
+         count(*) FILTER (n_chars != length(text)) FROM documents
+)
+ORDER BY check_name
+"""
+
+
+MIN_PAIR_SUPPORT = 3
+ASSOC_TOPK = 100
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{ASSOC_TOPK} co-purchase pairs by lift (support >=
+    {MIN_PAIR_SUPPORT} orders): (part_a, part_b, n_ab, n_a, n_b,
+    confidence, lift), ties broken by (part_a, part_b).
+
+    confidence = P(b|a) = n_ab/n_a; lift = P(a,b)/(P(a)P(b)) =
+    n_ab*N/(n_a*n_b) — all ratios of exact integer counts, rounded 6 dp.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(ASSOC_TOPK)
+    )
+
+
+Q_ASSOC_RULES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT count(*) AS n_orders FROM orders),
+item AS (
+  SELECT l_partkey, count(*) AS n_item FROM li GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+)
+SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       round(n_ab * 1.0 / ia.n_item, 6) AS confidence,
+       round(n_ab * 1.0 * n_orders / (ia.n_item * 1.0 * ib.n_item), 6) AS lift
+FROM pairs
+JOIN item ia ON part_a = ia.l_partkey
+JOIN item ib ON part_b = ib.l_partkey
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {ASSOC_TOPK}
+"""
+
+
+QUERIES = {"q_dq_audit": q_dq_audit, "q_assoc_rules": q_assoc_rules}
+ORACLES = {"q_dq_audit": Q_DQ_AUDIT_SQL, "q_assoc_rules": Q_ASSOC_RULES_SQL}
