@@ -77,6 +77,7 @@ KINDS = {
     "q_media_frame_stats": {"asset_id": "num", "frame_idx": "num", "mean_luma_e6": "num"},
     "q_media_motion": {"asset_id": "num", "frame_idx": "num", "mad_e6": "num"},
     "q_pagerank": {"node": "str", "rank_e9": "num"},
+    "q_bfs_hops": {"node": "str", "hops": "num"},
     "q_pagerank_weighted": {"node": "str", "rank_e9": "num"},
     "q_feature_hash": {"doc_id": "num", "bucket": "num", "n": "num"},
     "q_skipgram_pairs": {"w1": "str", "w2": "str", "n": "num"},

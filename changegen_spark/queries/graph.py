@@ -399,14 +399,81 @@ ORDER BY bucket
 """
 
 
+# --- BFS hop distances (graph traversal) -------------------------------------
+
+BFS_SOURCE = "c1"
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops(
+    edges: DataFrame, source: str, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """(node, hops) for every node reachable from ``source`` in at most
+    ``max_hops`` arcs — hops is the exact shortest distance.
+
+    Iterative frontier expansion: each hop is ONE |frontier ⋈ edges|
+    equi-join on src, then a left-anti against the visited set so the
+    frontier carries only newly discovered nodes (work per hop is
+    proportional to the NEW frontier, the textbook distributed BFS).
+    Both accumulators are |V|-bounded and eagerly checkpointed per hop —
+    bounded lineage, same discipline as pagerank(checkpoint_every)."""
+    visited = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node string, hops int"
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance from customer node {BFS_SOURCE} to every node
+    within {BFS_MAX_HOPS} hops of the mirrored trading graph."""
+    return bfs_hops(_edges(spark, sf_dir), BFS_SOURCE).orderBy("node")
+
+
+Q_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS cnode, 's' || l.l_suppkey AS snode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+), walk AS (
+  SELECT '{BFS_SOURCE}' AS node, 0 AS hops
+  UNION
+  SELECT e.dst AS node, w.hops + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hops) AS INT) AS hops
+FROM walk GROUP BY node
+ORDER BY node
+"""
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
+    "q_bfs_hops": q_bfs_hops,
     "q_pagerank_weighted": q_pagerank_weighted,
     "q_triangle_counts": q_triangle_counts,
     "q_degree_hist": q_degree_hist,
 }
 ORACLES = {
     "q_pagerank": Q_PAGERANK_SQL,
+    "q_bfs_hops": Q_BFS_SQL,
     "q_pagerank_weighted": Q_PAGERANK_WEIGHTED_SQL,
     "q_triangle_counts": Q_TRIANGLES_SQL,
     "q_degree_hist": Q_DEGREE_HIST_SQL,

@@ -133,3 +133,23 @@ def test_pagerank_deep_with_checkpoints(spark):
         for r in pagerank(df, iters=12, checkpoint_every=4).collect()
     }
     assert got == _ref_pagerank(ARCS, 12)
+
+
+def test_bfs_hops_shortest_distances(spark):
+    """BFS must report SHORTEST hop counts (a node reachable at hop 1 and
+    again at hop 3 reports 1), stop at max_hops, and exclude unreachable
+    components."""
+    from changegen_spark.queries.graph import bfs_hops
+
+    arcs = (
+        ARCS
+        + [("x", "y"), ("y", "x")]  # disconnected component
+        + [("e", "f"), ("f", "e")]  # f is 3 hops from a (a-c-d-e-f = 4)
+    )
+    df = spark.createDataFrame(arcs, "src string, dst string")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, "a", max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    assert "x" not in got and "f" not in got
+    # depth 4 reaches f
+    got4 = {r["node"]: r["hops"] for r in bfs_hops(df, "a", max_hops=4).collect()}
+    assert got4["f"] == 4
