@@ -1,0 +1,140 @@
+"""Seeded-random brute-force parity sweeps for the r3 operator family:
+interval-overlap join, triangle counting, PPS sampling, and the exact
+set-similarity join.  Each case compares the distributed operator against
+a straight-line Python implementation on a random instance — the same
+independent-reference strategy as test_graph/test_lm, with deterministic
+seeds so failures reproduce."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_overlap_join_random_instances(spark):
+    from changegen_spark.operators.intervals import overlap_join
+
+    rng = random.Random(42)
+    for case in range(4):
+        a = [
+            (i, s, s + rng.randint(0, 400))
+            for i, s in ((i, rng.randint(0, 2000)) for i in range(60))
+        ]
+        b = [
+            (i, s, s + rng.randint(0, 100))
+            for i, s in ((i, rng.randint(0, 2000)) for i in range(60))
+        ]
+        width = rng.choice([7, 50, 300, 1000])
+        expected = {
+            (x[0], y[0])
+            for x in a
+            for y in b
+            if x[1] <= y[2] and y[1] <= x[2]
+        }
+        da = spark.createDataFrame(a, "aid long, s1 long, e1 long")
+        db = spark.createDataFrame(b, "bid long, s2 long, e2 long")
+        got = {
+            (r["aid"], r["bid"])
+            for r in overlap_join(da, db, "s1", "e1", "s2", "e2", width).collect()
+        }
+        assert got == expected, f"case {case} width {width}"
+
+
+def test_triangle_counts_random_graphs(spark):
+    from changegen_spark.queries.graph import triangle_counts
+
+    rng = random.Random(7)
+    for case in range(3):
+        n = 25
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(30, 120))
+                for a, b in [sorted(rng.sample(range(1, n + 1), 2))]
+            }
+        )
+        eset = set(edges)
+        expected = {}
+        for i in range(1, n + 1):
+            for j in range(i + 1, n + 1):
+                for k in range(j + 1, n + 1):
+                    if (i, j) in eset and (i, k) in eset and (j, k) in eset:
+                        for v in (i, j, k):
+                            expected[v] = expected.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "p1 long, p2 long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == expected, f"case {case}"
+
+
+def test_weighted_sample_random_weights(spark):
+    import changegen_spark.queries.mlprep as mp
+
+    rng = random.Random(99)
+    for case in range(3):
+        rows = [
+            (i, "t", "en", "s", rng.randint(1, 500)) for i in range(1, 80)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        # straight-line reference: cumulative weights + ceil arithmetic
+        tw = sum(r[4] for r in rows)
+        m = mp.WS_SAMPLES
+        c = 0
+        expected = {}
+        for did, _t, _l, _s, w in rows:
+            picks = -(-((c + w) * m) // tw) - (-(-(c * m) // tw))
+            if picks > 0:
+                expected[did] = (w, c, picks)
+            c += w
+        orig = mp._docs
+        mp._docs = lambda _sp, _d: df.repartition(rng.randint(1, 9))
+        try:
+            got = {
+                r["doc_id"]: (r["w"], r["c"], r["n_picks"])
+                for r in mp.q_weighted_sample(spark, "u").collect()
+            }
+        finally:
+            mp._docs = orig
+        assert got == expected, f"case {case}"
+        assert sum(v[2] for v in got.values()) == m
+
+
+def test_setsim_random_texts(spark):
+    import changegen_spark.queries.setsim as ss
+
+    rng = random.Random(5)
+    vocab = ["alpha", "bravo", "chnge", "delta", "echos", "fxtrt"]
+    docs = {}
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 8))]
+        docs[i] = " ".join(base)
+        if rng.random() < 0.4:  # planted near-dup with a small edit
+            twin = list(base)
+            twin[rng.randrange(len(twin))] = rng.choice(vocab)
+            docs[100 + i] = " ".join(twin)
+
+    def brute(ds):
+        k = ss.SHINGLE_K
+        sets = {
+            i: ({t[j : j + k] for j in range(len(t) - k + 1)} if len(t) >= k else {t})
+            for i, t in ((i, s.lower()) for i, s in ds.items())
+        }
+        out = set()
+        for x in sets:
+            for y in sets:
+                if x < y:
+                    inter = len(sets[x] & sets[y])
+                    union = len(sets[x] | sets[y])
+                    if ss.T_DEN * inter >= ss.T_NUM * union:
+                        out.add((x, y))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ss.setsim_join(df, "doc_id", "text").collect()
+    }
+    assert got == brute(docs)
+    assert got  # the planted twins guarantee at least one pair
