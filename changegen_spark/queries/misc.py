@@ -424,6 +424,95 @@ FROM s ORDER BY l_returnflag
 """
 
 
+PB_BINS = 1000
+PB_PCTS = (50, 90, 99)
+
+
+def q_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BINNED percentiles of the order price — the mergeable
+    100 TB path next to q_percentiles' exact ordered statistic: an exact
+    percentile needs a per-group sort of all values, while a fixed-bin
+    histogram is ONE count aggregate with map-side combine, mergeable
+    across any partitioning, with error bounded by the bin width
+    ((max-min)/{PB_BINS} here).  Unlike t-digest/KLL sketches the result
+    is bit-deterministic, so it oracle-checks.
+
+    Output: (pct, bin_idx, upper_cents, n_le) — for each target
+    percentile, the first bin whose cumulative count reaches
+    ceil(pct*N/100), its upper price bound in cents, and the cumulative
+    count at that bin.  All integer arithmetic.
+
+    Plan: pass 1 aggregates (min, max, N) in cents; pass 2 is the
+    histogram groupBy; the cumulative window runs over the {PB_BINS}-row
+    histogram frame, never the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bounds = o.agg(
+        F.min(cents).alias("lo"),
+        F.max(cents).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    hist = (
+        o.select(cents.alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"((c - lo) * {PB_BINS}) div (hi - lo + 1)").alias("bin_idx")
+        )
+        .agg(F.count("*").alias("bc"))
+    )
+    wcum = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("n_le", F.sum("bc").over(wcum)).crossJoin(
+        F.broadcast(bounds)
+    )
+    parts = []
+    for pct in PB_PCTS:
+        need = F.expr(f"({pct} * n + 99) div 100")
+        parts.append(
+            cum.filter(F.col("n_le") >= need)
+            .orderBy("bin_idx")
+            .limit(1)
+            .select(
+                F.lit(pct).alias("pct"),
+                F.col("bin_idx").cast("long").alias("bin_idx"),
+                F.expr(
+                    f"lo + ((bin_idx + 1) * (hi - lo + 1)) div {PB_BINS}"
+                ).alias("upper_cents"),
+                "n_le",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts).orderBy("pct")
+
+
+Q_PERCENTILE_BINNED_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), bounds AS (
+  SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM c
+), hist AS (
+  SELECT ((c - lo) * {PB_BINS}) // (hi - lo + 1) AS bin_idx, count(*) AS bc
+  FROM c CROSS JOIN bounds GROUP BY 1
+), cum AS (
+  SELECT bin_idx, sum(bc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING)
+           AS n_le
+  FROM hist
+), pick AS (
+  {" UNION ALL ".join(
+    f'''(SELECT {pct} AS pct, CAST(bin_idx AS BIGINT) AS bin_idx,
+        CAST(lo + ((bin_idx + 1) * (hi - lo + 1)) // {PB_BINS} AS BIGINT)
+          AS upper_cents,
+        CAST(n_le AS BIGINT) AS n_le
+        FROM cum CROSS JOIN bounds
+        WHERE n_le >= ({pct} * n + 99) // 100
+        ORDER BY bin_idx LIMIT 1)'''
+    for pct in PB_PCTS)}
+)
+SELECT * FROM pick ORDER BY pct
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the orders table — the one-pass summary a
     pipeline materializes before planning joins/partitioning on unfamiliar
@@ -529,6 +618,7 @@ Q_PROFILE_SQL = (
 QUERIES = {
     "q_hstore_parse": q_hstore_parse,
     "q_profile": q_profile,
+    "q_percentile_binned": q_percentile_binned,
     "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
@@ -545,6 +635,7 @@ QUERIES = {
 ORACLES = {
     "q_hstore_parse": Q_HSTORE_SQL,
     "q_profile": Q_PROFILE_SQL,
+    "q_percentile_binned": Q_PERCENTILE_BINNED_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
