@@ -246,3 +246,38 @@ def test_pagerank_iterations_use_partial_aggregation(spark, sf_dir):
     # 3 iterations x (partial + final) for the contribution sums, plus the
     # outdegree aggregate pair
     assert plan.count("HashAggregate") >= 8
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark, sf_dir):
+    """BM25's document-frequency and corpus-stat frames must reach the
+    scoring join as broadcasts — no corpus-sized shuffle join side."""
+    from changegen_spark.queries.search import q_bm25_search
+
+    plan = _plan(q_bm25_search(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_pair_expansion_is_equi_join(spark, sf_dir):
+    """The basket pair expansion must be an equi-join on l_orderkey —
+    never a nested-loop over the catalog."""
+    from changegen_spark.queries.quality import q_assoc_rules
+
+    plan = _plan(q_assoc_rules(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the basket expansion is a hash equi-join on the order key
+    assert any(
+        "Join" in l and "l_orderkey" in l and "Cross" not in l
+        for l in plan.splitlines()
+    )
+    # the only nested-loop is the deliberate 1-row n_orders broadcast cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_markov_single_user_shuffle(spark, sf_dir):
+    """The Markov pass shuffles once by user (the lag window) and once for
+    the tiny (prev, next) aggregate — no joins at all."""
+    from changegen_spark.queries.timeseries import q_markov_transitions
+
+    plan = _plan(q_markov_transitions(spark, sf_dir))
+    assert "Join" not in plan
