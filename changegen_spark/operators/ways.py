@@ -35,18 +35,30 @@ def split_ways(
     node_limit: int = NODE_LIMIT_DEFAULT,
     chunk_size: int = CHUNK_SIZE_DEFAULT,
     chunk_col: str = "chunk",
+    joiner: str = "shared",
 ) -> DataFrame:
-    """W3: split over-long node lists into boundary-sharing chunks.
+    """W3: split over-long node lists into chunks.
 
     Ways with ≤ ``node_limit`` nodes pass through as chunk 0.  Longer ways
-    become ``ceil(n/chunk_size)`` rows; chunk *i*>0 is prepended with the last
-    node of chunk *i-1* so consecutive ways share a joiner node.  Invariants
-    (mirrors the reference tests ``test/test_generator.py:79-92``): every
-    original node appears, boundary nodes appear in two chunks, and
-    within-chunk order is the original order.
+    become ``ceil(n/chunk_size)`` rows.  Two joiner modes:
+
+    * ``joiner="shared"`` (default): chunk *i*>0 is prepended with the LAST
+      node of chunk *i-1*, so consecutive ways are topologically connected —
+      the behavior the reference's own tests assert
+      (``test/test_generator.py:79-92``: every node appears, boundaries
+      appear in two chunks, within-chunk order preserved).
+    * ``joiner="duplicate_first"``: byte parity with the reference's actual
+      ``_make_ways`` loop (``changegen/generator.py:283-302``), whose
+      ``joiner_node = nds[nd_idx + max_new_len]`` is the NEXT chunk's own
+      first node — so chunk *i*>0 starts with its first node DUPLICATED and
+      consecutive ways share no node.  Kept for output-compatible
+      migrations; "shared" remains the default because it satisfies the
+      connectivity the reference documents and tests.
 
     Pure array expressions — no explode/shuffle; scales linearly with rows.
     """
+    if joiner not in ("shared", "duplicate_first"):
+        raise ValueError(f"unknown joiner mode: {joiner}")
     n = F.size(F.col(nds_col))
     nchunks = F.when(n <= F.lit(node_limit), F.lit(1)).otherwise(
         F.ceil(n / F.lit(chunk_size)).cast("int")
@@ -60,9 +72,16 @@ def split_ways(
                 F.slice(F.col(nds_col), 1, F.lit(chunk_size)),
             )
             .otherwise(
-                # prepend previous boundary node: element at i*chunk_size
+                # prepended element: 1-based index i*chunk_size is the last
+                # node of the previous chunk ("shared"); i*chunk_size + 1 is
+                # this chunk's own first node ("duplicate_first")
                 F.concat(
-                    F.slice(F.col(nds_col), i * F.lit(chunk_size), 1),
+                    F.slice(
+                        F.col(nds_col),
+                        i * F.lit(chunk_size)
+                        + F.lit(1 if joiner == "duplicate_first" else 0),
+                        1,
+                    ),
                     F.slice(F.col(nds_col), i * F.lit(chunk_size) + 1, F.lit(chunk_size)),
                 )
             )

@@ -219,3 +219,30 @@ def test_grid_distance_join_matches_bruteforce(spark):
         if i != j and d[i, j] <= radius
     }
     assert got == expected
+
+
+def test_split_ways_duplicate_first_reference_byte_parity(spark):
+    """joiner="duplicate_first" must reproduce the reference _make_ways
+    loop byte-for-byte (generator.py:283-302): chunk i>0 starts with its
+    own first node duplicated; consecutive chunks share no node."""
+    from changegen_spark.operators.ways import split_ways
+
+    nds = list(range(1, 1202))  # 1201 nodes, chunk_size 500 -> 3 chunks
+
+    # straight-line transcription of the reference loop
+    expected, joiner = [], None
+    for idx in range(0, len(nds), 500):
+        chunk = nds[idx : idx + 500]
+        if joiner is not None:
+            chunk = [joiner] + chunk
+        expected.append(chunk)
+        joiner = nds[idx + 500] if idx + 500 < len(nds) else None
+
+    df = spark.createDataFrame([(1, nds)], "way_id long, nds array<int>")
+    out = split_ways(
+        df, node_limit=1000, chunk_size=500, joiner="duplicate_first"
+    ).orderBy("chunk")
+    got = [r["nds"] for r in out.collect()]
+    assert got == expected
+    assert got[1][0] == got[1][1]  # the duplicated first node
+    assert got[0][-1] != got[1][0]  # consecutive chunks share no node
