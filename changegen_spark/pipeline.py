@@ -509,10 +509,17 @@ def generate_changes(
     check_collision: bool = True,
     key_col: str = "name",
     hstore_col: str | None = None,
+    emit_osm_id_tag: bool = False,
 ) -> DataFrame:
     """Full run: create new ways/points/polygons, modify intersecting
     existing ways, apply deletions.  Returns the unified element DataFrame
-    (sink-ready, see sinks.oscxml.ELEMENT_SCHEMA)."""
+    (sink-ready, see sinks.oscxml.ELEMENT_SCHEMA).
+
+    ``emit_osm_id_tag=True`` re-emits the source feature's ``osm_id`` field
+    as a tag on modified intersecting ways, matching the reference's
+    actual output (``_generate_tags_from_feature`` is called with no
+    exclude list on the modify path, ``generator.py:812-813``).  Default
+    off: the id is join metadata, not cargo (GAPS.md deviation note)."""
     import concurrent.futures
 
     from changegen_spark.operators.changes import expand_deleted_ways
@@ -672,10 +679,15 @@ def generate_changes(
                 mod_ways_seq = fut_c.result()
             # hstore expansion applies to intersecting-way modifies exactly
             # as it does to new features (generator.py:190-203 → :812).
+            mod_excl = (
+                ("id", "geometry")
+                if emit_osm_id_tag
+                else ("id", "osm_id", "geometry")
+            )
             mod_way_tags = existing.select(
                 F.col("osm_id"),
                 _tags_map(
-                    existing, exclude=("id", "osm_id", "geometry"), hstore_col=hstore_col
+                    existing, exclude=mod_excl, hstore_col=hstore_col
                 ).alias("tags"),
             )
     finally:

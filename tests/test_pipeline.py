@@ -253,3 +253,21 @@ def test_collision_abort_restores_session_state(spark, tables):
     with _pytest.raises(ValueError, match="collide"):
         generate_changes(spark, tables, id_offset=0)  # max pbf id > 0
     assert spark.conf.get("spark.sql.codegen.wholeStage") == prev
+
+
+def test_emit_osm_id_tag_reference_compat(spark, tables):
+    """emit_osm_id_tag=True re-emits the source osm_id as a tag on modified
+    intersecting ways (the reference's actual modify-path output,
+    generator.py:812-813); default run excludes it."""
+    from changegen_spark.pipeline import generate_changes
+
+    cs = generate_changes(
+        spark, tables, id_offset=ID_OFFSET, emit_osm_id_tag=True
+    )
+    mods = cs.filter(
+        (F.col("kind") == "way") & (F.col("change_type") == "modify")
+    ).collect()
+    assert len(mods) == GOLDEN_MODIFY_WAYS
+    for r in mods:
+        # a modified way's element id IS the original osm_id
+        assert r["tags"].get("osm_id") == str(r["id"])
