@@ -212,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--self", dest="self_intersections", action="store_true")
     p.add_argument("--max_nodes_per_way", default="2000", help="int or 'none' for unlimited")
     p.add_argument("--compress", action="store_true")
+    p.add_argument(
+        "--reference-bytes",
+        action="store_true",
+        help="byte-compatible output with the reference's actual behavior: "
+        "re-emit osm_id as a tag on modified ways and duplicate each "
+        "split-chunk's first node instead of sharing the boundary node",
+    )
     args = p.parse_args(argv)
 
     if (args.output is None) == (args.outdir is None):
@@ -276,6 +283,8 @@ def main(argv: list[str] | None = None) -> int:
             key_col="__fkey",
             hstore_col=args.hstore_tags,
             check_collision=False,  # handled above with warn/fatal semantics
+            emit_osm_id_tag=args.reference_bytes,
+            split_joiner="duplicate_first" if args.reference_bytes else "shared",
         )
 
     names = discover_new_tables(args.dbdir, suffixes)

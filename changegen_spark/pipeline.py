@@ -510,6 +510,7 @@ def generate_changes(
     key_col: str = "name",
     hstore_col: str | None = None,
     emit_osm_id_tag: bool = False,
+    split_joiner: str = "shared",
 ) -> DataFrame:
     """Full run: create new ways/points/polygons, modify intersecting
     existing ways, apply deletions.  Returns the unified element DataFrame
@@ -519,7 +520,11 @@ def generate_changes(
     as a tag on modified intersecting ways, matching the reference's
     actual output (``_generate_tags_from_feature`` is called with no
     exclude list on the modify path, ``generator.py:812-813``).  Default
-    off: the id is join metadata, not cargo (GAPS.md deviation note)."""
+    off: the id is join metadata, not cargo (GAPS.md deviation note).
+    ``split_joiner="duplicate_first"`` likewise selects the reference's
+    byte behavior for over-long way splitting (see operators.ways).
+    Together these two flags make the output byte-compatible with the
+    reference (the CLI's ``--reference-bytes``)."""
     import concurrent.futures
 
     from changegen_spark.operators.changes import expand_deleted_ways
@@ -604,6 +609,7 @@ def generate_changes(
             cm = split_ways(
                 nb_["ordered_members"], nds_col="mseq",
                 node_limit=node_limit, chunk_size=chunk_size,
+                joiner=split_joiner,
             )
             return nb_, cm
 
