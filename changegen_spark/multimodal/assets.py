@@ -154,6 +154,67 @@ def decode_images(assets: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, rwidth int, rheight int, "
+    "rmean_e6 long, ok boolean"
+)
+
+
+def resize_images(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize stage: decode → exact integer box-downsample by ``factor`` →
+    stats, Arrow-batched, map-only (the thumbnail/preprocessing pass of a
+    multimodal training pipeline).
+
+    The resample is deterministic integer arithmetic: the image is cropped
+    to factor-divisible dimensions and every factor×factor block becomes
+    ``(block_sum + f²/2) // f²`` (half-up mean) — bit-identical on any
+    engine, so the fixture builder's independently written resizer
+    (tools/make_media.py, plain-Python loops vs numpy here) can serve as
+    the oracle.  rmean_e6 is the e6-scaled mean of the RESIZED pixels
+    under the same half-up integer convention as decode_images.
+
+    Quarantine contract as decode_images: undecodable or
+    too-small-to-resize payloads yield ok=false."""
+    import numpy as np
+
+    f = factor
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = _parse_image(bytes(payload))
+                    w2, h2 = (w // f) * f, (h // f) * f
+                    if w2 == 0 or h2 == 0:
+                        raise ValueError("image smaller than resize factor")
+                    a = (
+                        np.frombuffer(bytes(px), dtype=np.uint8)[: w * h]
+                        .reshape(h, w)[:h2, :w2]
+                        .astype(np.int64)
+                    )
+                    blocks = a.reshape(h2 // f, f, w2 // f, f).sum(axis=(1, 3))
+                    r = (blocks + (f * f) // 2) // (f * f)
+                    n = r.size
+                    rmean_e6 = int((int(r.sum()) * 1_000_000 + n // 2) // n)
+                    out.append(
+                        (asset_id, w, h, w2 // f, h2 // f, rmean_e6, True)
+                    )
+                except Exception:
+                    out.append((asset_id, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "rwidth", "rheight",
+                    "rmean_e6", "ok",
+                ],
+            )
+
+    return assets.filter(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, RESIZED_SCHEMA)
+
+
 AUDIO_SCHEMA = (
     "asset_id long, sample_rate int, n_channels int, n_frames long, "
     "duration_e6 long, rms_e6 long, peak_e6 long, zero_crossings long, "

@@ -74,6 +74,7 @@ KINDS = {
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},
     "q_media_audio_features": {"asset_id": "num", "fmt": "str", "sample_rate": "num", "n_channels": "num", "n_frames": "num", "duration_e6": "num", "rms_e6": "num", "peak_e6": "num", "zero_crossings": "num", "centroid_e3": "num", "rolloff_e3": "num"},
+    "q_media_resize": {"asset_id": "num", "fmt": "str", "rwidth": "num", "rheight": "num", "rmean_e6": "num"},
     "q_media_frame_stats": {"asset_id": "num", "frame_idx": "num", "mean_luma_e6": "num"},
     "q_media_motion": {"asset_id": "num", "frame_idx": "num", "mad_e6": "num"},
     "q_pagerank": {"node": "str", "rank_e9": "num"},

@@ -143,8 +143,35 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture image decoded and box-downsampled 2x (the thumbnail /
+    preprocessing stage): (asset_id, fmt, rwidth, rheight, rmean_e6).  The
+    oracle reads expectations computed by the fixture builder's
+    INDEPENDENT plain-Python resizer (numpy block-sum here vs nested
+    loops there — tools/make_media.py resize2_expected); lossless formats
+    chain source→encode→decode→resize, JPEG chains through its
+    decode-determinism pin."""
+    from changegen_spark.multimodal.assets import resize_images
+
+    a = _assets(spark)
+    res = resize_images(a).filter(F.col("ok"))
+    return (
+        res.join(a.select("asset_id", "fmt"), "asset_id")
+        .select("asset_id", "fmt", "rwidth", "rheight", "rmean_e6")
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_RESIZE_SQL = f"""
+SELECT asset_id, fmt, CAST(exp_rwidth AS INT) AS rwidth,
+       CAST(exp_rheight AS INT) AS rheight, exp_rmean_e6 AS rmean_e6
+FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
+"""
+
+
 QUERIES = {
     "q_media_image_decode": q_media_image_decode,
+    "q_media_resize": q_media_resize,
     "q_media_audio_features": q_media_audio_features,
     "q_media_frame_stats": q_media_frame_stats,
     "q_media_motion": q_media_motion,
@@ -152,6 +179,7 @@ QUERIES = {
 
 ORACLES = {
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
+    "q_media_resize": Q_MEDIA_RESIZE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,
     "q_media_frame_stats": Q_MEDIA_FRAMES_SQL,
     "q_media_motion": Q_MEDIA_MOTION_SQL,

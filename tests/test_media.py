@@ -290,3 +290,24 @@ def test_frame_mad_shared_definition():
     assert frame_mad_e6(a, b) == (s * 1_000_000 + 50) // 100
     with pytest.raises(ValueError):
         frame_mad_e6(a, a[:50])
+
+
+def test_resize_images_box_downsample_semantics(spark):
+    """Known 4x3 gradient: odd height crops to 2 rows, 2x2 blocks use
+    half-up integer means; truncated payloads quarantine."""
+    from changegen_spark.multimodal.assets import resize_images
+    from changegen_spark.multimodal.png import encode_png
+
+    # rows: [0,10,20,30], [40,50,60,70], [80,90,100,110] -> crop to 2 rows
+    px = bytes([0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110])
+    good = encode_png(4, 3, px)
+    df = spark.createDataFrame(
+        [(1, "image", good), (2, "image", good[:20])],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in resize_images(df).collect()}
+    ok = rows[1]
+    assert (ok["rwidth"], ok["rheight"]) == (2, 1)
+    # blocks: (0+10+40+50+2)//4=25, (20+30+60+70+2)//4=45
+    assert ok["rmean_e6"] == ((25 + 45) * 1_000_000 + 1) // 2
+    assert rows[2]["ok"] is False and rows[2]["rmean_e6"] is None

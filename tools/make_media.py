@@ -53,6 +53,28 @@ def mean_e6(px: bytes) -> int:
     return (sum(px) * 1_000_000 + len(px) // 2) // len(px) if px else 0
 
 
+def resize2_expected(px: bytes, w: int, h: int, f: int = 2) -> dict:
+    """Expected box-downsample stats — plain-Python loops, deliberately
+    independent of the engine's numpy resizer (multimodal.assets
+    .resize_images): crop to f-divisible dims, each block (sum + f*f/2)//(f*f),
+    then the standard half-up e6 mean of the resized pixels."""
+    w2, h2 = (w // f) * f, (h // f) * f
+    total, cnt = 0, 0
+    for by in range(0, h2, f):
+        for bx in range(0, w2, f):
+            s = 0
+            for dy in range(f):
+                for dx in range(f):
+                    s += px[(by + dy) * w + (bx + dx)]
+            total += (s + (f * f) // 2) // (f * f)
+            cnt += 1
+    return {
+        "rwidth": w2 // f,
+        "rheight": h2 // f,
+        "rmean_e6": (total * 1_000_000 + cnt // 2) // cnt,
+    }
+
+
 def write_float32_wav(rate: int, channels: int, arr: np.ndarray) -> bytes:
     """IEEE-float (format 3) WAV writer — stdlib wave can't; independent of
     the decoder's parsing path."""
@@ -85,6 +107,7 @@ def main() -> None:
                 "image", f"png_f{filt}c{ctype}",
                 encode_png(w, h, gray, filter_type=filt, color_type=ctype),
                 width=w, height=h, mean_e6=mean_e6(gray),
+                **resize2_expected(gray, w, h),
             )
     # --- images: baseline JPEG (gray, restarts, 4:4:4 / 4:2:0 color) ------
     # JPEG is lossy: expected means come from DECODING the encoded bytes
@@ -119,8 +142,11 @@ def main() -> None:
         ),
     ]
     for fmt, payload in jpegs:
+        # lossy: resize expectations also come from the DECODED pixels —
+        # the same decode-determinism pin as the mean
         w, h, px = decode_jpeg(payload)
-        add("image", fmt, payload, width=w, height=h, mean_e6=mean_e6(px))
+        add("image", fmt, payload, width=w, height=h, mean_e6=mean_e6(px),
+            **resize2_expected(px, w, h))
 
     # --- images: GIF (palette sizes, plain + interlaced) ------------------
     for ncol, interlace in ((4, False), (64, False), (250, True), (256, False)):
@@ -131,6 +157,7 @@ def main() -> None:
             "image", "gif_i" if interlace else f"gif{ncol}",
             encode_gif(w, h, idx, pal, interlace=interlace),
             width=w, height=h, mean_e6=mean_e6(idx),
+            **resize2_expected(idx, w, h),
         )
 
     # --- audio: stdlib-wave PCM + float32 ---------------------------------
@@ -195,7 +222,8 @@ def main() -> None:
             frames.append((vid_id, k, frame_mean_e6(p), mad))
 
     exp_keys = [
-        "width", "height", "mean_e6", "sample_rate", "n_channels",
+        "width", "height", "mean_e6", "rwidth", "rheight", "rmean_e6",
+        "sample_rate", "n_channels",
         "n_frames", "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
         "centroid_e3", "rolloff_e3",
     ]
