@@ -52,6 +52,8 @@ KINDS = {
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_simhash": {"doc_id": "num", "simhash": "num"},
+    "q_dedup_keep_best": {"doc_id": "num", "cluster": "num", "len": "num", "keep": "num"},
+    "q_lsh_pairs": {"id_a": "num", "id_b": "num"},
     "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},
     "q_dq_audit": {"check_name": "str", "n_checked": "num", "n_violations": "num", "passed": "num"},
     "q_assoc_rules": {"part_a": "num", "part_b": "num", "n_ab": "num", "n_a": "num", "n_b": "num", "confidence": "e6", "lift": "e6"},

@@ -386,6 +386,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection — the step after
+    clustering in a production dedup pass: within each near-dup cluster
+    keep the LONGEST member (trimmed length; ties break to the smaller
+    doc_id), the common "keep the most complete copy" heuristic, instead
+    of q_dedup_clusters' neutral min-id rule.
+
+    Plan: the connected components of the LSH candidate graph (identical
+    machinery to q_dedup_clusters) joined with per-doc lengths, then one
+    max_by per cluster broadcast back — selection is a tiny |clusters|
+    aggregate, never a per-pair comparison."""
+    from changegen_spark.functions.clustering import dedup_keep_list
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidates(d, id_col="doc_id", text_col="text")
+    comp = dedup_keep_list(d, pairs).drop("keep")
+    lens = d.select("doc_id", F.length(F.trim("text")).alias("len"))
+    labeled = comp.join(lens, "doc_id")
+    best = labeled.groupBy("cluster").agg(
+        F.count("*").alias("sz"),
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("len"), -F.col("doc_id"))
+        ).alias("best_id"),
+    )
+    return (
+        labeled.join(best, "cluster")
+        .filter(F.col("sz") > 1)
+        .select(
+            "doc_id",
+            "cluster",
+            "len",
+            (F.col("doc_id") == F.col("best_id")).cast("boolean").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 Q_DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pos AS (
   SELECT doc_id, lower(text) AS lt, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -426,6 +463,34 @@ FROM comp c JOIN sized s USING (cluster)
 WHERE s.sz > 1
 ORDER BY doc_id
 """
+
+_KEEP_BEST_TAIL = """, lens AS (
+  SELECT doc_id, CAST(length(trim(text)) AS INT) AS len FROM documents
+), ranked AS (
+  SELECT c.node AS doc_id, c.cluster, l.len,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY l.len DESC, c.node ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster) AS sz
+  FROM comp c JOIN lens l ON c.node = l.doc_id
+)
+SELECT doc_id, cluster, len, rn = 1 AS keep
+FROM ranked WHERE sz > 1
+ORDER BY doc_id
+"""
+
+# identical candidate-graph + components CTEs; only the selection differs
+Q_DEDUP_KEEP_BEST_SQL = Q_DEDUP_CLUSTERS_SQL.replace(
+    """, sized AS (
+  SELECT cluster, count(*) AS sz FROM comp GROUP BY cluster
+)
+SELECT c.node AS doc_id, c.cluster, c.node = c.cluster AS keep
+FROM comp c JOIN sized s USING (cluster)
+WHERE s.sz > 1
+ORDER BY doc_id
+""",
+    _KEEP_BEST_TAIL.lstrip("\n").lstrip(),
+)
+assert "rn = 1" in Q_DEDUP_KEEP_BEST_SQL
 
 
 # --- composite quality filter (C4/Gopher-style keep rules) ---
@@ -571,6 +636,7 @@ ORDER BY lang, pred
 QUERIES = {
     "q_lang_confusion": q_lang_confusion,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_quality_filter": q_quality_filter,
     "q_tfidf_terms": q_tfidf_terms,
     "q_token_count": q_token_count,
@@ -588,6 +654,7 @@ QUERIES = {
 ORACLES = {
     "q_lang_confusion": Q_LANG_CONFUSION_SQL,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "q_dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
     "q_tfidf_terms": Q_TFIDF_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,

@@ -24,3 +24,31 @@ def test_dedup_keep_list(spark):
     assert not rows[4]["keep"] and rows[4]["cluster"] == 0
     for solo in (1, 2, 5):
         assert rows[solo]["keep"] and rows[solo]["cluster"] == solo
+
+
+def test_keep_best_prefers_longest_then_min_id(spark):
+    """q_dedup_keep_best keeps the longest cluster member; equal lengths
+    break to the smaller doc_id."""
+    from pyspark.sql import functions as F
+
+    import changegen_spark.queries.textops as tx
+
+    near = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, near),                      # cluster A, len ties with 2
+        (2, near),                      # -> doc 1 kept (min id on tie)
+        (3, near + " plus extra tail"), # longest in cluster A -> kept
+        (9, "zz completely different unrelated text body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn("n_chars", F.length("text"))
+    orig = tx._docs
+    tx._docs = lambda _s, _d: df
+    try:
+        got = {r["doc_id"]: r for r in tx.q_dedup_keep_best(spark, "u").collect()}
+    finally:
+        tx._docs = orig
+    assert set(got) == {1, 2, 3}  # doc 9 unclustered
+    assert got[3]["keep"] is True
+    assert got[1]["keep"] is False and got[2]["keep"] is False
