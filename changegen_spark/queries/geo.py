@@ -427,8 +427,115 @@ FROM best ORDER BY pid
 """
 
 
+def q_geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures (F-family: ST_Length / ST_Area / ST_Envelope /
+    ST_Centroid analogs) of each user's event trajectory: points ordered by
+    the strict (ts, event_id) key form a polyline; closing it to the first
+    point forms a polygon.
+
+    Everything is exact integer arithmetic on 0.1-unit coordinates
+    (the synthetic field has 1 decimal → x10/y10 are integers):
+    per-segment lengths are e6-scaled integers BEFORE summation, the
+    shoelace twice-area is a pure integer sum (products of int
+    coordinates), bbox is integer min/max, and the centroid is the ratio
+    of two exact sums rounded to 6 dp.  No double ever crosses a shuffle.
+
+    Scale shape: one lag window per user (the clickstream's natural key)
+    + one aggregate; the closing term uses min_by/max_by on the same
+    total order — no second window pass.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    eid = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((eid * 37 + F.expr("event_id div 11") * 193) % 1000).alias("x10"),
+        ((eid * 61 + F.expr("event_id div 13") * 389) % 1000).alias("y10"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.withColumn("px", F.lag("x10").over(w))
+        .withColumn("py", F.lag("y10").over(w))
+    )
+    dx, dy = F.col("x10") - F.col("px"), F.col("y10") - F.col("py")
+    # 0.1-unit segment length scaled to e6 of ORIGINAL units: sqrt/10*1e6
+    seg_len_e6 = F.round(F.sqrt(dx * dx + dy * dy) * 100000).cast("long")
+    cross = F.col("px") * F.col("y10") - F.col("x10") * F.col("py")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.coalesce(F.sum(seg_len_e6), F.lit(0)).alias("path_len_e6"),
+        F.coalesce(F.sum(cross), F.lit(0)).alias("open_cross"),
+        F.min("x10").alias("min_x10"),
+        F.max("x10").alias("max_x10"),
+        F.min("y10").alias("min_y10"),
+        F.max("y10").alias("max_y10"),
+        F.sum("x10").alias("sx"),
+        F.sum("y10").alias("sy"),
+        F.min_by(F.struct("x10", "y10"), okey).alias("first_pt"),
+        F.max_by(F.struct("x10", "y10"), okey).alias("last_pt"),
+    )
+    closing = (
+        F.col("last_pt.x10") * F.col("first_pt.y10")
+        - F.col("first_pt.x10") * F.col("last_pt.y10")
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_points",
+            "path_len_e6",
+            # |twice signed area| in 0.01-unit² (x10*y10 products)
+            F.abs(F.col("open_cross") + closing).alias("area2_e2"),
+            "min_x10",
+            "max_x10",
+            "min_y10",
+            "max_y10",
+            F.round(F.col("sx") / F.col("n_points") / 10, 6).alias("centroid_x"),
+            F.round(F.col("sy") / F.col("n_points") / 10, 6).alias("centroid_y"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_GEO_MEASURES_SQL = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 37 + (event_id // 11) * 193) % 1000 AS x10,
+         (event_id * 61 + (event_id // 13) * 389) % 1000 AS y10
+  FROM events WHERE user_id % 10 = 0
+), seg AS (
+  SELECT *,
+         lag(x10) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px,
+         lag(y10) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rrn
+  FROM pts
+)
+SELECT user_id,
+       count(*) AS n_points,
+       CAST(coalesce(sum(CAST(round(sqrt((x10 - px) * (x10 - px)
+                + (y10 - py) * (y10 - py)) * 100000) AS BIGINT)), 0) AS BIGINT)
+         AS path_len_e6,
+       CAST(abs(coalesce(sum(px * y10 - x10 * py), 0)
+           + max(CASE WHEN rrn = 1 THEN x10 END)
+             * max(CASE WHEN rn = 1 THEN y10 END)
+           - max(CASE WHEN rn = 1 THEN x10 END)
+             * max(CASE WHEN rrn = 1 THEN y10 END)) AS BIGINT) AS area2_e2,
+       CAST(min(x10) AS BIGINT) AS min_x10, CAST(max(x10) AS BIGINT) AS max_x10,
+       CAST(min(y10) AS BIGINT) AS min_y10, CAST(max(y10) AS BIGINT) AS max_y10,
+       round(sum(x10) * 1.0 / count(*) / 10, 6) AS centroid_x,
+       round(sum(y10) * 1.0 / count(*) / 10, 6) AS centroid_y
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_geo_measures": q_geo_measures,
     "q_insertion_index": q_insertion_index,
     "q_segment_closest_point": q_segment_closest_point,
     "q_dwithin_semi": q_dwithin_semi,
@@ -440,6 +547,7 @@ QUERIES = {
 
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_geo_measures": Q_GEO_MEASURES_SQL,
     "q_insertion_index": Q_INSERTION_INDEX_SQL,
     "q_segment_closest_point": Q_SEGMENT_CP_SQL,
     "q_dwithin_semi": Q_DWITHIN_SEMI_SQL,

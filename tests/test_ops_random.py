@@ -138,3 +138,23 @@ def test_setsim_random_texts(spark):
     }
     assert got == brute(docs)
     assert got  # the planted twins guarantee at least one pair
+
+
+def test_geo_measures_physical_invariants(spark):
+    """Physical invariants of the trajectory measures on real data (exact
+    values are pinned by the DuckDB oracle gate): path length bounded by
+    segments x field diagonal, shoelace area bounded by the field, bbox
+    ordered, centroid inside the bbox."""
+    import changegen_spark.queries.geo as geo
+
+    rows = geo.q_geo_measures(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # path length of n points has n-1 segments, each <= field diagonal
+        diag_e6 = int((2 * 99.9**2) ** 0.5 * 1e6) + 1
+        assert 0 <= r["path_len_e6"] <= (r["n_points"] - 1) * diag_e6
+        # shoelace area of any polygon inside the 100x100 field
+        assert 0 <= r["area2_e2"] <= 2 * 1000 * 1000
+        assert 0 <= r["min_x10"] <= r["max_x10"] <= 999
+        assert r["min_x10"] / 10 <= r["centroid_x"] <= r["max_x10"] / 10
+        assert r["min_y10"] / 10 <= r["centroid_y"] <= r["max_y10"] / 10
