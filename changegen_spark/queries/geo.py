@@ -533,9 +533,57 @@ ORDER BY user_id
 """
 
 
+SIMPLIFY_EPS = 5.0  # 0.5 original units in x10 coordinates
+
+
+def q_simplify_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplification of each user trajectory (rows-only:
+    the recursive split is not SQL — the independent-implementation pin is
+    tests/test_ops_random.py::test_douglas_peucker_*): per user, original
+    vs kept vertex counts and the e6 compression ratio at eps = 0.5
+    units."""
+    from changegen_spark.geo.simplify import simplify_arrays
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    eid = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        F.struct("ts", "event_id").alias("ok"),
+        ((eid * 37 + F.expr("event_id div 11") * 193) % 1000)
+        .cast("double")
+        .alias("x10"),
+        ((eid * 61 + F.expr("event_id div 13") * 389) % 1000)
+        .cast("double")
+        .alias("y10"),
+    )
+    traj = pts.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ok", "x10", "y10"))),
+            lambda s: s["x10"],
+        ).alias("xs"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ok", "x10", "y10"))),
+            lambda s: s["y10"],
+        ).alias("ys"),
+    )
+    kept = F.size(simplify_arrays(F.col("xs"), F.col("ys"), SIMPLIFY_EPS))
+    return (
+        traj.select(
+            "user_id",
+            F.size("xs").alias("n_points"),
+            kept.alias("n_kept"),
+            F.round(kept * F.lit(1_000_000) / F.size("xs")).cast("long").alias(
+                "keep_ratio_e6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
     "q_geo_measures": q_geo_measures,
+    "q_simplify_trajectories": q_simplify_trajectories,
     "q_insertion_index": q_insertion_index,
     "q_segment_closest_point": q_segment_closest_point,
     "q_dwithin_semi": q_dwithin_semi,

@@ -158,3 +158,46 @@ def test_geo_measures_physical_invariants(spark):
         assert 0 <= r["min_x10"] <= r["max_x10"] <= 999
         assert r["min_x10"] / 10 <= r["centroid_x"] <= r["max_x10"] / 10
         assert r["min_y10"] / 10 <= r["centroid_y"] <= r["max_y10"] / 10
+
+
+def test_douglas_peucker_reference_cases():
+    """DP on hand-computable polylines: collinear collapse, preserved
+    zigzag, epsilon monotonicity, and closed-loop (den=0) handling."""
+    from changegen_spark.geo.simplify import simplify_indices
+
+    # perfectly collinear -> endpoints only
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert simplify_indices(xs, ys, 0.1) == [0, 4]
+    # one big detour survives; flanking points die at eps=1.0 (their
+    # perpendicular distance to the (0,0)-(2,3) chord is sqrt(9/13)~0.83)
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 0.0, 3.0, 0.0, 0.0]
+    assert simplify_indices(xs, ys, 1.0) == [0, 2, 4]
+    assert simplify_indices(xs, ys, 0.5) == [0, 1, 2, 3, 4]
+    # zigzag above eps keeps every vertex
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 2.0, 0.0, 2.0, 0.0]
+    assert simplify_indices(xs, ys, 0.5) == [0, 1, 2, 3, 4]
+    # epsilon monotonicity: larger eps keeps a subset
+    import random
+
+    rng = random.Random(3)
+    xs = [float(i) for i in range(40)]
+    ys = [rng.uniform(-3, 3) for _ in range(40)]
+    k1 = set(simplify_indices(xs, ys, 0.5))
+    k2 = set(simplify_indices(xs, ys, 2.0))
+    assert k2 <= k1
+    # closed loop: endpoints coincide (den == 0 branch)
+    xs = [0.0, 3.0, 3.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 3.0, 3.0, 0.0]
+    assert simplify_indices(xs, ys, 0.5) == [0, 1, 2, 3, 4]
+
+
+def test_simplify_trajectories_query(spark):
+    from changegen_spark.queries.geo import q_simplify_trajectories
+
+    rows = q_simplify_trajectories(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r["n_kept"] <= r["n_points"] or r["n_points"] < 2
