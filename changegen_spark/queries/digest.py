@@ -55,6 +55,8 @@ KINDS = {
     "q_dedup_keep_best": {"doc_id": "num", "cluster": "num", "len": "num", "keep": "num"},
     "q_lsh_pairs": {"id_a": "num", "id_b": "num"},
     "q_minhash_signature": {"doc_id": "num", "sig": "str"},
+    "q_exact_dedup": {"h": "str", "keep_id": "num", "n_copies": "num"},
+    "q_point_in_polygon": {"pid": "num", "x10": "num", "y10": "num"},
     "q_geo_measures": {"user_id": "num", "n_points": "num", "path_len_e6": "num", "area2_e2": "num", "min_x10": "num", "max_x10": "num", "min_y10": "num", "max_y10": "num", "centroid_x": "e6", "centroid_y": "e6"},
     "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},
     "q_dq_audit": {"check_name": "str", "n_checked": "num", "n_violations": "num", "passed": "num"},

@@ -580,8 +580,89 @@ def q_simplify_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed test polygon for the ST_Contains analog: a non-convex pentagon in
+# x10 integer coordinates (star-ish notch exercises the crossing-number
+# parity).  Closed implicitly (last edge joins back to the first vertex).
+PIP_POLY = [(100, 100), (800, 150), (650, 500), (450, 300), (150, 700)]
+
+
+def _pip_edges():
+    return list(zip(PIP_POLY, PIP_POLY[1:] + PIP_POLY[:1]))
+
+
+def _pip_spark(px, py) -> F.Column:
+    """Crossing-number point-in-polygon as a pure integer expression.
+
+    For edge (x1,y1)->(x2,y2), a rightward ray from (px,py) crosses iff
+    the edge spans py half-open ((y1 > py) != (y2 > py)) AND the
+    intersection x exceeds px — tested by cross-multiplication with the
+    sign of (y2-y1), so NO division ever happens: every comparison is
+    exact int64 arithmetic, bit-identical in any engine."""
+    inside = F.lit(False)
+    for (x1, y1), (x2, y2) in _pip_edges():
+        spans = (F.lit(y1) > py) != (F.lit(y2) > py)
+        lhs = (px - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = (py - F.lit(y1)) * F.lit(x2 - x1)
+        crosses = spans & (F.when(F.lit(y2 - y1 > 0), lhs < rhs).otherwise(lhs > rhs))
+        inside = F.when(crosses, ~inside).otherwise(inside)
+    return inside
+
+
+def _pip_sql(px: str, py: str) -> str:
+    terms = []
+    for (x1, y1), (x2, y2) in _pip_edges():
+        op = "<" if (y2 - y1) > 0 else ">"
+        terms.append(
+            f"CAST((({y1} > {py}) != ({y2} > {py}))"
+            f" AND (({px} - {x1}) * ({y2 - y1}) {op} ({py} - {y1}) * ({x2 - x1}))"
+            " AS INT)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains analog: which synthetic field points fall inside the
+    fixed non-convex test pentagon (crossing-number / even-odd rule).
+
+    The Spark side folds the per-edge crossing tests with XOR; the oracle
+    sums the same per-edge booleans and checks odd parity — two
+    formulations of the even-odd rule over identical exact-integer edge
+    tests.  Map-only; at scale this is the polygon-probe inner loop of a
+    point-in-polygon join after a grid/bbox prefilter (geo/join.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id")
+    x10 = (eid * 37 + F.expr("event_id div 11") * 193) % 1000
+    y10 = (eid * 61 + F.expr("event_id div 13") * 389) % 1000
+    return (
+        ev.select(
+            eid.alias("pid"),
+            x10.alias("x10"),
+            y10.alias("y10"),
+            _pip_spark(x10, y10).alias("inside"),
+        )
+        .filter(F.col("inside"))
+        .select("pid", "x10", "y10")
+        .orderBy("pid")
+    )
+
+
+Q_PIP_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         (event_id * 37 + (event_id // 11) * 193) % 1000 AS x10,
+         (event_id * 61 + (event_id // 13) * 389) % 1000 AS y10
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT pid, CAST(x10 AS BIGINT) AS x10, CAST(y10 AS BIGINT) AS y10
+FROM pts
+WHERE {_pip_sql("x10", "y10")}
+ORDER BY pid
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_point_in_polygon": q_point_in_polygon,
     "q_geo_measures": q_geo_measures,
     "q_simplify_trajectories": q_simplify_trajectories,
     "q_insertion_index": q_insertion_index,
@@ -595,6 +676,7 @@ QUERIES = {
 
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_point_in_polygon": Q_PIP_SQL,
     "q_geo_measures": Q_GEO_MEASURES_SQL,
     "q_insertion_index": Q_INSERTION_INDEX_SQL,
     "q_segment_closest_point": Q_SEGMENT_CP_SQL,

@@ -201,3 +201,37 @@ def test_simplify_trajectories_query(spark):
     assert rows
     for r in rows:
         assert 2 <= r["n_kept"] <= r["n_points"] or r["n_points"] < 2
+
+
+def test_point_in_polygon_reference(spark):
+    """Crossing-number vs a plain-Python even-odd reference on a grid of
+    probe points over the non-convex test pentagon (notch region
+    exercises parity)."""
+    from changegen_spark.queries.geo import PIP_POLY, _pip_spark
+
+    def ref_inside(px, py):
+        inside = False
+        n = len(PIP_POLY)
+        for i in range(n):
+            x1, y1 = PIP_POLY[i]
+            x2, y2 = PIP_POLY[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                if y2 - y1 > 0:
+                    if (px - x1) * (y2 - y1) < (py - y1) * (x2 - x1):
+                        inside = not inside
+                else:
+                    if (px - x1) * (y2 - y1) > (py - y1) * (x2 - x1):
+                        inside = not inside
+        return inside
+
+    probes = [(x, y) for x in range(0, 1000, 37) for y in range(0, 1000, 41)]
+    df = spark.createDataFrame(probes, "px long, py long")
+    got = {
+        (r["px"], r["py"]): r["inside"]
+        for r in df.select(
+            "px", "py", _pip_spark(F.col("px"), F.col("py")).alias("inside")
+        ).collect()
+    }
+    expected = {(x, y): ref_inside(x, y) for x, y in probes}
+    assert got == expected
+    assert sum(expected.values()) > 20  # the pentagon is actually probed
