@@ -660,9 +660,38 @@ ORDER BY pid
 """
 
 
+def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull stats per user trajectory (rows-only — the monotone
+    chain is not SQL; invariant pins in tests/test_ops_random.py): hull
+    vertex count and the exact integer twice-area of the hull."""
+    from changegen_spark.geo.hull import hull_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    eid = F.col("event_id")
+    pts = ev.select(
+        "user_id",
+        ((eid * 37 + F.expr("event_id div 11") * 193) % 1000).alias("x10"),
+        ((eid * 61 + F.expr("event_id div 13") * 389) % 1000).alias("y10"),
+    )
+    traj = pts.groupBy("user_id").agg(
+        F.collect_list("x10").alias("xs"), F.collect_list("y10").alias("ys")
+    )
+    st = hull_stats(F.col("xs"), F.col("ys"))
+    return (
+        traj.select(
+            "user_id",
+            F.size("xs").alias("n_points"),
+            st["n_hull"].alias("n_hull"),
+            st["hull_area2"].alias("hull_area2_e2"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
     "q_point_in_polygon": q_point_in_polygon,
+    "q_convex_hulls": q_convex_hulls,
     "q_geo_measures": q_geo_measures,
     "q_simplify_trajectories": q_simplify_trajectories,
     "q_insertion_index": q_insertion_index,

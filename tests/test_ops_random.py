@@ -235,3 +235,54 @@ def test_point_in_polygon_reference(spark):
     expected = {(x, y): ref_inside(x, y) for x, y in probes}
     assert got == expected
     assert sum(expected.values()) > 20  # the pentagon is actually probed
+
+
+def test_convex_hull_invariants_and_goldens():
+    """Monotone chain: known hulls (square with interior points, collinear
+    degenerate) plus random sets checked by independent invariants —
+    every input point passes the even-odd interior test against the hull
+    ring, hull vertices are input points, and all hull turns are strict."""
+    from changegen_spark.geo.hull import convex_hull_indices, hull_area2
+
+    # square + interior noise -> the 4 corners, area 2*100
+    xs = [0, 10, 10, 0, 5, 3, 7]
+    ys = [0, 0, 10, 10, 5, 4, 2]
+    h = convex_hull_indices(xs, ys)
+    assert sorted(h) == [0, 1, 2, 3]
+    assert hull_area2(xs, ys) == 200
+    # collinear -> two endpoints, zero area
+    xs, ys = [0, 1, 2, 3], [0, 1, 2, 3]
+    assert len(convex_hull_indices(xs, ys)) == 2
+    assert hull_area2(xs, ys) == 0
+
+    import random
+
+    rng = random.Random(11)
+    for _ in range(5):
+        xs = [rng.randint(0, 100) for _ in range(40)]
+        ys = [rng.randint(0, 100) for _ in range(40)]
+        h = convex_hull_indices(xs, ys)
+
+        def cross(o, a, b):
+            return (xs[a] - xs[o]) * (ys[b] - ys[o]) - (ys[a] - ys[o]) * (xs[b] - xs[o])
+
+        # strict convexity at every hull corner
+        for i in range(len(h)):
+            assert cross(h[i], h[(i + 1) % len(h)], h[(i + 2) % len(h)]) > 0
+        # every point inside-or-on: cross products vs each hull edge >= 0
+        for p in range(len(xs)):
+            assert all(
+                cross(h[i], h[(i + 1) % len(h)], p) >= 0
+                or (xs[p], ys[p]) in [(xs[v], ys[v]) for v in h]
+                for i in range(len(h))
+            )
+
+
+def test_convex_hulls_query(spark):
+    from changegen_spark.queries.geo import q_convex_hulls
+
+    rows = q_convex_hulls(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_hull"] <= min(r["n_points"], 999)
+        assert 0 <= r["hull_area2_e2"] <= 2 * 1000 * 1000
