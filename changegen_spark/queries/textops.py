@@ -633,10 +633,65 @@ ORDER BY lang, pred
 """
 
 
+# GPT-2-style pre-tokenizer classes, ASCII-simplified so Java and DuckDB
+# regex engines agree byte-for-byte: letter runs, digit runs, and
+# non-alphanumeric-non-space runs.
+REGEX_TOK = {
+    "word": "[A-Za-z]+",
+    "num": "[0-9]+",
+    "punct": "[^A-Za-z0-9 \\t\\n\\r]+",
+}
+
+
+def q_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization counts (the BPE-ish tokenizer front end):
+    per document, the number of letter-run, digit-run, and punctuation-run
+    tokens plus their total character coverage — all exact integers from
+    ``regexp_extract_all`` with an ASCII-only pattern both engines
+    interpret identically."""
+    d = _docs(spark, sf_dir)
+
+    def cnt(pat):
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+
+    def chars(pat):
+        return F.aggregate(
+            F.expr(f"regexp_extract_all(text, '{pat}', 0)"),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        )
+
+    return d.select(
+        "doc_id",
+        cnt(REGEX_TOK["word"]).alias("n_word_tokens"),
+        cnt(REGEX_TOK["num"]).alias("n_num_tokens"),
+        cnt(REGEX_TOK["punct"]).alias("n_punct_tokens"),
+        (
+            chars(REGEX_TOK["word"]) + chars(REGEX_TOK["num"]) + chars(REGEX_TOK["punct"])
+        ).alias("covered_chars"),
+    ).orderBy("doc_id")
+
+
+Q_REGEX_TOKENS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]+')) AS INT)
+         AS n_punct_tokens,
+       CAST(
+         list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> length(x)))
+         + coalesce(list_sum(list_transform(regexp_extract_all(text, '[0-9]+'), x -> length(x))), 0)
+         + coalesce(list_sum(list_transform(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\r]+'), x -> length(x))), 0)
+       AS INT) AS covered_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_lang_confusion": q_lang_confusion,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_keep_best": q_dedup_keep_best,
+    "q_regex_tokens": q_regex_tokens,
     "q_quality_filter": q_quality_filter,
     "q_tfidf_terms": q_tfidf_terms,
     "q_token_count": q_token_count,
@@ -655,6 +710,7 @@ ORACLES = {
     "q_lang_confusion": Q_LANG_CONFUSION_SQL,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_dedup_keep_best": Q_DEDUP_KEEP_BEST_SQL,
+    "q_regex_tokens": Q_REGEX_TOKENS_SQL,
     "q_quality_filter": Q_QUALITY_FILTER_SQL,
     "q_tfidf_terms": Q_TFIDF_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
