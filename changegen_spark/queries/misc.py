@@ -513,6 +513,84 @@ SELECT * FROM pick ORDER BY pct
 """
 
 
+MAD_K = 3  # the classic |x - median| > 3 * MAD outlier rule
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median, median absolute
+    deviation, and the count of values with |v - median| > {MAD_K}*MAD —
+    the rule that survives heavy tails where mean/std (q_moving_avg's z)
+    get dragged by the outliers themselves.
+
+    Values are e6-scaled integers before any statistic; the two nested
+    medians use the exact interpolating percentile (Spark ``percentile``
+    == DuckDB ``quantile_cont``, the q_percentiles-proven pairing), so
+    both engines compute identical doubles.
+
+    Scale: medians-per-group need the group's values — Spark's
+    ``percentile`` aggregates without a global sort (per-group
+    collection); at 100 TB swap in the binned-histogram estimate
+    (q_percentile_binned's shape) per group."""
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.expr("CAST(round(value * 1000000) AS BIGINT)")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(v6, F.lit(0.5)).alias("med_e6"),
+        F.count("*").alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_e6",
+        "n",
+        F.abs(v6 - F.col("med_e6")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med_e6").alias("med_e6"),
+        F.first("n").alias("n"),
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad_e6"),
+    )
+    out = dev.join(
+        F.broadcast(mad.select("event_type", "mad_e6")), "event_type"
+    ).groupBy("event_type").agg(
+        F.count_if(F.col("adev") > F.lit(MAD_K) * F.col("mad_e6")).alias(
+            "n_outliers"
+        ),
+    )
+    return (
+        mad.join(out, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("med_e6", 6).alias("med_e6"),
+            F.round("mad_e6", 6).alias("mad_e6"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v6 FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v6, 0.5) AS med_e6, count(*) AS n
+  FROM ev GROUP BY event_type
+), dev AS (
+  SELECT ev.event_type, med_e6, n, abs(v6 - med_e6) AS adev
+  FROM ev JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, any_value(med_e6) AS med_e6, any_value(n) AS n,
+         quantile_cont(adev, 0.5) AS mad_e6
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, m.n,
+       round(m.med_e6, 6) AS med_e6, round(m.mad_e6, 6) AS mad_e6,
+       count(*) FILTER (d.adev > {MAD_K} * m.mad_e6) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.n, m.med_e6, m.mad_e6
+ORDER BY d.event_type
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the orders table — the one-pass summary a
     pipeline materializes before planning joins/partitioning on unfamiliar
@@ -619,6 +697,7 @@ QUERIES = {
     "q_hstore_parse": q_hstore_parse,
     "q_profile": q_profile,
     "q_percentile_binned": q_percentile_binned,
+    "q_mad_outliers": q_mad_outliers,
     "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
@@ -636,6 +715,7 @@ ORACLES = {
     "q_hstore_parse": Q_HSTORE_SQL,
     "q_profile": Q_PROFILE_SQL,
     "q_percentile_binned": Q_PERCENTILE_BINNED_SQL,
+    "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
