@@ -106,6 +106,7 @@ KINDS = {
     "q_degree_hist": {"bucket": "num", "n_parts": "num", "min_degree": "num", "max_degree": "num"},
     "q_resample": {"event_type": "str", "hour": "num", "n_events": "num", "sum_value_e6": "num", "avg_value_locf": "e6"},
     "q_moving_avg": {"event_type": "str", "hour": "num", "c": "num", "ma": "e6", "z": "e6", "is_anomaly": "num"},
+    "q_time_range_window": {"user_id": "num", "event_id": "num", "ts_s": "str", "n_1h": "num", "sum_value_e6_1h": "num"},
     "q_markov_transitions": {"prev_type": "str", "next_type": "str", "n": "num", "p": "e6"},
     "q01_pricing_summary": {"l_returnflag": "str", "l_linestatus": "str", "sum_qty": "num", "sum_base_cents": "num", "sum_disc_price_e4": "num", "sum_charge_e6": "num", "avg_qty": "e6", "avg_price": "e6", "avg_disc": "e6", "count_order": "num"},
     "q_snapshot_diff": {"o_orderkey": "num", "change_type": "str", "version": "num", "o_orderstatus": "str", "o_orderpriority": "str", "price_cents": "num"},

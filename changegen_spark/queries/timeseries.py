@@ -274,14 +274,69 @@ ORDER BY prev_type, next_type
 """
 
 
+RW_SECONDS = 3600  # trailing wall-clock hour
+
+
+def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed trailing window per user: at every event, the count
+    and e6-value sum of that user's events in the PRECEDING WALL-CLOCK
+    HOUR (inclusive) — a range frame over event-time seconds, not a row
+    frame: sparse/bursty activity changes the answer, rows-between
+    can't express it.
+
+    All aggregates are exact integers; ties in the range bound are
+    handled identically by both engines (range frames bound by VALUE, so
+    same-second events all enter the frame regardless of row order).
+
+    Scale: one shuffle keyed by user_id; the frame is bounded by the
+    hour, so state per window never exceeds a user's one-hour burst.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0)
+    secs = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-RW_SECONDS, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.count("*").over(w).alias("n_1h"),
+            F.sum(_val_e6()).over(w).alias("sum_value_e6_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q_TIME_RANGE_WINDOW_SQL = f"""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       count(*) OVER (PARTITION BY user_id
+                      ORDER BY epoch_us(ts) // 1000000
+                      RANGE BETWEEN {RW_SECONDS} PRECEDING AND CURRENT ROW)
+         AS n_1h,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+            OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts) // 1000000
+                  RANGE BETWEEN {RW_SECONDS} PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS sum_value_e6_1h
+FROM events WHERE user_id % 25 = 0
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
     "q_resample": q_resample,
     "q_moving_avg": q_moving_avg,
     "q_markov_transitions": q_markov_transitions,
+    "q_time_range_window": q_time_range_window,
 }
 
 ORACLES = {
     "q_resample": Q_RESAMPLE_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_markov_transitions": Q_MARKOV_SQL,
+    "q_time_range_window": Q_TIME_RANGE_WINDOW_SQL,
 }
