@@ -67,3 +67,24 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     assert per_file <= 100
     # staging directory cleaned up
     assert not os.path.exists(path + ".__compacting")
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Incremental batches may add columns over time; mergeSchema reads
+    reconcile old and new partitions (missing columns null-filled) — the
+    plain-parquet schema-evolution contract the dataset sink relies on."""
+    path = os.path.join(str(tmp_path), "ds")
+    v1 = spark.createDataFrame(
+        [(1, "s0", 1.0), (2, "s1", 2.0)], "k long, src string, v double"
+    )
+    write_partitioned(v1, path, ["src"])
+    # later batch carries a NEW column and touches only partition s2
+    v2 = spark.createDataFrame(
+        [(3, "s2", 3.0, "en")], "k long, src string, v double, lang string"
+    )
+    write_partitioned(v2, path, ["src"])
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"k", "src", "v", "lang"}
+    rows = {r["k"]: r for r in got.collect()}
+    assert rows[1]["lang"] is None and rows[3]["lang"] == "en"
+    assert len(rows) == 3
