@@ -319,9 +319,87 @@ ORDER BY user_id, session_seq, incident_id
 """
 
 
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # last-touch lookback
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent NON-purchase event within the preceding 24 h (ties on the
+    timestamp break by the larger event_id — the strict (ts, event_id)
+    ordering contract).  Output: per touch type, attributed purchase count
+    and e6 revenue — the marketing-analytics composition of the as-of
+    join operator (operators/asof.py: union–sort–window, ONE shuffle, no
+    join node at all).
+
+    Purchases with no qualifying touch report as 'unattributed'."""
+    from changegen_spark.operators.asof import as_of_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("rev_e6"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("touch_type")
+    )
+    attached = as_of_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["touch_type"],
+        tie_col="event_id",
+        tolerance_us=ATTR_WINDOW_US,
+    )
+    return (
+        attached.groupBy(
+            F.coalesce(F.col("right_touch_type"), F.lit("unattributed")).alias(
+                "touch_type"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("rev_e6").alias("revenue_e6"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+Q_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id,
+         CAST(round(value * 1000000) AS BIGINT) AS rev_e6
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, event_id, event_type AS touch_type
+  FROM events WHERE event_type != 'purchase'
+), attached AS (
+  SELECT purchase_id, rev_e6, touch_type FROM (
+    SELECT p.purchase_id, p.rev_e6, t.touch_type,
+           row_number() OVER (PARTITION BY p.purchase_id
+                              ORDER BY t.ts DESC NULLS LAST,
+                                       t.event_id DESC NULLS LAST) AS rn
+    FROM purchases p
+    LEFT JOIN touches t
+      ON p.user_id = t.user_id
+     AND t.ts <= p.ts
+     AND epoch_us(p.ts) - epoch_us(t.ts) <= {ATTR_WINDOW_US}
+  ) WHERE rn = 1
+)
+SELECT coalesce(touch_type, 'unattributed') AS touch_type,
+       count(*) AS n_purchases, CAST(sum(rev_e6) AS BIGINT) AS revenue_e6
+FROM attached
+GROUP BY 1
+ORDER BY touch_type
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
     "q_interval_overlap": q_interval_overlap,
+    "q_attribution": q_attribution,
     "q_sessionize": q_sessionize,
     "q_props_parse": q_props_parse,
     "q_asof_join": q_asof_join,
@@ -331,6 +409,7 @@ QUERIES = {
 ORACLES = {
     "q_event_windows": Q_EVENT_WINDOWS_SQL,
     "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
+    "q_attribution": Q_ATTRIBUTION_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_props_parse": Q_PROPS_PARSE_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,

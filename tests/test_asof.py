@@ -149,3 +149,46 @@ def test_asof_and_range_queries_match_oracle(spark, sf_dir):
         assert list(sdf.columns) == list(ddf.columns), name
         assert len(sdf) == len(ddf), name
         assert sdf.equals(ddf), f"{name}: value mismatch"
+
+
+def test_attribution_window_and_ties(spark):
+    """Last-touch attribution: picks the latest touch within 24h, ties on
+    ts break to the larger event_id, out-of-window and touchless
+    purchases report 'unattributed'."""
+    import datetime as dt
+
+    import changegen_spark.queries.events as qe
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 2, 12)
+    rows = [
+        # user 1: click 1h before purchase -> attributed to click
+        (1, t0 - dt.timedelta(hours=1), 1, "click", 0.0),
+        (2, t0, 1, "purchase", 10.0),
+        # user 2: only touch is 25h before -> unattributed
+        (3, t0 - dt.timedelta(hours=25), 2, "view", 0.0),
+        (4, t0, 2, "purchase", 20.0),
+        # user 3: two touches at the SAME ts -> larger event_id (error) wins
+        (5, t0 - dt.timedelta(minutes=5), 3, "view", 0.0),
+        (6, t0 - dt.timedelta(minutes=5), 3, "error", 0.0),
+        (7, t0, 3, "purchase", 30.0),
+        # user 4: purchase with no events at all
+        (8, t0, 4, "purchase", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).withColumn("props", F.lit(""))
+    orig = qe.load_table
+    qe.load_table = lambda _s, _d, _n: df
+    try:
+        got = {
+            r["touch_type"]: (r["n_purchases"], r["revenue_e6"])
+            for r in qe.q_attribution(spark, "u").collect()
+        }
+    finally:
+        qe.load_table = orig
+    assert got == {
+        "click": (1, 10_000_000),
+        "error": (1, 30_000_000),
+        "unattributed": (2, 60_000_000),
+    }
