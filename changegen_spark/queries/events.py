@@ -396,10 +396,67 @@ ORDER BY touch_type
 """
 
 
+BAL_INIT, BAL_LO, BAL_HI = 100_000_000, 0, 200_000_000
+BAL_BASE = 50_000_000  # delta = value_e6 - BASE, so deltas are signed
+
+
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped account-balance scan per user (``user_id % 50 = 0`` cohort):
+    bal_i = clamp(bal_{i-1} + (value_e6 - {BAL_BASE}), [{BAL_LO},
+    {BAL_HI}]) in strict (ts, event_id) order.  NOT a window aggregate —
+    each step depends on the CLAMPED prior value — so it runs as the
+    ``operators/stateful.capped_running_sum`` applyInPandas scan; the
+    ORACLE replays the identical recurrence as a DuckDB recursive CTE
+    stepping row-by-row, a structurally different execution of the same
+    exact-integer semantics."""
+    from changegen_spark.operators.stateful import capped_running_sum
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.expr("CAST(round(value * 1000000) AS BIGINT)") - F.lit(BAL_BASE)
+        ).alias("d"),
+    )
+    return capped_running_sum(
+        d, ["user_id"], ["ts", "event_id"], "d", BAL_INIT, BAL_LO, BAL_HI
+    ).orderBy("user_id")
+
+
+Q_CAPPED_BALANCE_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(round(value * 1000000) AS BIGINT) - {BAL_BASE} AS d
+  FROM events WHERE user_id % 50 = 0
+), step AS (
+  SELECT user_id, 0 AS rn, CAST({BAL_INIT} AS BIGINT) AS bal,
+         CAST(0 AS BIGINT) AS caps, CAST(0 AS BIGINT) AS floors
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         greatest({BAL_LO}, least({BAL_HI}, s.bal + e.d)),
+         s.caps + CASE WHEN s.bal + e.d > {BAL_HI} THEN 1 ELSE 0 END,
+         s.floors + CASE WHEN s.bal + e.d < {BAL_LO} THEN 1 ELSE 0 END
+  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+       CAST(max_by(caps, rn) AS BIGINT) AS n_cap_hits,
+       CAST(max_by(floors, rn) AS BIGINT) AS n_floor_hits
+FROM step
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
     "q_interval_overlap": q_interval_overlap,
     "q_attribution": q_attribution,
+    "q_capped_balance": q_capped_balance,
     "q_sessionize": q_sessionize,
     "q_props_parse": q_props_parse,
     "q_asof_join": q_asof_join,
@@ -410,6 +467,7 @@ ORACLES = {
     "q_event_windows": Q_EVENT_WINDOWS_SQL,
     "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
     "q_attribution": Q_ATTRIBUTION_SQL,
+    "q_capped_balance": Q_CAPPED_BALANCE_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_props_parse": Q_PROPS_PARSE_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,

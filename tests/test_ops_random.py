@@ -286,3 +286,30 @@ def test_convex_hulls_query(spark):
     for r in rows:
         assert r["n_hull"] <= min(r["n_points"], 999)
         assert 0 <= r["hull_area2_e2"] <= 2 * 1000 * 1000
+
+
+def test_capped_running_sum_vs_reference(spark):
+    """The clamped scan equals a straight-line reference, and DIFFERS from
+    the naive running-sum-then-clamp whenever a bound was hit mid-stream
+    (the reason this is applyInPandas, not a window)."""
+    from changegen_spark.operators.stateful import capped_running_sum
+
+    deltas = [50, 80, -200, 30, 100, 100, -50]  # hits floor then ceiling
+    rows = [(1, i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "k long, seq long, d long")
+    got = capped_running_sum(df, ["k"], ["seq"], "d", 100, 0, 250).collect()[0]
+
+    bal, caps, floors = 100, 0, 0
+    for d in deltas:
+        bal += d
+        if bal > 250:
+            bal, caps = 250, caps + 1
+        elif bal < 0:
+            bal, floors = 0, floors + 1
+    assert (got["final_balance"], got["n_cap_hits"], got["n_floor_hits"]) == (
+        bal, caps, floors,
+    )
+    # the naive formulation (clamp the plain running sum at the end) is a
+    # DIFFERENT number — proves the operator isn't window-expressible
+    naive = min(250, max(0, 100 + sum(deltas)))
+    assert got["final_balance"] != naive
