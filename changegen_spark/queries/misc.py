@@ -591,6 +591,73 @@ ORDER BY d.event_type
 """
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient of per-customer order
+    revenue — Gini = (2·Σ rank·x) / (n·Σx) - (n+1)/n over revenues sorted
+    ascending with a (revenue, custkey) total tie-break.
+
+    The global rank uses the SAME two-phase pattern as q_weighted_sample
+    (range-partition by the sort key, intra-partition row_number, tiny
+    per-partition offset frame broadcast back) — no single-partition sort
+    of the data ever happens, yet the rank is exact and
+    partitioning-invariant.  Revenue is integer cents; Σ rank·x and Σx are
+    exact integer sums, so the final double division is engine-identical.
+
+    Output: one row (n_customers, total_cents, gini_e6)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .repartitionByRange(8, "cents", "o_custkey")
+    )
+    part = F.spark_partition_id()
+    win = Window.partitionBy("__part").orderBy("cents", "o_custkey")
+    tagged = rev.withColumn("__part", part).withColumn(
+        "__rn", F.row_number().over(win).cast("long")
+    )
+    counts = tagged.groupBy("__part").agg(F.count("*").alias("__cnt"))
+    prefix = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__part",
+        F.coalesce(F.sum("__cnt").over(prefix), F.lit(0)).cast("long").alias("__off"),
+    )
+    ranked = tagged.join(F.broadcast(offs), "__part").select(
+        "cents", (F.col("__rn") + F.col("__off")).alias("rank")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("rank") * F.col("cents")).alias("rank_weighted"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("rank_weighted") / (F.col("n_customers") * F.col("total_cents"))
+        - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers")
+    )
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+Q_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rank
+  FROM rev
+)
+SELECT count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round(2.0 * sum(rank * cents) / (count(*) * sum(cents))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the orders table — the one-pass summary a
     pipeline materializes before planning joins/partitioning on unfamiliar
@@ -698,6 +765,7 @@ QUERIES = {
     "q_profile": q_profile,
     "q_percentile_binned": q_percentile_binned,
     "q_mad_outliers": q_mad_outliers,
+    "q_gini": q_gini,
     "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
@@ -716,6 +784,7 @@ ORACLES = {
     "q_profile": Q_PROFILE_SQL,
     "q_percentile_binned": Q_PERCENTILE_BINNED_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+    "q_gini": Q_GINI_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,

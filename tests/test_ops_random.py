@@ -313,3 +313,33 @@ def test_capped_running_sum_vs_reference(spark):
     # DIFFERENT number — proves the operator isn't window-expressible
     naive = min(250, max(0, 100 + sum(deltas)))
     assert got["final_balance"] != naive
+
+
+def test_gini_partitioning_invariant_and_known_values(spark):
+    """Gini on hand-computable distributions: perfectly equal -> 0,
+    maximally concentrated -> (n-1)/n; exact global rank is
+    partitioning-invariant (the two-phase pattern)."""
+    import changegen_spark.queries.misc as mi
+    from pyspark.sql import functions as F
+
+    def run(rows, parts):
+        df = spark.createDataFrame(
+            [(i, c, r / 100.0) for i, (c, r) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ).withColumn("o_orderstatus", F.lit("O")).withColumn(
+            "o_orderdate", F.current_timestamp()
+        ).withColumn("o_orderpriority", F.lit("1-X")).repartition(parts)
+        orig = mi.load_table
+        mi.load_table = lambda _s, _d, _n: df
+        try:
+            return mi.q_gini(spark, "u").collect()[0]
+        finally:
+            mi.load_table = orig
+
+    equal = [(c, 500) for c in range(1, 11)]
+    r = run(equal, 3)
+    assert r["gini"] == 0.0 and r["n_customers"] == 10
+    # all revenue on one customer: Gini = (n-1)/n = 0.9
+    conc = [(1, 5000)] + [(c, 0) for c in range(2, 11)]
+    r1, r7 = run(conc, 1), run(conc, 7)
+    assert r1["gini"] == r7["gini"] == 0.9
