@@ -58,8 +58,10 @@ KINDS = {
     "q_exact_dedup": {"h": "str", "keep_id": "num", "n_copies": "num"},
     "q_fingerprint": {"doc_id": "num", "fp": "str", "group_size": "num", "canonical_id": "num"},
     "q_lang_id": {"doc_id": "num", "lang_pred": "str"},
+    "q_token_count": {"doc_id": "num", "n_tokens": "num"},
     "q_text_quality": {"doc_id": "num", "n_chars": "num", "n_tokens": "num", "alpha_ratio": "e6", "digit_ratio": "e6", "space_ratio": "e6", "avg_token_len": "e6"},
     "q_regex_tokens": {"doc_id": "num", "n_word_tokens": "num", "n_num_tokens": "num", "n_punct_tokens": "num", "covered_chars": "num"},
+    "q_haversine": {"pid": "num", "haversine_m": "e6", "planar_3857_m": "e6"},
     "q_point_in_polygon": {"pid": "num", "x10": "num", "y10": "num"},
     "q_geo_measures": {"user_id": "num", "n_points": "num", "path_len_e6": "num", "area2_e2": "num", "min_x10": "num", "max_x10": "num", "min_y10": "num", "max_y10": "num", "centroid_x": "e6", "centroid_y": "e6"},
     "q_jaccard_pairs": {"id_a": "num", "id_b": "num", "jaccard": "e6"},

@@ -688,8 +688,85 @@ def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EARTH_R = 6371008.8  # IUGG mean radius, meters
+
+
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (haversine) vs planar-Mercator distance for consecutive
+    sampled points — the geodesic correction the pipeline's planar 3857
+    math deliberately omits (GAPS.md), quantified: at ~48.5°N the
+    Mercator planar distance overstates ground distance by ~1/cos(lat) ≈
+    1.51x.
+
+    Output per consecutive pair: haversine meters and planar 3857 meters
+    (both rounded to 3 dp).  Transcendentals (sin/cos/asin/ln/tan) are
+    IEEE-identical across these engines at 3-dp rounding — the same
+    contract q_mercator already relies on."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    lon = F.lit(-118.48) + ((F.col("event_id") * 7) % 560).cast("double") / 1000.0
+    lat = F.lit(48.43) + ((F.col("event_id") * 11) % 420).cast("double") / 1000.0
+    pts = ev.select(F.col("event_id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
+    w = Window.orderBy("pid")
+    pairs = (
+        pts.repartition(1)  # consecutive-pair pairing over the SAMPLE (tiny);
+        # corpus-scale pairing would lag within a partition key
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn("plat", F.lag("lat").over(w))
+        .filter(F.col("plon").isNotNull())
+    )
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dphi = rad(F.col("lat") - F.col("plat"))
+    dlam = rad(F.col("lon") - F.col("plon"))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(rad(F.col("plat"))) * F.cos(rad(F.col("lat")))
+        * F.sin(dlam / 2) * F.sin(dlam / 2)
+    )
+    hav = F.lit(2.0 * EARTH_R) * F.asin(F.sqrt(a))
+    dx = to_3857_x(F.col("lon")) - to_3857_x(F.col("plon"))
+    dy = to_3857_y(F.col("lat")) - to_3857_y(F.col("plat"))
+    planar = F.sqrt(dx * dx + dy * dy)
+    return pairs.select(
+        "pid",
+        F.round(hav, 3).alias("haversine_m"),
+        F.round(planar, 3).alias("planar_3857_m"),
+    ).orderBy("pid")
+
+
+Q_HAVERSINE_SQL = f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         -118.48 + CAST((event_id * 7) % 560 AS DOUBLE) / 1000.0 AS lon,
+         48.43 + CAST((event_id * 11) % 420 AS DOUBLE) / 1000.0 AS lat
+  FROM events WHERE event_id % 10 = 0
+), pairs AS (
+  SELECT pid, lon, lat,
+         lag(lon) OVER (ORDER BY pid) AS plon,
+         lag(lat) OVER (ORDER BY pid) AS plat
+  FROM pts
+)
+SELECT pid,
+       round(2.0 * {EARTH_R} * asin(sqrt(
+         sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+         + cos(radians(plat)) * cos(radians(lat))
+           * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+       )), 3) AS haversine_m,
+       round(sqrt(
+         (radians(lon) * 6378137.0 - radians(plon) * 6378137.0)
+           * (radians(lon) * 6378137.0 - radians(plon) * 6378137.0)
+         + (6378137.0 * ln(tan(pi()/4 + radians(lat)/2))
+            - 6378137.0 * ln(tan(pi()/4 + radians(plat)/2)))
+           * (6378137.0 * ln(tan(pi()/4 + radians(lat)/2))
+              - 6378137.0 * ln(tan(pi()/4 + radians(plat)/2)))
+       ), 3) AS planar_3857_m
+FROM pairs WHERE plon IS NOT NULL
+ORDER BY pid
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_haversine": q_haversine,
     "q_point_in_polygon": q_point_in_polygon,
     "q_convex_hulls": q_convex_hulls,
     "q_geo_measures": q_geo_measures,
@@ -706,6 +783,7 @@ QUERIES = {
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
     "q_point_in_polygon": Q_PIP_SQL,
+    "q_haversine": Q_HAVERSINE_SQL,
     "q_geo_measures": Q_GEO_MEASURES_SQL,
     "q_insertion_index": Q_INSERTION_INDEX_SQL,
     "q_segment_closest_point": Q_SEGMENT_CP_SQL,
