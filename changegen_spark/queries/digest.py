@@ -105,6 +105,7 @@ KINDS = {
     "q_interval_overlap": {"user_id": "num", "session_seq": "num", "incident_id": "num", "overlap_us": "num"},
     "q_bm25_search": {"doc_id": "num", "n_terms_hit": "num", "score_e9": "num"},
     "q_hybrid_search": {"doc_id": "num", "rank_lex": "num", "rank_vec": "num", "rrf_e9": "num"},
+    "q_null_semantics": {"n_rows": "num", "n_null_keys": "num", "n_eq_pairs": "num", "n_nullsafe_pairs": "num"},
     "q_gini": {"n_customers": "num", "total_cents": "num", "gini": "e6"},
     "q_mad_outliers": {"event_type": "str", "n": "num", "med_e6": "e6", "mad_e6": "e6", "n_outliers": "num"},
     "q_percentile_binned": {"pct": "num", "bin_idx": "num", "upper_cents": "num", "n_le": "num"},

@@ -658,6 +658,49 @@ FROM ranked
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics battery on a synthesized nullable key
+    (``nullif(o_custkey % 7, 3)`` over an orders slice): regular equality
+    drops null keys from a self-join, null-safe equality (``<=>`` /
+    IS NOT DISTINCT FROM) matches them — and Catalyst still plans the
+    null-safe predicate as a hash EQUI-join (EqualNullSafe is a join
+    key), so the semantics cost no plan quality.
+
+    Output: one row (n_rows, n_null_keys, n_eq_pairs, n_nullsafe_pairs)
+    with n_nullsafe_pairs - n_eq_pairs == n_null_keys² by construction."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    k = F.expr("nullif(o_custkey % 7, 3)")
+    a = o.select(k.alias("k"))
+    base = a.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("k").isNull()).alias("n_null_keys"),
+    )
+    eq = (
+        a.alias("x")
+        .join(a.alias("y"), F.col("x.k") == F.col("y.k"))
+        .agg(F.count("*").alias("n_eq_pairs"))
+    )
+    ns = (
+        a.alias("x")
+        .join(a.alias("y"), F.col("x.k").eqNullSafe(F.col("y.k")))
+        .agg(F.count("*").alias("n_nullsafe_pairs"))
+    )
+    return base.crossJoin(F.broadcast(eq)).crossJoin(F.broadcast(ns))
+
+
+Q_NULL_SEMANTICS_SQL = """
+WITH a AS (
+  SELECT nullif(o_custkey % 7, 3) AS k
+  FROM orders WHERE o_orderkey % 200 = 0
+)
+SELECT (SELECT count(*) FROM a) AS n_rows,
+       (SELECT count(*) FROM a WHERE k IS NULL) AS n_null_keys,
+       (SELECT count(*) FROM a x JOIN a y ON x.k = y.k) AS n_eq_pairs,
+       (SELECT count(*) FROM a x JOIN a y ON x.k IS NOT DISTINCT FROM y.k)
+         AS n_nullsafe_pairs
+"""
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profile of the orders table — the one-pass summary a
     pipeline materializes before planning joins/partitioning on unfamiliar
@@ -766,6 +809,7 @@ QUERIES = {
     "q_percentile_binned": q_percentile_binned,
     "q_mad_outliers": q_mad_outliers,
     "q_gini": q_gini,
+    "q_null_semantics": q_null_semantics,
     "q_stats_moments": q_stats_moments,
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
@@ -785,6 +829,7 @@ ORACLES = {
     "q_percentile_binned": Q_PERCENTILE_BINNED_SQL,
     "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
     "q_gini": Q_GINI_SQL,
+    "q_null_semantics": Q_NULL_SEMANTICS_SQL,
     "q_stats_moments": Q_STATS_MOMENTS_SQL,
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
