@@ -92,6 +92,7 @@ KINDS = {
     "q_pagerank": {"node": "str", "rank_e9": "num"},
     "q_bfs_hops": {"node": "str", "hops": "num"},
     "q_pagerank_weighted": {"node": "str", "rank_e9": "num"},
+    "q_pmi_pairs": {"w1": "str", "w2": "str", "n": "num", "pmi": "e6"},
     "q_feature_hash": {"doc_id": "num", "bucket": "num", "n": "num"},
     "q_skipgram_pairs": {"w1": "str", "w2": "str", "n": "num"},
     "q_funnel": {"user_id": "num", "t_view": "str", "t_click": "str", "t_purchase": "str", "steps_completed": "num"},

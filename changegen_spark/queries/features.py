@@ -156,13 +156,86 @@ ORDER BY doc_id
 """
 
 
+PMI_MIN_N = 20  # pair-count floor so log ratios are stable
+PMI_TOPK = 50
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of co-occurring word pairs — the
+    word-association mining step on top of the skip-gram counts:
+    pmi(w1,w2) = ln( n(w1,w2)·N / (n(w1·)·n(·w2)) ) over the SAME
+    ±{SKIP_WINDOW} window pair space as q_skipgram_pairs.  All inputs are
+    exact integer counts; marginals are pair-sided (center vs context),
+    so the identity Σn(w1·) = N holds by construction.
+
+    Top-{PMI_TOPK} by (pmi desc, w1, w2) among pairs with n >=
+    {PMI_MIN_N}.  Scale: one pair-count aggregate + two tiny marginal
+    aggregates broadcast back — no joins against the corpus."""
+    d = _docs(spark, sf_dir)
+    offs = [o for o in range(-SKIP_WINDOW, SKIP_WINDOW + 1) if o != 0]
+    t = d.select(_toks(F.col("text")).alias("t"))
+    pairs = (
+        t.select(F.posexplode("t").alias("p", "w1"), F.col("t"))
+        .select(
+            "w1",
+            F.explode(
+                F.array(*[F.get("t", F.col("p") + F.lit(o)) for o in offs])
+            ).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull() & (F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    m1 = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    m2 = counts.groupBy("w2").agg(F.sum("n").alias("n2"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    pmi = F.log(
+        F.col("n").cast("double") * F.col("nn") / (F.col("n1") * F.col("n2"))
+    )
+    return (
+        counts.filter(F.col("n") >= PMI_MIN_N)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+Q_PMI_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+), centers AS (
+  SELECT t, unnest(generate_series(1, len(t))) AS p FROM toks
+), rawpairs AS (
+  SELECT t[CAST(p AS INT)] AS w1, t[CAST(p + o AS INT)] AS w2
+  FROM centers, (SELECT unnest([{", ".join(str(o) for o in range(-SKIP_WINDOW, SKIP_WINDOW + 1) if o != 0)}]) AS o)
+  WHERE p + o >= 1 AND p + o <= len(t)
+), pairs AS (
+  SELECT w1, w2 FROM rawpairs WHERE w1 <> '' AND w2 <> ''
+), counts AS (
+  SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+), m1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n1 FROM counts GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(n) AS BIGINT) AS n2 FROM counts GROUP BY w2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM counts)
+SELECT w1, w2, n,
+       round(ln(CAST(n AS DOUBLE) * nn / (n1 * n2)), 6) AS pmi
+FROM counts JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+WHERE n >= {PMI_MIN_N}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "q_feature_hash": q_feature_hash,
+    "q_pmi_pairs": q_pmi_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_normalize_text": q_normalize_text,
 }
 
 ORACLES = {
+    "q_pmi_pairs": Q_PMI_SQL,
     "q_feature_hash": Q_FEATURE_HASH_SQL,
     "q_skipgram_pairs": Q_SKIPGRAM_SQL,
     "q_normalize_text": Q_NORMALIZE_SQL,
