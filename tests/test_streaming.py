@@ -166,3 +166,42 @@ def test_anomaly_stream_matches_batch_flags(spark, sf_dir):
             ).strftime("%Y-%m-%d %H:%M:%S")
             batch[(r["event_type"], hs)] = (r["c"], r["z"], r["is_anomaly"])
     assert got == batch
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Structured Streaming's checkpointed restart contract: run a stream
+    to a file sink with a checkpoint, append NEW source files, run again
+    with the SAME checkpoint — every input row appears exactly once in
+    the sink (no reprocessing of batch 1, no loss of batch 2)."""
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long, v string").parquet(src)
+            .withColumn("vv", F.upper("v"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(i, f"a{i}") for i in range(10)], "k long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame([(i, f"b{i}") for i in range(10, 25)], "k long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 25  # exactly once: 10 + 15, no dupes, no loss
+    assert {r["k"] for r in out} == set(range(25))
+    assert all(r["vv"] == r["v"].upper() for r in out)
