@@ -59,6 +59,7 @@ KINDS = {
     "q_fingerprint": {"doc_id": "num", "fp": "str", "group_size": "num", "canonical_id": "num"},
     "q_lang_id": {"doc_id": "num", "lang_pred": "str"},
     "q_token_count": {"doc_id": "num", "n_tokens": "num"},
+    "q_tfidf_terms": {"lang": "str", "term": "str", "tfidf": "e6", "rank": "num"},
     "q_text_quality": {"doc_id": "num", "n_chars": "num", "n_tokens": "num", "alpha_ratio": "e6", "digit_ratio": "e6", "space_ratio": "e6", "avg_token_len": "e6"},
     "q_regex_tokens": {"doc_id": "num", "n_word_tokens": "num", "n_num_tokens": "num", "n_punct_tokens": "num", "covered_chars": "num"},
     "q_haversine": {"pid": "num", "haversine_m": "e6", "planar_3857_m": "e6"},
@@ -101,6 +102,7 @@ KINDS = {
     "q_cube": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_dup_spans": {"doc_id": "num", "span_start": "num", "span_end": "num", "span_tokens": "num", "n_dup_grams": "num"},
     "q_lm_score": {"doc_id": "num", "n_bigrams": "num", "nll": "e6", "ppl": "e6"},
+    "q_top_paths": {"path": "str", "n": "num"},
     "q_capped_balance": {"user_id": "num", "n_events": "num", "final_balance": "num", "n_cap_hits": "num", "n_floor_hits": "num"},
     "q_attribution": {"touch_type": "str", "n_purchases": "num", "revenue_e6": "num"},
     "q_interval_overlap": {"user_id": "num", "session_seq": "num", "incident_id": "num", "overlap_us": "num"},

@@ -452,8 +452,92 @@ ORDER BY user_id
 """
 
 
+PATH_N = 3
+PATH_TOPK = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common length-{PATH_N} event-type sequences
+    inside user sessions (30-min gap, ALL users), top-{PATH_TOPK} by
+    (count desc, path) — 'what do users do in a row?'.
+
+    Composition: the lag/cumsum sessionizer → per-session ORDERED type
+    array (sort by the strict (ts, event_id) key inside the aggregate,
+    never by row order) → array-slice {PATH_N}-grams (same guarded
+    transform as mlprep.word_ngrams) → one count aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = sess.groupBy("user_id", "session_seq").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ).alias("types")
+    )
+    n = F.size("types")
+    grams = seqs.select(
+        F.explode(
+            F.when(
+                n >= PATH_N,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(PATH_N) + 1),
+                    lambda i: F.concat_ws(
+                        ">", F.slice(F.col("types"), i, F.lit(PATH_N))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
+Q_TOP_PATHS_SQL = f"""
+WITH ev AS (SELECT * FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), seqs AS (
+  SELECT user_id, session_seq,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM sessioned GROUP BY user_id, session_seq
+), grams AS (
+  SELECT array_to_string(types[CAST(i AS INT):CAST(i + {PATH_N - 1} AS INT)], '>')
+           AS path
+  FROM (SELECT types, unnest(generate_series(1, len(types) - {PATH_N - 1})) AS i
+        FROM seqs WHERE len(types) >= {PATH_N})
+)
+SELECT path, count(*) AS n
+FROM grams
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {PATH_TOPK}
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
+    "q_top_paths": q_top_paths,
     "q_interval_overlap": q_interval_overlap,
     "q_attribution": q_attribution,
     "q_capped_balance": q_capped_balance,
@@ -468,6 +552,7 @@ ORACLES = {
     "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
     "q_attribution": Q_ATTRIBUTION_SQL,
     "q_capped_balance": Q_CAPPED_BALANCE_SQL,
+    "q_top_paths": Q_TOP_PATHS_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_props_parse": Q_PROPS_PARSE_SQL,
     "q_asof_join": Q_ASOF_JOIN_SQL,
