@@ -3,12 +3,15 @@
 The driver's CORRECTNESS gate hash-checks only the FIRST 50 registry
 entries.  Round 2 rotated the relational/TPC-H family out of that window to
 make room for newer families, which meant the driver no longer re-verified
-it each round (r2 verdict item #5).  ``q_relational_digest`` closes that
-hole: ONE in-window query that computes, for every oracle-backed registry
-entry OUTSIDE the window, an order-insensitive content digest of its full
-result — and whose DuckDB oracle computes the identical digest over the
-same entries' oracle SQL.  A green digest row therefore transitively
-re-verifies the whole out-of-window family every round.
+it each round (r2 verdict item #5).  The digest shards close that hole:
+in-window queries that compute, for every oracle-backed registry entry
+OUTSIDE the window, an order-insensitive content digest of its full
+result — and whose DuckDB oracles compute the identical digest over the
+same entries' oracle SQL.  Green digest rows therefore transitively
+re-verify the whole out-of-window family every round.  Since late r3 the
+digest is SHARDED over three window slots (``DIGEST_NAMES`` in
+``queries/__init__.py``, round-robin assignment) so no single driver
+query unions ~100 subplans.
 
 Digest definition (must be computable identically in Spark SQL and DuckDB
 SQL — no driver-side normalization):
@@ -62,6 +65,7 @@ KINDS = {
     "q_tfidf_terms": {"lang": "str", "term": "str", "tfidf": "e6", "rank": "num"},
     "q_text_quality": {"doc_id": "num", "n_chars": "num", "n_tokens": "num", "alpha_ratio": "e6", "digit_ratio": "e6", "space_ratio": "e6", "avg_token_len": "e6"},
     "q_regex_tokens": {"doc_id": "num", "n_word_tokens": "num", "n_num_tokens": "num", "n_punct_tokens": "num", "covered_chars": "num"},
+    "q_quality_filter": {"doc_id": "num", "len_ok": "num", "tokens_ok": "num", "alpha_ok": "num", "token_len_ok": "num", "keep": "num"},
     "q_haversine": {"pid": "num", "haversine_m": "e6", "planar_3857_m": "e6"},
     "q_point_in_polygon": {"pid": "num", "x10": "num", "y10": "num"},
     "q_geo_measures": {"user_id": "num", "n_points": "num", "path_len_e6": "num", "area2_e2": "num", "min_x10": "num", "max_x10": "num", "min_y10": "num", "max_y10": "num", "centroid_x": "e6", "centroid_y": "e6"},
@@ -199,17 +203,27 @@ def _digest_one_spark(name: str, df: DataFrame) -> DataFrame:
     )
 
 
-def q_relational_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_name, n_rows, hash_sum) for every oracle-backed registry
-    entry outside the driver's 50-slot window — one row per query, the
-    whole family verified through one in-window slot."""
-    from changegen_spark.queries import all_queries, covered_by_digest
+def q_digest_shard(shard: int):
+    """Factory for window digest slot ``shard``: (query_name, n_rows,
+    hash_sum) for every oracle-backed registry entry outside the driver's
+    50-slot window whose round-robin shard index matches — the whole
+    out-of-window family is verified through the DIGEST_NAMES slots
+    together (sharded so no single driver query carries ~100 subplans)."""
 
-    qs = all_queries()
-    parts = [
-        _digest_one_spark(n, qs[n](spark, sf_dir)) for n in covered_by_digest()
-    ]
-    return reduce(DataFrame.unionByName, parts).orderBy("query_name")
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from changegen_spark.queries import (
+            DIGEST_NAMES,
+            all_queries,
+            covered_by_digest,
+        )
+
+        qs = all_queries()
+        names = covered_by_digest()[shard :: len(DIGEST_NAMES)]
+        parts = [_digest_one_spark(n, qs[n](spark, sf_dir)) for n in names]
+        return reduce(DataFrame.unionByName, parts).orderBy("query_name")
+
+    run.__name__ = f"q_digest_shard_{shard}"
+    return run
 
 
 def _digest_one_duck(name: str, sql: str) -> str:

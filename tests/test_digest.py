@@ -6,12 +6,28 @@ import duckdb
 import pytest
 
 
-def test_digest_is_window_slot_zero():
-    from changegen_spark.queries import all_oracles, all_queries
+def test_digest_shards_hold_first_window_slots():
+    from changegen_spark.queries import DIGEST_NAMES, all_oracles, all_queries
 
     names = list(all_queries())
-    assert names[0] == "q_relational_digest"
-    assert "q_relational_digest" in all_oracles()
+    assert tuple(names[: len(DIGEST_NAMES)]) == DIGEST_NAMES
+    oracles = all_oracles()
+    for nm in DIGEST_NAMES:
+        assert nm in oracles
+
+
+def test_digest_shards_partition_covered_set():
+    """Round-robin shards must cover every out-of-window oracle query
+    exactly once, and each shard must be non-empty (an empty shard would
+    be a zero-row driver result — indistinguishable from a broken one)."""
+    from changegen_spark.queries import DIGEST_NAMES, covered_by_digest
+
+    covered = covered_by_digest()
+    shards = [covered[i :: len(DIGEST_NAMES)] for i in range(len(DIGEST_NAMES))]
+    assert all(shards)
+    flat = [n for s in shards for n in s]
+    assert sorted(flat) == sorted(covered)
+    assert len(set(flat)) == len(flat)
 
 
 def test_covered_set_matches_kinds_map():
