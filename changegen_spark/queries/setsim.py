@@ -17,14 +17,16 @@ equi-join on prefix tokens only, plus the exact size filter
 the RAREST tokens, the join lands on the low-frequency tail instead of
 the hot head.
 
-Honesty note on THIS fixture: the synthetic 30-word vocabulary makes
-most document pairs genuinely near-identical, so prefixes barely
-discriminate here (sf0.01 measured: 124,744 of 124,750 possible pairs
-share >= 1 shingle; 97k still share a prefix token; 25 true pairs at
-t=0.7).  That residual work is inherent to the data — on web-scale text
-prefixes are rare and the candidate set collapses.  The registry query
-therefore runs the standard deterministic slice; the operator takes any
-frame.
+Honesty note on the ``documents`` fixture: the synthetic 30-word
+vocabulary makes most document pairs genuinely near-identical, so
+prefixes barely discriminate there (sf0.01 measured: 124,744 of 124,750
+possible pairs share >= 1 shingle; 97k still share a prefix token; 25
+true pairs at t=0.7).  That residual work is inherent to the data — on
+web-scale text prefixes are rare and the candidate set collapses.  The
+collapse is DEMONSTRATED (not argued) on the shipped diverse-vocabulary
+fixture (tools/make_setsim.py): 26 candidates of 193,753 possible pairs
+(0.013%), all 15 planted near-dup pairs recovered, oracle-verified via
+``q_setsim_diverse`` (tests/test_setsim.py pins the collapse ratio).
 
 Scale design: one shuffle to count token frequencies, one to build
 per-doc ordered sets, a prefix-token equi-join, and a candidates-only
@@ -68,9 +70,10 @@ def shingle_set_pandas(k: int):
     return shset
 
 
-def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """All pairs (id_a < id_b) with shingle-set Jaccard >= T_NUM/T_DEN:
-    (id_a, id_b, n_inter, n_union, jaccard)."""
+def ordered_shingle_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks, n): per-doc shingle set as xxhash64 longs in global
+    rarest-first (df, token) order, behind a single fence — the shared
+    input of the prefix-candidate and verify stages."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_set_pandas(SHINGLE_K)(F.col(text_col))).alias("s"),
@@ -99,6 +102,14 @@ def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # pipeline's junction stage and PageRank's edge fence
         .localCheckpoint(eager=False)
     )
+    return sets
+
+
+def prefix_candidates(sets: DataFrame) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from the prefix-token equi-join with
+    the exact size filter riding the condition — the pruning stage whose
+    |candidates| ≪ all-pairs collapse the diverse-vocabulary fixture
+    pins (tests/test_setsim.py)."""
     # prefix length n - ceil(t*n) + 1, ceil via integer arithmetic
     p = F.col("n") - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}") + F.lit(1)
     prefixes = sets.select(
@@ -106,7 +117,7 @@ def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     # size filter (exact): J >= t forces t*na <= nb <= na/t — rides the
     # prefix join as an integer cross-multiplication predicate
-    cand = (
+    return (
         prefixes.alias("a")
         .join(
             prefixes.alias("b"),
@@ -118,6 +129,13 @@ def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def setsim_join(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-set Jaccard >= T_NUM/T_DEN:
+    (id_a, id_b, n_inter, n_union, jaccard)."""
+    sets = ordered_shingle_sets(docs, id_col, text_col)
+    cand = prefix_candidates(sets)
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
     )
@@ -300,5 +318,66 @@ ORDER BY w1, w2
 """
 
 
-QUERIES = {"q_setsim_join": q_setsim_join, "q_typo_pairs": q_typo_pairs}
-ORACLES = {"q_setsim_join": Q_SETSIM_SQL, "q_typo_pairs": Q_TYPO_PAIRS_SQL}
+# --- diverse-vocabulary fixture: the prefix filter's headline case ------------
+
+import os as _os
+
+SETSIM_FIXTURE = _os.path.abspath(
+    _os.path.join(
+        _os.path.dirname(__file__), "..", "..", "fixtures", "setsim_docs.parquet"
+    )
+)
+
+
+def q_setsim_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact join over the shipped diverse-vocabulary fixture
+    (tools/make_setsim.py: 623 docs, 4,000-word Zipf vocabulary, 15
+    planted near-dup pairs + 1 borderline pair at J = 0.7064).  Unlike the
+    30-word ``documents`` table, prefixes DISCRIMINATE here — the
+    candidate set collapses to well under 1% of all-pairs (pinned in
+    tests/test_setsim.py) while the oracle's unpruned shared-shingle join
+    proves zero false negatives.  ``sf_dir`` is unused: the fixture is
+    versioned with the repo, the same on every scale factor."""
+    docs = spark.read.parquet(SETSIM_FIXTURE)
+    return setsim_join(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+Q_SETSIM_DIVERSE_SQL = f"""
+WITH docs AS (
+  SELECT * FROM '{SETSIM_FIXTURE}'
+), pos AS (
+  SELECT doc_id, lower(text) AS lt,
+         unnest(generate_series(1, length(text) - {SHINGLE_K - 1})) AS i
+  FROM docs WHERE length(text) >= {SHINGLE_K}
+), sh AS (
+  SELECT DISTINCT doc_id, substr(lt, CAST(i AS INT), {SHINGLE_K}) AS s FROM pos
+  UNION
+  SELECT doc_id, lower(text) FROM docs WHERE length(text) < {SHINGLE_K}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       na.n + nb.n - n_inter AS n_union,
+       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON id_a = na.doc_id
+JOIN sizes nb ON id_b = nb.doc_id
+WHERE {T_DEN} * n_inter >= {T_NUM} * (na.n + nb.n - n_inter)
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "q_setsim_join": q_setsim_join,
+    "q_setsim_diverse": q_setsim_diverse,
+    "q_typo_pairs": q_typo_pairs,
+}
+ORACLES = {
+    "q_setsim_join": Q_SETSIM_SQL,
+    "q_setsim_diverse": Q_SETSIM_DIVERSE_SQL,
+    "q_typo_pairs": Q_TYPO_PAIRS_SQL,
+}
