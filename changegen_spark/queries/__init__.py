@@ -37,6 +37,7 @@ from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import vectors as _vectors
+from changegen_spark.queries import winnow as _winnow
 
 # Ordered so the e2e changegen parity family, the vector/ANN family, and the
 # streaming batch-twins land inside the driver's CORRECTNESS window (the
@@ -65,6 +66,7 @@ MODULES = (
     _search,  # BM25 ranked retrieval (r3) — digest-covered
     _setsim,  # exact prefix-filtered set-similarity join (r3) — digest-covered
     _quality,  # DQ constraint audit + association rules (r3) — digest-covered
+    _winnow,  # MOSS winnowing fingerprints (late r3) — digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,
