@@ -440,6 +440,85 @@ FROM h ORDER BY doc_id
 """
 
 
+# --- exact stratified train/val/test split -----------------------------------
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion 80/10/10 train/val/test assignment per language
+    stratum: every stratum gets EXACTLY floor(8n/10) train rows,
+    floor(9n/10)-floor(8n/10) val rows, remainder test — the contract
+    shape when a threshold split's binomial wobble is unacceptable
+    (tiny strata, contractual eval sizes).
+
+    Assignment is a pure function of doc_id (md5 order), so retries and
+    incremental reruns agree.  The per-stratum rank uses the same
+    two-phase pattern as ``q_gini``/``q_weighted_sample``:
+    range-partition on (lang, hash), intra-partition row_number, tiny
+    per-(partition, lang) offset frame broadcast back — strata SPAN
+    partitions, so one hot language never serializes onto one partition
+    (the Window.partitionBy(lang) shape would; that hazard is exactly
+    why ``q_hash_sample``'s per-source rank is only for tiny-k picks).
+    At 100 TB prefer the threshold split (``q_hash_sample``) unless
+    exact counts are contractual."""
+    d = _docs(spark, sf_dir)
+    hk = F.md5(F.col("doc_id").cast("string"))
+    rows = d.select("doc_id", "lang", hk.alias("hk")).repartitionByRange(
+        8, "lang", "hk", "doc_id"
+    )
+    win = Window.partitionBy("__part", "lang").orderBy("hk", "doc_id")
+    tagged = rows.withColumn("__part", F.spark_partition_id()).withColumn(
+        "__rn", F.row_number().over(win).cast("long")
+    )
+    counts = tagged.groupBy("__part", "lang").agg(F.count("*").alias("__cnt"))
+    prefix = (
+        Window.partitionBy("lang")
+        .orderBy("__part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "__part",
+        "lang",
+        F.coalesce(F.sum("__cnt").over(prefix), F.lit(0)).cast("long").alias("__off"),
+    )
+    totals = counts.groupBy("lang").agg(F.sum("__cnt").cast("long").alias("n"))
+    ranked = tagged.join(F.broadcast(offs), ["__part", "lang"]).select(
+        "doc_id", "lang", (F.col("__rn") + F.col("__off")).alias("rank")
+    )
+    n_train = F.expr("(8 * n) div 10")
+    n_val = F.expr("(9 * n) div 10")
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "rank",
+            F.when(F.col("rank") <= n_train, F.lit("train"))
+            .when(F.col("rank") <= n_val, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_STRATIFIED_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+              AS BIGINT) AS rank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang, rank,
+       CASE WHEN rank <= (8 * n) // 10 THEN 'train'
+            WHEN rank <= (9 * n) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked ORDER BY doc_id
+"""
+
+
 # --- token chunking -----------------------------------------------------------
 
 CHUNK, STRIDE = 32, 16
@@ -857,6 +936,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
+    "q_stratified_split": q_stratified_split,
     "q_token_chunks": q_token_chunks,
     "q_pack_sequences": q_pack_sequences,
 }
@@ -870,6 +950,7 @@ ORACLES = {
     "q_pii_scrub": Q_PII_SCRUB_SQL,
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
+    "q_stratified_split": Q_STRATIFIED_SPLIT_SQL,
     "q_token_chunks": Q_TOKEN_CHUNKS_SQL,
     "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
 }

@@ -213,3 +213,41 @@ def test_weighted_sample_exact_pps(spark):
     by_id = {r[0]: r[3] for r in got7}
     # doc 99 carries 2000/2390 of the weight -> ~42 of the 50 picks
     assert by_id[99] >= 40
+
+
+def test_stratified_split_exact_proportions_and_invariance(spark):
+    """Every stratum gets exactly floor(.8n)/floor(.9n)-floor(.8n)/rest
+    train/val/test rows; assignment is a pure function of doc_id (same
+    result under different input partitioning); singleton strata land
+    wholly in test (floor rounds both cuts to 0)."""
+    import changegen_spark.queries.mlprep as mp
+
+    rows = (
+        [(i, "t", "en", "s", 10) for i in range(1, 48)]          # n=47
+        + [(100 + i, "t", "de", "s", 10) for i in range(10)]     # n=10
+        + [(900, "t", "xx", "s", 10)]                            # n=1
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = mp._docs
+    try:
+        mp._docs = lambda _s, _d: df.repartition(11)
+        got11 = sorted(map(tuple, mp.q_stratified_split(spark, "u").collect()))
+        mp._docs = lambda _s, _d: df.coalesce(1)
+        got1 = sorted(map(tuple, mp.q_stratified_split(spark, "u").collect()))
+    finally:
+        mp._docs = orig
+    assert got11 == got1
+
+    from collections import Counter
+
+    by = Counter((r[1], r[3]) for r in got11)
+    assert by[("en", "train")] == 37   # floor(8*47/10)
+    assert by[("en", "val")] == 5      # floor(9*47/10)=42 -> 42-37
+    assert by[("en", "test")] == 5
+    assert by[("de", "train")] == 8 and by[("de", "val")] == 1 and by[("de", "test")] == 1
+    assert by[("xx", "test")] == 1 and ("xx", "train") not in by
+    # ranks are a permutation of 1..n within each stratum
+    en_ranks = sorted(r[2] for r in got11 if r[1] == "en")
+    assert en_ranks == list(range(1, 48))
