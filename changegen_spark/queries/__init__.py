@@ -36,6 +36,7 @@ from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import tpch_full as _tpch_full
+from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import vectors as _vectors
 from changegen_spark.queries import winnow as _winnow
 
@@ -67,6 +68,7 @@ MODULES = (
     _setsim,  # exact prefix-filtered set-similarity join (r3) — digest-covered
     _quality,  # DQ constraint audit + association rules (r3) — digest-covered
     _winnow,  # MOSS winnowing fingerprints (late r3) — digest-covered
+    _cdc,  # content-defined chunking dedup (late r3) — digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

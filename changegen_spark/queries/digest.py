@@ -78,6 +78,7 @@ KINDS = {
     "q_winnow_fingerprints": {"doc_id": "num", "n_grams": "num", "n_windows": "num", "n_fp": "num", "fp_density": "e6"},
     "q_winnow_pairs": {"id_a": "num", "id_b": "num", "n_shared": "num"},
     "q_stratified_split": {"doc_id": "num", "lang": "str", "rank": "num", "split": "str"},
+    "q_cdc_chunks": {"doc_id": "num", "n_chunks": "num", "n_chars": "num", "max_chunk": "num", "n_dup_chunks": "num", "dup_frac": "e6"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},
