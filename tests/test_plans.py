@@ -281,3 +281,43 @@ def test_markov_single_user_shuffle(spark, sf_dir):
 
     plan = _plan(q_markov_transitions(spark, sf_dir))
     assert "Join" not in plan
+
+
+def test_winnow_pairs_equi_join_on_selected_fps(spark, sf_dir):
+    """The winnowing pair join must be a hash equi-join on fingerprint
+    hashes — never a cartesian/nested-loop — and winnowing selection must
+    add no shuffle beyond the doc_id exchange (bounded ROWS window)."""
+    from changegen_spark.queries.winnow import q_winnow_pairs
+
+    plan = _plan(q_winnow_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_chunker_is_single_map_pass(spark, sf_dir):
+    """CDC chunking must stay map-only — one Arrow UDF projection, no
+    positional explode of characters — and the chunk frame must sit
+    behind the lazy-checkpoint fence so its three consumers (shared-hash
+    filter, dup flags, per-doc stats) trigger exactly ONE chunker run:
+    the fenced final plan reads ExistingRDD, not re-evaluated UDFs."""
+    from changegen_spark.queries.cdc import _doc_chunks, q_cdc_chunks
+
+    pre = _plan(_doc_chunks(spark, sf_dir))
+    assert pre.count("ArrowEvalPython") == 1
+    assert "Generate explode" in pre or "Generate" in pre
+
+    plan = _plan(q_cdc_chunks(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_split_broadcasts_frames_no_stratum_sort(spark, sf_dir):
+    """The offset and totals frames must broadcast (they are tiny), and
+    the rank must come from the range partition — no global single-
+    partition sort of the data."""
+    from changegen_spark.queries.mlprep import q_stratified_split
+
+    plan = _plan(q_stratified_split(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "rangepartitioning(lang" in plan.lower()
