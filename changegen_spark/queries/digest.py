@@ -79,6 +79,10 @@ KINDS = {
     "q_winnow_pairs": {"id_a": "num", "id_b": "num", "n_shared": "num"},
     "q_stratified_split": {"doc_id": "num", "lang": "str", "rank": "num", "split": "str"},
     "q_cdc_chunks": {"doc_id": "num", "n_chunks": "num", "n_chars": "num", "max_chunk": "num", "n_dup_chunks": "num", "dup_frac": "e6"},
+    "q_lang_confusion": {"lang": "str", "pred": "str", "n": "num"},
+    "q_dedup_clusters": {"doc_id": "num", "cluster": "num", "keep": "num"},
+    "q_dim_standardize": {"vec_id": "num", "max_abs_z": "e6", "n_clipped": "num", "mean_z": "e6"},
+    "q_random_projection": {"vec_id": "num", "l2_orig": "e6", "l2_proj": "e6", "ratio": "e6"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},

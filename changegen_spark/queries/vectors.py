@@ -289,6 +289,183 @@ FROM el GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization, the classic two-phase
+    scaling operator: (1) one (pos)-keyed aggregate computes each
+    dimension's mean/std in exact scaled-integer sums (order-independent,
+    engine-identical; BIGINT square sums are exact to ~10⁶ vectors at e6
+    scale — drop to e4 beyond), (2) the dim-count-sized stats frame
+    broadcasts back and the z-transform is MAP-ONLY.  Output per vector:
+    the extreme z-score and how many dims clip at |z| > 3 — the outlier
+    profile a feature-scaling pass feeds to quality filtering.
+
+    At 100 TB: one shuffle whose reduce state is `dim` rows, then a
+    broadcast join — the standardize itself never shuffles."""
+    v = _vecs(spark, sf_dir)
+    vd = as_double(F.col("embedding"))
+    el = v.select("vec_id", F.posexplode(vd).alias("pos", "val")).withColumn(
+        "e6", F.round(F.col("val") * 1e6).cast("long")
+    )
+    stats = el.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("e6").alias("s1"),
+        F.sum(F.col("e6") * F.col("e6")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n") / 1e6
+    # explicit product (not pow): x*x and pow(x, 2) may differ in the last
+    # ulp between runtimes, and the oracle squares by multiplication
+    m1 = F.col("s1") / F.col("n")
+    var = (F.col("s2") / F.col("n") - m1 * m1) / 1e12
+    stats = stats.select("pos", mean.alias("mu"), F.sqrt(var).alias("sigma"))
+    z = (F.col("e6") / 1e6 - F.col("mu")) / F.col("sigma")
+    return (
+        el.join(F.broadcast(stats), "pos")
+        .withColumn("z", z)
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+            F.sum((F.abs(F.col("z")) > 3.0).cast("long")).alias("n_clipped"),
+            # mean via exact integer sum of per-element-rounded z: a double
+            # F.avg's summation order varies with partitioning — not hashable
+            F.round(
+                F.sum(F.round(F.col("z") * 1e6).cast("long")) / F.count("*") / 1e6,
+                6,
+            ).alias("mean_z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_DIM_STANDARDIZE_SQL = f"""
+WITH el AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform({_VD}, x -> CAST(round(x * 1e6) AS BIGINT))) AS e6
+  FROM embeddings
+), stats AS (
+  SELECT pos, count(*) AS n,
+         CAST(sum(e6) AS BIGINT) AS s1, CAST(sum(e6 * e6) AS BIGINT) AS s2
+  FROM el GROUP BY pos
+), sd AS (
+  SELECT pos,
+         CAST(s1 AS DOUBLE) / n / 1e6 AS mu,
+         sqrt((CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1e12)
+           AS sigma
+  FROM stats
+), zs AS (
+  SELECT vec_id, (CAST(e6 AS DOUBLE) / 1e6 - mu) / sigma AS z
+  FROM el JOIN sd ON el.pos = sd.pos
+)
+SELECT vec_id,
+       round(max(abs(z)), 6) AS max_abs_z,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mean_z
+FROM zs GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+RP_DIM = 16  # random-projection target dimensionality
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to RP_DIM dims with a
+    HASH-DEFINED projection matrix: sign(i,j) = ±1 by the first hex char
+    of md5('rp_<i>_<j>') — no materialized matrix, any engine (and any
+    executor, with no broadcast of model state) reconstructs the same
+    projection from nothing.  Output pins the JL contract: the projected
+    norm (scaled by 1/sqrt(RP_DIM)) approximates the original norm; the
+    ratio column makes preservation auditable per vector.
+
+    At 100 TB the signs frame is RP_DIM x dim rows (KBs) broadcast
+    against the exploded vectors — one (vec_id, i)-keyed aggregate, no
+    other shuffle."""
+    v = _vecs(spark, sf_dir)
+    vd = as_double(F.col("embedding"))
+    dim = 64
+    signs = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(spark.range(RP_DIM).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "pos",
+            "i",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit("rp"), F.col("i"), F.col("pos"))),
+                    1,
+                    1,
+                )
+                < F.lit("8"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        )
+    )
+    el = v.select("vec_id", F.posexplode(vd).alias("pos", "val"))
+    proj = (
+        el.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "i")
+        .agg(
+            F.sum(
+                F.col("sgn") * (F.round(F.col("val") * 1e6).cast("long"))
+            ).alias("p_e6")
+        )
+    )
+    orig = v.select("vec_id", F.round(norm(vd), 6).alias("l2_orig"))
+    out = proj.groupBy("vec_id").agg(
+        F.round(
+            F.sqrt(F.sum(F.col("p_e6") * F.col("p_e6")) / 1e12 / F.lit(RP_DIM)), 6
+        ).alias("l2_proj")
+    )
+    return (
+        out.join(orig, "vec_id")
+        .select(
+            "vec_id",
+            "l2_orig",
+            "l2_proj",
+            F.round(F.col("l2_proj") / F.col("l2_orig"), 6).alias("ratio"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_RANDOM_PROJECTION_SQL = f"""
+WITH el AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform({_VD}, x -> CAST(round(x * 1e6) AS BIGINT))) AS e6
+  FROM embeddings
+), signs AS (
+  SELECT p.pos, i.i,
+         CASE WHEN substr(md5('rp_' || CAST(i.i AS VARCHAR) || '_'
+                           || CAST(p.pos AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(generate_series(0, 63)) AS pos) p,
+       (SELECT unnest(generate_series(0, {RP_DIM - 1})) AS i) i
+), proj AS (
+  SELECT vec_id, i, CAST(sum(sgn * e6) AS BIGINT) AS p_e6
+  FROM el JOIN signs ON el.pos = signs.pos
+  GROUP BY vec_id, i
+), pn AS (
+  SELECT vec_id,
+         round(sqrt(CAST(sum(p_e6 * p_e6) AS DOUBLE) / 1e12 / {RP_DIM}), 6)
+           AS l2_proj
+  FROM proj GROUP BY vec_id
+), onorm AS (
+  SELECT vec_id, round(sqrt(list_dot_product({_VD}, {_VD})), 6) AS l2_orig
+  FROM embeddings
+)
+SELECT pn.vec_id, onorm.l2_orig, pn.l2_proj,
+       round(pn.l2_proj / onorm.l2_orig, 6) AS ratio
+FROM pn JOIN onorm ON pn.vec_id = onorm.vec_id
+ORDER BY pn.vec_id
+"""
+
+
 QUERIES = {
     "q_embed_norm": q_embed_norm,
     "q_label_centroids": q_label_centroids,
@@ -296,6 +473,8 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_pq": q_ann_pq,
     "q_embedding_dedup": q_embedding_dedup,
+    "q_dim_standardize": q_dim_standardize,
+    "q_random_projection": q_random_projection,
 }
 
 ORACLES = {
@@ -305,4 +484,6 @@ ORACLES = {
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_pq": Q_ANN_PQ_SQL,
     "q_embedding_dedup": Q_EMBED_DEDUP_SQL,
+    "q_dim_standardize": Q_DIM_STANDARDIZE_SQL,
+    "q_random_projection": Q_RANDOM_PROJECTION_SQL,
 }

@@ -237,3 +237,30 @@ def test_ivf_persisted_centroids_round_trip(vectors, queries, tmp_path):
         ivf_topk(vectors, queries, k=5, n_probe=2, centroids=reloaded)
     )
     assert direct == persisted
+
+
+def test_random_projection_preserves_norms(spark):
+    """JL sign projection: scaled projected norms concentrate around the
+    original norms (median ratio within ±15%, all ratios positive)."""
+    import statistics
+
+    from changegen_spark.queries.vectors import q_random_projection
+
+    rows = q_random_projection(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ratios = [r["ratio"] for r in rows]
+    assert all(r > 0 for r in ratios)
+    assert 0.85 <= statistics.median(ratios) <= 1.15
+
+
+def test_dim_standardize_zscores_bounded_and_centered(spark):
+    """Per-dim standardization: z-scores are finite, the corpus-wide mean
+    of mean_z is ~0, and clipped dims stay a small minority."""
+    from changegen_spark.queries.vectors import q_dim_standardize
+
+    rows = q_dim_standardize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    grand = sum(r["mean_z"] for r in rows) / len(rows)
+    assert abs(grand) < 0.05
+    assert all(r["max_abs_z"] < 20 for r in rows)
+    assert sum(r["n_clipped"] for r in rows) < 0.05 * 64 * len(rows)
