@@ -56,6 +56,9 @@ BUDGETS = {
     "q_resample": 1.1,
     "q_hybrid_search": 1.1,
     "q_interval_overlap": 0.6,
+    # late-r3 dedup granularities (measured warm min-of-3: 1.84 / 2.22)
+    "q_winnow_pairs": 2.4,
+    "q_cdc_chunks": 2.9,
 }
 
 HEADLINE = [
@@ -93,6 +96,10 @@ HEADLINE = [
     "q_resample",
     "q_hybrid_search",
     "q_interval_overlap",
+    # late-r3: the two new dedup granularities — winnowing fingerprint
+    # pair join and content-defined chunk dedup
+    "q_winnow_pairs",
+    "q_cdc_chunks",
 ]
 
 
