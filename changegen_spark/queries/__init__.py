@@ -32,6 +32,7 @@ from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
 from changegen_spark.queries import search as _search
 from changegen_spark.queries import setsim as _setsim
+from changegen_spark.queries import suffix as _suffix
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
@@ -69,6 +70,7 @@ MODULES = (
     _quality,  # DQ constraint audit + association rules (r3) — digest-covered
     _winnow,  # MOSS winnowing fingerprints (late r3) — digest-covered
     _cdc,  # content-defined chunking dedup (late r3) — digest-covered
+    _suffix,  # prefix-doubling suffix array + exact repeats (late r3)
     _relational,
     _tpch_extra,
     _tpch_full,

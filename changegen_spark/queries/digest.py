@@ -83,6 +83,8 @@ KINDS = {
     "q_dedup_clusters": {"doc_id": "num", "cluster": "num", "keep": "num"},
     "q_dim_standardize": {"vec_id": "num", "max_abs_z": "e6", "n_clipped": "num", "mean_z": "e6"},
     "q_random_projection": {"vec_id": "num", "l2_orig": "e6", "l2_proj": "e6", "ratio": "e6"},
+    "q_suffix_ranks": {"doc_id": "num", "pos": "num", "rank": "num"},
+    "q_longest_repeats": {"doc_a": "num", "pos_a": "num", "doc_b": "num", "pos_b": "num", "lcp": "num", "repeat_md5": "str"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},
     "q_window_rank": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "price_rank": "num", "prev_price_cents": "num", "running_max_cents": "num"},
