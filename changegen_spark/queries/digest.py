@@ -142,6 +142,7 @@ KINDS = {
     "q_anti_join": {"c_custkey": "num", "c_name": "str"},
     "q_distinct": {"o_orderstatus": "str", "o_orderpriority": "str"},
     "q_topk_freq": {"l_partkey": "num", "n": "num"},
+    "q_group_topk": {"l_returnflag": "str", "l_linestatus": "str", "l_orderkey": "num", "l_linenumber": "num", "price_cents": "num", "rk": "num"},
     "q_max_ids": {"tbl": "str", "max_id": "num"},
     "q_global_ids": {"p_partkey": "num", "new_id": "num"},
     "q_global_ids_negative": {"p_partkey": "num", "new_id": "num"},

@@ -214,6 +214,49 @@ GROUP BY l_partkey ORDER BY n DESC, l_partkey ASC LIMIT 20
 """
 
 
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 lineitems by price within each
+    (returnflag, linestatus) group, total tie-break) — written as the
+    rank<=k window filter so Catalyst's WindowGroupLimit kicks in: each
+    map task keeps only its local top-3 per group BEFORE the exchange, so
+    the shuffle carries O(k x groups x partitions) rows instead of the
+    whole table (plan-pinned in tests/test_plans.py).  The naive shape —
+    shuffle everything, sort, filter — dies first at 100 TB; this is the
+    built-in partial top-k the brief's "partial aggregation" asks for,
+    applied to ordered selection."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("price_cents"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("l_returnflag", "l_linestatus", "rk")
+    )
+
+
+Q_GROUP_TOPK_SQL = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+             ORDER BY price_cents DESC, l_orderkey, l_linenumber) AS rk
+  FROM t
+)
+SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, price_cents, rk
+FROM r WHERE rk <= 3 ORDER BY l_returnflag, l_linestatus, rk
+"""
+
+
 # --- max-id aggregate (A4 / C6 guard input, changegen/__main__.py:26-53) ---
 
 def q_max_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +593,7 @@ QUERIES = {
     "q_anti_join": q_anti_join,
     "q_distinct": q_distinct,
     "q_topk_freq": q_topk_freq,
+    "q_group_topk": q_group_topk,
     "q_max_ids": q_max_ids,
     "q_global_ids": q_global_ids,
     "q_global_ids_negative": q_global_ids_negative,
@@ -570,6 +614,7 @@ ORACLES = {
     "q_anti_join": Q_ANTI_SQL,
     "q_distinct": Q_DISTINCT_SQL,
     "q_topk_freq": Q_TOPK_SQL,
+    "q_group_topk": Q_GROUP_TOPK_SQL,
     "q_max_ids": Q_MAXIDS_SQL,
     "q_global_ids": Q_GLOBAL_IDS_SQL,
     "q_global_ids_negative": Q_GLOBAL_IDS_NEG_SQL,

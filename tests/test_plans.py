@@ -321,3 +321,14 @@ def test_stratified_split_broadcasts_frames_no_stratum_sort(spark, sf_dir):
     plan = _plan(q_stratified_split(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "rangepartitioning(lang" in plan.lower()
+
+
+def test_group_topk_pushes_partial_window_limit(spark, sf_dir):
+    """Per-group top-k must plan with WindowGroupLimit on BOTH sides of
+    the exchange: each map task keeps its local top-3 per group before
+    shuffling, so the exchange carries O(k x groups x partitions) rows
+    rather than the whole table."""
+    from changegen_spark.queries.relational import q_group_topk
+
+    plan = _plan(q_group_topk(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") == 2
