@@ -84,6 +84,8 @@ KINDS = {
     "q_dim_standardize": {"vec_id": "num", "max_abs_z": "e6", "n_clipped": "num", "mean_z": "e6"},
     "q_random_projection": {"vec_id": "num", "l2_orig": "e6", "l2_proj": "e6", "ratio": "e6"},
     "q_suffix_ranks": {"doc_id": "num", "pos": "num", "rank": "num"},
+    "q_oov_rate": {"doc_id": "num", "n_tokens": "num", "n_oov": "num", "n_distinct_oov": "num", "oov_rate": "e6"},
+    "q_ivm_merge": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "sum_qty": "num", "sum_cents": "num", "min_cents": "num", "max_cents": "num"},
     "q_longest_repeats": {"doc_a": "num", "pos_a": "num", "doc_b": "num", "pos_b": "num", "lcp": "num", "repeat_md5": "str"},
     "q_percentiles": {"l_returnflag": "str", "median_qty": "e6", "p90_qty": "e6", "avg_qty": "e6"},
     "q_catalog": {"table_name": "str", "n_rows": "num", "n_cols": "num"},

@@ -337,14 +337,80 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOV_MIN_COUNT = 5
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning + out-of-vocabulary accounting: the corpus
+    vocabulary keeps tokens with count >= OOV_MIN_COUNT, and every doc
+    reports its OOV token rate — the signal a tokenizer-vocab decision or
+    a domain-shift filter reads.  Scale shape: one token-count shuffle
+    builds the vocab (the smaller side thereafter), then a token-level
+    equi-join tags occurrences; per-doc aggregation is the only other
+    exchange.  No collect — the vocabulary stays distributed (Catalyst
+    broadcasts it when it fits)."""
+    d = _docs(spark, sf_dir)
+    occ = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+    vocab = (
+        occ.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= OOV_MIN_COUNT)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        occ.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).alias("n_distinct_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            "n_distinct_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_OOV_RATE_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM occ GROUP BY w HAVING count(*) >= {OOV_MIN_COUNT}
+), tagged AS (
+  SELECT o.doc_id, o.w, v.w IS NOT NULL AS iv
+  FROM occ o LEFT JOIN vocab v ON o.w = v.w
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT CASE WHEN iv THEN NULL ELSE w END) AS BIGINT)
+         AS n_distinct_oov,
+       round(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+         AS oov_rate
+FROM tagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_dup_spans": q_dup_spans,
     "q_lm_score": q_lm_score,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode_stats": q_bpe_encode_stats,
+    "q_oov_rate": q_oov_rate,
 }
 
 ORACLES = {
     "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_lm_score": Q_LM_SCORE_SQL,
+    "q_oov_rate": Q_OOV_RATE_SQL,
 }

@@ -481,12 +481,78 @@ ORDER BY d.doc_id
 """
 
 
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: the
+    materialized view (n, sum_qty, sum_cents, plus min/max for the
+    semi-mergeable pair) is maintained by MERGING the base view with the
+    delta batch's partial aggregate — never recomputing over the base.
+    Base = lineitem with l_orderkey % 7 != 0 (the "yesterday" view);
+    delta = the % 7 == 0 rows (today's arrivals).  The merge is a
+    groupBy-sum over the UNION of two per-group summaries — view-sized
+    input, not data-sized, which is the whole point: at 100 TB the daily
+    cost is the delta aggregate + a view-sized merge.
+
+    The DuckDB oracle recomputes the aggregate over the FULL table
+    directly, so a green row proves merge(view(base), view(delta)) ==
+    view(base ∪ delta) — the mergeability contract (min/max included:
+    mergeable but not subtractable; retractions would need the full
+    two-level outline in SCD2/apply)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+
+    def view(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    base_view = view(li.filter(F.col("l_orderkey") % 7 != 0))
+    delta_view = view(li.filter(F.col("l_orderkey") % 7 == 0))
+    return (
+        base_view.unionByName(delta_view)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q_IVM_MERGE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_incremental_dedup": q_incremental_dedup,
     "q_zorder_cells": q_zorder_cells,
     "q_countmin_topk": q_countmin_topk,
     "q_scd2_intervals": q_scd2_intervals,
+    "q_ivm_merge": q_ivm_merge,
 }
 
 ORACLES = {
@@ -495,4 +561,5 @@ ORACLES = {
     "q_zorder_cells": Q_ZORDER_CELLS_SQL,
     "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,
     "q_scd2_intervals": Q_SCD2_INTERVALS_SQL,
+    "q_ivm_merge": Q_IVM_MERGE_SQL,
 }
