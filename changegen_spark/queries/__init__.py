@@ -32,6 +32,7 @@ from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
 from changegen_spark.queries import search as _search
 from changegen_spark.queries import setsim as _setsim
+from changegen_spark.queries import sketches as _sketches
 from changegen_spark.queries import suffix as _suffix
 from changegen_spark.queries import textops as _textops
 from changegen_spark.queries import timeseries as _timeseries
@@ -71,6 +72,7 @@ MODULES = (
     _winnow,  # MOSS winnowing fingerprints (late r3) — digest-covered
     _cdc,  # content-defined chunking dedup (late r3) — digest-covered
     _suffix,  # prefix-doubling suffix array + exact repeats (late r3)
+    _sketches,  # mergeable HLL/KMV distinct sketches (r3.4) — digest-covered
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -101,6 +101,8 @@ KINDS = {
     "q_incremental_dedup": {"doc_id": "num", "is_exact_dup": "num", "n_near_dup_docs": "num", "status": "str"},
     "q_zorder_cells": {"zcell": "num", "n_points": "num", "zmin": "num", "zmax": "num"},
     "q_countmin_topk": {"w": "str", "est_count": "num", "true_count": "num"},
+    "q_hll_distinct": {"l_returnflag": "str", "n_empty": "num", "est_distinct": "e6", "exact_distinct": "num"},
+    "q_kmv_distinct": {"l_returnflag": "str", "kmv_threshold": "num", "est_distinct": "e6", "exact_distinct": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},
     "q_media_audio_features": {"asset_id": "num", "fmt": "str", "sample_rate": "num", "n_channels": "num", "n_frames": "num", "duration_e6": "num", "rms_e6": "num", "peak_e6": "num", "zero_crossings": "num", "centroid_e3": "num", "rolloff_e3": "num"},
