@@ -227,8 +227,139 @@ LIMIT {PMI_TOPK}
 """
 
 
+NB_BUCKETS = 1024
+
+
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear text classifier, trained and applied in one plan:
+    predict ``lang = 'en'`` from a hashed bag-of-words with NB-SVM-style
+    log-count-ratio weights (Wang & Manning 2012) — the fasttext-shaped
+    model-based filter every production corpus pipeline runs (CCNet's
+    lang/quality classifiers), reduced to Spark aggregations.
+
+    Train: one explode + one groupBy(bucket) produces per-bucket class
+    counts; weight_e6 = round(1e6 * ln((c_en+1)/(c_ot+1))) — rounded to an
+    integer BEFORE scoring so the per-doc sum is exact.  The model is
+    NB_BUCKETS rows (KB), broadcast back onto the token stream — at
+    100 TB the only corpus-sized shuffles are the two counting groupBys
+    (bucket-keyed with map-side combine, then doc-keyed); the model state
+    never grows with the corpus and needs no vocabulary dictionary.
+
+    Score: sum of weights + doc-prior bias; pred_en = score > 0.  Output
+    carries the true label so the result set IS the evaluation table.
+
+    Honest caveat on THIS corpus: the synthetic documents draw from one
+    ~31-token vocabulary whose per-lang rates are flat, so lang⊥text has
+    ~zero mutual information and NO bag-of-words model can beat the base
+    rate here — the oracle checks the exact training/scoring arithmetic,
+    and tests/test_features.py proves the learning mechanism (accuracy
+    ≥ 0.9) on a planted two-class fixture with real signal.
+    """
+    d = _docs(spark, sf_dir)
+    out = nb_classify(d, (F.col("lang") == "en").cast("int"))
+    return out.select(
+        "doc_id", "score_e6", F.col("is_pos").alias("is_en"),
+        F.col("pred_pos").alias("pred_en"),
+    )
+
+
+def nb_classify(docs: DataFrame, label: F.Column) -> DataFrame:
+    """Train-and-score core of q_nb_classifier over any (doc_id, text)
+    frame and 0/1 label column: returns (doc_id, score_e6, is_pos,
+    pred_pos)."""
+    d = docs.withColumn("is_pos", label)
+    toks = d.select(
+        "doc_id", "is_pos", F.explode(_toks(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % NB_BUCKETS
+    )
+    tb = toks.select("doc_id", "is_pos", bucket.alias("bucket"))
+    weights = tb.groupBy("bucket").agg(
+        F.round(
+            F.log(
+                (F.sum("is_pos") + 1).cast("double")
+                / (F.sum(1 - F.col("is_pos")) + 1).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w_e6")
+    )
+    prior = d.agg(
+        F.round(
+            F.log(
+                F.sum("is_pos").cast("double")
+                / F.sum(1 - F.col("is_pos")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("bias_e6")
+    )
+    scores = (
+        tb.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w_e6").alias("s"))
+    )
+    return (
+        d.select("doc_id", "is_pos")
+        .join(scores, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("bias_e6")).alias(
+                "score_e6"
+            ),
+            "is_pos",
+        )
+        .withColumn("pred_pos", (F.col("score_e6") > 0).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+Q_NB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS is_en, w
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+), tb AS (
+  SELECT doc_id, is_en,
+         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % {NB_BUCKETS}
+           AS bucket
+  FROM toks
+), weights AS (
+  SELECT bucket,
+         CAST(round(ln(CAST(sum(is_en) + 1 AS DOUBLE)
+                       / CAST(sum(1 - is_en) + 1 AS DOUBLE)) * 1e6)
+              AS BIGINT) AS w_e6
+  FROM tb GROUP BY bucket
+), prior AS (
+  SELECT CAST(round(ln(CAST(sum(CAST(lang = 'en' AS INT)) AS DOUBLE)
+                       / CAST(sum(CAST(lang <> 'en' AS INT)) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS bias_e6
+  FROM documents
+), scores AS (
+  SELECT tb.doc_id, sum(w.w_e6) AS s
+  FROM tb JOIN weights w USING (bucket) GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.s, 0) + p.bias_e6 AS score_e6,
+       CAST(d.lang = 'en' AS INT) AS is_en,
+       CAST((coalesce(s.s, 0) + p.bias_e6) > 0 AS INT) AS pred_en
+FROM documents d
+LEFT JOIN scores s ON s.doc_id = d.doc_id
+CROSS JOIN prior p
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q_feature_hash": q_feature_hash,
+    "q_nb_classifier": q_nb_classifier,
     "q_pmi_pairs": q_pmi_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_normalize_text": q_normalize_text,
@@ -236,6 +367,7 @@ QUERIES = {
 
 ORACLES = {
     "q_pmi_pairs": Q_PMI_SQL,
+    "q_nb_classifier": Q_NB_SQL,
     "q_feature_hash": Q_FEATURE_HASH_SQL,
     "q_skipgram_pairs": Q_SKIPGRAM_SQL,
     "q_normalize_text": Q_NORMALIZE_SQL,

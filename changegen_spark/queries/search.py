@@ -245,5 +245,77 @@ LIMIT 20
 """
 
 
-QUERIES = {"q_bm25_search": q_bm25_search, "q_hybrid_search": q_hybrid_search}
-ORACLES = {"q_bm25_search": Q_BM25_SQL, "q_hybrid_search": Q_HYBRID_SQL}
+PHRASE = ("slow", "hash", "batch")  # 8 occurrences / 5 docs at sf0.01
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via positional matching: documents containing
+    the consecutive token sequence ``PHRASE``, with occurrence count and
+    first match position (1-based).
+
+    The search-engine primitive BM25 cannot express (quoted queries); on a
+    positional inverted index it is a postings intersection with offset
+    shifts.  The Spark plan does exactly that intersection *inside the
+    token array* with higher-order functions — per term, the positions
+    array; shift term i's positions by -i; ``array_intersect`` across
+    terms — so the whole query is MAP-ONLY: no explode, no shuffle, no
+    join.  At 100 TB that means phrase search costs one scan of the text
+    column, embarrassingly parallel, with the token-in-set prefilter
+    effectively pushed into the row pass (docs missing any term produce
+    empty arrays and are dropped by the n_matches > 0 filter).
+
+    The DuckDB oracle takes the opposite, relational route — positional
+    explode + 3-way self-join on (doc, pos+offset) — so the two engines
+    cross-check each other's formulation of the same semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+
+    def positions(word: str, shift: int) -> F.Column:
+        hits = F.filter(indexed, lambda s: s["t"] == F.lit(word))
+        return F.transform(hits, lambda s: s["p"] - F.lit(shift))
+
+    m = positions(PHRASE[0], 0)
+    for j, w in enumerate(PHRASE[1:], start=1):
+        m = F.array_intersect(m, positions(w, j))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(m).alias("n_matches"),
+            F.array_min(m).alias("first_pos"),
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
+
+
+Q_PHRASE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), p AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+), m AS (
+  SELECT a.doc_id, a.pos
+  FROM p a
+  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w = '{PHRASE[1]}'
+  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.w = '{PHRASE[2]}'
+  WHERE a.w = '{PHRASE[0]}'
+)
+SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q_bm25_search": q_bm25_search,
+    "q_hybrid_search": q_hybrid_search,
+    "q_phrase_search": q_phrase_search,
+}
+ORACLES = {
+    "q_bm25_search": Q_BM25_SQL,
+    "q_hybrid_search": Q_HYBRID_SQL,
+    "q_phrase_search": Q_PHRASE_SQL,
+}
