@@ -104,6 +104,9 @@ KINDS = {
     "q_hll_distinct": {"l_returnflag": "str", "n_empty": "num", "est_distinct": "e6", "exact_distinct": "num"},
     "q_phrase_search": {"doc_id": "num", "n_matches": "num", "first_pos": "num"},
     "q_nb_classifier": {"doc_id": "num", "score_e6": "num", "is_en": "num", "pred_en": "num"},
+    # displaced from the 50-slot window when q_semantic_dedup joined an
+    # in-window module (extensions)
+    "q_nearest_neighbor": {"probe_id": "num", "nearest_id": "num", "nearest_dist": "e6"},
     "q_kmv_distinct": {"l_returnflag": "str", "kmv_threshold": "num", "est_distinct": "e6", "exact_distinct": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},

@@ -197,8 +197,114 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+SEMDEDUP_CELLS = 8
+SEMDEDUP_TAU = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the coarse quantizer, compare vectors only
+    WITHIN their cluster, and keep the lowest-id member of every near-dup
+    neighborhood — (vec_id, cell, n_dup_lower, keep).
+
+    ``keep = 0`` iff some lower-id vector in the same cell has cosine
+    ≥ SEMDEDUP_TAU — the deterministic lowest-id-representative rule the
+    exact-dedup and LSH families use, applied in embedding space.
+
+    Scale design: this is the production answer to q_embedding_dedup's
+    probe-slice limitation — all-pairs cosine across a corpus is O(n²),
+    but within-cell pairs are O(n²/k) and embarrassingly parallel by cell.
+    Cell assignment itself is the zero-shuffle broadcast-centroid
+    projection (assign_ivf_cells); at 100 TB you size n_cells so each
+    cell holds ~10⁴-10⁵ vectors (SemDeDup used 50k clusters for LAION),
+    keeping every cell's pair block executor-sized.  The medoid quantizer
+    keeps the whole pipeline ANSI-SQL-expressible, so the DuckDB oracle
+    checks assignment, pairing, and the keep rule end to end; k-means
+    recall quality is pinned separately (test_similarity.py).
+    """
+    from changegen_spark.functions.similarity import (
+        as_double,
+        assign_ivf_cells,
+        cosine,
+        train_ivf_centroids,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb, n_cells=SEMDEDUP_CELLS, method="medoid", max_train=1 << 40
+    )
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    va = assign_ivf_cells(v, cents)
+    lo = va.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    dup_counts = (
+        va.join(
+            lo,
+            (F.col("cell") == F.col("cell_a"))
+            & (F.col("id_a") < F.col("vec_id")),
+        )
+        .withColumn("cs", F.round(cosine(F.col("v"), F.col("va")), 6))
+        .filter(F.col("cs") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_dup_lower"))
+    )
+    return (
+        va.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).alias("n_dup_lower"),
+            (F.coalesce(F.col("n_dup_lower"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH v AS (SELECT vec_id, {_IVF_VD} AS e FROM embeddings),
+m AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+         e AS ce
+  FROM v
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {SEMDEDUP_CELLS}
+),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, m.cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, v.e) - 2*list_dot_product(v.e, m.ce) + list_dot_product(m.ce, m.ce),
+                      m.cell
+           ) AS rn
+    FROM v CROSS JOIN m)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT b.vec_id, count(*) AS n_dup_lower
+  FROM assigned b JOIN assigned a
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        >= {SEMDEDUP_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell,
+       coalesce(d.n_dup_lower, 0) AS n_dup_lower,
+       CAST(coalesce(d.n_dup_lower, 0) = 0 AS INT) AS keep
+FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id
+"""
+
+
 QUERIES = {
     "q_change_feed": q_change_feed,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_lsh_pairs_fast": q_lsh_pairs_fast,
     "q_ann_ivf": q_ann_ivf,
     "q_streaming_windows": q_streaming_windows,
@@ -211,4 +317,5 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     # medoid-quantizer IVF is fully SQL-expressible (see q_ann_ivf)
     "q_ann_ivf": Q_ANN_IVF_SQL,
+    "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
 }
