@@ -107,6 +107,7 @@ KINDS = {
     # displaced from the 50-slot window when q_semantic_dedup joined an
     # in-window module (extensions)
     "q_nearest_neighbor": {"probe_id": "num", "nearest_id": "num", "nearest_dist": "e6"},
+    "q_mercator": {"pid": "num", "x3857": "e6", "y3857": "e6", "lon_rt": "e6", "lat_rt": "e6"},
     "q_kmv_distinct": {"l_returnflag": "str", "kmv_threshold": "num", "est_distinct": "e6", "exact_distinct": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},

@@ -535,8 +535,76 @@ LIMIT {PATH_TOPK}
 """
 
 
+PAIR_WINDOW_US = 30 * 60 * 1_000_000  # purchase within 30 min of the view
+
+
+def q_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded event-pair join: every (view, purchase) pair of the
+    same user with the purchase strictly after the view and within 30
+    minutes — the batch twin that defines the semantics of the
+    stream-stream join (streaming/events.view_purchase_stream_join, pinned
+    equal in tests/test_streaming.py).
+
+    Distinct from the as-of join (q_asof_join: latest single match) and
+    the interval-overlap join (q_interval_overlap: precomputed interval
+    table): this is the N×M-within-window pair enumeration whose streaming
+    form requires watermarked two-sided state.  Gap arithmetic is
+    microsecond-exact (unix_micros / epoch_us) so the oracle hash-matches.
+
+    Scale: user-keyed equi-join (the time bound is a cheap residual
+    predicate on the matched pairs); both sides shuffle once on user_id —
+    never a time-only cross join.  In the streaming twin the same bound
+    becomes the state-eviction rule: each side's buffer holds only rows
+    younger than watermark + 30 min.
+    """
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.col("value"),
+    )
+    gap = F.unix_micros(F.col("pts")) - F.unix_micros(F.col("vts"))
+    return (
+        v.join(p, "user_id")
+        .filter((gap > 0) & (gap <= PAIR_WINDOW_US))
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            gap.alias("gap_us"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
+Q_VIEW_PURCHASE_PAIRS_SQL = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.view_id, p.purchase_id,
+       epoch_us(p.pts) - epoch_us(v.vts) AS gap_us,
+       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+FROM v JOIN p ON p.user_id = v.user_id
+WHERE epoch_us(p.pts) - epoch_us(v.vts) > 0
+  AND epoch_us(p.pts) - epoch_us(v.vts) <= {PAIR_WINDOW_US}
+ORDER BY view_id, purchase_id
+"""
+
+
 QUERIES = {
     "q_event_windows": q_event_windows,
+    "q_view_purchase_pairs": q_view_purchase_pairs,
     "q_top_paths": q_top_paths,
     "q_interval_overlap": q_interval_overlap,
     "q_attribution": q_attribution,
@@ -549,6 +617,7 @@ QUERIES = {
 
 ORACLES = {
     "q_event_windows": Q_EVENT_WINDOWS_SQL,
+    "q_view_purchase_pairs": Q_VIEW_PURCHASE_PAIRS_SQL,
     "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
     "q_attribution": Q_ATTRIBUTION_SQL,
     "q_capped_balance": Q_CAPPED_BALANCE_SQL,

@@ -34,6 +34,22 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def q_streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (watermarked two-sided state): the
+    streaming twin of the oracle-backed q_view_purchase_pairs, run to
+    completion with availableNow; append-mode memory sink."""
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        view_purchase_stream_join,
+    )
+
+    name = f"q_streaming_pair_join_{next(_COUNTER)}"
+    out = run_to_memory_sink(
+        view_purchase_stream_join(spark, sf_dir), name, mode="append"
+    )
+    return out.orderBy("view_id", "purchase_id")
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window stateful aggregation over the event stream."""
     from changegen_spark.streaming.events import (
@@ -309,6 +325,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_streaming_windows": q_streaming_windows,
     "q_streaming_sessions": q_streaming_sessions,
+    "q_streaming_pair_join": q_streaming_pair_join,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_features_ann": q_multimodal_features_ann,

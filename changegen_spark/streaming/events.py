@@ -99,6 +99,65 @@ def sessionize_stream(
     )
 
 
+def view_purchase_stream_join(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM inner join with watermark-bounded two-sided state:
+    (view, purchase) pairs of the same user with the purchase within 30
+    minutes after the view — the streaming form of
+    ``queries.events.q_view_purchase_pairs`` (pinned equal in
+    tests/test_streaming.py).
+
+    This is the one join class stream-static cannot express (both sides
+    unbounded).  Correct state eviction needs BOTH ingredients Spark
+    requires: a watermark on each side and a time-RANGE join condition —
+    the range tells the engine a view older than watermark + 30 min can
+    never match a future purchase, so each user's buffered state stays
+    bounded no matter how long the streams run.  Without the range bound
+    the state store grows forever; that is the 100 TB failure mode this
+    operator exists to avoid.
+
+    The two sides are separate readStream sources over the same drop
+    directory (self-joins of one streaming DF are legal too, but separate
+    sources keep the per-side watermark explicit).
+    """
+    v = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", watermark)
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+            F.col("value"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    gap = F.unix_micros(F.col("pts")) - F.unix_micros(F.col("vts"))
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        gap.alias("gap_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
 def change_feed(
     events: DataFrame,
     out_dir: str,

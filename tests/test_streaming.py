@@ -23,6 +23,23 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
 
 
+def test_stream_stream_join_matches_batch_pairs(spark, sf_dir):
+    """The watermarked stream-stream join emits exactly the batch pair
+    join's rows when run to completion (inner join + finite source: no
+    pair is withheld by the final watermark)."""
+    from changegen_spark.queries.events import q_view_purchase_pairs
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        view_purchase_stream_join,
+    )
+
+    got = run_to_memory_sink(
+        view_purchase_stream_join(spark, sf_dir), "t_pair_join", mode="append"
+    ).orderBy("view_id", "purchase_id")
+    expected = q_view_purchase_pairs(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
+
+
 def test_sessionize_stream_matches_batch_sessionization(spark, sf_dir):
     """session_window must agree with the batch lag/cumsum sessionization on
     session count and per-user event totals."""
