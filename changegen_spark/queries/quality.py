@@ -214,5 +214,120 @@ LIMIT {ASSOC_TOPK}
 """
 
 
-QUERIES = {"q_dq_audit": q_dq_audit, "q_assoc_rules": q_assoc_rules}
-ORACLES = {"q_dq_audit": Q_DQ_AUDIT_SQL, "q_assoc_rules": Q_ASSOC_RULES_SQL}
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-source unigram distribution vs the
+    corpus — KL divergence and Pearson chi-square statistic per source,
+    the slice-vs-reference comparison a pipeline alarms on when one feed
+    starts emitting different data (drifted scrape, broken extractor,
+    poisoned source).
+
+    Determinism discipline: all counts are exact integers; each per-token
+    term is rounded to an e6 integer BEFORE the per-source sum —
+    KL: c_sw * round(1e6 * ln((c_sw·N_c)/(c_cw·N_s))) summed, divided by
+    N_s once at the end; chi²: round(1e6·(c_sw−E)²/E) summed — so the
+    only order-dependent float op is eliminated and both engines hash
+    identically.
+
+    Scale: one tokenize+count shuffle keyed by (source, token) with
+    map-side combine; corpus totals are a ~|vocab| frame joined back (at
+    real vocabulary sizes, a shuffle join keyed by token; here broadcast).
+    Output is |sources| rows — the monitoring artifact itself.
+    """
+    from changegen_spark.queries.mlprep import _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(_toks(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    sw = tok.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = tok.groupBy("w").agg(F.count("*").alias("c_cw"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_s"))
+    nc = tok.agg(F.count("*").alias("n_c"))
+    j = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+    )
+    kl_term = F.col("c_sw") * F.round(
+        F.log(
+            (F.col("c_sw") * F.col("n_c")).cast("double")
+            / (F.col("c_cw") * F.col("n_s")).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    expected = (
+        F.col("n_s").cast("double")
+        * F.col("c_cw").cast("double")
+        / F.col("n_c").cast("double")
+    )
+    chi2_term = F.round(
+        (F.col("c_sw").cast("double") - expected)
+        * (F.col("c_sw").cast("double") - expected)
+        / expected
+        * 1e6
+    ).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum(kl_term).alias("kl_num"),
+            F.sum(chi2_term).alias("chi2_sum_e6"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("kl_num").cast("double") / F.col("n_tokens"), 3)
+            .alias("kl_e6"),
+            "chi2_sum_e6",
+        )
+        .orderBy("source")
+    )
+
+
+Q_SOURCE_DRIFT_SQL = """
+WITH tok AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+), sw AS (
+  SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2
+), cw AS (
+  SELECT w, count(*) AS c_cw FROM tok GROUP BY 1
+), ns AS (
+  SELECT source, count(*) AS n_s FROM tok GROUP BY 1
+), nc AS (
+  SELECT count(*) AS n_c FROM tok
+), terms AS (
+  SELECT sw.source, ns.n_s,
+         sw.c_sw * CAST(round(ln(CAST(sw.c_sw * nc.n_c AS DOUBLE)
+                                / CAST(cw.c_cw * ns.n_s AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS kl_term,
+         CAST(round((CAST(sw.c_sw AS DOUBLE)
+                     - CAST(ns.n_s AS DOUBLE) * CAST(cw.c_cw AS DOUBLE)
+                       / CAST(nc.n_c AS DOUBLE))
+                    * (CAST(sw.c_sw AS DOUBLE)
+                       - CAST(ns.n_s AS DOUBLE) * CAST(cw.c_cw AS DOUBLE)
+                         / CAST(nc.n_c AS DOUBLE))
+                    / (CAST(ns.n_s AS DOUBLE) * CAST(cw.c_cw AS DOUBLE)
+                       / CAST(nc.n_c AS DOUBLE))
+                    * 1e6) AS BIGINT) AS chi2_term
+  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nc
+)
+SELECT source, max(n_s) AS n_tokens,
+       round(CAST(sum(kl_term) AS DOUBLE) / max(n_s), 3) AS kl_e6,
+       sum(chi2_term) AS chi2_sum_e6
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "q_dq_audit": q_dq_audit,
+    "q_assoc_rules": q_assoc_rules,
+    "q_source_drift": q_source_drift,
+}
+ORACLES = {
+    "q_dq_audit": Q_DQ_AUDIT_SQL,
+    "q_assoc_rules": Q_ASSOC_RULES_SQL,
+    "q_source_drift": Q_SOURCE_DRIFT_SQL,
+}

@@ -546,8 +546,89 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+HRW_SHARDS = 8
+
+
+def _hrw_weight(doc_id_col: F.Column, shard: int) -> F.Column:
+    """The (doc, shard) rendezvous weight: shared 60-bit md5 hash of
+    'doc_id:shard' (identical string on both engines)."""
+    key = F.concat(
+        doc_id_col.cast("string"), F.lit(":"), F.lit(str(shard))
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hrw_shard(doc_id_col: F.Column, n_shards: int) -> F.Column:
+    """Highest-random-weight (rendezvous) shard assignment: argmax over
+    shards of the per-(doc, shard) hash — a pure map-side projection."""
+    structs = [
+        F.struct(_hrw_weight(doc_id_col, s).alias("h"), F.lit(s).alias("s"))
+        for s in range(n_shards)
+    ]
+    return F.greatest(*structs).getField("s")
+
+
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) hashing for stable shard assignment, with the
+    resharding-stability audit built in: each document's shard under
+    HRW_SHARDS shards and under HRW_SHARDS+1, plus whether it moved.
+
+    Why not ``hash(id) % n``: under modulo sharding, growing n→n+1
+    relocates ~n/(n+1) of ALL keys (cache/bucket locality destroyed);
+    under rendezvous hashing only ~1/(n+1) move, and every mover lands ON
+    the new shard — the property that makes shard growth cheap for
+    bucketed corpus artifacts (sources/bucketed.py) and stateful stream
+    repartitioning.  That all-movers-go-to-the-new-shard law is exact,
+    not statistical: tests/test_scale_queries.py pins it row-for-row.
+
+    Scale: argmax over n per-shard hashes is a map-only projection (no
+    shuffle, no lookup table); n_shards extra md5s per row — at 100 TB
+    this is the zero-coordination assignment you can recompute anywhere
+    (executor, reader, compaction job) and always agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            hrw_shard(F.col("doc_id"), HRW_SHARDS).alias("shard_a"),
+            hrw_shard(F.col("doc_id"), HRW_SHARDS + 1).alias("shard_b"),
+        )
+        .withColumn(
+            "moved", (F.col("shard_a") != F.col("shard_b")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HRW_H_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+Q_HRW_SHARDS_SQL = f"""
+WITH a AS (
+  SELECT doc_id, s AS shard_a FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s) AS rn
+    FROM documents, (SELECT unnest(generate_series(0, {HRW_SHARDS - 1})) AS s))
+  WHERE rn = 1
+), b AS (
+  SELECT doc_id, s AS shard_b FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s) AS rn
+    FROM documents, (SELECT unnest(generate_series(0, {HRW_SHARDS})) AS s))
+  WHERE rn = 1
+)
+SELECT a.doc_id, a.shard_a, b.shard_b,
+       CAST(a.shard_a <> b.shard_b AS INT) AS moved
+FROM a JOIN b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q_bloom_decontaminate": q_bloom_decontaminate,
+    "q_hrw_shards": q_hrw_shards,
     "q_incremental_dedup": q_incremental_dedup,
     "q_zorder_cells": q_zorder_cells,
     "q_countmin_topk": q_countmin_topk,
@@ -557,6 +638,7 @@ QUERIES = {
 
 ORACLES = {
     "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
+    "q_hrw_shards": Q_HRW_SHARDS_SQL,
     "q_incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,
     "q_zorder_cells": Q_ZORDER_CELLS_SQL,
     "q_countmin_topk": Q_COUNTMIN_TOPK_SQL,

@@ -126,3 +126,33 @@ def test_scd2_intervals_partition_time(spark, sf_dir):
         assert user_rows[-1].valid_to == SCD2_OPEN_END
         for a, b in zip(user_rows, user_rows[1:]):
             assert a.valid_to == b.valid_from
+
+
+def test_hrw_movers_all_land_on_new_shard(spark, sf_dir):
+    """The rendezvous-hashing law: growing n shards to n+1 relocates ONLY
+    keys whose new-shard weight became the global max — so every moved key
+    lands on the NEW shard, and the moved fraction is ~1/(n+1), not
+    n/(n+1) like modulo sharding."""
+    from changegen_spark.queries.scale import HRW_SHARDS, q_hrw_shards
+
+    rows = q_hrw_shards(spark, sf_dir).collect()
+    assert rows
+    moved = [r for r in rows if r.moved]
+    for r in moved:
+        assert r.shard_b == HRW_SHARDS, r  # movers go to the added shard
+    # statistical: E[moved] = 1/(n+1) = 1/9; allow a generous band
+    frac = len(moved) / len(rows)
+    assert 0.0 < frac < 0.3, frac
+
+
+def test_hrw_assignment_is_balanced(spark, sf_dir):
+    from collections import Counter
+
+    from changegen_spark.queries.scale import HRW_SHARDS, q_hrw_shards
+
+    rows = q_hrw_shards(spark, sf_dir).collect()
+    counts = Counter(r.shard_a for r in rows)
+    assert set(counts) == set(range(HRW_SHARDS))
+    # uniform hash → no shard more than 3x the fair share at fixture size
+    fair = len(rows) / HRW_SHARDS
+    assert max(counts.values()) < 3 * fair
