@@ -32,6 +32,12 @@ the estimate — is oracle-checkable:
   than salt_count*k rows — the naive single window would funnel every
   distinct hash of a hot group through one task at corpus scale.
 
+* ``q_kmv_jaccard`` — set similarity BETWEEN groups computed from the
+  sketches alone (union sketch ∩ both sides), next to the exact Jaccard.
+* ``q_sample_quantiles`` — quantiles from a mergeable bottom-k row
+  sample (same merge law, keyed on the row), next to the exact ordered
+  statistic.
+
 Mergeability is pinned by tests/test_sketches.py: sketches built on an
 arbitrary 2-way split of the input and merged (max / k-smallest-of-union)
 are bit-identical to the single-pass sketch.
@@ -248,11 +254,273 @@ ORDER BY l_returnflag
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set similarity BETWEEN groups from their KMV sketches alone
+    (Beyer et al. 2007): for each return-flag pair, J is estimated as the
+    fraction of the union sketch (k smallest of K(A) ∪ K(B)) present in
+    both sides' sketches — next to the exact Jaccard of the real part
+    sets so the row documents the error.
+
+    This is what mergeable sketches buy beyond cardinality: cross-shard /
+    cross-day set comparison WITHOUT rescanning either side.  At 100 TB,
+    exact Jaccard between two slices is a join over both; the sketch
+    estimate is an intersection of two KB artifacts.  The corpus is
+    touched once (building the per-group sketches — the same map +
+    two-phase top-k as q_kmv_distinct); everything pairwise happens on
+    ≤ k rows per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, "l_returnflag", "l_partkey").select("grp", "h")
+    grps = sk.select("grp").distinct()
+    pairs = (
+        grps.select(F.col("grp").alias("ga"))
+        .join(grps.select(F.col("grp").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    cand = (
+        pairs.join(sk, F.col("grp") == F.col("ga"))
+        .select("ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(sk, F.col("grp") == F.col("gb")).select(
+                "ga",
+                "gb",
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    m = cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = m.groupBy("ga", "gb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_sketch")
+    )
+    parts = li.select("l_returnflag", "l_partkey").distinct()
+    pa = parts.select(F.col("l_returnflag").alias("ga"), "l_partkey")
+    pb = parts.select(F.col("l_returnflag").alias("gb"), "l_partkey")
+    inter = (
+        pa.join(pb, "l_partkey")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = parts.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        est.join(inter, ["ga", "gb"])
+        .join(sizes.select(F.col("grp").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(sizes.select(F.col("grp").alias("gb"), F.col("n").alias("nb")), "gb")
+        .select(
+            F.col("ga").alias("flag_a"),
+            F.col("gb").alias("flag_b"),
+            "n_inter_sketch",
+            F.round(
+                F.col("n_inter_sketch").cast("double") / F.lit(float(KMV_K)), 6
+            ).alias("est_jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+Q_KMV_JACCARD_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag AS grp,
+         {_H60_SQL.format(x='l_partkey')} AS h
+  FROM lineitem
+), sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM h)
+  WHERE rn <= {KMV_K}
+), grps AS (SELECT DISTINCT grp FROM sk),
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb FROM grps a JOIN grps b ON a.grp < b.grp
+), cand AS (
+  SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.gb)
+  GROUP BY ga, gb, h
+), m AS (
+  SELECT ga, gb, in_a, in_b,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM cand
+), est AS (
+  SELECT ga, gb, sum(in_a * in_b) AS n_inter_sketch
+  FROM m WHERE rn <= {KMV_K} GROUP BY ga, gb
+), parts AS (
+  SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
+), inter AS (
+  SELECT a.grp AS ga, b.grp AS gb, count(*) AS n_inter
+  FROM parts a JOIN parts b ON a.l_partkey = b.l_partkey AND a.grp < b.grp
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT grp, count(*) AS n FROM parts GROUP BY 1
+)
+SELECT est.ga AS flag_a, est.gb AS flag_b, est.n_inter_sketch,
+       round(CAST(est.n_inter_sketch AS DOUBLE) / {float(KMV_K)!r}, 6)
+         AS est_jaccard,
+       round(CAST(inter.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - inter.n_inter AS DOUBLE), 6) AS exact_jaccard
+FROM est
+JOIN inter ON inter.ga = est.ga AND inter.gb = est.gb
+JOIN sizes sa ON sa.grp = est.ga
+JOIN sizes sb ON sb.grp = est.gb
+ORDER BY flag_a, flag_b
+"""
+
+
+SAMPLE_K = 256  # bottom-k row sample size per group
+
+
+def bottomk_sample(df: DataFrame, group_col: str, key_cols: list, value_col):
+    """Mergeable uniform row sample: the SAMPLE_K rows with the smallest
+    h60 of the row key, per group.  Same merge law as KMV (k smallest of
+    the union), same two-phase salt-spread top-k, but keyed on the ROW
+    (not the distinct value), so it is a uniform sample of rows and any
+    per-row statistic can be estimated from it."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), h.alias("h"), value_col.alias("val")
+    )
+    w1 = Window.partitionBy("grp", F.col("h") % KMV_SALTS).orderBy("h")
+    cand = (
+        base.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SAMPLE_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return cand.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= SAMPLE_K
+    )
+
+
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable bottom-k row sample, next to the exact
+    ordered statistic: nearest-rank median/p90 of l_quantity computed on
+    the SAMPLE_K-row hash sample per return flag.
+
+    Completes the mergeable-summary set (cardinality: HLL/KMV; frequency:
+    count-min; set similarity: KMV-Jaccard; quantiles: THIS): per-shard
+    bottom-k samples merge by keeping the k smallest union hashes, so
+    distribution summaries compose across days/shards without rescans.
+    Estimates use the NEAREST-RANK definition (ceil(p·n)-th sorted sample
+    value) — an exact integer pick from exact rows, so both engines agree
+    bit-for-bit; the exact side uses the same interpolating percentile as
+    q_percentiles.  At 100 TB the sample build is the usual map +
+    two-phase top-k; state per group is SAMPLE_K rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = bottomk_sample(
+        li,
+        "l_returnflag",
+        ["l_orderkey", "l_linenumber"],
+        F.col("l_quantity").cast("long"),
+    )
+    wv = Window.partitionBy("grp").orderBy("val", "h")
+    ranked = s.withColumn("vr", F.row_number().over(wv))
+    sizes = s.groupBy("grp").agg(F.count("*").alias("n_sample"))
+    est = (
+        ranked.join(sizes, "grp")
+        .groupBy("grp", "n_sample")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("vr") == F.ceil(F.col("n_sample") * 0.5), F.col("val")
+                )
+            ).alias("est_median"),
+            F.max(
+                F.when(
+                    F.col("vr") == F.ceil(F.col("n_sample") * 0.9), F.col("val")
+                )
+            ).alias("est_p90"),
+        )
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.round(
+            F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)), 6
+        ).alias("exact_median"),
+        F.round(
+            F.percentile(F.col("l_quantity").cast("double"), F.lit(0.9)), 6
+        ).alias("exact_p90"),
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n_sample",
+            "est_median",
+            "est_p90",
+            "exact_median",
+            "exact_p90",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_H60_ROW_SQL = (
+    "CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), "
+    "CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+Q_SAMPLE_QUANTILES_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag AS grp, {_H60_ROW_SQL} AS h,
+         CAST(l_quantity AS BIGINT) AS val
+  FROM lineitem
+), samp AS (
+  SELECT grp, h, val FROM (
+    SELECT grp, h, val, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM base)
+  WHERE rn <= {SAMPLE_K}
+), ranked AS (
+  SELECT grp, val,
+         row_number() OVER (PARTITION BY grp ORDER BY val, h) AS vr,
+         count(*) OVER (PARTITION BY grp) AS n_sample
+  FROM samp
+), est AS (
+  SELECT grp, n_sample,
+         max(CASE WHEN vr = CAST(ceil(n_sample * 0.5) AS BIGINT)
+                  THEN val END) AS est_median,
+         max(CASE WHEN vr = CAST(ceil(n_sample * 0.9) AS BIGINT)
+                  THEN val END) AS est_p90
+  FROM ranked GROUP BY grp, n_sample
+), exact AS (
+  SELECT l_returnflag AS grp,
+         round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6)
+           AS exact_median,
+         round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS exact_p90
+  FROM lineitem GROUP BY 1
+)
+SELECT est.grp AS l_returnflag, est.n_sample, est.est_median, est.est_p90,
+       exact.exact_median, exact.exact_p90
+FROM est JOIN exact USING (grp)
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_hll_distinct": q_hll_distinct,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_kmv_jaccard": q_kmv_jaccard,
+    "q_sample_quantiles": q_sample_quantiles,
 }
 ORACLES = {
     "q_hll_distinct": Q_HLL_SQL,
     "q_kmv_distinct": Q_KMV_SQL,
+    "q_kmv_jaccard": Q_KMV_JACCARD_SQL,
+    "q_sample_quantiles": Q_SAMPLE_QUANTILES_SQL,
 }

@@ -135,3 +135,61 @@ def test_kmv_two_phase_matches_single_window(spark, lineitem):
     )
     two_phase = kmv_sketch(lineitem, "l_returnflag", "l_partkey").collect()
     assert sorted(map(tuple, naive)) == sorted(map(tuple, two_phase))
+
+
+def test_kmv_jaccard_estimate_within_error(spark, sf_dir):
+    """Sketch-Jaccard vs exact: std error ~ sqrt(J(1-J)/k); allow a wide
+    5-sigma band (catches rho/rank bugs that move estimates wholesale)."""
+    from changegen_spark.queries.sketches import q_kmv_jaccard
+
+    rows = q_kmv_jaccard(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        j = r.exact_jaccard
+        sigma = max((j * (1 - j) / KMV_K) ** 0.5, 0.02)
+        assert abs(r.est_jaccard - j) <= 5 * sigma, (r, sigma)
+
+
+def test_bottomk_sample_merge_is_exact(spark, lineitem):
+    """Bottom-k row samples merge like KMV: k smallest of the union of two
+    split samples == the single-pass sample."""
+    from pyspark.sql import functions as F2
+
+    from changegen_spark.queries.sketches import SAMPLE_K, bottomk_sample
+
+    def samp(df):
+        return bottomk_sample(
+            df,
+            "l_returnflag",
+            ["l_orderkey", "l_linenumber"],
+            F2.col("l_quantity").cast("long"),
+        ).select("grp", "h", "val")
+
+    full = sorted(map(tuple, samp(lineitem).collect()))
+    parts = [
+        samp(lineitem.filter(F2.col("l_orderkey") % 2 == i)) for i in (0, 1)
+    ]
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = sorted(
+        map(
+            tuple,
+            parts[0]
+            .unionByName(parts[1])
+            .withColumn("rn", F2.row_number().over(w))
+            .filter(F2.col("rn") <= SAMPLE_K)
+            .drop("rn")
+            .collect(),
+        )
+    )
+    assert full == merged
+
+
+def test_sample_quantiles_near_exact(spark, sf_dir):
+    from changegen_spark.queries.sketches import q_sample_quantiles
+
+    rows = q_sample_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sample > 0
+        assert abs(r.est_median - r.exact_median) <= 8, r
+        assert abs(r.est_p90 - r.exact_p90) <= 8, r
