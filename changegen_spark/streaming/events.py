@@ -220,6 +220,99 @@ def change_feed(
     )
 
 
+def capped_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clamped-balance scan as a STREAMING operator on Spark 4's
+    ``transformWithStateInPandas`` (the StatefulProcessor successor to
+    ``applyInPandasWithState``) — the third execution of the same
+    recurrence: batch applyInPandas (operators/stateful.py), the DuckDB
+    recursive-CTE oracle, and this streaming form all agree
+    (tests/test_streaming.py pins stream == batch).
+
+    State per user is the 4-tuple (bal, caps, floors, n); each micro-batch
+    folds its rows in (ts, event_id) order on top of the persisted state
+    and emits the running summary (Update mode — last row per user wins).
+    Ordering contract: per-key event-time order across batches is assumed
+    (the append-log ingestion shape); within a batch rows are sorted
+    before folding, so a single-batch availableNow run is exactly the
+    batch scan.
+
+    Environment note: executing this operator requires the
+    ``google.protobuf`` package (the transformWithState state-server
+    protocol).  This container does not ship it, so
+    tests/test_streaming.py gates the execution pin behind the import
+    (plan construction and schema are asserted unconditionally); the
+    applyInPandasWithState sessionizer above is the custom-state operator
+    exercised end-to-end here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from changegen_spark.queries.events import (
+        BAL_BASE,
+        BAL_HI,
+        BAL_INIT,
+        BAL_LO,
+    )
+
+    class CappedBalance(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState(
+                "bal", "bal long, caps long, floors long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            if self.state.exists():
+                bal, caps, floors, n = self.state.get()
+            else:
+                bal, caps, floors, n = BAL_INIT, 0, 0, 0
+            for d in pdf["d"]:
+                bal += int(d)
+                if bal > BAL_HI:
+                    bal, caps = BAL_HI, caps + 1
+                elif bal < BAL_LO:
+                    bal, floors = BAL_LO, floors + 1
+            n += len(pdf)
+            self.state.update((bal, caps, floors, n))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "final_balance": bal,
+                        "n_cap_hits": caps,
+                        "n_floor_hits": floors,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.expr("CAST(round(value * 1000000) AS BIGINT)") - F.lit(BAL_BASE)
+        ).alias("d"),
+    )
+    out_schema = (
+        "user_id long, n_events long, final_balance long, "
+        "n_cap_hits long, n_floor_hits long"
+    )
+    return d.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CappedBalance(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> DataFrame:

@@ -40,6 +40,47 @@ def test_stream_stream_join_matches_batch_pairs(spark, sf_dir):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
 
 
+def test_capped_balance_stream_plan_builds(spark, sf_dir):
+    """transformWithStateInPandas plan constructs with the right schema
+    (execution needs google.protobuf — gated below)."""
+    from changegen_spark.streaming.events import capped_balance_stream
+
+    df = capped_balance_stream(spark, sf_dir)
+    assert df.isStreaming
+    assert df.columns == [
+        "user_id",
+        "n_events",
+        "final_balance",
+        "n_cap_hits",
+        "n_floor_hits",
+    ]
+
+
+def test_capped_balance_stream_matches_batch(spark, sf_dir):
+    """Stream == batch == recursive-CTE oracle: the same recurrence's
+    third execution (import-gated: transformWithState needs protobuf)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from changegen_spark.queries.events import q_capped_balance
+    from changegen_spark.streaming.events import (
+        capped_balance_stream,
+        run_to_memory_sink,
+    )
+
+    got = run_to_memory_sink(
+        capped_balance_stream(spark, sf_dir), "t_capped_bal", mode="update"
+    )
+    # update mode: last emitted row per user is the final state
+    import collections
+
+    final = {}
+    for r in got.collect():
+        final[r.user_id] = tuple(r)
+    exp = {r.user_id: tuple(r) for r in q_capped_balance(spark, sf_dir).collect()}
+    assert final == exp
+
+
 def test_sessionize_stream_matches_batch_sessionization(spark, sf_dir):
     """session_window must agree with the batch lag/cumsum sessionization on
     session count and per-user event totals."""
