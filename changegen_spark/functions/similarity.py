@@ -168,6 +168,8 @@ def assign_ivf_cells(
     Ties break toward the smaller cell id (matches the SQL oracle's
     ``row_number() OVER (ORDER BY d2, cell)``)."""
     cents = centroids.select("cell", "centroid").orderBy("cell").collect()
+    if not cents:  # empty training input (empty table/partition): no cells
+        return v.withColumn("cell", F.lit(None).cast("int"))
     structs = [
         F.struct(
             l2sq(
@@ -213,6 +215,8 @@ def assign_ivf_cells_arrow(
     from pyspark.sql.functions import pandas_udf
 
     cents = centroids.select("cell", "centroid").orderBy("cell").collect()
+    if not cents:  # empty training input (empty table/partition): no cells
+        return v.withColumn("cell", F.lit(None).cast("int"))
     C = np.asarray([r["centroid"] for r in cents], dtype=np.float64)
     cell_ids = np.asarray([int(r["cell"]) for r in cents], dtype=np.int64)
     k, dim = C.shape

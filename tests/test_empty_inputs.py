@@ -1,0 +1,70 @@
+"""Empty-input robustness sweep: representative queries from every family
+must run (not crash) against structurally-identical but EMPTY tables.
+
+At 100 TB, empty inputs are not an edge case — a new partition, a filtered
+branch, a day with no data.  A query that head()s, collects a first row,
+or builds an argmin over zero centroids dies in production at 3am.  One
+query per family keeps the sweep fast; new families should add a line.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        from changegen_spark.sources.tables import load_table
+
+        df = load_table(spark, sf_dir, name)
+        df.limit(0).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    return out
+
+
+# one per family; (name, expected-rows predicate)
+CASES = [
+    ("q01_pricing_summary", lambda n: n == 0),
+    ("q_group_topk", lambda n: n == 0),
+    ("q_exact_dedup", lambda n: n == 0),
+    ("q_lsh_pairs", lambda n: n == 0),
+    ("q_dup_spans", lambda n: n == 0),
+    ("q_lm_score", lambda n: n == 0),
+    ("q_decontaminate", lambda n: n == 0),
+    ("q_sessionize", lambda n: n == 0),
+    ("q_view_purchase_pairs", lambda n: n == 0),
+    ("q_asof_join", lambda n: n == 0),
+    ("q_distance_join", lambda n: n == 0),
+    ("q_grid_dedup", lambda n: n == 0),
+    ("q_ann_bruteforce", lambda n: n == 0),
+    ("q_semantic_dedup", lambda n: n == 0),
+    ("q_hll_distinct", lambda n: n == 0),
+    ("q_kmv_distinct", lambda n: n == 0),
+    ("q_sample_quantiles", lambda n: n == 0),
+    ("q_hrw_shards", lambda n: n == 0),
+    ("q_source_drift", lambda n: n == 0),
+    ("q_nb_classifier", lambda n: n == 0),
+    ("q_phrase_search", lambda n: n == 0),
+    ("q_bm25_search", lambda n: n == 0),
+    ("q_pagerank", lambda n: n == 0),
+    ("q_funnel", lambda n: n == 0),
+    ("q_resample", lambda n: n == 0),
+    ("q_catalog", lambda n: n == 10),  # catalog row per (empty) table
+]
+
+
+@pytest.mark.parametrize("name,pred", CASES, ids=[c[0] for c in CASES])
+def test_query_survives_empty_tables(spark, empty_sf_dir, name, pred):
+    from changegen_spark.queries import all_queries
+
+    fn = all_queries()[name]
+    rows = fn(spark, empty_sf_dir).collect()
+    assert pred(len(rows)), (name, len(rows))
