@@ -179,20 +179,49 @@ ORDER BY l_returnflag
 """
 
 
-def kmv_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """The KMV_K smallest distinct h60 values per group, two-phase.
+def _bottomk_prefilter(df: DataFrame, k: int) -> DataFrame:
+    """Map-side combine for order statistics: per Arrow batch, keep only
+    the k smallest ``h`` per ``grp`` — a strict SUPERSET of each batch's
+    contribution to the global per-group k-minimum, so the downstream
+    exact window computes identical rows from far fewer inputs.
 
-    Phase 1 runs the top-k window per (group, h % KMV_SALTS) — evenly
-    spread because h is uniform — leaving ≤ KMV_SALTS·KMV_K candidate
-    rows per group for the phase-2 global window.  A hot group therefore
-    never single-tasks its full distinct-hash set.
+    This is the combiner Spark applies to sums/counts, hand-built for
+    top-k: without it, phase 1 of the two-phase top-k still sorts the
+    FULL input in the shuffle (measured: the dominant cost of
+    q_sample_quantiles at sf0.1).  After the pre-filter the exchange
+    carries ≤ batches·groups·k rows.  Value-identity is pinned by
+    tests/test_sketches.py (prefiltered == naive single-window).
+    """
+    schema = df.schema
+
+    def keep(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values("h", kind="mergesort")
+                    .groupby("grp", sort=False)
+                    .head(k)
+                )
+
+    return df.mapInPandas(keep, schema)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The KMV_K smallest distinct h60 values per group.
+
+    Plan: Arrow map-side pre-filter (per-batch k smallest per group —
+    see ``_bottomk_prefilter``) → salt-spread top-k window → exact global
+    top-k window.  The pre-filter shrinks the first exchange from the
+    whole distinct-hash set to ≤ batches·groups·k rows; the salt phase
+    keeps a hot group from single-tasking even those.
     """
     hashes = df.select(
         F.col(group_col).alias("grp"), h60(F.col(value_col)).alias("h")
     ).distinct()
+    cand0 = _bottomk_prefilter(hashes, KMV_K)
     w1 = Window.partitionBy("grp", F.col("h") % KMV_SALTS).orderBy("h")
     cand = (
-        hashes.withColumn("rn1", F.row_number().over(w1))
+        cand0.withColumn("rn1", F.row_number().over(w1))
         .filter(F.col("rn1") <= KMV_K)
         .drop("rn1")
     )
@@ -396,9 +425,10 @@ def bottomk_sample(df: DataFrame, group_col: str, key_cols: list, value_col):
     base = df.select(
         F.col(group_col).alias("grp"), h.alias("h"), value_col.alias("val")
     )
+    cand0 = _bottomk_prefilter(base, SAMPLE_K)
     w1 = Window.partitionBy("grp", F.col("h") % KMV_SALTS).orderBy("h")
     cand = (
-        base.withColumn("rn1", F.row_number().over(w1))
+        cand0.withColumn("rn1", F.row_number().over(w1))
         .filter(F.col("rn1") <= SAMPLE_K)
         .drop("rn1")
     )
