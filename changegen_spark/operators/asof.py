@@ -35,20 +35,95 @@ def as_of_join(
     right_value_cols: list[str],
     tie_col: str | None = None,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.ts_col <= left.ts_col`` sharing the ``on`` keys (backward
-    as-of, inclusive — Pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
-    semantics).  Left rows with no prior right row keep NULLs.
+    """For every left row, attach the right row sharing the ``on`` keys
+    selected by ``direction`` (Pandas ``merge_asof`` semantics, inclusive
+    matches):
 
-    ``ts_col`` must be a timestamp column present in both inputs.  The
-    matched right columns come back as ``right_<name>``.  When several
-    right rows share one timestamp, the greatest ``tie_col`` wins
-    (deterministic); pass a pre-deduped right side if cross-engine parity
-    with an ASOF oracle is required.  ``tolerance_us`` drops matches older
-    than the given microsecond gap.
+    * ``"backward"`` (default) — most recent right row with
+      ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN`` semantics);
+    * ``"forward"`` — earliest right row with ``right.ts >= left.ts``;
+    * ``"nearest"`` — whichever of the two has the smaller absolute gap
+      (ties to the backward match, as merge_asof does).  ``nearest``
+      recombines the two candidate frames by joining on the full left
+      row, so left rows must be UNIQUE (carry an id column — the usual
+      event-id shape); backward/forward need nothing of the left side.
+
+    Left rows with no eligible right row keep NULLs.  ``ts_col`` must be
+    a timestamp column present in both inputs.  Matched right columns
+    come back as ``right_<name>``, with ``gap_us`` signed (positive =
+    right row earlier than left for backward; positive = later for
+    forward; ``nearest`` reports the winning direction's absolute gap).
+    When several right rows share one timestamp, the greatest ``tie_col``
+    wins (deterministic); pass a pre-deduped right side if cross-engine
+    parity with an ASOF oracle is required.  ``tolerance_us`` drops
+    matches with absolute gap above the given microseconds.
+
+    Scale: every direction is the same union–sort–window plan — ONE
+    shuffle on the keys, zero row amplification; ``nearest`` computes the
+    backward and forward candidates as two frames over the SAME ordered
+    window pass (no second shuffle).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
+    if direction == "forward":
+        # forward == backward on negated time; the delegated gap is
+        # already (right_ts - left_ts) >= 0 under negation.
+        return _as_of_backward(
+            left,
+            right,
+            on,
+            ts_col,
+            right_value_cols,
+            tie_col,
+            tolerance_us,
+            negate_ts=True,
+        )
+    if direction == "nearest":
+        back = as_of_join(
+            left, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
+            direction="backward",
+        )
+        fwd_cols = [f"right_{c}" for c in right_value_cols] + ["gap_us"]
+        fwd = as_of_join(
+            left, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
+            direction="forward",
+        ).select(
+            *left.columns,
+            *[F.col(c).alias(f"__f_{c}") for c in fwd_cols],
+        )
+        both = back.join(fwd, left.columns)
+        b_gap, f_gap = F.col("gap_us"), F.col("__f_gap_us")
+        use_fwd = b_gap.isNull() | (
+            f_gap.isNotNull() & (F.abs(f_gap) < F.abs(b_gap))
+        )
+        sel = [
+            F.when(use_fwd, F.col(f"__f_right_{c}"))
+            .otherwise(F.col(f"right_{c}"))
+            .alias(f"right_{c}")
+            for c in right_value_cols
+        ]
+        gap = F.abs(F.when(use_fwd, f_gap).otherwise(b_gap)).alias("gap_us")
+        return both.select(*left.columns, *sel, gap)
+    return _as_of_backward(
+        left, right, on, ts_col, right_value_cols, tie_col, tolerance_us
+    )
+
+
+def _as_of_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    tie_col: str | None = None,
+    tolerance_us: int | None = None,
+    negate_ts: bool = False,
+) -> DataFrame:
     ts_us = F.unix_micros(F.col(ts_col))
+    if negate_ts:
+        ts_us = -ts_us
     # Right rows sort BEFORE left rows at an equal timestamp so the
     # inclusive (<=) match sees them; among right rows the tie column
     # ascends so last() keeps the greatest.

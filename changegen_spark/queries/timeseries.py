@@ -327,8 +327,75 @@ ORDER BY user_id, event_id
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click picks up the EARLIEST subsequent
+    (or simultaneous) view by the same user — the look-ahead twin of
+    q_asof_join, via ``as_of_join(direction="forward")``
+    (operators/asof.py: backward on negated time, same one-shuffle
+    union–sort–window plan).  All three directions are pinned against
+    pandas merge_asof in tests/test_asof.py; this query carries the
+    forward direction's DuckDB oracle (an argmin join, structurally
+    different from the window formulation).  Registered in the
+    time-series module so the driver window's family balance is
+    unchanged."""
+    from changegen_spark.operators.asof import as_of_join
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = as_of_join(
+        clicks,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["view_event_id"],
+        tie_col="view_event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("right_view_event_id").alias("view_event_id"),
+        "gap_us",
+    ).orderBy("event_id")
+
+
+Q_ASOF_FORWARD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), cand AS (
+  SELECT c.event_id, c.user_id, c.ts, v.view_event_id,
+         epoch_us(v.ts) - epoch_us(c.ts) AS gap_us,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY v.ts, v.view_event_id DESC
+         ) AS rn
+  FROM clicks c JOIN views v
+    ON v.user_id = c.user_id AND v.ts >= c.ts
+)
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       m.view_event_id, m.gap_us
+FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m
+  ON m.event_id = c.event_id
+ORDER BY c.event_id
+"""
+
+
 QUERIES = {
     "q_resample": q_resample,
+    "q_asof_forward": q_asof_forward,
     "q_moving_avg": q_moving_avg,
     "q_markov_transitions": q_markov_transitions,
     "q_time_range_window": q_time_range_window,
@@ -336,6 +403,7 @@ QUERIES = {
 
 ORACLES = {
     "q_resample": Q_RESAMPLE_SQL,
+    "q_asof_forward": Q_ASOF_FORWARD_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_markov_transitions": Q_MARKOV_SQL,
     "q_time_range_window": Q_TIME_RANGE_WINDOW_SQL,

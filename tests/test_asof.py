@@ -192,3 +192,73 @@ def test_attribution_window_and_ties(spark):
         "error": (1, 30_000_000),
         "unattributed": (2, 60_000_000),
     }
+
+
+def _pandas_asof_oracle(direction, tolerance_us=None):
+    """Independent oracle: pandas merge_asof on a deterministic synthetic
+    pair of frames (the library the operator's semantics are defined
+    against)."""
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, (i * 7) % 5, base + dt.timedelta(seconds=(i * 37) % 600, microseconds=(i * 13) % 1000))
+        for i in range(80)
+    ]
+    rrows = [
+        (1000 + i, (i * 3) % 5, base + dt.timedelta(seconds=(i * 53) % 600, microseconds=(i * 29) % 1000))
+        for i in range(60)
+    ]
+    lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["rid", "user_id", "ts"]).sort_values("ts")
+    # pre-dedup right per (user, ts) keeping max rid — the operator's tie rule
+    rp = rp.sort_values(["ts", "rid"]).groupby(["user_id", "ts"], as_index=False).last()
+    rp = rp.sort_values("ts")
+    kw = {}
+    if tolerance_us is not None:
+        kw["tolerance"] = pd.Timedelta(microseconds=tolerance_us)
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction=direction,
+        allow_exact_matches=True, **kw,
+    )
+    return lrows, rrows, {
+        int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance_us", [None, 120_000_000])
+def test_asof_directions_match_pandas_merge_asof(spark, direction, tolerance_us):
+    from changegen_spark.operators.asof import as_of_join
+
+    lrows, rrows, expected = _pandas_asof_oracle(direction, tolerance_us)
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, user_id long, ts timestamp")
+    right = (
+        right.groupBy("user_id", "ts").agg(F.max("rid").alias("rid"))
+    )
+    out = as_of_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_value_cols=["rid"], tie_col="rid",
+        tolerance_us=tolerance_us, direction=direction,
+    )
+    got = {r.event_id: r.right_rid for r in out.collect()}
+    assert got == expected, {
+        k: (got[k], expected[k]) for k in got if got[k] != expected[k]
+    }
+
+
+def test_asof_forward_gap_is_nonnegative_right_minus_left(spark, frames):
+    from changegen_spark.operators.asof import as_of_join
+
+    left, right = frames
+    out = as_of_join(
+        left, right, on=["user_id"], ts_col="ts",
+        right_value_cols=["rid"], tie_col="rid", direction="forward",
+    ).collect()
+    by_id = {r.event_id: r for r in out}
+    # event 3 at t=4 matches forward to rid 100 at t=5, gap = +60s
+    assert by_id[3].right_rid == 100 and by_id[3].gap_us == 60_000_000
+    # event 1 at t=10 has no later right row → null
+    assert by_id[1].right_rid is None
