@@ -176,3 +176,28 @@ def test_cli_rejects_multi_geometries(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Multi"):
         _split_by_gtype(df, "geometry")
+
+
+def test_query_runner_list_and_oracle():
+    """python -m changegen_spark.queries: --list names every registry
+    entry; --oracle prints SQL without starting Spark."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "changegen_spark.queries", "--list"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    names = out.stdout.split()
+    assert "q01_pricing_summary" in names and "q_hll_distinct" in names
+    sql = subprocess.run(
+        [sys.executable, "-m", "changegen_spark.queries", "q_hll_distinct", "--oracle"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert sql.returncode == 0 and "FROM lineitem" in sql.stdout
+    bad = subprocess.run(
+        [sys.executable, "-m", "changegen_spark.queries", "q_nope"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert bad.returncode == 2
