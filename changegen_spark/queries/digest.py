@@ -113,6 +113,7 @@ KINDS = {
     "q_kmv_jaccard": {"flag_a": "str", "flag_b": "str", "n_inter_sketch": "num", "est_jaccard": "e6", "exact_jaccard": "e6"},
     "q_sample_quantiles": {"l_returnflag": "str", "n_sample": "num", "est_median": "num", "est_p90": "num", "exact_median": "e6", "exact_p90": "e6"},
     "q_asof_forward": {"event_id": "num", "user_id": "num", "click_ts": "str", "view_event_id": "num", "gap_us": "num"},
+    "q_new_vs_returning": {"day": "str", "n_active": "num", "n_new": "num", "n_returning": "num", "cum_users": "num"},
     "q_hrw_shards": {"doc_id": "num", "shard_a": "num", "shard_b": "num", "moved": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},

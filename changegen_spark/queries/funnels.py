@@ -20,7 +20,7 @@ such join-aggregate rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from changegen_spark.sources.tables import load_table
@@ -155,5 +155,76 @@ ORDER BY cohort_week, week_offset
 """
 
 
-QUERIES = {"q_funnel": q_funnel, "q_retention": q_retention}
-ORACLES = {"q_funnel": Q_FUNNEL_SQL, "q_retention": Q_RETENTION_SQL}
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user decomposition: per day, distinct actives, users
+    seen for the FIRST time that day, returning users, and the running
+    distinct-user total — the other standard product-analytics lens next
+    to cohort retention (q_retention slices by signup cohort; this slices
+    by calendar day).
+
+    Exact integers throughout: first-seen day is a per-user min (one
+    user-keyed shuffle with map-side combine), daily counts a day-keyed
+    count, and the cumulative total a window over the ~|days| aggregate —
+    never over raw events.  At 100 TB the only corpus-scale exchanges are
+    the two counting aggregations.
+    """
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    active = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n_active"))
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day")
+    )
+    new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(new, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            (F.col("n_active") - F.coalesce(F.col("n_new"), F.lit(0))).alias(
+                "n_returning"
+            ),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )
+
+
+Q_NEW_VS_RETURNING_SQL = """
+WITH active AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_active
+  FROM events GROUP BY 1
+), first_seen AS (
+  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_day
+  FROM events GROUP BY 1
+), new AS (
+  SELECT first_day AS day, count(*) AS n_new FROM first_seen GROUP BY 1
+)
+SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new,
+       a.n_active - coalesce(n.n_new, 0) AS n_returning,
+       sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day) AS cum_users
+FROM active a LEFT JOIN new n ON n.day = a.day
+ORDER BY a.day
+"""
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
+    "q_new_vs_returning": q_new_vs_returning,
+}
+ORACLES = {
+    "q_funnel": Q_FUNNEL_SQL,
+    "q_retention": Q_RETENTION_SQL,
+    "q_new_vs_returning": Q_NEW_VS_RETURNING_SQL,
+}
