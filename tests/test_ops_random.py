@@ -343,3 +343,52 @@ def test_gini_partitioning_invariant_and_known_values(spark):
     conc = [(1, 5000)] + [(c, 0) for c in range(2, 11)]
     r1, r7 = run(conc, 1), run(conc, 7)
     assert r1["gini"] == r7["gini"] == 0.9
+
+
+def test_hll_and_kmv_registers_vs_python_reference(spark):
+    """Sketch registers recomputed by a straight-line Python implementation
+    of the same 60-bit md5 hash / bin-length rho / k-min rules must match
+    the distributed build exactly, on random multisets."""
+    import hashlib
+
+    from changegen_spark.queries.sketches import (
+        HLL_M,
+        KMV_K,
+        hll_registers,
+        kmv_sketch,
+    )
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(7)
+    for case in range(3):
+        rows = [
+            (rng.choice("ABC"), rng.randint(0, 500))
+            for _ in range(rng.choice([50, 400, 1500]))
+        ]
+        df = spark.createDataFrame(rows, "grp string, v long")
+
+        # pure-python HLL registers
+        exp_regs = {}
+        for g, v in rows:
+            h = h60(v)
+            bucket, w = h % HLL_M, h >> 10
+            rho = 51 if w == 0 else 51 - w.bit_length()
+            k = (g, bucket)
+            exp_regs[k] = max(exp_regs.get(k, 0), rho)
+        got_regs = {
+            (r.grp, r.bucket): r.r
+            for r in hll_registers(df, "grp", "v").collect()
+        }
+        assert got_regs == exp_regs, f"case {case}"
+
+        # pure-python KMV sketches
+        exp_kmv = {}
+        for g in set(r[0] for r in rows):
+            hs = sorted({h60(v) for gg, v in rows if gg == g})[:KMV_K]
+            exp_kmv[g] = hs
+        got_kmv = {}
+        for r in kmv_sketch(df, "grp", "v").collect():
+            got_kmv.setdefault(r.grp, []).append(r.h)
+        assert {g: sorted(v) for g, v in got_kmv.items()} == exp_kmv, f"case {case}"
