@@ -218,13 +218,146 @@ ORDER BY a.day
 """
 
 
+AB_WINDOW_US = 2 * 3600 * 1_000_000  # conversion window: 2 h after first view
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: deterministic 50/50 hash-bucketing of users
+    into variants, view→purchase conversion rate per variant, and the
+    pooled two-proportion z statistic — the readout every growth team
+    runs, as one Spark plan.
+
+    Variant assignment is the stable md5 idiom (first 8 hex < '80000000'
+    → A): a pure function of user_id, so exposure is reproducible across
+    engines, runs, and retries — the property that makes the experiment
+    auditable.  Conversion = a purchase within AB_WINDOW_US after the
+    user's first view (unbounded conversion saturates at 100% on this
+    fixture's month-long histories — a window is also what real
+    experiments measure).  Counts are exact integers; the z statistic is
+    one closed-form float expression over four exact counts, identical
+    on both engines, rounded to 4 dp, and NULL when a variant is empty
+    or the pooled rate is degenerate (0% / 100%).
+
+    Scale: two user-keyed aggregations (first view, any-purchase-after)
+    and a 2-row variant rollup; the z stat is computed over the 2-row
+    frame.
+    """
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8) < "80000000",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    in_window = (F.col("pts") > F.col("first_view_ts")) & (
+        F.unix_micros(F.col("pts")) - F.unix_micros(F.col("first_view_ts"))
+        <= AB_WINDOW_US
+    )
+    conv = (
+        first_view.join(purchases, "user_id", "left")
+        .groupBy("user_id")
+        .agg(F.max(in_window.cast("int")).alias("converted"))
+        .select(
+            "user_id", F.coalesce(F.col("converted"), F.lit(0)).alias("converted")
+        )
+    )
+    per_variant = (
+        conv.select(variant.alias("variant"), "converted")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_exposed"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+    w = Window.partitionBy()
+    n1 = F.max(F.when(F.col("variant") == "A", F.col("n_exposed"))).over(w)
+    c1 = F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).over(w)
+    n2 = F.max(F.when(F.col("variant") == "B", F.col("n_exposed"))).over(w)
+    c2 = F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).over(w)
+    p1 = c1.cast("double") / n1.cast("double")
+    p2 = c2.cast("double") / n2.cast("double")
+    pp = (c1 + c2).cast("double") / (n1 + n2).cast("double")
+    denom = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / n1.cast("double") + 1.0 / n2.cast("double"))
+    )
+    z = F.when(denom > 0, (p1 - p2) / denom)
+    return (
+        per_variant.select(
+            "variant",
+            "n_exposed",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_exposed").cast("double")
+                * 1e6
+            )
+            .cast("long")
+            .alias("cr_e6"),
+            F.round(z, 4).alias("z_stat"),
+        )
+        .orderBy("variant")
+    )
+
+
+Q_AB_TEST_SQL = f"""
+WITH first_view AS (
+  SELECT user_id, min(ts) AS first_view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), conv AS (
+  SELECT f.user_id,
+         coalesce(max(CAST(p.ts > f.first_view_ts
+                           AND epoch_us(p.ts) - epoch_us(f.first_view_ts)
+                               <= {AB_WINDOW_US} AS INT)), 0) AS converted
+  FROM first_view f
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = f.user_id
+  GROUP BY 1
+), pv AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
+              THEN 'A' ELSE 'B' END AS variant,
+         count(*) AS n_exposed, sum(converted) AS n_converted
+  FROM conv GROUP BY 1
+), stats AS (
+  SELECT max(CASE WHEN variant = 'A' THEN n_exposed END) AS n1,
+         max(CASE WHEN variant = 'A' THEN n_converted END) AS c1,
+         max(CASE WHEN variant = 'B' THEN n_exposed END) AS n2,
+         max(CASE WHEN variant = 'B' THEN n_converted END) AS c2
+  FROM pv
+)
+SELECT pv.variant, pv.n_exposed, pv.n_converted,
+       CAST(round(CAST(pv.n_converted AS DOUBLE)
+                  / CAST(pv.n_exposed AS DOUBLE) * 1e6) AS BIGINT) AS cr_e6,
+       round(CASE WHEN sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                            * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 0
+                  THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                              * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+             END, 4) AS z_stat
+FROM pv CROSS JOIN stats
+ORDER BY pv.variant
+"""
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_new_vs_returning": q_new_vs_returning,
+    "q_ab_test": q_ab_test,
 }
 ORACLES = {
     "q_funnel": Q_FUNNEL_SQL,
     "q_retention": Q_RETENTION_SQL,
     "q_new_vs_returning": Q_NEW_VS_RETURNING_SQL,
+    "q_ab_test": Q_AB_TEST_SQL,
 }

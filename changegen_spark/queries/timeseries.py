@@ -393,9 +393,68 @@ ORDER BY c.event_id
 """
 
 
+HOP_DURATION_S = 2 * 3600
+HOP_SLIDE_S = 30 * 60
+
+
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation — ``F.window(ts, '2 hours',
+    '30 minutes')``: each event lands in duration/slide = 4 overlapping
+    windows; per (window_start, event_type) exact count + e6 value sum.
+    The tumbling twin is q_event_windows; the hop exercises Spark's
+    multi-assignment window expansion (a built-in bounded explode).
+
+    The DuckDB oracle rebuilds the assignment arithmetically: the k-th
+    covering window of an event starts at
+    ``floor(epoch/slide)*slide - k*slide`` for k in 0..3 — integer
+    microsecond math, so the hash gate is exact.
+
+    Scale: the ×4 row expansion happens map-side before one
+    (window, type)-keyed aggregation with partial combine — the standard
+    cost model of hopping windows (state ∝ windows, input amplification
+    = duration/slide).
+    """
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    val_e6 = F.round(F.col("value") * 1e6).cast("long")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_DURATION_S} seconds", f"{HOP_SLIDE_S} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum(val_e6).alias("sum_value_e6"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_e6",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+Q_HOPPING_WINDOWS_SQL = f"""
+WITH assigned AS (
+  SELECT event_type,
+         to_timestamp(((epoch_us(ts) // ({HOP_SLIDE_S} * 1000000))
+                       - k.k) * {HOP_SLIDE_S}) AS window_start,
+         CAST(round(value * 1e6) AS BIGINT) AS val_e6
+  FROM events,
+       (SELECT unnest(generate_series(0, {HOP_DURATION_S // HOP_SLIDE_S - 1})) AS k) k
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, sum(val_e6) AS sum_value_e6
+FROM assigned
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q_resample": q_resample,
     "q_asof_forward": q_asof_forward,
+    "q_hopping_windows": q_hopping_windows,
     "q_moving_avg": q_moving_avg,
     "q_markov_transitions": q_markov_transitions,
     "q_time_range_window": q_time_range_window,
@@ -404,6 +463,7 @@ QUERIES = {
 ORACLES = {
     "q_resample": Q_RESAMPLE_SQL,
     "q_asof_forward": Q_ASOF_FORWARD_SQL,
+    "q_hopping_windows": Q_HOPPING_WINDOWS_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_markov_transitions": Q_MARKOV_SQL,
     "q_time_range_window": Q_TIME_RANGE_WINDOW_SQL,
