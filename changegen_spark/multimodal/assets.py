@@ -369,3 +369,32 @@ def sample_frames(assets: DataFrame, every: int = 2) -> DataFrame:
     return assets.filter(F.col("kind") == "video").select("asset_id", "payload").mapInPandas(
         fn, "asset_id long, frame_idx int, frame binary, mean_px double"
     )
+
+
+MEL_SCHEMA = "asset_id long, band int, log_mel_e3 long, ok boolean"
+
+
+def extract_mel(assets: DataFrame) -> DataFrame:
+    """Mel-filterbank stage: WAV binary → long-format (asset_id, band,
+    log_mel_e3) rows — the audio-ML front-end feature map, Arrow-batched
+    and map-only like every decode stage.  Malformed payloads yield one
+    ok=false row (band null), the standard quarantine contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from changegen_spark.multimodal.wav import decode_wav, mel_bands
+
+        cols = ["asset_id", "band", "log_mel_e3", "ok"]
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, _nch, arr = decode_wav(bytes(payload))
+                    for b, v in enumerate(mel_bands(rate, arr)):
+                        out.append((asset_id, b, v, True))
+                except Exception:
+                    out.append((asset_id, None, None, False))
+            yield pd.DataFrame(out, columns=cols)
+
+    return assets.filter(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, MEL_SCHEMA)

@@ -163,3 +163,63 @@ def spectral_features(sample_rate: int, samples: np.ndarray) -> dict[str, int]:
         "centroid_e3": int(round(centroid * 1000)),
         "rolloff_e3": int(round(rolloff * 1000)),
     }
+
+
+MEL_N_BANDS = 8
+MEL_N_FFT = 512
+MEL_HOP = 256
+
+
+def _hz_to_mel(f):
+    import numpy as np
+
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    import numpy as np
+
+    return 700.0 * (np.power(10.0, np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_bands(
+    sample_rate: int,
+    samples: np.ndarray,
+    n_mels: int = MEL_N_BANDS,
+    n_fft: int = MEL_N_FFT,
+    hop: int = MEL_HOP,
+) -> list[int]:
+    """Log-mel filterbank energies of channel 0, e3-scaled ints — the
+    canonical audio-ML front end (HTK mel scale, triangular filters,
+    rectangular analysis window for determinism-by-simplicity).
+
+    Shared-definition contract like the other feature functions: the
+    fixture builder and the decode stage run this exact numpy code on
+    identical lossless-PCM arrays, so the e3-rounded integers hash-match.
+    Frames of ``n_fft`` samples every ``hop`` (zero-padded to one frame if
+    shorter); per-bin power averaged over frames; per-band energy is an
+    explicit elementwise-multiply + sum (no BLAS dispatch).
+    """
+    ch0 = np.asarray(samples[:, 0], dtype=np.float64)
+    if ch0.shape[0] < n_fft:
+        ch0 = np.pad(ch0, (0, n_fft - ch0.shape[0]))
+    starts = range(0, ch0.shape[0] - n_fft + 1, hop)
+    P = np.zeros(n_fft // 2 + 1)
+    for s in starts:
+        mag = np.abs(np.fft.rfft(ch0[s : s + n_fft]))
+        P = P + mag * mag
+    P = P / float(len(starts))
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sample_rate)
+    edges_mel = np.linspace(
+        _hz_to_mel(0.0), _hz_to_mel(sample_rate / 2.0), n_mels + 2
+    )
+    edges = _mel_to_hz(edges_mel)
+    out = []
+    for b in range(n_mels):
+        lo, ctr, hi = edges[b], edges[b + 1], edges[b + 2]
+        up = (freqs - lo) / (ctr - lo)
+        down = (hi - freqs) / (hi - ctr)
+        w = np.maximum(0.0, np.minimum(up, down))
+        e = float(np.sum(w * P))
+        out.append(int(round(np.log10(e + 1e-10) * 1000)))
+    return out

@@ -116,6 +116,7 @@ KINDS = {
     "q_new_vs_returning": {"day": "str", "n_active": "num", "n_new": "num", "n_returning": "num", "cum_users": "num"},
     "q_hopping_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
     "q_ab_test": {"variant": "str", "n_exposed": "num", "n_converted": "num", "cr_e6": "num", "z_stat": "e6"},
+    "q_media_mel": {"asset_id": "num", "band": "num", "log_mel_e3": "num"},
     "q_hrw_shards": {"doc_id": "num", "shard_a": "num", "shard_b": "num", "moved": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},

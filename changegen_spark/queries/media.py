@@ -106,6 +106,31 @@ FROM '{ASSETS_PATH}' WHERE kind = 'audio' ORDER BY asset_id
 """
 
 
+def q_media_mel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-mel filterbank energies per fixture WAV (8 HTK-mel triangular
+    bands, e3 ints) — the canonical audio-ML front end as a decode stage
+    (multimodal/assets.extract_mel; shared-definition parity against the
+    fixture's pre-encoding arrays, like every media oracle)."""
+    from changegen_spark.multimodal.assets import extract_mel
+
+    a = _assets(spark)
+    return (
+        extract_mel(a)
+        .filter(F.col("ok"))
+        .select("asset_id", "band", "log_mel_e3")
+        .orderBy("asset_id", "band")
+    )
+
+
+Q_MEDIA_MEL_SQL = f"""
+SELECT asset_id,
+       CAST(generate_subscripts(exp_mel_e3, 1) - 1 AS INT) AS band,
+       unnest(exp_mel_e3) AS log_mel_e3
+FROM '{ASSETS_PATH}' WHERE kind = 'audio'
+ORDER BY asset_id, band
+"""
+
+
 def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Y4M frame sampling (every 2nd frame, FRAME_EVERY) across chroma
     formats 420/422/444/mono → per-kept-frame integer mean luma."""
@@ -173,6 +198,7 @@ QUERIES = {
     "q_media_image_decode": q_media_image_decode,
     "q_media_resize": q_media_resize,
     "q_media_audio_features": q_media_audio_features,
+    "q_media_mel": q_media_mel,
     "q_media_frame_stats": q_media_frame_stats,
     "q_media_motion": q_media_motion,
 }
@@ -181,6 +207,7 @@ ORACLES = {
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
     "q_media_resize": Q_MEDIA_RESIZE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,
+    "q_media_mel": Q_MEDIA_MEL_SQL,
     "q_media_frame_stats": Q_MEDIA_FRAMES_SQL,
     "q_media_motion": Q_MEDIA_MOTION_SQL,
 }

@@ -311,3 +311,33 @@ def test_resize_images_box_downsample_semantics(spark):
     # blocks: (0+10+40+50+2)//4=25, (20+30+60+70+2)//4=45
     assert ok["rmean_e6"] == ((25 + 45) * 1_000_000 + 1) // 2
     assert rows[2]["ok"] is False and rows[2]["rmean_e6"] is None
+
+
+def test_mel_bands_localize_sine_energy():
+    """A pure 2 kHz tone at sr 8 kHz concentrates its mel energy in the
+    band containing 2 kHz; silence-adjacent bands sit at the log floor."""
+    import numpy as np
+
+    from changegen_spark.multimodal.wav import MEL_N_BANDS, mel_bands
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 2000 * t).reshape(-1, 1)
+    bands = mel_bands(sr, x)
+    assert len(bands) == MEL_N_BANDS
+    peak = int(np.argmax(bands))
+    assert bands[peak] > 1000  # real energy, not the -10000 log floor
+    assert min(bands) == -10000  # empty bands hit the epsilon floor
+
+
+def test_extract_mel_quarantines_bad_payloads(spark):
+    import pandas as pd
+
+    from changegen_spark.multimodal.assets import extract_mel
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"not a wav at all"))],
+        "asset_id long, kind string, payload binary",
+    )
+    rows = extract_mel(df).collect()
+    assert len(rows) == 1 and rows[0].ok is False and rows[0].band is None

@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 
 from changegen_spark.multimodal.gif import encode_gif
 from changegen_spark.multimodal.png import encode_png
-from changegen_spark.multimodal.wav import audio_features, spectral_features
+from changegen_spark.multimodal.wav import audio_features, mel_bands, spectral_features
 from changegen_spark.multimodal.y4m import encode_y4m, frame_mad_e6, frame_mean_e6
 
 FIXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "fixtures"))
@@ -194,6 +194,7 @@ def main() -> None:
                 "audio", f"wav{bits}c{channels}", buf.getvalue(),
                 sample_rate=rate, n_channels=channels,
                 **audio_features(rate, norm), **spectral_features(rate, norm),
+                mel_e3=mel_bands(rate, norm),
             )
     for channels in (1, 2):
         rate, n = 22050, 1700
@@ -203,6 +204,7 @@ def main() -> None:
             write_float32_wav(rate, channels, arr),
             sample_rate=rate, n_channels=channels,
             **audio_features(rate, arr), **spectral_features(rate, arr),
+            mel_e3=mel_bands(rate, arr),
         )
 
     # --- video: Y4M across chroma formats ---------------------------------
@@ -237,6 +239,9 @@ def main() -> None:
         cols[f"exp_{k}"] = pa.array(
             [a[4].get(k) for a in assets], pa.int64()
         )
+    cols["exp_mel_e3"] = pa.array(
+        [a[4].get("mel_e3") for a in assets], pa.list_(pa.int64())
+    )
     os.makedirs(FIXDIR, exist_ok=True)
     pq.write_table(pa.table(cols), os.path.join(FIXDIR, "media_assets.parquet"))
     pq.write_table(
