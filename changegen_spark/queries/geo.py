@@ -764,8 +764,86 @@ ORDER BY pid
 """
 
 
+TILE_MAX_Z = 12
+_MERC_L = "20037508.342789244"  # π·6378137, shared literal text both engines
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map tile pyramid: point counts per (zoom, tile_x, tile_y)
+    at zooms 8/10/12 — the pre-aggregation every map renderer/vector-tile
+    pipeline builds over OSM-scale data.
+
+    Determinism discipline: the float→tile floor happens ONCE, at
+    TILE_MAX_Z, on the 3-dp-rounded Mercator meters (the same rounded
+    values q_mercator pins); every coarser zoom is an INTEGER right-shift
+    of the z12 tile — the real tile-pyramid recurrence (parent = child
+    >> 1) — so the rollup introduces no further float edges and
+    aggregates hierarchically with map-side combine.
+
+    Scale: binning is a pure projection; one (z, tx, ty) counting shuffle
+    whose key space is bounded by the tile grid, not the data.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    lon = F.lit(-118.48) + ((F.col("event_id") * 7) % 560).cast("double") / 1000.0
+    lat = F.lit(48.43) + ((F.col("event_id") * 11) % 420).cast("double") / 1000.0
+    x = F.round(to_3857_x(lon), 3)
+    y = F.round(to_3857_y(lat), 3)
+    n = 1 << TILE_MAX_Z
+    tx = F.floor((x + float(_MERC_L)) / (2 * float(_MERC_L)) * n).cast("long")
+    ty = F.floor((float(_MERC_L) - y) / (2 * float(_MERC_L)) * n).cast("long")
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select(tx.alias("tx12"), ty.alias("ty12"))
+    )
+    parts = []
+    for z in (8, 10, 12):
+        s = TILE_MAX_Z - z
+        parts.append(
+            base.select(
+                F.lit(z).alias("zoom"),
+                F.shiftright("tx12", s).alias("tile_x"),
+                F.shiftright("ty12", s).alias("tile_y"),
+            )
+        )
+    allz = parts[0]
+    for p in parts[1:]:
+        allz = allz.unionByName(p)
+    return (
+        allz.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("zoom", "tile_x", "tile_y")
+    )
+
+
+Q_TILE_PYRAMID_SQL = f"""
+WITH pts AS (
+  SELECT -118.48 + CAST((event_id * 7) % 560 AS DOUBLE) / 1000.0 AS lon,
+         48.43 + CAST((event_id * 11) % 420 AS DOUBLE) / 1000.0 AS lat
+  FROM events WHERE event_id % 10 = 0
+), merc AS (
+  SELECT round(radians(lon) * 6378137.0, 3) AS x,
+         round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 3) AS y
+  FROM pts
+), t12 AS (
+  SELECT CAST(floor((x + {_MERC_L}) / (2 * {_MERC_L}) * {1 << TILE_MAX_Z}) AS BIGINT) AS tx12,
+         CAST(floor(({_MERC_L} - y) / (2 * {_MERC_L}) * {1 << TILE_MAX_Z}) AS BIGINT) AS ty12
+  FROM merc
+), allz AS (
+  SELECT 8 AS zoom, tx12 >> 4 AS tile_x, ty12 >> 4 AS tile_y FROM t12
+  UNION ALL
+  SELECT 10, tx12 >> 2, ty12 >> 2 FROM t12
+  UNION ALL
+  SELECT 12, tx12, ty12 FROM t12
+)
+SELECT zoom, tile_x, tile_y, count(*) AS n_points
+FROM allz GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_tile_pyramid": q_tile_pyramid,
     "q_haversine": q_haversine,
     "q_point_in_polygon": q_point_in_polygon,
     "q_convex_hulls": q_convex_hulls,
@@ -782,6 +860,7 @@ QUERIES = {
 
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_tile_pyramid": Q_TILE_PYRAMID_SQL,
     "q_point_in_polygon": Q_PIP_SQL,
     "q_haversine": Q_HAVERSINE_SQL,
     "q_geo_measures": Q_GEO_MEASURES_SQL,
