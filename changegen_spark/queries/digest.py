@@ -256,6 +256,12 @@ def q_digest_shard(shard: int):
         return reduce(DataFrame.unionByName, parts).orderBy("query_name")
 
     run.__name__ = f"q_digest_shard_{shard}"
+    run.__doc__ = (
+        f"Transitive-verification digest shard {shard}: (query_name, "
+        "n_rows, hash_sum) for its round-robin third of every "
+        "oracle-backed registry entry outside the driver's 50-slot "
+        "window, so rotation never leaves a family unverified."
+    )
     return run
 
 
