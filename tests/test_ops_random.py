@@ -392,3 +392,45 @@ def test_hll_and_kmv_registers_vs_python_reference(spark):
         for r in kmv_sketch(df, "grp", "v").collect():
             got_kmv.setdefault(r.grp, []).append(r.h)
         assert {g: sorted(v) for g, v in got_kmv.items()} == exp_kmv, f"case {case}"
+
+
+def test_phrase_search_random_texts_vs_python(spark):
+    """Map-only phrase matching vs a straight-line Python scan on random
+    word-soup docs with planted phrase occurrences (including overlapping
+    and back-to-back plants)."""
+    from changegen_spark.queries import search as S
+
+    rng = random.Random(99)
+    vocab = ["slow", "hash", "batch", "row", "scan", "join", "key"]
+    docs = []
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if i % 3 == 0:  # plant 1-2 occurrences at random positions
+            for _ in range(rng.randint(1, 2)):
+                p = rng.randint(0, len(words))
+                words[p:p] = list(S.PHRASE)
+        docs.append((i, " ".join(words)))
+
+    def py_matches(text):
+        toks = text.split()
+        hits = [
+            p + 1
+            for p in range(len(toks) - len(S.PHRASE) + 1)
+            if tuple(toks[p : p + len(S.PHRASE)]) == S.PHRASE
+        ]
+        return hits
+
+    expected = {
+        i: (len(h), h[0]) for i, t in docs if (h := py_matches(t))
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    orig = S.load_table
+    S.load_table = lambda _s, _d, _n: df
+    try:
+        got = {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in S.q_phrase_search(spark, "unused").collect()
+        }
+    finally:
+        S.load_table = orig
+    assert got == expected
