@@ -841,8 +841,136 @@ FROM allz GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+BBOX_DOMAIN = 100_000  # integer coordinate domain
+BBOX_CELL = 8_192  # grid cell: ≥ max box extent → ≤ 2 cells per axis
+
+
+def _bbox_h(salt: str) -> F.Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBR (bounding-box) overlap join — the filter step of every R-tree
+    spatial engine as a standalone operator: which rectangle pairs
+    intersect, with the exact integer intersection area.
+
+    Boxes are deterministic integer rectangles derived per customer key
+    (stable md5 coordinates/extents — the registry's synthetic-geometry
+    idiom), so every coordinate, the overlap predicate, and the area are
+    pure integer arithmetic: the oracle — a structurally different
+    brute-force O(n²) SQL join — must agree bit-for-bit.
+
+    Scale shape: grid filter-and-refine.  Each box explodes to the ≤ 4
+    cells its extent can span (BBOX_CELL ≥ the max box size), pairs come
+    from a hash EQUI-join on the cell, symmetric/multi-cell duplicates
+    are deduped on the id pair, and the exact closed-interval predicate
+    refines — the same plan family as the segment distance join, axis-
+    aligned.  Never all-pairs: candidate volume tracks cell occupancy.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    boxes = c.select(
+        F.col("c_custkey").alias("box_id"),
+        (_bbox_h("x") % BBOX_DOMAIN).alias("cx"),
+        (_bbox_h("y") % BBOX_DOMAIN).alias("cy"),
+        (50 + _bbox_h("w") % 2000).alias("hw"),
+        (50 + _bbox_h("h") % 2000).alias("hh"),
+    ).select(
+        "box_id",
+        (F.col("cx") - F.col("hw")).alias("xmin"),
+        (F.col("cx") + F.col("hw")).alias("xmax"),
+        (F.col("cy") - F.col("hh")).alias("ymin"),
+        (F.col("cy") + F.col("hh")).alias("ymax"),
+    )
+
+    def with_cells(df: DataFrame, p: str) -> DataFrame:
+        out = df.select(*[F.col(c0).alias(f"{p}{c0}") for c0 in df.columns])
+        return out.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}xmin") / BBOX_CELL),
+                    F.floor(F.col(f"{p}xmax") / BBOX_CELL),
+                )
+            ),
+        ).withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{p}ymin") / BBOX_CELL),
+                    F.floor(F.col(f"{p}ymax") / BBOX_CELL),
+                )
+            ),
+        )
+
+    a = with_cells(boxes, "a_")
+    b = with_cells(boxes, "b_")
+    pairs = (
+        a.join(b, ["__cx", "__cy"])
+        .filter(F.col("a_box_id") < F.col("b_box_id"))
+        .dropDuplicates(["a_box_id", "b_box_id"])
+    )
+    overlap = (
+        (F.col("a_xmin") <= F.col("b_xmax"))
+        & (F.col("b_xmin") <= F.col("a_xmax"))
+        & (F.col("a_ymin") <= F.col("b_ymax"))
+        & (F.col("b_ymin") <= F.col("a_ymax"))
+    )
+    iw = F.least(F.col("a_xmax"), F.col("b_xmax")) - F.greatest(
+        F.col("a_xmin"), F.col("b_xmin")
+    )
+    ih = F.least(F.col("a_ymax"), F.col("b_ymax")) - F.greatest(
+        F.col("a_ymin"), F.col("b_ymin")
+    )
+    return (
+        pairs.filter(overlap)
+        .select(
+            F.col("a_box_id").alias("a_id"),
+            F.col("b_box_id").alias("b_id"),
+            (iw * ih).alias("overlap_area"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+_BBOX_H_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR), '{s}')), 1, 8)) AS BIGINT)"
+)
+
+Q_BBOX_JOIN_SQL = f"""
+WITH boxes AS (
+  SELECT c_custkey AS box_id,
+         ({_BBOX_H_SQL.format(s='x')} % {BBOX_DOMAIN})
+           - (50 + {_BBOX_H_SQL.format(s='w')} % 2000) AS xmin,
+         ({_BBOX_H_SQL.format(s='x')} % {BBOX_DOMAIN})
+           + (50 + {_BBOX_H_SQL.format(s='w')} % 2000) AS xmax,
+         ({_BBOX_H_SQL.format(s='y')} % {BBOX_DOMAIN})
+           - (50 + {_BBOX_H_SQL.format(s='h')} % 2000) AS ymin,
+         ({_BBOX_H_SQL.format(s='y')} % {BBOX_DOMAIN})
+           + (50 + {_BBOX_H_SQL.format(s='h')} % 2000) AS ymax
+  FROM customer
+)
+SELECT a.box_id AS a_id, b.box_id AS b_id,
+       (least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+       * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin)) AS overlap_area
+FROM boxes a JOIN boxes b
+  ON a.box_id < b.box_id
+ AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+ AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "q_distance_join": q_distance_join,
+    "q_bbox_join": q_bbox_join,
     "q_tile_pyramid": q_tile_pyramid,
     "q_haversine": q_haversine,
     "q_point_in_polygon": q_point_in_polygon,
@@ -860,6 +988,7 @@ QUERIES = {
 
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
+    "q_bbox_join": Q_BBOX_JOIN_SQL,
     "q_tile_pyramid": Q_TILE_PYRAMID_SQL,
     "q_point_in_polygon": Q_PIP_SQL,
     "q_haversine": Q_HAVERSINE_SQL,

@@ -53,6 +53,16 @@ def test_grid_join_is_equi_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bbox_join_is_equi_join_not_cartesian(spark, sf_dir):
+    """The MBR overlap join must pair candidates through the grid-cell
+    hash equi-join, not a nested-loop over the inequality predicate."""
+    from changegen_spark.queries.geo import q_bbox_join
+
+    plan = _plan(q_bbox_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_signature_is_shuffle_free(spark, sf_dir):
     """The MinHash signature stage must be a pure projection — a per-doc
     fold needs NO shuffle (r1 shape was explode → partial-min groupBy; the
