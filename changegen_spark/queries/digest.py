@@ -121,6 +121,8 @@ KINDS = {
     "q_grid_dedup": {"pid": "num", "lon": "e6", "lat": "e6"},
     "q_bbox_join": {"a_id": "num", "b_id": "num", "overlap_area": "num"},
     "q_self_join": {"a_id": "num", "b_id": "num", "dist": "e6"},
+    "q_dwithin_semi": {"osm_id": "num"},
+    "q_knn_join": {"probe_id": "num", "rank": "num", "neighbor_id": "num", "dist": "e6"},
     "q_hrw_shards": {"doc_id": "num", "shard_a": "num", "shard_b": "num", "moved": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},

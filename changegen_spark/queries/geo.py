@@ -220,6 +220,64 @@ def q_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 3
+KNN_RADIUS = 1.5
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor join: for each probe, the up-to-3
+    nearest other points within 1.5 units, ranked — the multi-match
+    generalization of q_nearest_neighbor (same grid candidates, a
+    per-probe top-k window instead of min_by).
+
+    The radius bound is what makes a distributed kNN join tractable: grid
+    candidates are complete within it (the spatial-join guarantee), so
+    rank ≤ k over them is exact for every neighbor within the radius —
+    the contract real pipelines use (post-filter ANN, map-matching,
+    junction candidate ranking).  Unbounded exact kNN needs expanding
+    ring searches; the bounded form is one equi-join + one window.
+    Ties break (dist, neighbor id) — deterministic in both engines.
+    """
+    pts = _points(spark, sf_dir)
+    probes = pts.filter(F.col("pid") % 100 == 0)
+    pairs = grid_distance_join(
+        probes, pts, radius=KNN_RADIUS, left_cols=("x", "y"),
+        right_cols=("x", "y"), exclude_equal=True,
+    )
+    w = Window.partitionBy("l_pid").orderBy(
+        F.round(F.col("dist"), 6), F.col("r_pid")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("l_pid").alias("probe_id"),
+            "rank",
+            F.col("r_pid").alias("neighbor_id"),
+            F.round(F.col("dist"), 6).alias("dist"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+Q_KNN_JOIN_SQL = f"""
+WITH pts AS ({_PTS_SQL}),
+cand AS (
+  SELECT a.pid AS probe_id, b.pid AS neighbor_id,
+         round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+  FROM pts a JOIN pts b
+    ON a.pid % 100 = 0
+   AND NOT (a.x = b.x AND a.y = b.y)
+   AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= {KNN_RADIUS}
+)
+SELECT probe_id, rn AS rank, neighbor_id, dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, neighbor_id) AS rn
+  FROM cand
+) WHERE rn <= {KNN_K} ORDER BY probe_id, rank
+"""
+
+
 Q_NEAREST_SQL = f"""
 WITH pts AS ({_PTS_SQL}),
 cand AS (
@@ -971,6 +1029,7 @@ ORDER BY a_id, b_id
 QUERIES = {
     "q_distance_join": q_distance_join,
     "q_bbox_join": q_bbox_join,
+    "q_knn_join": q_knn_join,
     "q_tile_pyramid": q_tile_pyramid,
     "q_haversine": q_haversine,
     "q_point_in_polygon": q_point_in_polygon,
@@ -989,6 +1048,7 @@ QUERIES = {
 ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
     "q_bbox_join": Q_BBOX_JOIN_SQL,
+    "q_knn_join": Q_KNN_JOIN_SQL,
     "q_tile_pyramid": Q_TILE_PYRAMID_SQL,
     "q_point_in_polygon": Q_PIP_SQL,
     "q_haversine": Q_HAVERSINE_SQL,
