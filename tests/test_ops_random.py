@@ -434,3 +434,64 @@ def test_phrase_search_random_texts_vs_python(spark):
     finally:
         S.load_table = orig
     assert got == expected
+
+
+def test_bbox_overlap_grid_matches_bruteforce(spark):
+    """Grid filter-and-refine bbox pairing vs brute force on random
+    rectangle sets at several densities (the fixture exercises one)."""
+    from pyspark.sql import functions as F2
+
+    from changegen_spark.queries.geo import BBOX_CELL
+
+    rng = random.Random(17)
+    for case, (n, max_ext) in enumerate([(40, 300), (80, 4000), (120, 9000)]):
+        boxes = []
+        for i in range(n):
+            cx, cy = rng.randint(0, 50_000), rng.randint(0, 50_000)
+            hw, hh = rng.randint(1, max_ext), rng.randint(1, max_ext)
+            boxes.append((i, cx - hw, cx + hw, cy - hh, cy + hh))
+        expected = {
+            (a[0], b[0], (min(a[2], b[2]) - max(a[1], b[1])) * (min(a[4], b[4]) - max(a[3], b[3])))
+            for a in boxes
+            for b in boxes
+            if a[0] < b[0]
+            and a[1] <= b[2] and b[1] <= a[2]
+            and a[3] <= b[4] and b[3] <= a[4]
+        }
+        df = spark.createDataFrame(
+            boxes, "box_id long, xmin long, xmax long, ymin long, ymax long"
+        )
+
+        def cells(d, p):
+            out = d.select(*[F2.col(c).alias(f"{p}{c}") for c in d.columns])
+            return out.withColumn(
+                "__cx",
+                F2.explode(F2.sequence(F2.floor(F2.col(f"{p}xmin") / BBOX_CELL), F2.floor(F2.col(f"{p}xmax") / BBOX_CELL))),
+            ).withColumn(
+                "__cy",
+                F2.explode(F2.sequence(F2.floor(F2.col(f"{p}ymin") / BBOX_CELL), F2.floor(F2.col(f"{p}ymax") / BBOX_CELL))),
+            )
+
+        pairs = (
+            cells(df, "a_")
+            .join(cells(df, "b_"), ["__cx", "__cy"])
+            .filter(F2.col("a_box_id") < F2.col("b_box_id"))
+            .dropDuplicates(["a_box_id", "b_box_id"])
+            .filter(
+                (F2.col("a_xmin") <= F2.col("b_xmax"))
+                & (F2.col("b_xmin") <= F2.col("a_xmax"))
+                & (F2.col("a_ymin") <= F2.col("b_ymax"))
+                & (F2.col("b_ymin") <= F2.col("a_ymax"))
+            )
+        )
+        iw = F2.least("a_xmax", "b_xmax") - F2.greatest("a_xmin", "b_xmin")
+        ih = F2.least("a_ymax", "b_ymax") - F2.greatest("a_ymin", "b_ymin")
+        got = {
+            (r.a, r.b, r.area)
+            for r in pairs.select(
+                F2.col("a_box_id").alias("a"),
+                F2.col("b_box_id").alias("b"),
+                (iw * ih).alias("area"),
+            ).collect()
+        }
+        assert got == expected, f"case {case}"
