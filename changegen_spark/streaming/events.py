@@ -59,17 +59,29 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts_stream(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling window count+sum per event_type with late-data watermark.
+    """Tumbling — or, with ``slide``, hopping — window count+sum per
+    event_type with late-data watermark.
 
-    Batch twin: queries.events.q_event_windows — same expressions, plus the
-    watermark bound that lets state be dropped at scale.
+    Batch twins: queries.events.q_event_windows (tumbling) and
+    queries.timeseries.q_hopping_windows (slide="30 minutes",
+    window="2 hours") — same expressions, plus the watermark bound that
+    lets state be dropped at scale (hopping state is duration/slide
+    windows per key at a time).
     """
     val_e6 = F.round(F.col("value") * 1e6).cast("long")
+    win = (
+        F.window("ts", window, slide).alias("w")
+        if slide
+        else F.window("ts", window).alias("w")
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win, "event_type")
         .agg(F.count("*").alias("n"), F.sum(val_e6).alias("sum_value_e6"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

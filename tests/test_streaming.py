@@ -40,6 +40,27 @@ def test_stream_stream_join_matches_batch_pairs(spark, sf_dir):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
 
 
+def test_hopping_windows_stream_matches_batch(spark, sf_dir):
+    """Hopping (sliding) windows: the streaming form run to completion in
+    complete mode equals the oracle-backed batch twin."""
+    from changegen_spark.queries.timeseries import q_hopping_windows
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_counts_stream,
+    )
+
+    got = run_to_memory_sink(
+        windowed_counts_stream(
+            stream_events(spark, sf_dir), window="2 hours", slide="30 minutes"
+        ),
+        "t_hop_counts",
+        mode="complete",
+    ).orderBy("window_start", "event_type")
+    expected = q_hopping_windows(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expected.collect()]
+
+
 def test_capped_balance_stream_plan_builds(spark, sf_dir):
     """transformWithStateInPandas plan constructs with the right schema
     (execution needs google.protobuf — gated below)."""
