@@ -644,11 +644,12 @@ def q_simplify_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIP_POLY = [(100, 100), (800, 150), (650, 500), (450, 300), (150, 700)]
 
 
-def _pip_edges():
-    return list(zip(PIP_POLY, PIP_POLY[1:] + PIP_POLY[:1]))
+def _pip_edges(poly=None):
+    poly = poly or PIP_POLY
+    return list(zip(poly, poly[1:] + poly[:1]))
 
 
-def _pip_spark(px, py) -> F.Column:
+def _pip_spark(px, py, poly=None) -> F.Column:
     """Crossing-number point-in-polygon as a pure integer expression.
 
     For edge (x1,y1)->(x2,y2), a rightward ray from (px,py) crosses iff
@@ -657,7 +658,7 @@ def _pip_spark(px, py) -> F.Column:
     sign of (y2-y1), so NO division ever happens: every comparison is
     exact int64 arithmetic, bit-identical in any engine."""
     inside = F.lit(False)
-    for (x1, y1), (x2, y2) in _pip_edges():
+    for (x1, y1), (x2, y2) in _pip_edges(poly):
         spans = (F.lit(y1) > py) != (F.lit(y2) > py)
         lhs = (px - F.lit(x1)) * F.lit(y2 - y1)
         rhs = (py - F.lit(y1)) * F.lit(x2 - x1)
@@ -666,9 +667,9 @@ def _pip_spark(px, py) -> F.Column:
     return inside
 
 
-def _pip_sql(px: str, py: str) -> str:
+def _pip_sql(px: str, py: str, poly=None) -> str:
     terms = []
-    for (x1, y1), (x2, y2) in _pip_edges():
+    for (x1, y1), (x2, y2) in _pip_edges(poly):
         op = "<" if (y2 - y1) > 0 else ">"
         terms.append(
             f"CAST((({y1} > {py}) != ({y2} > {py}))"
@@ -716,6 +717,72 @@ FROM pts
 WHERE {_pip_sql("x10", "y10")}
 ORDER BY pid
 """
+
+
+# Containment-join polygon set: the test pentagon plus integer-derived
+# translations/shrink — distinct overlap patterns over the [0,1000)² field.
+PIP_POLYS = {
+    1: PIP_POLY,
+    2: [(x + 120, y - 60) for x, y in PIP_POLY],
+    3: [((x + 500) // 2, (y + 500) // 2) for x, y in PIP_POLY],
+    4: [(x - 80, y + 200) for x, y in PIP_POLY],
+}
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains JOIN: every (polygon_id, point) containment pair
+    against a small polygon table — the dimension-side-literal spatial
+    join (zone assignment, geofencing).
+
+    Because the polygon side is a handful of fixed rings, the join is a
+    UNION of map-only passes — one exact-integer crossing-number
+    predicate per polygon compiled into the scan, ZERO shuffle until the
+    final order.  This is the broadcast-dimension degenerate case of the
+    containment join; the data-sized-both-sides form adds the grid/bbox
+    prefilter (q_bbox_join) in front of the same per-edge test.  Points
+    on the even-odd boundary follow the half-open crossing rule
+    identically in both engines (pure int64 comparisons).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid = F.col("event_id")
+    x10 = (eid * 37 + F.expr("event_id div 11") * 193) % 1000
+    y10 = (eid * 61 + F.expr("event_id div 13") * 389) % 1000
+    parts = []
+    for poly_id, poly in PIP_POLYS.items():
+        parts.append(
+            ev.select(
+                F.lit(poly_id).alias("poly_id"),
+                eid.alias("pid"),
+                _pip_spark(x10, y10, poly).alias("inside"),
+            ).filter(F.col("inside"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("poly_id", "pid").orderBy("poly_id", "pid")
+
+
+def _containment_sql() -> str:
+    branches = []
+    for poly_id, poly in PIP_POLYS.items():
+        branches.append(
+            f"SELECT {poly_id} AS poly_id, pid FROM pts WHERE "
+            + _pip_sql("x10", "y10", poly)
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH pts AS (
+  SELECT event_id AS pid,
+         (event_id * 37 + (event_id // 11) * 193) % 1000 AS x10,
+         (event_id * 61 + (event_id // 13) * 389) % 1000 AS y10
+  FROM events WHERE event_id % 5 = 0
+)
+{union}
+ORDER BY poly_id, pid
+"""
+
+
+Q_CONTAINMENT_JOIN_SQL = _containment_sql()
 
 
 def q_convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,6 +1097,7 @@ QUERIES = {
     "q_distance_join": q_distance_join,
     "q_bbox_join": q_bbox_join,
     "q_knn_join": q_knn_join,
+    "q_containment_join": q_containment_join,
     "q_tile_pyramid": q_tile_pyramid,
     "q_haversine": q_haversine,
     "q_point_in_polygon": q_point_in_polygon,
@@ -1049,6 +1117,7 @@ ORACLES = {
     "q_distance_join": Q_DISTANCE_JOIN_SQL,
     "q_bbox_join": Q_BBOX_JOIN_SQL,
     "q_knn_join": Q_KNN_JOIN_SQL,
+    "q_containment_join": Q_CONTAINMENT_JOIN_SQL,
     "q_tile_pyramid": Q_TILE_PYRAMID_SQL,
     "q_point_in_polygon": Q_PIP_SQL,
     "q_haversine": Q_HAVERSINE_SQL,
