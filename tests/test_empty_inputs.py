@@ -57,6 +57,15 @@ CASES = [
     ("q_pagerank", lambda n: n == 0),
     ("q_funnel", lambda n: n == 0),
     ("q_resample", lambda n: n == 0),
+    ("q_bbox_join", lambda n: n >= 0),  # boxes from customer: empty too
+    ("q_knn_join", lambda n: n == 0),
+    ("q_containment_join", lambda n: n == 0),
+    ("q_tile_pyramid", lambda n: n == 0),
+    ("q_hopping_windows", lambda n: n == 0),
+    ("q_ab_test", lambda n: n == 0),
+    ("q_new_vs_returning", lambda n: n == 0),
+    ("q_asof_forward", lambda n: n == 0),
+    ("q_kmv_jaccard", lambda n: n == 0),
     ("q_catalog", lambda n: n == 10),  # catalog row per (empty) table
 ]
 
