@@ -66,6 +66,55 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-analytic window battery q_window_rank doesn't
+    cover: ntile bucketing, percent_rank, cume_dist, and nth_value —
+    per-customer over order price, total (price desc, orderkey) order.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank_rows/n are exact
+    rationals of small integers: the single IEEE division is bit-identical
+    across engines, rounded to 6 dp by registry discipline anyway.
+    Single-customer partitions make percent_rank 0/0-free by definition
+    (Spark and DuckDB both define it as 0.0 for n=1)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 50 == 0
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value(F.col("o_orderkey"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("second_best_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q_WINDOW_FUNCS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_best_orderkey
+FROM orders WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 Q_WINDOW_RANK_SQL = """
 SELECT o_custkey, o_orderkey,
        CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
@@ -814,6 +863,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_catalog": q_catalog,
     "q_window_rank": q_window_rank,
+    "q_window_funcs": q_window_funcs,
     "q_array_ops": q_array_ops,
     "q_count_distinct": q_count_distinct,
     "q_approx_distinct": q_approx_distinct,
@@ -834,6 +884,7 @@ ORACLES = {
     "q_percentiles": Q_PERCENTILES_SQL,
     "q_catalog": Q_CATALOG_SQL,
     "q_window_rank": Q_WINDOW_RANK_SQL,
+    "q_window_funcs": Q_WINDOW_FUNCS_SQL,
     "q_array_ops": Q_ARRAY_OPS_SQL,
     "q_count_distinct": Q_COUNT_DISTINCT_SQL,
     "q_scalar_funcs": Q_SCALAR_SQL,
