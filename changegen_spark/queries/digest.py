@@ -126,6 +126,7 @@ KINDS = {
     "q_segment_closest_point": {"pid": "num", "cp_x": "e6", "cp_y": "e6", "dist": "e6", "crossing": "num"},
     "q_containment_join": {"poly_id": "num", "pid": "num"},
     "q_window_funcs": {"o_custkey": "num", "o_orderkey": "num", "price_cents": "num", "quartile": "num", "pct_rank": "e6", "cume": "e6", "second_best_orderkey": "num"},
+    "q_grouping_sets": {"l_returnflag": "str", "l_linestatus": "str", "n": "num", "price_cents": "num", "g_flag": "num", "g_status": "num"},
     "q_hrw_shards": {"doc_id": "num", "shard_a": "num", "shard_b": "num", "moved": "num"},
     "q_scd2_intervals": {"user_id": "num", "event_id": "num", "event_type": "str", "valid_from": "str", "valid_to": "str", "is_current": "num", "value_e6": "num"},
     "q_media_image_decode": {"asset_id": "num", "fmt": "str", "width": "num", "height": "num", "mean_e6": "num"},
