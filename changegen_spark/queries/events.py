@@ -297,8 +297,9 @@ flagged AS (
   FROM ev
 ), numbered AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM flagged
 ), sessions AS (
   SELECT user_id, session_seq,
