@@ -1,8 +1,12 @@
 """CLI entry point — the ``changegen`` command surface, Spark-native.
 
-Parity with the reference CLI (``changegen/__main__.py:71-269``), adapted to
-parquet snapshots instead of a live PostGIS connection (SURVEY §7 stack
-decision): the "database" is a directory of parquet tables (one per table,
+Parity with the reference CLI (``changegen/__main__.py:71-269``). Two table
+sources: parquet snapshots (SURVEY §7 canonical input) or a LIVE database via
+``--jdbc URL`` (the reference's primary mode — discovery by suffix and
+partitioned reads through ``sources/jdbc.py``; with neither DBDIR nor
+``--jdbc``, connection parameters fall back to the standard PG* environment
+variables exactly like the reference). In parquet mode the "database" is a
+directory of parquet tables (one per table,
 geometry as WKT strings in a ``geometry``/``geom`` column), the "extract" is
 a directory with ``nodes``/``ways``/``relations`` parquet (ingested from a
 ``.pbf`` via ``changegen_spark.sources.pbf`` — or pass a ``.pbf`` path
@@ -44,16 +48,62 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _load_geo_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet table, parsing any WKT geometry column into the
-    engine's geometry struct."""
+def _parse_geo_columns(df: DataFrame) -> DataFrame:
+    """Parse any WKT geometry column into the engine's geometry struct."""
     from changegen_spark.geo.geometry import parse_wkt
 
-    df = spark.read.parquet(path)
     for cand in ("geometry", "geom"):
         if cand in df.columns and dict(df.dtypes)[cand] == "string":
             df = df.withColumn(cand, parse_wkt(F.col(cand)))
     return df
+
+
+def _load_geo_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, parsing any WKT geometry column into the
+    engine's geometry struct."""
+    return _parse_geo_columns(spark.read.parquet(path))
+
+
+class ParquetSource:
+    """Table source backed by a directory of parquet files (the engine's
+    canonical snapshot input)."""
+
+    def __init__(self, spark: SparkSession, dbdir: str) -> None:
+        self.spark = spark
+        self.dbdir = dbdir
+
+    def discover(self, suffixes: list[str]) -> list[str]:
+        return discover_new_tables(self.dbdir, suffixes)
+
+    def load_geo(self, name: str) -> DataFrame:
+        return _load_geo_table(self.spark, os.path.join(self.dbdir, f"{name}.parquet"))
+
+    def load_plain(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dbdir, f"{name}.parquet"))
+
+    def describe(self) -> str:
+        return self.dbdir
+
+
+class JdbcSource:
+    """Table source backed by a live database over JDBC — the reference's
+    primary mode (``changegen/__main__.py:165-169``, ``db.py:148-180``).
+    Discovery and partitioned reads via ``sources.jdbc.JdbcCatalog``."""
+
+    def __init__(self, catalog) -> None:
+        self.catalog = catalog
+
+    def discover(self, suffixes: list[str]) -> list[str]:
+        return self.catalog.discover(suffixes)
+
+    def load_geo(self, name: str) -> DataFrame:
+        return _parse_geo_columns(self.catalog.load(name))
+
+    def load_plain(self, name: str) -> DataFrame:
+        return self.catalog.load(name)
+
+    def describe(self) -> str:
+        return self.catalog.url
 
 
 def _split_by_gtype(df: DataFrame, geom_col: str) -> dict[str, DataFrame]:
@@ -93,13 +143,18 @@ def discover_new_tables(dbdir: str, suffixes: list[str]) -> list[str]:
 
 
 def load_new_parts(
-    spark: SparkSession, dbdir: str, table_names: list[str]
+    spark: SparkSession, source, table_names: list[str]
 ) -> dict[str, DataFrame]:
     """Load + geometry-dispatch the named feature tables into the pipeline's
-    ``new_points`` / ``new_ways`` / ``new_polygons`` parts."""
+    ``new_points`` / ``new_ways`` / ``new_polygons`` parts.
+
+    ``source`` is a ParquetSource/JdbcSource (a plain dbdir string is also
+    accepted for backward compatibility)."""
+    if isinstance(source, str):
+        source = ParquetSource(spark, source)
     points, lines, polys = [], [], []
     for name in table_names:
-        df = _load_geo_table(spark, os.path.join(dbdir, f"{name}.parquet"))
+        df = source.load_geo(name)
         geom_col = "geometry" if "geometry" in df.columns else "geom"
         for gtype, part in _split_by_gtype(df, geom_col).items():
             keyed = _with_fkey(part, geom_col)
@@ -157,20 +212,21 @@ def build_tables(
     """Assemble the pipeline's table dict from discovered parquet files
     (merged single-run mode)."""
     suffixes = [suffix] if isinstance(suffix, str) else list(suffix)
-    names = discover_new_tables(dbdir, suffixes)
+    source = ParquetSource(spark, dbdir) if isinstance(dbdir, str) else dbdir
+    names = source.discover(suffixes)
     if not names:
-        raise SystemExit(f"no tables matching *{suffixes} in {dbdir}")
-    tables = load_new_parts(spark, dbdir, names)
+        raise SystemExit(f"no tables matching *{suffixes} in {source.describe()}")
+    tables = load_new_parts(spark, source, names)
 
     for ex in _aslist(existing):
-        df = _load_geo_table(spark, os.path.join(dbdir, f"{ex}.parquet"))
+        df = source.load_geo(ex)
         tables["original_ways"] = (
             tables["original_ways"].unionByName(df, allowMissingColumns=True)
             if "original_ways" in tables
             else df
         )
     for dl in _aslist(deletions):
-        df = spark.read.parquet(os.path.join(dbdir, f"{dl}.parquet"))
+        df = source.load_plain(dl)
         tables["deleted_ways"] = (
             tables["deleted_ways"].unionByName(df, allowMissingColumns=True)
             if "deleted_ways" in tables
@@ -191,8 +247,25 @@ def main(argv: list[str] | None = None) -> int:
         prog="changegen_spark",
         description="Generate an OSMChange file from parquet feature tables + an OSM extract.",
     )
-    p.add_argument("dbdir", help="directory of parquet tables")
+    p.add_argument(
+        "dbdir", nargs="?", default=None,
+        help="directory of parquet tables (omit when using --jdbc / PG* env vars)",
+    )
     p.add_argument("--osmsrc", required=True, help="extract: ingested dir (nodes/ways/relations parquet) or a .pbf file")
+    p.add_argument(
+        "--jdbc", default=None,
+        help="JDBC URL of a live database (reference primary mode, "
+        "changegen/__main__.py:165-169); tables are discovered by suffix and "
+        "read with partitioned connections. With neither DBDIR nor --jdbc, "
+        "a PostgreSQL URL is built from the standard PG* environment "
+        "variables like the reference.",
+    )
+    p.add_argument("--jdbc-driver", default=None, help="JDBC driver class (default inferred from URL)")
+    p.add_argument("--jdbc-schema", default=None, help="schema for table discovery (default: public, or main for DuckDB)")
+    p.add_argument("--jdbc-partition-column", default="id", help="numeric column used to parallelize JDBC reads")
+    p.add_argument("--jdbc-partitions", type=int, default=32, help="number of parallel JDBC read partitions")
+    p.add_argument("--jdbc-jar", default=None, help="path to the JDBC driver jar (added to the Spark classpath at launch)")
+    p.add_argument("-d", "--debug", action="store_true", help="enable verbose logging (reference -d)")
     p.add_argument("--output", default=None, help="merged single-file output .osc path")
     p.add_argument("--outdir", "-o", default=None, help="directory for per-table {table}.osc outputs (reference mode)")
     p.add_argument("--suffix", "-s", action="append", default=None, help="new-table name suffix (repeatable; default _new)")
@@ -243,7 +316,35 @@ def main(argv: list[str] | None = None) -> int:
     from changegen_spark.sinks.oscxml import write_osmchange
     from changegen_spark.sources.osm import max_pbf_ids
 
-    spark = get_spark("changegen_spark-cli")
+    spark = get_spark("changegen_spark-cli", jars=args.jdbc_jar)
+    if args.debug:
+        # reference -d/--debug (changegen/__main__.py:72): verbose logging
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG)
+        spark.sparkContext.setLogLevel("INFO")
+
+    if args.jdbc is not None or args.dbdir is None:
+        from changegen_spark.sources.jdbc import JdbcCatalog, postgres_url_from_env
+
+        url, props = args.jdbc, {}
+        if url is None:
+            # reference parity: fall back to the standard PG* env vars
+            url, props = postgres_url_from_env(dict(os.environ))
+        source = JdbcSource(
+            JdbcCatalog(
+                spark,
+                url,
+                schema=args.jdbc_schema,
+                driver=args.jdbc_driver,
+                partition_column=args.jdbc_partition_column,
+                num_partitions=args.jdbc_partitions,
+                properties=props,
+            )
+        )
+    else:
+        source = ParquetSource(spark, args.dbdir)
+
     extract = load_extract(spark, args.osmsrc)
 
     # C6 collision guard, reference semantics (__main__.py:197-208): warn by
@@ -287,13 +388,13 @@ def main(argv: list[str] | None = None) -> int:
             split_joiner="duplicate_first" if args.reference_bytes else "shared",
         )
 
-    names = discover_new_tables(args.dbdir, suffixes)
+    names = source.discover(suffixes)
     if not names and not args.deletions:
-        raise SystemExit(f"nothing to do: no tables matching *{suffixes} in {args.dbdir} and no --deletions")
+        raise SystemExit(f"nothing to do: no tables matching *{suffixes} in {source.describe()} and no --deletions")
 
     ex_tables: dict[str, DataFrame] = {}
     for ex in _aslist(args.existing):
-        df = _load_geo_table(spark, os.path.join(args.dbdir, f"{ex}.parquet"))
+        df = source.load_geo(ex)
         ex_tables["original_ways"] = (
             ex_tables["original_ways"].unionByName(df, allowMissingColumns=True)
             if "original_ways" in ex_tables
@@ -306,7 +407,7 @@ def main(argv: list[str] | None = None) -> int:
         # (changegen/__main__.py:232-251) + one per deletions table (:253-263)
         os.makedirs(args.outdir, exist_ok=True)
         for name in names:
-            tables = {**load_new_parts(spark, args.dbdir, [name]), **ex_tables, **extract}
+            tables = {**load_new_parts(spark, source, [name]), **ex_tables, **extract}
             elements = run_one(tables)
             if elements is None:
                 continue
@@ -316,7 +417,7 @@ def main(argv: list[str] | None = None) -> int:
             wrote.append(out)
         for dl in _aslist(args.deletions):
             tables = {
-                "deleted_ways": spark.read.parquet(os.path.join(args.dbdir, f"{dl}.parquet")),
+                "deleted_ways": source.load_plain(dl),
                 **extract,
             }
             elements = generate_deletions(spark, tables)
@@ -330,9 +431,9 @@ def main(argv: list[str] | None = None) -> int:
 
     # merged single-file mode
     parts = []
-    tables = {**load_new_parts(spark, args.dbdir, names), **ex_tables, **extract}
+    tables = {**load_new_parts(spark, source, names), **ex_tables, **extract}
     for dl in _aslist(args.deletions):
-        df = spark.read.parquet(os.path.join(args.dbdir, f"{dl}.parquet"))
+        df = source.load_plain(dl)
         tables["deleted_ways"] = (
             tables["deleted_ways"].unionByName(df, allowMissingColumns=True)
             if "deleted_ways" in tables

@@ -19,6 +19,7 @@ def get_spark(
     app_name: str = "changegen_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    jars: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
@@ -69,4 +70,14 @@ def get_spark(
         # would point into our operator code anyway, so turn it off.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
+    # Extra driver jars (e.g. a JDBC driver for --jdbc live mode). Must be
+    # supplied before JVM launch; comma-separated paths, also honored via
+    # the SPARK_GRAFT_JARS environment variable.
+    jars = jars or os.environ.get("SPARK_GRAFT_JARS")
+    if jars:
+        builder = (
+            builder.config("spark.jars", jars)
+            .config("spark.driver.extraClassPath", jars.replace(",", ":"))
+            .config("spark.executor.extraClassPath", jars.replace(",", ":"))
+        )
     return builder.getOrCreate()

@@ -76,6 +76,119 @@ def discovery_query(suffix: str, schema: str = "public") -> str:
     return DISCOVERY_SQL.format(schema=schema, suffix=suffix)
 
 
+def default_driver_for_url(url: str) -> str | None:
+    """Best-effort JDBC driver class from the URL scheme."""
+    if url.startswith("jdbc:duckdb"):
+        return "org.duckdb.DuckDBDriver"
+    if url.startswith("jdbc:postgresql"):
+        return "org.postgresql.Driver"
+    return None
+
+
+def postgres_url_from_env(env: dict[str, str]) -> tuple[str, dict[str, str]]:
+    """Reference-parity connection defaults from the standard Postgres
+    environment variables (``changegen/__main__.py:165-169``): PGDATABASE /
+    PGPORT / PGUSER / PGHOST / PGPASSWORD, with the reference's fallbacks.
+
+    Returns (jdbc_url, connection_properties).
+    """
+    host = env.get("PGHOST", "localhost")
+    port = env.get("PGPORT", "15432")
+    dbname = env.get("PGDATABASE", "conflate")
+    props = {"user": env.get("PGUSER", "postgres")}
+    if env.get("PGPASSWORD"):
+        props["password"] = env["PGPASSWORD"]
+    return f"jdbc:postgresql://{host}:{port}/{dbname}", props
+
+
+class JdbcCatalog:
+    """Live-database table source — the reference's primary mode
+    (``changegen/__main__.py:165-169``; SQL pushed down at
+    ``changegen/db.py:148-180``).
+
+    Wraps discovery-by-suffix (S2) and partitioned table reads (S1) behind
+    the same discover/load surface the CLI uses for parquet directories.
+    Every table read probes min/max of the partition column with a 1-row
+    pushdown query, then opens ``num_partitions`` real JDBC connections —
+    never one connection dragging the whole table.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        schema: str | None = None,
+        driver: str | None = None,
+        partition_column: str = "id",
+        num_partitions: int = 32,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.url = url
+        self.schema = schema or (
+            "main" if url.startswith("jdbc:duckdb") else "public"
+        )
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
+        self.properties = dict(properties or {})
+        driver = driver or default_driver_for_url(url)
+        if driver and "driver" not in self.properties:
+            self.properties["driver"] = driver
+
+    def _query(self, sql: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f"({sql}) AS t")
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def discover(self, suffixes: list[str]) -> list[str]:
+        """Suffix discovery via information_schema, sorted per suffix to
+        match the parquet directory's glob-sorted order."""
+        names: list[str] = []
+        for suffix in suffixes:
+            found = sorted(
+                r[0]
+                for r in self._query(
+                    discovery_query(suffix, schema=self.schema)
+                ).collect()
+            )
+            for name in found:
+                if name not in names:
+                    names.append(name)
+        return names
+
+    def columns(self, table: str) -> list[str]:
+        return self._query(f"SELECT * FROM {table} LIMIT 0").columns
+
+    def load(self, table: str) -> DataFrame:
+        """Partitioned read of one table; falls back to a single-connection
+        read only when the partition column is absent or all-NULL."""
+        pc = self.partition_column if self.partition_column in self.columns(table) else None
+        lo = hi = None
+        if pc is not None:
+            row = self._query(
+                f"SELECT min({pc}) AS lo, max({pc}) AS hi FROM {table}"
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+            if lo is None:
+                pc = None
+        return jdbc_table_reader(
+            self.spark,
+            self.url,
+            table,
+            partition_column=pc,
+            lower_bound=int(lo) if lo is not None else None,
+            upper_bound=int(hi) + 1 if hi is not None else None,
+            num_partitions=self.num_partitions,
+            geometry_column=None,
+            properties=self.properties,
+        ).load()
+
+
 def snapshot_to_parquet(
     spark: SparkSession,
     url: str,

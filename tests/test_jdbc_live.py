@@ -124,3 +124,107 @@ def test_live_jdbc_roundtrip(tmp_path):
         env={**os.environ, "PYTHONPATH": "/root/repo"},
     )
     assert "JDBC_LIVE_OK" in proc.stdout, proc.stdout + "\n" + proc.stderr[-3000:]
+
+
+CLI_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import duckdb, glob, os
+
+workdir = sys.argv[1]
+jar = sys.argv[2]
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.jars", jar)
+    .config("spark.driver.extraClassPath", jar)
+    .config("spark.executor.extraClassPath", jar)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+
+from changegen_spark.geo.geometry import wkt
+from changegen_spark.sources.osm import fixture_tables
+
+tables = fixture_tables(spark)
+db = os.path.join(workdir, "db"); os.makedirs(db)
+ext = os.path.join(workdir, "extract"); os.makedirs(ext)
+
+def export(name, df, geom_col=None):
+    if geom_col is not None:
+        df = df.withColumn(geom_col, wkt(F.col(geom_col)))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(db, f"{name}.parquet"))
+
+export("trails_new", tables["new_ways"], "geometry")
+export("pois_new", tables["new_points"], "geom")
+export("original_ways", tables["original_ways"], "geometry")
+export("deleted_ways", tables["deleted_ways"])
+for name in ("nodes", "ways", "relations"):
+    tables[f"pbf_{name}"].coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(ext, f"{name}.parquet")
+    )
+
+# mirror the parquet snapshot into a live DuckDB database, preserving
+# column order and types (CREATE TABLE AS read_parquet)
+dbfile = os.path.join(workdir, "live.duckdb")
+con = duckdb.connect(dbfile)
+for name in ("trails_new", "pois_new", "original_ways", "deleted_ways"):
+    files = sorted(glob.glob(os.path.join(db, f"{name}.parquet", "*.parquet")))
+    con.execute(
+        f"CREATE TABLE {name} AS SELECT * FROM read_parquet({files!r})"
+    )
+con.close()
+
+from changegen_spark.__main__ import main
+
+common = [
+    "--osmsrc", ext,
+    "--suffix", "_new",
+    "--existing", "original_ways",
+    "--deletions", "deleted_ways",
+    "--id_offset", "20000",
+]
+out_parquet = os.path.join(workdir, "parquet.osc")
+assert main([db, "--output", out_parquet] + common) == 0
+
+out_jdbc = os.path.join(workdir, "jdbc.osc")
+assert main([
+    "--jdbc", f"jdbc:duckdb:{dbfile}",
+    "--jdbc-jar", jar,
+    "--output", out_jdbc,
+] + common) == 0
+
+a = open(out_parquet, "rb").read()
+b = open(out_jdbc, "rb").read()
+assert a == b, (
+    f"parquet vs jdbc .osc differ: {len(a)} vs {len(b)} bytes"
+)
+
+import xml.etree.ElementTree as ET
+root = ET.fromstring(b)
+assert len(root.findall("./create/node")) == 89
+assert len(root.findall("./create/way")) == 4
+assert len(root.findall("./modify/way")) == 6
+assert len(root.findall("./delete/way")) == 2
+
+print("JDBC_CLI_OK")
+"""
+
+
+@pytest.mark.skipif(_find_jar() is None, reason="no DuckDB JDBC jar present")
+def test_cli_jdbc_mode_byte_identical(tmp_path):
+    """--jdbc live-database mode produces byte-identical .osc output to the
+    parquet-snapshot path (round-4 verdict task 2)."""
+    jar = _find_jar()
+    proc = subprocess.run(
+        [sys.executable, "-c", CLI_SCRIPT, str(tmp_path), jar],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "JDBC_CLI_OK" in proc.stdout, proc.stdout + "\n" + proc.stderr[-3000:]
