@@ -826,19 +826,49 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per consecutive pair: haversine meters and planar 3857 meters
     (both rounded to 3 dp).  Transcendentals (sin/cos/asin/ln/tan) are
     IEEE-identical across these engines at 3-dp rounding — the same
-    contract q_mercator already relies on."""
+    contract q_mercator already relies on.
+
+    Consecutive-pair pairing uses the same two-phase pattern as q_gini:
+    range-partition by pid, lag WITHIN each partition, then stitch the
+    partition boundaries from a tiny per-partition first/last frame (the
+    only global window runs over ≤ N_PARTITIONS rows).  No
+    single-partition scan of the data at any scale."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     lon = F.lit(-118.48) + ((F.col("event_id") * 7) % 560).cast("double") / 1000.0
     lat = F.lit(48.43) + ((F.col("event_id") * 11) % 420).cast("double") / 1000.0
-    pts = ev.select(F.col("event_id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
-    w = Window.orderBy("pid")
-    pairs = (
-        pts.repartition(1)  # consecutive-pair pairing over the SAMPLE (tiny);
-        # corpus-scale pairing would lag within a partition key
-        .withColumn("plon", F.lag("lon").over(w))
-        .withColumn("plat", F.lag("lat").over(w))
+    pts = (
+        ev.select(F.col("event_id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
+        .repartitionByRange(8, "pid")
+        .withColumn("__part", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("__part").orderBy("pid")
+    intra = (
+        pts.withColumn("plon", F.lag("lon").over(wp))
+        .withColumn("plat", F.lag("lat").over(wp))
+        .filter(F.col("plon").isNotNull())
+        .drop("__part")
+    )
+    # partition-boundary pairs: each partition's first point pairs with the
+    # previous non-empty partition's last point (bounds frame is ≤ 8 rows)
+    bounds = pts.groupBy("__part").agg(
+        F.min("pid").alias("f_pid"),
+        F.min_by("lon", "pid").alias("f_lon"),
+        F.min_by("lat", "pid").alias("f_lat"),
+        F.max_by("lon", "pid").alias("l_lon"),
+        F.max_by("lat", "pid").alias("l_lat"),
+    )
+    wb = Window.orderBy("__part")
+    boundary = (
+        bounds.select(
+            F.col("f_pid").alias("pid"),
+            F.col("f_lon").alias("lon"),
+            F.col("f_lat").alias("lat"),
+            F.lag("l_lon").over(wb).alias("plon"),
+            F.lag("l_lat").over(wb).alias("plat"),
+        )
         .filter(F.col("plon").isNotNull())
     )
+    pairs = intra.unionByName(boundary)
     rad = lambda c: F.radians(c)  # noqa: E731
     dphi = rad(F.col("lat") - F.col("plat"))
     dlam = rad(F.col("lon") - F.col("plon"))
