@@ -170,6 +170,40 @@ def view_purchase_stream_join(
     )
 
 
+def batch_to_change_elements(batch_df: DataFrame, base_id: int) -> DataFrame:
+    """One micro-batch of events → `<create>` node elements with dense ids
+    from ``base_id``.
+
+    Ids come from ``assign_sequential_ids(mode="distributed")``
+    (partition-local row_number + broadcast prefix offsets,
+    ``operators/ids.py:46-70``) — no per-batch global window, so a hot
+    micro-batch never funnels through one task."""
+    from changegen_spark.operators.ids import assign_sequential_ids
+
+    eid = F.col("event_id")
+    lon = F.lit(-118.48) + ((eid * 7) % 560).cast("double") / 1000.0
+    lat = F.lit(48.43) + ((eid * 11) % 420).cast("double") / 1000.0
+    ided = assign_sequential_ids(
+        batch_df,
+        order_by=["event_id"],
+        out_col="__id",
+        id_offset=base_id,
+        mode="distributed",
+    )
+    return ided.select(
+        F.lit("create").alias("change_type"),
+        F.lit("node").alias("kind"),
+        F.col("__id").alias("id"),
+        F.lit(1).alias("version"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.map_from_arrays(
+            F.array(F.lit("event_type"), F.lit("source_event")),
+            F.array(F.col("event_type"), eid.cast("string")),
+        ).alias("tags"),
+    )
+
+
 def change_feed(
     events: DataFrame,
     out_dir: str,
@@ -201,26 +235,8 @@ def change_feed(
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from pyspark.sql import Window
-
-        eid = F.col("event_id")
-        lon = F.lit(-118.48) + ((eid * 7) % 560).cast("double") / 1000.0
-        lat = F.lit(48.43) + ((eid * 11) % 420).cast("double") / 1000.0
-        w = Window.orderBy("event_id")
-        elems = batch_df.select(
-            F.lit("create").alias("change_type"),
-            F.lit("node").alias("kind"),
-            (
-                F.row_number().over(w).cast("long")
-                + F.lit(id_offset + batch_id * BATCH_STRIDE)
-            ).alias("id"),
-            F.lit(1).alias("version"),
-            lat.alias("lat"),
-            lon.alias("lon"),
-            F.map_from_arrays(
-                F.array(F.lit("event_type"), F.lit("source_event")),
-                F.array(F.col("event_type"), eid.cast("string")),
-            ).alias("tags"),
+        elems = batch_to_change_elements(
+            batch_df, id_offset + batch_id * BATCH_STRIDE
         )
         write_osmchange(elems, os.path.join(out_dir, f"changes-{batch_id}.osc"))
 

@@ -166,6 +166,38 @@ def test_change_feed_emits_per_batch_changefiles(spark, sf_dir, tmp_path):
     assert total == expected
     assert len(ids) == total  # ids unique across shards (batch stride)
 
+    # ids stay DENSE within each shard's stride window (distributed
+    # assignment is still gap-free per batch)
+    stride = 10_000_000
+    for s in shards:
+        sids = sorted(
+            int(n.attrib["id"])
+            for n in ET.parse(s).getroot().findall("./create/node")
+        )
+        base = (sids[0] - 50_000) // stride * stride + 50_000
+        assert sids == list(range(base + 1, base + 1 + len(sids)))
+
+
+def test_change_feed_ids_have_no_global_window(spark, sf_dir):
+    """The per-batch id assignment must be the distributed-mode operator:
+    the only partition-less window in the plan is the tiny per-partition
+    prefix-sum frame, never a data-sized Window.orderBy (r3 verdict #3)."""
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.events import batch_to_change_elements
+
+    batch = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    elems = batch_to_change_elements(batch, 50_000)
+    plan = elems._jdf.queryExecution().executedPlan().toString()
+    # distributed mode: intra-partition window + broadcast offset join
+    assert "windowspecdefinition(SPARK_PARTITION_ID()" in plan or "__part" in plan
+    assert "BroadcastHashJoin" in plan
+    # the global (partition-less) window may only touch the offsets frame,
+    # which is fed by the partial count aggregate — assert the data-bearing
+    # window (over event_id) is partitioned
+    for line in plan.splitlines():
+        if "windowspecdefinition(event_id" in line:
+            raise AssertionError(f"global window over data: {line}")
+
 
 def test_custom_state_sessionization_matches_batch(spark, sf_dir):
     """applyInPandasWithState sessionization must agree with the batch
