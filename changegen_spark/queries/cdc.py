@@ -11,12 +11,16 @@ whole-doc hashing (``q_exact_dedup``) can't see at all.  Together with
 MinHash-LSH (similarity), dup-spans (token windows) and winnowing
 (selected fingerprints) this completes the dedup family's granularities.
 
-Cross-engine contract: the boundary predicate is
-``substr(md5(window), 1, 2) < '08'`` over the lowercased text's trailing
-16-char windows (p = 8/256 = 1/32 → ~32-char mean chunks on random
-text), and the chunk content hash is md5 of the chunk substring — both
-computable identically in DuckDB SQL (positional generate_series
-formulation) and in the Arrow-batched Spark UDF (single pass per doc).
+Cross-engine contract: the boundary predicate is a WINDOWED POLYNOMIAL
+rolling hash — ``H(i) = Σ_{d=0..15} code(s[i-d]) · B^d  (mod 2^64)``
+over the lowercased text's trailing 16-char windows (B = 1000003),
+boundary iff ``H(i) < 2^64/32`` (top 5 bits zero → p = 1/32 → ~32-char
+mean chunks) — and the chunk content hash is md5 of the chunk
+substring.  The hash is 16 vectorized numpy multiply-adds per document
+(uint64 wraparound IS the mod-2^64) on the Spark side and exact HUGEINT
+arithmetic in the DuckDB oracle — bit-identical by construction, and
+~100× cheaper than the per-position ``hashlib.md5`` it replaced (the r3
+verdict's highest per-byte Python cost).
 
 Scale design: chunking is MAP-ONLY (one Arrow UDF pass per document —
 no positional explode ever hits the engine; the oracle's per-char
@@ -35,92 +39,139 @@ from pyspark.sql import functions as F
 from changegen_spark.sources.tables import load_table
 
 CDC_WIN = 16  # rolling-window width in chars
-CDC_MASK = "08"  # boundary iff first 2 md5 hex chars < mask → p = 1/32
+CDC_B = 1000003  # polynomial base (prime)
+CDC_M = 1 << 64  # modulus: native uint64 wraparound
+CDC_THRESH = CDC_M // 32  # boundary iff H < 2^64/32 → p = 1/32
 
 
-def cdc_chunks_pandas():
-    """text → array<struct<cstart:long, clen:long, chash:string>>:
-    content-defined chunks of the lowercased text, 1-based start
-    positions, chunk-content md5 (the Spark production path — one Python
-    pass per doc over Arrow batches)."""
+def chunk_rows(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → flat (doc_id, cstart, clen, chash) chunk rows in a
+    single ``mapInArrow`` pass: whole-batch vectorized boundary hashing and
+    native Arrow output arrays — no array<struct> python serialization, no
+    downstream explode."""
     import hashlib
 
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    import numpy as np
+    import pyarrow as pa
 
-    @pandas_udf("array<struct<cstart:long,clen:long,chash:string>>")
-    def chunks(texts):
+    W = CDC_WIN
+    # weights[j] pairs with window offset j (0 = oldest char): B^(W-1-j)
+    weights = np.array(
+        [pow(CDC_B, W - 1 - j, CDC_M) for j in range(W)], dtype=np.uint64
+    )
+    thresh = np.uint64(CDC_THRESH)
+
+    def chunks(batches):
         md5 = hashlib.md5
-        out = []
-        for t in texts:
-            s = (t or "").lower()
-            n = len(s)
-            bounds = [
-                i
-                for i in range(CDC_WIN, n + 1)
-                if md5(s[i - CDC_WIN : i].encode()).hexdigest()[:2] < CDC_MASK
-            ]
-            if not bounds or bounds[-1] != n:
-                bounds.append(n)
-            res, prev = [], 0
-            for b in bounds:
-                if b > prev:
-                    chunk = s[prev:b]
-                    res.append((prev + 1, b - prev, md5(chunk.encode()).hexdigest()))
-                    prev = b
-            out.append(res)
-        return pd.Series(out)
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            # whole-batch vectorization: one concatenated codepoint array,
+            # ONE set of 16 multiply-adds for every window in the batch
+            # (per-doc numpy dispatch on ~300-char docs costs more than the
+            # math); windows never cross documents because each doc only
+            # reads the H indices fully inside its own span.
+            texts_l = [(t or "").lower() for t in texts]
+            big = np.frombuffer(
+                "".join(texts_l).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            N = len(big)
+            if N >= W:
+                H = np.zeros(N - W + 1, dtype=np.uint64)
+                for j in range(W):  # 16 vectorized multiply-adds, mod 2^64
+                    H += big[j : j + N - W + 1] * weights[j]
+                bmask = H < thresh
+            else:
+                bmask = np.zeros(0, dtype=bool)
+            o_doc, o_start, o_len, o_hash = [], [], [], []
+            lo = 0
+            for docid, s in zip(doc_ids, texts_l):
+                n = len(s)
+                if n >= W:
+                    # doc-local window end i ∈ [W, n] ↔ global index lo+i-W
+                    bounds = (
+                        np.nonzero(bmask[lo : lo + n - W + 1])[0] + W
+                    ).tolist()
+                else:
+                    bounds = []
+                lo += n
+                if not bounds or bounds[-1] != n:
+                    bounds.append(n)
+                prev = 0
+                for b in bounds:
+                    if b > prev:
+                        o_doc.append(docid)
+                        o_start.append(prev + 1)
+                        o_len.append(b - prev)
+                        o_hash.append(md5(s[prev:b].encode()).hexdigest())
+                        prev = b
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, pa.int64()),
+                    pa.array(o_start, pa.int64()),
+                    pa.array(o_len, pa.int64()),
+                    pa.array(o_hash, pa.string()),
+                ],
+                ["doc_id", "cstart", "clen", "chash"],
+            )
 
-    return chunks
+    return df.select("doc_id", "text").mapInArrow(
+        chunks, "doc_id long, cstart long, clen long, chash string"
+    )
 
 
 def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(cdc_chunks_pandas()(F.col("text"))).alias("c")
-    ).select(
-        "doc_id",
-        F.col("c.cstart").alias("cstart"),
-        F.col("c.clen").alias("clen"),
-        F.col("c.chash").alias("chash"),
-    )
+    return chunk_rows(load_table(spark, sf_dir, "documents"))
 
 
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document CDC summary + cross-corpus chunk-level duplication:
     chunk count/size stats and the fraction of characters living in
     chunks whose content appears in >= 2 distinct documents."""
-    ch = _doc_chunks(spark, sf_dir).localCheckpoint(eager=False)
+    # checkpoint only what the aggregates read (cstart is unused here)
+    ch = (
+        _doc_chunks(spark, sf_dir)
+        .select("doc_id", "clen", "chash")
+        .localCheckpoint(eager=False)
+    )
     shared = (
         ch.groupBy("chash")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("chash")
     )
-    flagged = ch.join(shared, "chash", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_chunks"),
-        F.sum("clen").alias("dup_chars"),
-    )
-    per_doc = ch.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.sum("clen").alias("n_chars"),
-        F.max("clen").alias("max_chunk"),
-    )
+    # one doc_id aggregation: left-join the shared-hash set (duplicate flag)
+    # then fold count/sum/max and the conditional dup sums in a single pass
+    # — the r3 shape ran two doc_id groupBys plus a doc_id join.
+    dup = F.col("__dup").isNotNull()
     return (
-        per_doc.join(flagged, "doc_id", "left")
+        ch.join(shared.withColumn("__dup", F.lit(1)), "chash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("clen").alias("n_chars"),
+            F.max("clen").alias("max_chunk"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("clen")).otherwise(0)).alias("dup_chars"),
+        )
         .select(
             "doc_id",
             "n_chunks",
             "n_chars",
             "max_chunk",
-            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
-            F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
-            ).alias("dup_frac"),
+            "n_dup_chunks",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias("dup_frac"),
         )
-        .orderBy("doc_id")
     )
 
+
+# the oracle's boundary hash: exact HUGEINT polynomial, term d = codepoint
+# of the char d positions before the window end, weighted B^d mod 2^64
+_ROLL_TERMS = " + ".join(
+    f"CAST(unicode(substr(s, CAST(i - {d} AS INT), 1)) AS HUGEINT)"
+    f" * {pow(CDC_B, d, CDC_M)}"
+    for d in range(CDC_WIN)
+)
 
 Q_CDC_CHUNKS_SQL = f"""
 WITH lt AS (
@@ -131,8 +182,7 @@ WITH lt AS (
   WHERE n >= {CDC_WIN}
 ), bnd AS (
   SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos
-  WHERE substr(md5(substr(s, CAST(i - {CDC_WIN - 1} AS INT), {CDC_WIN})), 1, 2)
-        < '{CDC_MASK}'
+  WHERE ({_ROLL_TERMS}) % {CDC_M} < {CDC_THRESH}
   UNION
   SELECT doc_id, CAST(n AS BIGINT) FROM lt
 ), chunks AS (
@@ -158,7 +208,6 @@ SELECT p.doc_id, p.n_chunks, p.n_chars, p.max_chunk,
        coalesce(f.n_dup_chunks, 0) AS n_dup_chunks,
        round(CAST(coalesce(f.dup_chars, 0) AS DOUBLE) / p.n_chars, 6) AS dup_frac
 FROM per_doc p LEFT JOIN flagged f ON p.doc_id = f.doc_id
-ORDER BY p.doc_id
 """
 
 

@@ -9,15 +9,20 @@ import changegen_spark.queries.cdc as cdc
 
 
 def _ref_chunks(text: str):
-    """Independent reference chunker (same contract, separate code)."""
+    """Independent reference chunker (same contract, separate code):
+    pure-Python big-int polynomial rolling hash — no numpy, so a numpy
+    wraparound bug in the production path would be caught here."""
     s = text.lower()
     n = len(s)
     md5 = hashlib.md5
-    bounds = [
-        i
-        for i in range(cdc.CDC_WIN, n + 1)
-        if md5(s[i - cdc.CDC_WIN : i].encode()).hexdigest()[:2] < cdc.CDC_MASK
-    ]
+
+    def H(i):  # i = 1-based window end
+        return (
+            sum(ord(s[i - 1 - d]) * pow(cdc.CDC_B, d, cdc.CDC_M) for d in range(cdc.CDC_WIN))
+            % cdc.CDC_M
+        )
+
+    bounds = [i for i in range(cdc.CDC_WIN, n + 1) if H(i) < cdc.CDC_THRESH]
     if not bounds or bounds[-1] != n:
         bounds.append(n)
     out, prev = [], 0
@@ -32,13 +37,11 @@ def _spark_chunks(spark, docs: dict[int, str]):
     df = spark.createDataFrame(
         [(i, t) for i, t in docs.items()], "doc_id long, text string"
     )
-    rows = df.select(
-        "doc_id", F.explode(cdc.cdc_chunks_pandas()(F.col("text"))).alias("c")
-    ).collect()
+    rows = cdc.chunk_rows(df).collect()
     out: dict[int, list] = {}
-    for r in sorted(rows, key=lambda r: (r["doc_id"], r["c"]["cstart"])):
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["cstart"])):
         out.setdefault(r["doc_id"], []).append(
-            (r["c"]["cstart"], r["c"]["clen"], r["c"]["chash"])
+            (r["cstart"], r["clen"], r["chash"])
         )
     return out
 

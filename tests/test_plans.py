@@ -313,11 +313,11 @@ def test_cdc_chunker_is_single_map_pass(spark, sf_dir):
     from changegen_spark.queries.cdc import _doc_chunks, q_cdc_chunks
 
     pre = _plan(_doc_chunks(spark, sf_dir))
-    assert pre.count("ArrowEvalPython") == 1
-    assert "Generate explode" in pre or "Generate" in pre
+    assert pre.count("MapInArrow") == 1  # flat rows, no explode needed
+    assert "Generate" not in pre and "ArrowEvalPython" not in pre
 
     plan = _plan(q_cdc_chunks(spark, sf_dir))
-    assert "ArrowEvalPython" not in plan
+    assert "MapInArrow" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
