@@ -51,6 +51,9 @@ HASH_HEX_CHARS = 10  # 40-bit row hashes: sum of ~10^6 of them fits BIGINT
 # per-query by column name at use time.  Regenerate with
 # tests/test_digest.py::test_kinds_match_live_schemas guidance on failure.
 KINDS = {
+    "q_convex_hulls": {"user_id": "num", "n_points": "num", "n_hull": "num", "hull_area2_e2": "num"},
+    "q_insertion_index": {"l_orderkey": "num", "insert_idx": "num"},
+    "q_simplify_trajectories": {"user_id": "num", "n_points": "num", "n_kept": "num", "keep_ratio_e6": "num"},
     "q_stats_moments": {"l_returnflag": "str", "n": "num", "stddev_qty": "e6", "stddev_price": "e6", "covar_qty_price": "e6", "corr_qty_price": "e6"},
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},
     "q_simhash_near_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},

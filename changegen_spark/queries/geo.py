@@ -1160,3 +1160,10 @@ ORACLES = {
     "q_mercator": Q_MERCATOR_SQL,
     "q_nearest_neighbor": Q_NEAREST_SQL,
 }
+
+# hull + simplify goldens: independent-implementation VALUES oracles
+# (queries/geogold.py — the media-family pattern); absent testdata keeps
+# them rows-only instead of failing import
+from changegen_spark.queries.geogold import build_oracles as _geogold_oracles  # noqa: E402
+
+ORACLES.update(_geogold_oracles())
