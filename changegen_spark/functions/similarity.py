@@ -227,6 +227,8 @@ def assign_ivf_cells_arrow(
     @pandas_udf("int")
     def assign(vs):
         V = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if V.size == 0:  # empty Arrow batch → 1-D array; V[:, d] would raise
+            return pd.Series([], dtype="int32")
         n = V.shape[0]
         ab = np.zeros((n, k))
         aa = np.zeros(n)

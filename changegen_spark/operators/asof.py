@@ -81,19 +81,27 @@ def as_of_join(
             negate_ts=True,
         )
     if direction == "nearest":
+        # recombine backward/forward candidates on a SURROGATE key, not the
+        # left columns: an all-columns equi-join silently drops left rows
+        # containing any NULL (NULL never equals NULL) and multiplies
+        # duplicate left rows.  The id frame is checkpointed so both
+        # branches see the same (otherwise nondeterministic) ids.
+        keyed = left.withColumn(
+            "__asof_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
         back = as_of_join(
-            left, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
+            keyed, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
             direction="backward",
         )
         fwd_cols = [f"right_{c}" for c in right_value_cols] + ["gap_us"]
         fwd = as_of_join(
-            left, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
+            keyed, right, on, ts_col, right_value_cols, tie_col, tolerance_us,
             direction="forward",
         ).select(
-            *left.columns,
+            "__asof_id",
             *[F.col(c).alias(f"__f_{c}") for c in fwd_cols],
         )
-        both = back.join(fwd, left.columns)
+        both = back.join(fwd, "__asof_id")
         b_gap, f_gap = F.col("gap_us"), F.col("__f_gap_us")
         use_fwd = b_gap.isNull() | (
             f_gap.isNotNull() & (F.abs(f_gap) < F.abs(b_gap))

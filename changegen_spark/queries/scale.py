@@ -560,7 +560,10 @@ def _hrw_weight(doc_id_col: F.Column, shard: int) -> F.Column:
 
 def hrw_shard(doc_id_col: F.Column, n_shards: int) -> F.Column:
     """Highest-random-weight (rendezvous) shard assignment: argmax over
-    shards of the per-(doc, shard) hash — a pure map-side projection."""
+    shards of the per-(doc, shard) hash — a pure map-side projection.
+    Ties on the 60-bit weight break toward the LARGEST shard id (greatest
+    over (h, s) structs); the oracle mirrors this with ORDER BY h DESC,
+    s DESC."""
     structs = [
         F.struct(_hrw_weight(doc_id_col, s).alias("h"), F.lit(s).alias("s"))
         for s in range(n_shards)
@@ -609,13 +612,13 @@ Q_HRW_SHARDS_SQL = f"""
 WITH a AS (
   SELECT doc_id, s AS shard_a FROM (
     SELECT doc_id, s,
-           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s) AS rn
+           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s DESC) AS rn
     FROM documents, (SELECT unnest(generate_series(0, {HRW_SHARDS - 1})) AS s))
   WHERE rn = 1
 ), b AS (
   SELECT doc_id, s AS shard_b FROM (
     SELECT doc_id, s,
-           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s) AS rn
+           row_number() OVER (PARTITION BY doc_id ORDER BY {_HRW_H_SQL} DESC, s DESC) AS rn
     FROM documents, (SELECT unnest(generate_series(0, {HRW_SHARDS})) AS s))
   WHERE rn = 1
 )

@@ -197,9 +197,12 @@ def _bottomk_prefilter(df: DataFrame, k: int) -> DataFrame:
     def keep(batches):
         for pdf in batches:
             if len(pdf):
+                # dropna=False: a NULL group key is a group like any other
+                # (pandas' default silently discards those rows, which
+                # would diverge from the naive window path)
                 yield (
                     pdf.sort_values("h", kind="mergesort")
-                    .groupby("grp", sort=False)
+                    .groupby("grp", sort=False, dropna=False)
                     .head(k)
                 )
 
@@ -325,8 +328,12 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cand.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_K
     )
+    # divisor is the union-sketch SIZE = least(k, |K(A) ∪ K(B)|): dividing
+    # by the constant k biases J low whenever the union holds fewer than k
+    # hashes (small groups) — Beyer et al. use the realized sketch size
     est = m.groupBy("ga", "gb").agg(
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_sketch")
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_sketch"),
+        F.count("*").alias("n_union_sketch"),
     )
     parts = li.select("l_returnflag", "l_partkey").distinct()
     pa = parts.select(F.col("l_returnflag").alias("ga"), "l_partkey")
@@ -349,7 +356,9 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gb").alias("flag_b"),
             "n_inter_sketch",
             F.round(
-                F.col("n_inter_sketch").cast("double") / F.lit(float(KMV_K)), 6
+                F.col("n_inter_sketch").cast("double")
+                / F.col("n_union_sketch").cast("double"),
+                6,
             ).alias("est_jaccard"),
             F.round(
                 F.col("n_inter").cast("double")
@@ -387,7 +396,8 @@ pairs AS (
          row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
   FROM cand
 ), est AS (
-  SELECT ga, gb, sum(in_a * in_b) AS n_inter_sketch
+  SELECT ga, gb, sum(in_a * in_b) AS n_inter_sketch,
+         count(*) AS n_union_sketch
   FROM m WHERE rn <= {KMV_K} GROUP BY ga, gb
 ), parts AS (
   SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem
@@ -399,8 +409,8 @@ pairs AS (
   SELECT grp, count(*) AS n FROM parts GROUP BY 1
 )
 SELECT est.ga AS flag_a, est.gb AS flag_b, est.n_inter_sketch,
-       round(CAST(est.n_inter_sketch AS DOUBLE) / {float(KMV_K)!r}, 6)
-         AS est_jaccard,
+       round(CAST(est.n_inter_sketch AS DOUBLE)
+             / CAST(est.n_union_sketch AS DOUBLE), 6) AS est_jaccard,
        round(CAST(inter.n_inter AS DOUBLE)
              / CAST(sa.n + sb.n - inter.n_inter AS DOUBLE), 6) AS exact_jaccard
 FROM est

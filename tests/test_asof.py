@@ -262,3 +262,33 @@ def test_asof_forward_gap_is_nonnegative_right_minus_left(spark, frames):
     assert by_id[3].right_rid == 100 and by_id[3].gap_us == 60_000_000
     # event 1 at t=10 has no later right row → null
     assert by_id[1].right_rid is None
+
+
+def test_asof_nearest_keeps_null_and_duplicate_left_rows(spark):
+    """The nearest-direction recombination must not drop left rows whose
+    attribute columns contain NULL, nor multiply exact-duplicate left rows
+    (it joins back/forward candidates on a surrogate key, not on every
+    left column)."""
+    from changegen_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (10, None, _ts(10)),  # NULL attribute column
+            (10, "a", _ts(12)),   # exact duplicate pair ↓
+            (10, "a", _ts(12)),
+        ],
+        "user_id long, label string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(11))], "rid long, user_id long, ts timestamp"
+    )
+    out = as_of_join(
+        left, right, on=["user_id"], ts_col="ts", right_value_cols=["rid"],
+        direction="nearest",
+    ).collect()
+    assert len(out) == 3, out  # no drop, no multiplication
+    assert all(r["right_rid"] == 100 for r in out)
+    assert sorted(r["gap_us"] for r in out) == [
+        60 * 1_000_000, 60 * 1_000_000, 60 * 1_000_000
+    ]
+    assert sum(r["label"] is None for r in out) == 1

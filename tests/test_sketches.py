@@ -193,3 +193,21 @@ def test_sample_quantiles_near_exact(spark, sf_dir):
         assert r.n_sample > 0
         assert abs(r.est_median - r.exact_median) <= 8, r
         assert abs(r.est_p90 - r.exact_p90) <= 8, r
+
+
+def test_bottomk_prefilter_keeps_null_group(spark):
+    """A NULL group key must survive the pandas map-side pre-filter
+    (dropna=False) — the naive window path keeps NULL groups, so the
+    combiner must too."""
+    from changegen_spark.queries.sketches import _bottomk_prefilter
+
+    df = spark.createDataFrame(
+        [(None, 5), (None, 1), (None, 3), ("a", 2), ("a", 4)],
+        "grp string, h long",
+    ).coalesce(1)  # one Arrow batch → the per-batch filter is exact here
+    out = _bottomk_prefilter(df, 2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["h"])
+    assert sorted(by_grp[None]) == [1, 3]
+    assert sorted(by_grp["a"]) == [2, 4]
