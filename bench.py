@@ -117,6 +117,18 @@ HEADLINE = [
 ]
 
 
+# sf1 scale-sensitive subset: the banded near-dup join, the embedding-
+# cluster dedup, the substring dedup, and the composed corpus pipeline —
+# the queries whose shuffle/candidate volume grows fastest with data.
+SF1_QUERIES = [
+    "q_lsh_pairs",
+    "q_semantic_dedup",
+    "q_dup_spans",
+    "q_corpus_pipeline",
+]
+SF1_WARM_RUNS = 2
+
+
 def main() -> None:
     from changegen_spark.queries import all_queries
     from changegen_spark.session import get_spark
@@ -157,20 +169,57 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "cold_total": round(sum(cold.values()), 3),
-                "warm_runs": WARM_RUNS,
-                "over_budget": over_budget,
-            }
-        )
-    )
+
+    # sf1 section (r3 verdict #8): run the scale-sensitive queries at a
+    # 10× replication of sf0.1 every round, so scale regressions surface
+    # in BENCH deltas instead of one-off SCALE.md anecdotes.  Growth is
+    # warm-min(sf1)/warm-min(sf0.1) — ~1-3× means fixed overhead still
+    # amortizing; ~10× means the query went data-bound (watch for >10×:
+    # superlinear shuffle/skew).  Skippable via SPARK_GRAFT_SKIP_SF1=1;
+    # only runs when the main pass measured the sf0.1 baseline.
+    sf1 = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from changegen_spark.sources.scaleup import build_scaled_dir
+
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/changegen_spark_sf1")
+        t0 = time.time()
+        build_scaled_dir(spark, SF_DIR, sf1_dir, copies=10)
+        build_s = round(time.time() - t0, 1)
+        sf1_t: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = queries[name]
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            sf1_t[name] = round(best, 3)
+        sf1 = {
+            "queries": sf1_t,
+            "total": round(sum(sf1_t.values()), 3),
+            "build_s": build_s,
+            "growth_vs_sf0_1": {
+                n: round(sf1_t[n] / timings[n], 2)
+                for n in SF1_QUERIES
+                if timings.get(n)
+            },
+            "warm_runs": SF1_WARM_RUNS,
+        }
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cold_total": round(sum(cold.values()), 3),
+        "warm_runs": WARM_RUNS,
+        "over_budget": over_budget,
+    }
+    if sf1 is not None:
+        out["sf1"] = sf1
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

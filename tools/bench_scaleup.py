@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -28,16 +27,6 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/changegen_spark_sfup"
 SRC = "/root/testdata/sf0.1"
-
-# (table, id columns to offset per copy) — offsets keep keys disjoint
-OFFSETS = {
-    "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-}
-SMALL = ["region", "nation", "customer", "supplier", "part"]
 
 QUERIES = [
     "q01_pricing_summary",
@@ -57,37 +46,9 @@ WARM_RUNS = 2
 
 
 def build(spark) -> None:
-    from pyspark.sql import functions as F
+    from changegen_spark.sources.scaleup import build_scaled_dir
 
-    from changegen_spark.sources.tables import load_table
-
-    os.makedirs(OUT, exist_ok=True)
-    for t in SMALL:
-        dst = os.path.join(OUT, f"{t}.parquet")
-        if not os.path.exists(dst):
-            shutil.copy(os.path.join(SRC, f"{t}.parquet"), dst)
-    for t, idcols in OFFSETS.items():
-        dst = os.path.join(OUT, f"{t}.parquet")
-        if os.path.exists(dst):
-            continue
-        base = load_table(spark, SRC, t)
-        stride = 10_000_000
-        parts = []
-        for c in range(COPIES):
-            d = base
-            for col in idcols:
-                d = d.withColumn(col, F.col(col) + F.lit(c * stride))
-            # perturb content minimally so copies aren't byte-identical
-            # documents: suffix a copy marker token (keeps stats shape)
-            if t == "documents" and c > 0:
-                d = d.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" copymark{c}"))
-                )
-            parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(dst)
+    build_scaled_dir(spark, SRC, OUT, copies=COPIES)
 
 
 def main() -> None:
