@@ -53,6 +53,8 @@ HASH_HEX_CHARS = 10  # 40-bit row hashes: sum of ~10^6 of them fits BIGINT
 KINDS = {
     "q_convex_hulls": {"user_id": "num", "n_points": "num", "n_hull": "num", "hull_area2_e2": "num"},
     "q_insertion_index": {"l_orderkey": "num", "insert_idx": "num"},
+    "q_bpe_merges": {"rank": "num", "left": "str", "right": "str", "merged": "str", "pair_count": "num"},
+    "q_bpe_encode_stats": {"doc_id": "num", "n_words": "num", "n_bpe_tokens": "num", "chars_per_token": "e6"},
     "q_simplify_trajectories": {"user_id": "num", "n_points": "num", "n_kept": "num", "keep_ratio_e6": "num"},
     "q_stats_moments": {"l_returnflag": "str", "n": "num", "stddev_qty": "e6", "stddev_price": "e6", "covar_qty_price": "e6", "corr_qty_price": "e6"},
     "q_hstore_parse": {"p_partkey": "num", "brand": "str", "typ": "str", "label": "str", "n_tags": "num"},

@@ -414,3 +414,9 @@ ORACLES = {
     "q_lm_score": Q_LM_SCORE_SQL,
     "q_oov_rate": Q_OOV_RATE_SQL,
 }
+
+# BPE goldens: independent-implementation VALUES oracles (queries/bpegold.py
+# — the geogold/media pattern); absent testdata keeps them rows-only.
+from changegen_spark.queries.bpegold import build_oracles as _bpegold_oracles  # noqa: E402
+
+ORACLES.update(_bpegold_oracles())
