@@ -194,18 +194,29 @@ def write_osmchange_sharded(
             ]
             yield pd.DataFrame({"xml": frags})
 
-    counts: dict[str, int] = {}
+    # ONE execution of the element plan: fence it, then the per-block
+    # counts and the three shard writes all read the materialized rows.
+    # (The r3 shape ran the full upstream plan up to six times — a count
+    # plus a write per change block — measured as the dominant e2e cost
+    # at 300×200: sink 13.0 s, of which ~10 s was plan re-execution.)
+    elements = elements.localCheckpoint(eager=False)
+    counts = {"create": 0, "modify": 0, "delete": 0}
+    counts.update(
+        {
+            r["change_type"]: r["n"]
+            for r in elements.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+        }
+    )
     tmp = tempfile.mkdtemp(prefix="osc_shards_")
     try:
         with open(path, "w", encoding="utf-8") as out:
             out.write('<?xml version="1.0" encoding="UTF-8"?>\n')
             out.write(f'<osmChange version="0.6" generator="{_esc(generator)}">\n')
             for block in ("create", "modify", "delete"):
-                part = elements.filter(F.col("change_type") == block)
-                n = part.count()
-                counts[block] = n
+                n = counts[block]
                 if n == 0:
                     continue
+                part = elements.filter(F.col("change_type") == block)
                 shard_dir = f"{tmp}/{block}"
                 (
                     part.withColumn("__ko", order_kind)
