@@ -38,10 +38,12 @@ def write_training_shards(
     """Write ``df`` as ``path/shard=K/*.json`` plus ``path/manifest.json``.
     Returns the manifest dict."""
     shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
-    sharded = (
-        df.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", key_col)
+    # fence once: the JSON write and the manifest aggregate both read the
+    # materialized rows instead of re-running the (possibly corpus-scale)
+    # upstream plan twice
+    tagged = df.withColumn("shard", shard).localCheckpoint(eager=False)
+    sharded = tagged.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", key_col
     )
     sharded.write.partitionBy("shard").mode("overwrite").json(path)
 
@@ -51,8 +53,7 @@ def write_training_shards(
     row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
     h = F.conv(F.substring(F.md5(row_json), 1, 10), 16, 10).cast("long")
     stats = (
-        df.withColumn("shard", shard)
-        .groupBy("shard")
+        tagged.groupBy("shard")
         .agg(F.count("*").alias("n_rows"), F.sum(h).alias("hash_sum"))
         .orderBy("shard")
         .collect()
