@@ -145,6 +145,11 @@ def q_changegen_apply_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables["pbf_nodes"], tables["pbf_ways"], cset,
         pbf_relations=tables["pbf_relations"],
     )
+    # six audit counts read the applied snapshot — fence it once instead
+    # of re-running the apply plan per count
+    nodes2 = nodes2.localCheckpoint(eager=False)
+    ways2 = ways2.localCheckpoint(eager=False)
+    rels2 = rels2.localCheckpoint(eager=False)
     dangling = referential_integrity_report(nodes2, ways2).count()
     rel_dangling = relation_integrity_report(nodes2, ways2, rels2).count()
     junction_refs = (

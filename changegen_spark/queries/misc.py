@@ -252,10 +252,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     recent = orders.filter(F.col("o_orderdate") >= "2000-01-01").select(
         F.col("o_custkey").alias("k")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     big = orders.filter(F.col("o_totalprice") > 350_000).select(
         F.col("o_custkey").alias("k")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     u = recent.union(big).distinct().count()
     i = recent.intersect(big).count()
     e = recent.exceptAll(big).distinct().count()
