@@ -20,6 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from changegen_spark.queries.sketches import _H60_SQL
 from changegen_spark.sources.tables import load_table
 
 
@@ -927,7 +928,144 @@ ORDER BY doc_id
 """
 
 
+DSIR_BUCKETS = 4096
+DSIR_TARGET = "src0"  # the target-domain slice (documents.source)
+DSIR_K = 50
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): hashed-bigram importance weights
+    of every document against a target domain, plus the top-k selection.
+
+    Features are bigrams hashed into DSIR_BUCKETS buckets; the target
+    distribution p comes from the DSIR_TARGET source slice, the raw
+    distribution q from the whole corpus (both add-one smoothed).  A
+    document's weight is Σ_b count_b · log(p_b / q_b) — computed with one
+    shared e6-scaled-integer log-ratio per bucket, so the per-doc sum is
+    exact integer arithmetic (shuffle-order-proof, engine-identical).
+
+    Scale: one explode+groupBy pass over the corpus builds both
+    distributions (map-side combined); the 4096-row log-ratio table
+    broadcasts; per-doc weighting is a bucket-keyed aggregate; selection
+    is a TakeOrdered top-k, never a global sort.
+
+    Output: doc_id, n_grams, logw_e6, selected (1 for the DSIR_K docs
+    with the highest weight, ties to the smaller doc_id)."""
+    from changegen_spark.queries.sketches import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", _toks(F.col("text")).alias("t")).filter(
+        (F.trim(F.col("source")).isNotNull()) & (F.size("t") >= 2)
+    )
+    occ = toks.select(
+        "doc_id",
+        "source",
+        F.explode(word_ngrams(F.col("t"), 2)).alias("g"),
+    ).select(
+        "doc_id", "source", F.pmod(h60(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b")
+    )
+    raw = occ.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = (
+        occ.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("c_t"))
+    )
+    n_r = raw.agg(F.sum("c_r").alias("n_r"))
+    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
+    B = F.lit(DSIR_BUCKETS)
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "b",
+            F.round(
+                F.lit(1e6)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                        * (F.col("n_r") + B)
+                    ).cast("double")
+                    / ((F.col("c_r") + 1) * (F.col("n_t") + B)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("term_e6"),
+        )
+    )
+    docb = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    weights = (
+        docb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("term_e6")).alias("logw_e6"),
+        )
+    )
+    top = (
+        weights.orderBy(F.col("logw_e6").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", F.lit(1).alias("selected"))
+    )
+    return (
+        weights.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "logw_e6",
+            F.coalesce("selected", F.lit(0)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> '' AND trim(source) IS NOT NULL
+), bpos AS (
+  SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+), occ AS (
+  SELECT doc_id, source,
+         ({_H60_SQL.format(x="list_extract(t, CAST(i AS INT)) || ' ' || list_extract(t, CAST(i + 1 AS INT))")})
+           % {DSIR_BUCKETS} AS b
+  FROM bpos
+), raw AS (
+  SELECT b, count(*) AS c_r FROM occ GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS c_t FROM occ WHERE source = '{DSIR_TARGET}' GROUP BY b
+), nr AS (SELECT sum(c_r) AS n_r FROM raw),
+nt AS (SELECT sum(c_t) AS n_t FROM tgt),
+ratio AS (
+  SELECT raw.b,
+         CAST(round(1e6 * ln(
+           CAST((coalesce(tgt.c_t, 0) + 1) * (nr.n_r + {DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((raw.c_r + 1) * (nt.n_t + {DSIR_BUCKETS}) AS DOUBLE)
+         )) AS BIGINT) AS term_e6
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN nr CROSS JOIN nt
+), docb AS (
+  SELECT doc_id, b, count(*) AS c FROM occ GROUP BY doc_id, b
+), weights AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(c * term_e6) AS BIGINT) AS logw_e6
+  FROM docb JOIN ratio ON docb.b = ratio.b
+  GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY logw_e6 DESC, doc_id) AS rn
+  FROM weights
+)
+SELECT w.doc_id, w.n_grams, w.logw_e6,
+       CASE WHEN r.rn <= {DSIR_K} THEN 1 ELSE 0 END AS selected
+FROM weights w JOIN ranked r ON w.doc_id = r.doc_id
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
+    "q_dsir_weights": q_dsir_weights,
     "q_decontaminate": q_decontaminate,
     "q_weighted_sample": q_weighted_sample,
     "q_external_decontaminate": q_external_decontaminate,
@@ -942,6 +1080,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_dsir_weights": Q_DSIR_WEIGHTS_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_external_decontaminate": Q_EXTERNAL_DECONTAMINATE_SQL,

@@ -356,3 +356,14 @@ def test_haversine_pairing_is_range_partitioned(spark, sf_dir):
     assert "rangepartitioning(pid" in plan.lower()
     assert "windowspecdefinition(__part" in plan
     assert "RoundRobinPartitioning(1)" not in plan
+
+
+def test_dsir_broadcasts_ratio_and_takeordered_selection(spark, sf_dir):
+    """DSIR weighting must join the 4096-row log-ratio table as a
+    broadcast and select the top-k via TakeOrdered — no shuffle join
+    against the bucket table, no global sort of the corpus."""
+    from changegen_spark.queries.mlprep import q_dsir_weights
+
+    plan = _plan(q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
