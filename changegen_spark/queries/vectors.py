@@ -466,8 +466,79 @@ ORDER BY pn.vec_id
 """
 
 
+HARDNEG_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each sampled anchor vector,
+    the HARDNEG_K most-similar vectors carrying a DIFFERENT label — the
+    negative-selection step of contrastive/triplet embedding training
+    (in-batch negatives miss exactly these near-boundary cases).
+
+    Scale: the anchor sample is broadcast (KB-sized), the corpus side is
+    a map-only score + per-anchor top-k (WindowGroupLimit keeps each map
+    task's local top-k before the anchor-keyed exchange); at 100 TB the
+    exact scorer swaps for the IVF/LSH candidate stage (q_ann_ivf) with
+    identical downstream semantics.
+
+    Output: anchor_id, anchor_label, vec_id, neg_label, cos_sim, rank."""
+    from pyspark.sql import Window
+
+    base = _vecs(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    )
+    anchors = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("q"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        base.join(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+Q_HARD_NEGATIVES_SQL = f"""
+WITH v AS (SELECT vec_id, {_VD} AS e, label FROM embeddings),
+a AS (
+  SELECT vec_id AS anchor_id, e AS qe, label AS anchor_label
+  FROM v WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT a.anchor_id, a.anchor_label, v.vec_id, v.label AS neg_label,
+         round(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+           AS cos_sim
+  FROM v CROSS JOIN a WHERE v.label != a.anchor_label
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+              AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label, cos_sim, rank
+FROM ranked WHERE rank <= {HARDNEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
 QUERIES = {
     "q_embed_norm": q_embed_norm,
+    "q_hard_negatives": q_hard_negatives,
     "q_label_centroids": q_label_centroids,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
@@ -479,6 +550,7 @@ QUERIES = {
 
 ORACLES = {
     "q_embed_norm": Q_EMBED_NORM_SQL,
+    "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
     "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
     "q_ann_bruteforce": Q_ANN_BRUTE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
