@@ -17,6 +17,7 @@ rank first, leftmost non-overlapping.
 
 from __future__ import annotations
 
+import functools
 import os
 from collections import Counter
 from decimal import ROUND_HALF_UP, Decimal
@@ -154,8 +155,11 @@ def encode_stats_values_sql(sf_dir: str = GOLD_SF_DIR) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def build_oracles() -> dict[str, str]:
-    """Golden oracles, or {} when the testdata snapshot is absent."""
+    """Golden oracles, or {} when the testdata snapshot is absent.
+    Memoized: all_oracles() is called repeatedly (driver, tests, digest
+    construction) and the goldens are deterministic per process."""
     if not os.path.exists(os.path.join(GOLD_SF_DIR, "documents.parquet")):
         return {}
     return {

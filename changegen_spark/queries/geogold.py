@@ -20,6 +20,7 @@ DuckDB + plain Python; no Spark, no changegen_spark.geo imports.
 
 from __future__ import annotations
 
+import functools
 import os
 
 GOLD_SF_DIR = "/root/testdata/sf0.01"
@@ -184,9 +185,12 @@ def simplify_values_sql(sf_dir: str = GOLD_SF_DIR) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def build_oracles() -> dict[str, str]:
     """Golden oracles, or {} when the testdata snapshot is absent (the
-    queries then stay rows-only instead of breaking import)."""
+    queries then stay rows-only instead of breaking import).  Memoized:
+    all_oracles() is called repeatedly and the goldens are deterministic
+    per process."""
     if not os.path.exists(os.path.join(GOLD_SF_DIR, "events.parquet")):
         return {}
     return {
