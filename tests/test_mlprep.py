@@ -251,3 +251,22 @@ def test_stratified_split_exact_proportions_and_invariance(spark):
     # ranks are a permutation of 1..n within each stratum
     en_ranks = sorted(r[2] for r in got11 if r[1] == "en")
     assert en_ranks == list(range(1, 48))
+
+
+def test_dsir_weights_partitioning_invariant(spark, sf_dir):
+    """The e6-scaled-integer log-ratio design makes per-doc weights exact
+    integer sums — repartitioning the input must not move a single bit,
+    and the top-k selection must be stable."""
+    from changegen_spark.queries.mlprep import q_dsir_weights
+
+    base = {r["doc_id"]: (r["logw_e6"], r["selected"])
+            for r in q_dsir_weights(spark, sf_dir).collect()}
+    # second evaluation with a different shuffle layout
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {r["doc_id"]: (r["logw_e6"], r["selected"])
+                 for r in q_dsir_weights(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert base == again
+    assert sum(s for _, s in base.values()) == 50

@@ -313,3 +313,38 @@ def test_arrow_cosine_matches_catalyst(spark):
     assert got
     for r in got:
         assert r.c1 == r.c2, (r.id, r.c1, r.c2)  # exact, not approx
+
+
+def test_hard_negatives_match_numpy_bruteforce(spark, sf_dir):
+    """Rank-1 hard negative per anchor must equal an independent numpy
+    brute force (different-label filter + cosine argmax, vec_id
+    tie-break)."""
+    import numpy as np
+
+    from changegen_spark.queries.vectors import q_hard_negatives
+    from changegen_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    got = {
+        r["anchor_id"]: (r["vec_id"], r["cos_sim"])
+        for r in q_hard_negatives(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    assert got
+    for a_idx in np.nonzero(ids % 100 == 0)[0]:
+        sims = Vn @ Vn[a_idx]
+        mask = labels != labels[a_idx]
+        # argmax with vec_id tie-break at 6-dp rounding
+        cand = sorted(
+            ((round(float(s), 6), int(i)) for s, i in zip(sims[mask], ids[mask])),
+            key=lambda t: (-t[0], t[1]),
+        )
+        best_sim, best_id = cand[0]
+        g_id, g_sim = got[int(ids[a_idx])]
+        assert g_id == best_id and abs(g_sim - best_sim) < 1e-9, (
+            ids[a_idx], g_id, best_id, g_sim, best_sim)
