@@ -933,38 +933,29 @@ DSIR_TARGET = "src0"  # the target-domain slice (documents.source)
 DSIR_K = 50
 
 
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
-    Models via Importance Resampling"): hashed-bigram importance weights
-    of every document against a target domain, plus the top-k selection.
-
-    Features are bigrams hashed into DSIR_BUCKETS buckets; the target
-    distribution p comes from the DSIR_TARGET source slice, the raw
-    distribution q from the whole corpus (both add-one smoothed).  A
-    document's weight is Σ_b count_b · log(p_b / q_b) — computed with one
-    shared e6-scaled-integer log-ratio per bucket, so the per-doc sum is
-    exact integer arithmetic (shuffle-order-proof, engine-identical).
-
-    Scale: one explode+groupBy pass over the corpus builds both
-    distributions (map-side combined); the 4096-row log-ratio table
-    broadcasts; per-doc weighting is a bucket-keyed aggregate; selection
-    is a TakeOrdered top-k, never a global sort.
-
-    Output: doc_id, n_grams, logw_e6, selected (1 for the DSIR_K docs
-    with the highest weight, ties to the smaller doc_id)."""
+def _dsir_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bucket) bigram-occurrence frame shared by the
+    distribution builder and the per-doc weighting."""
     from changegen_spark.queries.sketches import h60
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", _toks(F.col("text")).alias("t")).filter(
         (F.trim(F.col("source")).isNotNull()) & (F.size("t") >= 2)
     )
-    occ = toks.select(
+    return toks.select(
         "doc_id",
         "source",
         F.explode(word_ngrams(F.col("t"), 2)).alias("g"),
     ).select(
         "doc_id", "source", F.pmod(h60(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b")
     )
+
+
+def _dsir_ratio_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned (bucket, e6-integer log p/q ratio) table — the KB-sized
+    DSIR model artifact (also exported to the streaming scorer via
+    ``streaming.corpus.dsir_ratio_terms``)."""
+    occ = _dsir_occ(spark, sf_dir)
     raw = occ.groupBy("b").agg(F.count("*").alias("c_r"))
     tgt = (
         occ.filter(F.col("source") == DSIR_TARGET)
@@ -974,7 +965,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_r = raw.agg(F.sum("c_r").alias("n_r"))
     n_t = tgt.agg(F.sum("c_t").alias("n_t"))
     B = F.lit(DSIR_BUCKETS)
-    ratio = (
+    return (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(n_r))
         .crossJoin(F.broadcast(n_t))
@@ -994,6 +985,29 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_e6"),
         )
     )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): hashed-bigram importance weights
+    of every document against a target domain, plus the top-k selection.
+
+    Features are bigrams hashed into DSIR_BUCKETS buckets; the target
+    distribution p comes from the DSIR_TARGET source slice, the raw
+    distribution q from the whole corpus (both add-one smoothed).  A
+    document's weight is Σ_b count_b · log(p_b / q_b) — computed with one
+    shared e6-scaled-integer log-ratio per bucket, so the per-doc sum is
+    exact integer arithmetic (shuffle-order-proof, engine-identical).
+
+    Scale: one explode+groupBy pass over the corpus builds both
+    distributions (map-side combined); the 4096-row log-ratio table
+    broadcasts; per-doc weighting is a bucket-keyed aggregate; selection
+    is a TakeOrdered top-k, never a global sort.
+
+    Output: doc_id, n_grams, logw_e6, selected (1 for the DSIR_K docs
+    with the highest weight, ties to the smaller doc_id)."""
+    occ = _dsir_occ(spark, sf_dir)
+    ratio = _dsir_ratio_frame(spark, sf_dir)
     docb = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     weights = (
         docb.join(F.broadcast(ratio), "b")

@@ -147,3 +147,59 @@ def pii_scrub_stream(docs: DataFrame) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(IP_RE)).alias("n_ip"),
         redacted.alias("redacted"),
     )
+
+
+def dsir_ratio_terms(spark, sf_dir: str) -> list[int]:
+    """The batch-learned (bucket → e6-integer log-ratio) DSIR table as a
+    dense list indexed by bucket — the KB-sized model artifact the
+    streaming scorer closes over.  Buckets absent from the corpus get 0
+    (no evidence either way)."""
+    from changegen_spark.queries.mlprep import DSIR_BUCKETS
+    from changegen_spark.queries.mlprep import _dsir_ratio_frame
+
+    terms = [0] * DSIR_BUCKETS
+    for r in _dsir_ratio_frame(spark, sf_dir).collect():
+        terms[int(r["b"])] = int(r["term_e6"])
+    return terms
+
+
+def dsir_weight_stream(docs: DataFrame, ratio_terms: list[int]) -> DataFrame:
+    """Stateless streaming DSIR scorer: each arriving document gets its
+    importance weight from the batch-learned ratio table — the online
+    data-selection gate (admit/queue/drop by weight) in front of a
+    training-data pipeline.
+
+    Same bucket expressions as the batch query (bigrams → h60 → pmod);
+    the per-doc sum runs in one Arrow-batched numpy take over the
+    bucket array, so the op is a pure map — no state, no watermark, and
+    batch parity is exact integer equality (pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from changegen_spark.queries.mlprep import DSIR_BUCKETS, _toks, word_ngrams
+    from changegen_spark.queries.sketches import h60
+
+    terms = np.asarray(ratio_terms, dtype=np.int64)
+
+    @pandas_udf("struct<n_grams:long, logw_e6:long>")
+    def weigh(buckets):
+        n, w = [], []
+        for bs in buckets:
+            if bs is None or len(bs) == 0:
+                n.append(0)
+                w.append(0)
+            else:
+                idx = np.asarray(bs, dtype=np.int64)
+                n.append(len(idx))
+                w.append(int(terms[idx].sum()))
+        return pd.DataFrame({"n_grams": n, "logw_e6": w})
+
+    toks = _toks(F.col("text"))
+    buckets = F.transform(
+        word_ngrams(toks, 2), lambda g: F.pmod(h60(g), F.lit(DSIR_BUCKETS))
+    )
+    out = docs.select(
+        "doc_id", "source", weigh(buckets).alias("s")
+    ).select("doc_id", "source", F.col("s.n_grams").alias("n_grams"), F.col("s.logw_e6").alias("logw_e6"))
+    return out.filter(F.col("n_grams") > 0)

@@ -139,3 +139,29 @@ def test_near_dup_hits_stream_static_join(spark, tmp_path):
         near_dup_hits_stream(stream_documents(spark, d), cb), "t_near_dup2"
     )
     assert {r.doc_id for r in out2.collect()} == {10}
+
+
+def test_dsir_weight_stream_matches_batch_query(spark, tmp_path, sf_dir):
+    """The streaming DSIR scorer with the batch-learned ratio table must
+    reproduce the batch query's exact integer weights for corpus docs —
+    the map-only twin of q_dsir_weights' per-doc aggregation."""
+    from changegen_spark.queries.mlprep import q_dsir_weights
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.corpus import (
+        dsir_ratio_terms,
+        dsir_weight_stream,
+        stream_documents,
+    )
+
+    terms = dsir_ratio_terms(spark, str(sf_dir))
+    docs = load_table(spark, str(sf_dir), "documents").filter(F.col("doc_id") < 20)
+    d = str(tmp_path / "dsir_drop")
+    docs.coalesce(1).write.parquet(d)
+    got = _run(dsir_weight_stream(stream_documents(spark, d), terms), "t_dsir_stream")
+    g = {r["doc_id"]: (r["n_grams"], r["logw_e6"]) for r in got.collect()}
+    want = {
+        r["doc_id"]: (r["n_grams"], r["logw_e6"])
+        for r in q_dsir_weights(spark, str(sf_dir)).collect()
+        if r["doc_id"] < 20
+    }
+    assert g == want and len(g) > 0

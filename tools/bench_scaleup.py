@@ -41,6 +41,12 @@ QUERIES = [
     "q_token_count",
     "q_lm_score",
     "q_dup_spans",
+    # r4 additions: rewritten CDC chunker, de-bottlenecked haversine
+    # pairing, DSIR selection, hard-negative mining
+    "q_cdc_chunks",
+    "q_haversine",
+    "q_dsir_weights",
+    "q_hard_negatives",
 ]
 WARM_RUNS = 2
 
