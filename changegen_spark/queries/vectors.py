@@ -536,9 +536,98 @@ ORDER BY anchor_id, rank
 """
 
 
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of hard-negative mining: candidates come from the
+    OR-amplified sign-LSH band collisions (the q_ann_lsh machinery)
+    instead of scoring the whole corpus per anchor — cost drops from
+    O(anchors × corpus) to O(corpus × bands) map work plus the collided
+    candidates, which is what survives a 100 TB embedding store.
+
+    Same anchors, same label-mismatch filter and tie rules as the exact
+    q_hard_negatives, so recall is directly measurable (pinned in
+    tests/test_similarity.py)."""
+    from pyspark.sql import Window
+
+    base = _vecs(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    )
+    anchors = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("q"),
+        F.col("label").alias("anchor_label"),
+    )
+    cands = None
+    for bdims in LSH_BANDS:
+        vb = base.select("vec_id", sign_lsh_bucket(F.col("v"), bdims).alias("bucket"))
+        ab = anchors.select(
+            "anchor_id", sign_lsh_bucket(F.col("q"), bdims).alias("bucket")
+        )
+        pairs = vb.join(F.broadcast(ab), "bucket").select("anchor_id", "vec_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(anchors), "anchor_id")
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+_HN_BAND_UNION = "\n    UNION\n".join(
+    f"    SELECT ab.anchor_id, bv.vec_id FROM b bv JOIN ab ON bv.b{i} = ab.b{i}"
+    for i in range(len(LSH_BANDS))
+)
+
+Q_HARD_NEG_LSH_SQL = f"""
+WITH v AS (SELECT vec_id, {_VD} AS e, label FROM embeddings),
+b AS (
+  SELECT vec_id, {_BAND_COLS} FROM embeddings
+),
+ab AS (SELECT vec_id AS anchor_id, * EXCLUDE (vec_id) FROM b WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT DISTINCT anchor_id, vec_id FROM (
+{_HN_BAND_UNION}
+  )
+),
+scored AS (
+  SELECT c.anchor_id, qa.label AS anchor_label, c.vec_id, vv.label AS neg_label,
+         round(list_dot_product(qa.e, vv.e)
+               / (sqrt(list_dot_product(qa.e, qa.e)) * sqrt(list_dot_product(vv.e, vv.e))), 6)
+           AS cos_sim
+  FROM cand c
+  JOIN v vv ON c.vec_id = vv.vec_id
+  JOIN v qa ON c.anchor_id = qa.vec_id
+  WHERE vv.label != qa.label
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT)
+              AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, vec_id, neg_label, cos_sim, rank
+FROM ranked WHERE rank <= {HARDNEG_K}
+ORDER BY anchor_id, rank
+"""
+
+
 QUERIES = {
     "q_embed_norm": q_embed_norm,
     "q_hard_negatives": q_hard_negatives,
+    "q_hard_negatives_lsh": q_hard_negatives_lsh,
     "q_label_centroids": q_label_centroids,
     "q_ann_bruteforce": q_ann_bruteforce,
     "q_ann_lsh": q_ann_lsh,
@@ -551,6 +640,7 @@ QUERIES = {
 ORACLES = {
     "q_embed_norm": Q_EMBED_NORM_SQL,
     "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
+    "q_hard_negatives_lsh": Q_HARD_NEG_LSH_SQL,
     "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
     "q_ann_bruteforce": Q_ANN_BRUTE_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
