@@ -367,3 +367,16 @@ def test_dsir_broadcasts_ratio_and_takeordered_selection(spark, sf_dir):
     plan = _plan(q_dsir_weights(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_lsh_broadcasts_anchors_no_cartesian(spark, sf_dir):
+    """The LSH hard-negative scale path must resolve every anchor-side
+    join as a broadcast (the anchor sample is corpus/100 rows) and the
+    band candidate joins as bucket equi-joins — no cartesian product and
+    no corpus-vs-corpus sort-merge join anywhere in the plan."""
+    from changegen_spark.queries.vectors import q_hard_negatives_lsh
+
+    plan = _plan(q_hard_negatives_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
