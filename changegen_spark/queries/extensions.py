@@ -64,6 +64,30 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start")
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user HLL via ONE stateful streaming register agg
+    (state ≤ HLL_M rows per window×group — the bounded-state form of
+    streaming COUNT DISTINCT), estimate folded statelessly downstream.
+    Register-for-register batch parity pinned in tests/test_streaming.py;
+    the register/estimate arithmetic itself is oracle-backed via
+    q_hll_distinct."""
+    from changegen_spark.queries.sketches import hll_estimate
+    from changegen_spark.streaming.events import (
+        hll_registers_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    name = f"q_streaming_hll_{next(_COUNTER)}"
+    regs = run_to_memory_sink(
+        hll_registers_stream(stream_events(spark, sf_dir)), name, mode="complete"
+    )
+    grp = regs.select(
+        F.concat_ws("|", "window_start", "event_type").alias("grp"), "bucket", "r"
+    )
+    return hll_estimate(grp).orderBy("grp")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary decode stage over the synthetic asset table."""
     from changegen_spark.multimodal import decode_images, synth_assets
@@ -336,6 +360,7 @@ QUERIES = {
     "q_streaming_windows": q_streaming_windows,
     "q_streaming_sessions": q_streaming_sessions,
     "q_streaming_pair_join": q_streaming_pair_join,
+    "q_streaming_hll": q_streaming_hll,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_features_ann": q_multimodal_features_ann,

@@ -497,3 +497,49 @@ def anomaly_stream(
         F.round(z, 6).alias("z"),
         (F.abs(z) > z_thresh).cast("boolean").alias("is_anomaly"),
     )
+
+
+def hll_registers_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed distinct-user HLL registers as ONE stateful streaming agg.
+
+    Per (event-time window, event_type, bucket) the register-wise max of
+    rho — register max is associative/commutative/idempotent, so the
+    incremental per-batch merge Structured Streaming performs is exactly
+    the sketch's own merge law (pinned bit-exact on arbitrary splits in
+    tests/test_sketches.py).  State is BOUNDED: at most HLL_M rows per
+    (window, group) regardless of how many distinct users arrive — this,
+    not the exact distinct's unbounded key set, is what a 100 TB stream
+    can afford — and the watermark lets closed windows' state drop.
+
+    The estimate fold (queries.sketches.hll_estimate) is stateless and
+    runs on the emitted registers downstream (sink side or batch): folding
+    inside the stream would be a second stateful agg for no state benefit.
+    Batch twin: the same expressions over the static frame —
+    test_hll_stream_matches_batch pins register-for-register equality.
+    """
+    from changegen_spark.queries.sketches import HLL_M, h60
+
+    h = h60(F.col("user_id"))
+    w50 = F.shiftright(h, 10)
+    rho = F.when(w50 == 0, F.lit(51)).otherwise(51 - F.length(F.bin(w50)))
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window).alias("w"),
+            "event_type",
+            (h % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "bucket",
+            "r",
+        )
+    )

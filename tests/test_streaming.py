@@ -316,3 +316,78 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert len(out) == 25  # exactly once: 10 + 15, no dupes, no loss
     assert {r["k"] for r in out} == set(range(25))
     assert all(r["vv"] == r["v"].upper() for r in out)
+
+
+def test_hll_stream_matches_batch(spark, sf_dir):
+    """The streaming windowed HLL registers must equal the identical batch
+    expressions register-for-register (register max is order-invariant, so
+    incremental micro-batch merging cannot move a bit), and the folded
+    estimates must match a per-window exact distinct within HLL error."""
+    from changegen_spark.queries.sketches import HLL_M, h60, hll_estimate
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.events import (
+        hll_registers_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    got = run_to_memory_sink(
+        hll_registers_stream(stream_events(spark, sf_dir)), "t_hll_regs",
+        mode="complete",
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    h = h60(F.col("user_id"))
+    w50 = F.shiftright(h, 10)
+    rho = F.when(w50 == 0, F.lit(51)).otherwise(51 - F.length(F.bin(w50)))
+    expected = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            (h % HLL_M).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("w", "event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "bucket",
+            "r",
+        )
+    )
+    key = ["window_start", "event_type", "bucket", "r"]
+    assert sorted(map(tuple, got.select(key).collect())) == sorted(
+        map(tuple, expected.select(key).collect())
+    )
+
+    # estimates vs exact distinct: within 3x the HLL standard error
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_estimate(
+            got.select(
+                F.concat_ws("|", "window_start", "event_type").alias("grp"),
+                "bucket",
+                "r",
+            )
+        ).collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in ev.select(
+            F.concat_ws(
+                "|",
+                F.date_format(F.window("ts", "1 hour").getField("start"),
+                              "yyyy-MM-dd HH:mm:ss"),
+                "event_type",
+            ).alias("grp"),
+            "user_id",
+        )
+        .groupBy("grp")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    rel_err = 3 * 1.04 / (HLL_M ** 0.5)  # 3 sigma ≈ 9.8%
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= max(3.0, rel_err * n), (g, est[g], n)
