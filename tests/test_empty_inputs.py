@@ -66,6 +66,14 @@ CASES = [
     ("q_new_vs_returning", lambda n: n == 0),
     ("q_asof_forward", lambda n: n == 0),
     ("q_kmv_jaccard", lambda n: n == 0),
+    # round-4 additions: DSIR selection, exact + LSH hard-negative mining,
+    # CDC chunking (rewritten Arrow chunker), convex hulls, haversine pairs
+    ("q_dsir_weights", lambda n: n == 0),
+    ("q_hard_negatives", lambda n: n == 0),
+    ("q_hard_negatives_lsh", lambda n: n == 0),
+    ("q_cdc_chunks", lambda n: n == 0),
+    ("q_convex_hulls", lambda n: n == 0),
+    ("q_haversine", lambda n: n == 0),
     ("q_catalog", lambda n: n == 10),  # catalog row per (empty) table
 ]
 
