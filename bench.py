@@ -66,6 +66,11 @@ BUDGETS = {
     "q_semantic_dedup": 2.1,
     "q_phrase_search": 1.3,
     "q_view_purchase_pairs": 0.8,
+    # r4 additions (measured warm min-of-3 at sf0.1: 2.20 / 1.15) — DSIR
+    # importance-resampling selection and the banded-LSH hard-negative
+    # miner (the scale path; the exact variant is the deliberate quadratic)
+    "q_dsir_weights": 2.9,
+    "q_hard_negatives_lsh": 1.6,
 }
 
 HEADLINE = [
@@ -114,6 +119,10 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_phrase_search",
     "q_view_purchase_pairs",
+    # r4: one per new family — DSIR data selection and LSH-banded
+    # hard-negative mining
+    "q_dsir_weights",
+    "q_hard_negatives_lsh",
 ]
 
 
