@@ -928,6 +928,62 @@ ORDER BY doc_id
 """
 
 
+
+RS_K = 50
+_TWO60F = float(1 << 60)
+
+
+def es_sample_keys(id_col, w_col, salt: str = ""):
+    """Efraimidis-Spirakis sampling key: -ln(u)/w with u a DETERMINISTIC
+    uniform in (0, 1] derived from the shared 60-bit md5 hash of the row
+    id (optionally salted) -- reproducible across retries/engines, unlike
+    rand().  k smallest keys = a without-replacement weighted sample with
+    P(i first) = w_i / sum(w) (Efraimidis & Spirakis 2006, the one-pass
+    distributed weighted sampler).  Rounded to 9 dp so the Spark/DuckDB
+    libm ulp gap cannot reorder; ties broken by id downstream."""
+    from changegen_spark.queries.sketches import h60
+
+    h = h60(F.concat(F.lit(salt), id_col.cast("string"))) if salt else h60(id_col)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_TWO60F)
+    return F.round(-F.log(u) / w_col.cast("double"), 9)
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted reservoir sample WITHOUT replacement: the
+    {RS_K} documents with the smallest Efraimidis-Spirakis keys
+    (weight = n_chars).  The complement of q_weighted_sample's PPS
+    systematic sampler: no prefix sum, no global ordering pass -- one
+    map computes keys, TakeOrderedAndProject keeps a k-row heap per
+    partition and merges k rows on the driver, the cheapest possible
+    plan for "sample k of 100 TB by weight" (plan-pinned)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    keyed = d.withColumn("es_key", es_sample_keys(F.col("doc_id"), F.col("w")))
+    return (
+        keyed.orderBy("es_key", "doc_id")
+        .limit(RS_K)
+        .select("doc_id", "w", "es_key")
+    )
+
+
+_RS_U = (
+    "((CAST(" + _H60_SQL.format(x="doc_id") + " AS DOUBLE) + 1.0) / "
+    + repr(_TWO60F) + ")"
+)
+
+Q_RESERVOIR_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         round(-ln({_RS_U}) / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents
+)
+SELECT doc_id, w, es_key
+FROM keyed
+ORDER BY es_key, doc_id
+LIMIT {RS_K}
+"""
+
 DSIR_BUCKETS = 4096
 DSIR_TARGET = "src0"  # the target-domain slice (documents.source)
 DSIR_K = 50
@@ -1088,6 +1144,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
+    "q_reservoir_sample": q_reservoir_sample,
     "q_stratified_split": q_stratified_split,
     "q_token_chunks": q_token_chunks,
     "q_pack_sequences": q_pack_sequences,
@@ -1103,6 +1160,7 @@ ORACLES = {
     "q_pii_scrub": Q_PII_SCRUB_SQL,
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
+    "q_reservoir_sample": Q_RESERVOIR_SAMPLE_SQL,
     "q_stratified_split": Q_STRATIFIED_SPLIT_SQL,
     "q_token_chunks": Q_TOKEN_CHUNKS_SQL,
     "q_pack_sequences": Q_PACK_SEQUENCES_SQL,

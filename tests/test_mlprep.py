@@ -270,3 +270,45 @@ def test_dsir_weights_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == again
     assert sum(s for _, s in base.values()) == 50
+
+
+def test_reservoir_sample_statistics_and_invariance(spark):
+    """Efraimidis-Spirakis correctness on a planted frame: across 24 salt
+    variants, a 200x-weight document must enter the k=5 sample nearly
+    always, and any fixed unit-weight document only rarely; the sample is
+    identical under arbitrary repartitioning (keys are data-derived, so
+    partitioning cannot move the top-k)."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mlprep import es_sample_keys
+
+    rows = [(i, 200 if i == 7 else 1) for i in range(120)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+
+    heavy_hits, light_hits = 0, 0
+    for s in range(24):
+        keyed = d.withColumn("k", es_sample_keys(F.col("doc_id"), F.col("w"), salt=str(s)))
+        top = {r.doc_id for r in keyed.orderBy("k", "doc_id").limit(5).collect()}
+        heavy_hits += 7 in top
+        light_hits += 11 in top
+    assert heavy_hits >= 20, heavy_hits   # P(select) ~ 200/319 per slot
+    assert light_hits <= 6, light_hits    # unit weight: ~5/319 per draw
+
+    keyed = d.withColumn("k", es_sample_keys(F.col("doc_id"), F.col("w")))
+    a = [tuple(r) for r in keyed.orderBy("k", "doc_id").limit(5).collect()]
+    b = [
+        tuple(r)
+        for r in keyed.repartition(13).orderBy("k", "doc_id").limit(5).collect()
+    ]
+    assert a == b
+
+
+def test_reservoir_sample_plan_is_takeordered(spark, sf_dir):
+    """The sampler must be one map + TakeOrderedAndProject — no global
+    Sort stage, no Window, no aggregation: the cheapest "k of 100 TB by
+    weight" plan."""
+    from changegen_spark.queries.mlprep import q_reservoir_sample
+
+    plan = q_reservoir_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan and "HashAggregate" not in plan
