@@ -203,3 +203,38 @@ def dsir_weight_stream(docs: DataFrame, ratio_terms: list[int]) -> DataFrame:
         "doc_id", "source", weigh(buckets).alias("s")
     ).select("doc_id", "source", F.col("s.n_grams").alias("n_grams"), F.col("s.logw_e6").alias("logw_e6"))
     return out.filter(F.col("n_grams") > 0)
+
+
+def countmin_stream(docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch of word frequencies: ONE stateful agg
+    over (depth row j, bucket) — cell counts are SUM-mergeable, so the
+    per-micro-batch partial Structured Streaming folds in is exactly the
+    sketch's merge law.  State is the sketch itself: depth × width cells
+    TOTAL, however many distinct words the stream carries — the
+    bounded-state alternative to a streaming exact word count (same
+    argument as streaming/events.hll_registers_stream, sum instead of
+    max).  Point estimates (min over the depth cells) fold statelessly
+    downstream.  Batch twin: the identical cell expressions underlying
+    the oracle-backed q_countmin_topk (queries/scale.py:218) —
+    test_countmin_stream_matches_batch pins cell-for-cell equality."""
+    from changegen_spark.queries.scale import CMS_DEPTH, CMS_HEX
+
+    words = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    stacked = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.substring(
+                            F.md5(F.concat(F.col("w"), F.lit(f"#{j}"))), 1, CMS_HEX
+                        ).alias("b"),
+                    )
+                    for j in range(1, CMS_DEPTH + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.b")
+    return stacked.groupBy("j", "b").agg(F.count("*").alias("c"))

@@ -29,10 +29,10 @@ def _stage_docs(spark, tmp_path):
     return d
 
 
-def _run(stream_df, name):
+def _run(stream_df, name, mode="append"):
     from changegen_spark.streaming.events import run_to_memory_sink
 
-    return run_to_memory_sink(stream_df, name, mode="append")
+    return run_to_memory_sink(stream_df, name, mode=mode)
 
 
 def test_dedup_stream_first_writer_wins(spark, tmp_path):
@@ -165,3 +165,40 @@ def test_dsir_weight_stream_matches_batch_query(spark, tmp_path, sf_dir):
         if r["doc_id"] < 20
     }
     assert g == want and len(g) > 0
+
+
+def test_countmin_stream_matches_batch(spark, tmp_path):
+    """The streaming count-min cells must equal the batch cells exactly
+    (sum is the sketch merge law, so micro-batch splits cannot move a
+    count), and min-over-depth estimates must dominate true counts."""
+    from changegen_spark.queries.scale import CMS_DEPTH
+    from changegen_spark.streaming.corpus import countmin_stream, stream_documents
+
+    d = _stage_docs(spark, tmp_path)
+    got = _run(countmin_stream(stream_documents(spark, d)), "t_cms_stream",
+               mode="complete")
+
+    batch = spark.read.parquet(d)
+    expected = countmin_stream(batch)  # same expressions, batch plan
+    key = ["j", "b", "c"]
+    assert sorted(map(tuple, got.select(key).collect())) == sorted(
+        map(tuple, expected.select(key).collect())
+    )
+
+    # one-sided error: est(word) = min over depth cells >= true count
+    cells = {(r.j, r.b): r.c for r in got.collect()}
+    words = (
+        batch.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    import hashlib
+
+    for r in words:
+        est = min(
+            cells[(j, hashlib.md5(f"{r.w}#{j}".encode()).hexdigest()[:1])]
+            for j in range(1, CMS_DEPTH + 1)
+        )
+        assert est >= r.n, (r.w, est, r.n)
