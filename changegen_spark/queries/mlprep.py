@@ -646,19 +646,31 @@ FROM pos ORDER BY doc_id
 # --- end-to-end corpus pipeline ----------------------------------------------
 
 
-def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship training-data pipeline, end to end in one plan: exact
-    dedup (min doc_id per content hash) → quality gate (≥20 tokens,
-    alpha_ratio ≥ 0.5) → eval-set exclusion + decontamination (≤0.5
-    5-gram overlap) → per-source sequence packing.  Every stage is the
-    already-oracle-checked operator; the composition itself is what a user
-    runs to turn a raw corpus into training sequences, so it gets its own
-    hash-checked contract row.  Shuffle inventory at scale: one hash agg
-    (dedup), one n-gram distinct + semi-join (decon), one per-source
-    window (pack) — nothing quadratic, nothing driver-side."""
+def corpus_pipeline(
+    d: DataFrame,
+    is_eval=None,
+    min_tokens: int = 20,
+    min_alpha: float = 0.5,
+    max_contamination: float = 0.5,
+    pack_budget: int = None,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Parameterized end-to-end corpus build: exact dedup (min doc_id per
+    content hash) → quality gate (≥min_tokens, alpha_ratio ≥ min_alpha) →
+    eval-holdout exclusion + decontamination (≤max_contamination n-gram
+    overlap vs the holdout) → per-source sequence packing.  The CONTRACT
+    instantiation (the oracle-checked q_corpus_pipeline) uses the default
+    thresholds and is_eval = doc_id %% 19 == 3; the corpus CLI
+    (``python -m changegen_spark.corpus``) drives the same code path with
+    user thresholds.  Shuffle inventory at scale: one hash agg (dedup),
+    one n-gram distinct + semi-join (decon), one per-source window (pack)
+    — nothing quadratic, nothing driver-side."""
     from changegen_spark.functions.text import quality_features
 
-    d = _docs(spark, sf_dir)
+    if pack_budget is None:
+        pack_budget = PACK_BUDGET
+    if is_eval is None:
+        is_eval = F.lit(False)
     # 1. exact dedup, first-writer (min doc_id) wins
     hashed = d.withColumn("__h", F.md5(F.trim("text")))
     keep = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
@@ -671,7 +683,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         feats["n_tokens"].alias("n_tokens"),
         feats["alpha_ratio"].alias("alpha_ratio"),
-    ).filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.5))
+    ).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha)
+    )
     # 3. decontamination vs the eval split (docs with <5 tokens have no
     # n-grams → no decon row → treated as clean; they cannot reach here
     # anyway with the ≥20-token gate)
@@ -682,7 +696,6 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    is_eval = F.col("doc_id") % 19 == 3
     eval_ngs = grams.filter(is_eval).select("ng").distinct()
     train = grams.filter(~is_eval)
     totals = train.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
@@ -703,7 +716,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "contamination_frac", F.coalesce("contamination_frac", F.lit(0.0))
         )
-        .filter(F.col("contamination_frac") <= 0.5)
+        .filter(F.col("contamination_frac") <= max_contamination)
     )
     # 4. pack survivors into training sequences per source
     w = (
@@ -712,6 +725,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    text_cols = ["text"] if keep_text else []
     return (
         final.withColumn("start_tok", start)
         .select(
@@ -719,10 +733,22 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "contamination_frac",
-            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long").alias("seq_id"),
-            (F.col("start_tok") % PACK_BUDGET).alias("offset_in_seq"),
+            F.floor(F.col("start_tok") / pack_budget).cast("long").alias("seq_id"),
+            (F.col("start_tok") % pack_budget).alias("offset_in_seq"),
+            *text_cols,
         )
         .orderBy("doc_id")
+    )
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data pipeline contract row: the parameterized
+    ``corpus_pipeline`` at the contract constants (dedup → ≥20-token /
+    ≥0.5-alpha quality gate → doc_id %% 19 == 3 eval holdout, ≤0.5
+    contamination → per-source packing) — hash-checked against the
+    DuckDB oracle below."""
+    return corpus_pipeline(
+        _docs(spark, sf_dir), is_eval=F.col("doc_id") % 19 == 3
     )
 
 

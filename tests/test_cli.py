@@ -201,3 +201,53 @@ def test_query_runner_list_and_oracle():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 2
+
+
+def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """python -m changegen_spark.corpus at the contract thresholds must
+    ship exactly the oracle-checked q_corpus_pipeline's documents, as
+    manifest-verified shards carrying the packing columns + text."""
+    import json
+
+    from changegen_spark.corpus import main
+    from changegen_spark.queries.mlprep import q_corpus_pipeline
+
+    out = str(tmp_path / "shards")
+    rc = main([sf_dir, "--outdir", out, "--eval-holdout", "19:3", "--verify"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["verified"] is True
+
+    expected = q_corpus_pipeline(spark, sf_dir)
+    assert summary["n_docs"] == expected.count()
+
+    spark.catalog.refreshByPath(out)
+    shipped = spark.read.json(out + "/shard=*", pathGlobFilter="*.json")
+    exp = {
+        (r.doc_id, r.seq_id, r.offset_in_seq) for r in expected.collect()
+    }
+    got = {(r.doc_id, r.seq_id, r.offset_in_seq) for r in shipped.collect()}
+    assert got == exp
+    assert "text" in shipped.columns
+
+
+def test_corpus_cli_external_evalset_filters(spark, sf_dir, tmp_path, capsys):
+    """--evalset drops every document whose n-gram overlap with the
+    shipped artifact exceeds the threshold (and only those)."""
+    import json
+
+    from changegen_spark.corpus import main
+
+    out_all = str(tmp_path / "a")
+    out_ext = str(tmp_path / "b")
+    rc = main([sf_dir, "--outdir", out_all])
+    assert rc == 0
+    n_all = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
+    rc = main(
+        [sf_dir, "--outdir", out_ext,
+         "--evalset", "fixtures/evalset_ngrams.parquet",
+         "--max-contamination", "0.0"]
+    )
+    assert rc == 0
+    n_ext = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
+    assert 0 < n_ext < n_all  # planted contaminated docs are removed
