@@ -57,6 +57,21 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="re-read the written shards and check them against the manifest",
     )
+    p.add_argument(
+        "--against",
+        default=None,
+        metavar="PREFIX",
+        help="drop documents that are exact or near dups of the persisted "
+        "corpus artifacts {PREFIX}_hashes/{PREFIX}_bands (the bucketed "
+        "tables persist_dedup_corpus writes — zero corpus-side shuffle)",
+    )
+    p.add_argument(
+        "--persist-corpus",
+        default=None,
+        metavar="PREFIX",
+        help="after filtering, persist the processed batch's dedup "
+        "artifacts under PREFIX for future incremental runs",
+    )
     args = p.parse_args(argv)
     if args.eval_holdout and args.evalset:
         raise SystemExit("--eval-holdout and --evalset are mutually exclusive")
@@ -73,6 +88,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("changegen_spark-corpus")
     docs = load_table(spark, args.src_dir, "documents")
+
+    n_dropped_incremental = None
+    if args.against:
+        # incremental mode: this batch vs the persisted "seen" corpus —
+        # the daily-increment contract (queries/scale.py): both corpus
+        # sides are bucketed by their join key, so no corpus-side Exchange
+        from changegen_spark.queries.scale import incremental_dedup_flags
+
+        flags = incremental_dedup_flags(
+            docs,
+            spark.table(f"{args.against}_hashes"),
+            spark.table(f"{args.against}_bands"),
+        )
+        keep_ids = flags.filter(F.col("status") == "keep").select("doc_id")
+        n_before = docs.count()
+        docs = docs.join(keep_ids, "doc_id", "left_semi")
+        n_dropped_incremental = n_before - docs.count()
 
     is_eval = None
     if args.eval_holdout:
@@ -125,6 +157,40 @@ def main(argv: list[str] | None = None) -> int:
         "n_shards": manifest["n_shards"],
         "hash_sum_total": sum(s["hash_sum"] for s in manifest["shards"].values()),
     }
+    if n_dropped_incremental is not None:
+        summary["n_dropped_incremental"] = int(n_dropped_incremental)
+    if args.persist_corpus:
+        # ingest-time artifact refresh: this batch's content hashes + LSH
+        # band rows, UNIONED with the --against corpus when chaining
+        # increments (artifact-level union — the corpus text is never
+        # re-read).  A distinct prefix is required when unioning: the
+        # bucketed write would otherwise overwrite the tables it reads.
+        from changegen_spark.queries.scale import (
+            _content_hash,
+            dedup_bands_of,
+            persist_dedup_corpus,
+        )
+        from changegen_spark.sources.bucketed import write_bucketed
+
+        if not args.against:
+            persist_dedup_corpus(spark, docs, prefix=args.persist_corpus)
+        else:
+            if args.persist_corpus == args.against:
+                raise SystemExit(
+                    "--persist-corpus must differ from --against "
+                    "(the bucketed write cannot overwrite its own input)"
+                )
+            hashes = (
+                spark.table(f"{args.against}_hashes")
+                .unionByName(docs.select(_content_hash().alias("h")))
+                .distinct()
+            )
+            bands = spark.table(f"{args.against}_bands").unionByName(
+                dedup_bands_of(docs).withColumnRenamed("id", "corpus_id")
+            )
+            write_bucketed(hashes, f"{args.persist_corpus}_hashes", "h")
+            write_bucketed(bands, f"{args.persist_corpus}_bands", "bh")
+        summary["persisted_corpus"] = args.persist_corpus
     if args.verify:
         summary["verified"] = bool(verify_training_shards(spark, args.outdir)["ok"])
     print(json.dumps(summary))

@@ -251,3 +251,48 @@ def test_corpus_cli_external_evalset_filters(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     n_ext = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"]
     assert 0 < n_ext < n_all  # planted contaminated docs are removed
+
+
+def test_corpus_cli_incremental_against_persisted(spark, sf_dir, tmp_path, capsys):
+    """--persist-corpus / --against round trip: every overlapping document
+    of day-1 (exact content dup of the day-0 corpus) is dropped before
+    the pipeline; the persisted artifact union covers both days."""
+    import json
+    import os
+
+    from changegen_spark.corpus import main
+    from changegen_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    day0, day1 = str(tmp_path / "day0"), str(tmp_path / "day1")
+    docs.filter("doc_id < 300").write.parquet(
+        os.path.join(day0, "documents.parquet")
+    )
+    docs.filter("doc_id >= 150").write.parquet(
+        os.path.join(day1, "documents.parquet")
+    )
+    overlap = docs.filter("doc_id >= 150 AND doc_id < 300").count()
+    assert overlap > 0
+
+    rc = main([day0, "--outdir", str(tmp_path / "s0"),
+               "--persist-corpus", "t_cli_day0"])
+    assert rc == 0
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s0["persisted_corpus"] == "t_cli_day0"
+
+    rc = main([day1, "--outdir", str(tmp_path / "s1"),
+               "--against", "t_cli_day0", "--persist-corpus", "t_cli_day1"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every overlap doc is an exact dup of the corpus; near-dup flags may
+    # remove more
+    assert s1["n_dropped_incremental"] >= overlap
+
+    # the unioned day-1 artifact now covers day-0 content too: a re-run of
+    # day0 against it drops everything
+    rc = main([day0, "--outdir", str(tmp_path / "s2"),
+               "--against", "t_cli_day1"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["n_dropped_incremental"] == 300
+    assert s2["n_docs"] == 0
