@@ -47,6 +47,10 @@ QUERIES = [
     "q_haversine",
     "q_dsir_weights",
     "q_hard_negatives",
+    # late-r4: the LSH scale path replacing the exact quadratic, and the
+    # one-map weighted reservoir sampler
+    "q_hard_negatives_lsh",
+    "q_reservoir_sample",
 ]
 WARM_RUNS = 2
 
