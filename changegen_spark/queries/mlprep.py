@@ -993,6 +993,45 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RS_GROUP_K = 10
+
+
+def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted reservoir: the RS_GROUP_K smallest E-S keys
+    WITHIN each source — weighted sampling per group in one window pass
+    (rank pushes a partial WindowGroupLimit below the shuffle, so each
+    map task forwards at most k rows per group; plan-pinned).  The
+    grouped form of q_reservoir_sample for per-domain quota sampling."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    keyed = d.withColumn("es_key", es_sample_keys(F.col("doc_id"), F.col("w")))
+    win = Window.partitionBy("source").orderBy("es_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= RS_GROUP_K)
+        .select("source", "doc_id", "w", "es_key", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+Q_RESERVOIR_PER_SOURCE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         round(-ln(((CAST({{h}} AS DOUBLE) + 1.0) / {{two60}}))
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key, doc_id) AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT source, doc_id, w, es_key, rank
+FROM ranked WHERE rank <= {{k}}
+ORDER BY source, rank
+"""
+
+
 _RS_U = (
     "((CAST(" + _H60_SQL.format(x="doc_id") + " AS DOUBLE) + 1.0) / "
     + repr(_TWO60F) + ")"
@@ -1171,6 +1210,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_hash_sample": q_hash_sample,
     "q_reservoir_sample": q_reservoir_sample,
+    "q_reservoir_per_source": q_reservoir_per_source,
     "q_stratified_split": q_stratified_split,
     "q_token_chunks": q_token_chunks,
     "q_pack_sequences": q_pack_sequences,
@@ -1187,6 +1227,9 @@ ORACLES = {
     "q_repetition": Q_REPETITION_SQL,
     "q_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_reservoir_sample": Q_RESERVOIR_SAMPLE_SQL,
+    "q_reservoir_per_source": Q_RESERVOIR_PER_SOURCE_SQL.format(
+        h=_H60_SQL.format(x="doc_id"), two60=repr(_TWO60F), k=RS_GROUP_K
+    ),
     "q_stratified_split": Q_STRATIFIED_SPLIT_SQL,
     "q_token_chunks": Q_TOKEN_CHUNKS_SQL,
     "q_pack_sequences": Q_PACK_SEQUENCES_SQL,

@@ -380,3 +380,13 @@ def test_hard_negatives_lsh_broadcasts_anchors_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_reservoir_per_source_pushes_window_group_limit(spark, sf_dir):
+    """The per-group sampler must push a partial WindowGroupLimit below
+    the shuffle: each map task forwards at most k rows per source
+    instead of its whole partition."""
+    from changegen_spark.queries.mlprep import q_reservoir_per_source
+
+    plan = q_reservoir_per_source(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
