@@ -74,6 +74,8 @@ CASES = [
     ("q_cdc_chunks", lambda n: n == 0),
     ("q_convex_hulls", lambda n: n == 0),
     ("q_haversine", lambda n: n == 0),
+    ("q_reservoir_sample", lambda n: n == 0),
+    ("q_reservoir_per_source", lambda n: n == 0),
     ("q_catalog", lambda n: n == 10),  # catalog row per (empty) table
 ]
 
