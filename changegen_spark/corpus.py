@@ -96,15 +96,21 @@ def main(argv: list[str] | None = None) -> int:
         # sides are bucketed by their join key, so no corpus-side Exchange
         from changegen_spark.queries.scale import incremental_dedup_flags
 
+        # Fence the verdicts once (lazy localCheckpoint): the drop count
+        # below materializes it, and keep_ids/the pipeline's semi-join
+        # then REUSE the fenced rows — one execution of the dedup scan
+        # instead of three (count-before + count-after + pipeline), the
+        # same single-execution contract as the sinks.  sort=False: the
+        # CLI consumes verdicts programmatically, no presentation sort.
         flags = incremental_dedup_flags(
             docs,
             spark.table(f"{args.against}_hashes"),
             spark.table(f"{args.against}_bands"),
-        )
+            sort=False,
+        ).localCheckpoint(eager=False)
+        n_dropped_incremental = flags.filter(F.col("status") != "keep").count()
         keep_ids = flags.filter(F.col("status") == "keep").select("doc_id")
-        n_before = docs.count()
         docs = docs.join(keep_ids, "doc_id", "left_semi")
-        n_dropped_incremental = n_before - docs.count()
 
     is_eval = None
     if args.eval_holdout:

@@ -971,7 +971,15 @@ def es_sample_keys(id_col, w_col, salt: str = ""):
 
     h = h60(F.concat(F.lit(salt), id_col.cast("string"))) if salt else h60(id_col)
     u = (h.cast("double") + F.lit(1.0)) / F.lit(_TWO60F)
-    return F.round(-F.log(u) / w_col.cast("double"), 9)
+    # Zero/NULL weight must NOT yield a NULL key: Spark's x/0 is NULL and
+    # ascending orderBy puts NULLs FIRST, which would select weight-0 rows
+    # at the head of the sample (DuckDB yields inf and sorts them last —
+    # a silent cross-engine divergence).  A weight-0 row has selection
+    # probability 0 under E-S, so its key is +inf == never sampled; the
+    # query-level w > 0 filters keep such rows out of the plan entirely.
+    return F.when(
+        w_col.cast("double") > 0, F.round(-F.log(u) / w_col.cast("double"), 9)
+    ).otherwise(F.lit(float("inf")))
 
 
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,8 +990,10 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map computes keys, TakeOrderedAndProject keeps a k-row heap per
     partition and merges k rows on the driver, the cheapest possible
     plan for "sample k of 100 TB by weight" (plan-pinned)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.col("n_chars").cast("long").alias("w")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .filter(F.col("w") > 0)  # weight 0 ⇒ P(select)=0; see es_sample_keys
     )
     keyed = d.withColumn("es_key", es_sample_keys(F.col("doc_id"), F.col("w")))
     return (
@@ -1002,8 +1012,10 @@ def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank pushes a partial WindowGroupLimit below the shuffle, so each
     map task forwards at most k rows per group; plan-pinned).  The
     grouped form of q_reservoir_sample for per-domain quota sampling."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("w"))
+        .filter(F.col("w") > 0)  # weight 0 ⇒ P(select)=0; see es_sample_keys
     )
     keyed = d.withColumn("es_key", es_sample_keys(F.col("doc_id"), F.col("w")))
     win = Window.partitionBy("source").orderBy("es_key", "doc_id")
@@ -1020,7 +1032,7 @@ WITH keyed AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
          round(-ln(((CAST({{h}} AS DOUBLE) + 1.0) / {{two60}}))
                / CAST(n_chars AS DOUBLE), 9) AS es_key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 ), ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY source
                                     ORDER BY es_key, doc_id) AS BIGINT) AS rank
@@ -1041,7 +1053,7 @@ Q_RESERVOIR_SAMPLE_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          round(-ln({_RS_U}) / CAST(n_chars AS DOUBLE), 9) AS es_key
-  FROM documents
+  FROM documents WHERE n_chars > 0
 )
 SELECT doc_id, w, es_key
 FROM keyed

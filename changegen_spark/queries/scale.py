@@ -344,7 +344,10 @@ def dedup_bands_of(docs: DataFrame) -> DataFrame:
 
 
 def incremental_dedup_flags(
-    batch: DataFrame, corpus_hashes: DataFrame, corpus_bands: DataFrame
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    sort: bool = True,
 ) -> DataFrame:
     """Per-batch-doc dedup verdicts against corpus artifacts.
 
@@ -352,7 +355,9 @@ def incremental_dedup_flags(
     (corpus_id, band, bh).  Both can be the persisted bucketed tables from
     :func:`persist_dedup_corpus` — then neither corpus side shuffles
     (plan-pinned by tests/test_bucketed.py) — or inline frames (the oracle
-    query's form)."""
+    query's form).  ``sort=False`` skips the presentation ``orderBy`` —
+    the scale path for programmatic consumers (the corpus CLI) where a
+    global range-exchange of every verdict buys nothing."""
     exact = (
         batch.select("doc_id", _content_hash().alias("h"))
         .join(corpus_hashes, "h", "left_semi")
@@ -367,7 +372,7 @@ def incremental_dedup_flags(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_near_dup_docs"))
     )
-    return (
+    out = (
         batch.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
@@ -380,8 +385,8 @@ def incremental_dedup_flags(
             .otherwise("keep")
             .alias("status"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if sort else out
 
 
 def persist_dedup_corpus(

@@ -75,6 +75,25 @@ def get_spark(
     # the SPARK_GRAFT_JARS environment variable.
     jars = jars or os.environ.get("SPARK_GRAFT_JARS")
     if jars:
+        # getOrCreate SILENTLY ignores spark.jars/extraClassPath once a
+        # JVM is up — a --jdbc-jar passed after some earlier in-process
+        # session was created would no-op and the JDBC driver class would
+        # be missing at read time.  Detect and say so instead.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            have = active.conf.get("spark.jars", "") or ""
+            missing = [j for j in jars.split(",") if j and j not in have]
+            if missing:
+                import warnings
+
+                warnings.warn(
+                    "get_spark(jars=...) cannot add jars to the already-"
+                    f"running SparkSession (missing: {missing}); launch a "
+                    "fresh process or set SPARK_GRAFT_JARS before the "
+                    "first session is created.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         builder = (
             builder.config("spark.jars", jars)
             .config("spark.driver.extraClassPath", jars.replace(",", ":"))

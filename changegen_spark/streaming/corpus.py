@@ -199,9 +199,14 @@ def dsir_weight_stream(docs: DataFrame, ratio_terms: list[int]) -> DataFrame:
     buckets = F.transform(
         word_ngrams(toks, 2), lambda g: F.pmod(h60(g), F.lit(DSIR_BUCKETS))
     )
-    out = docs.select(
-        "doc_id", "source", weigh(buckets).alias("s")
-    ).select("doc_id", "source", F.col("s.n_grams").alias("n_grams"), F.col("s.logw_e6").alias("logw_e6"))
+    # Mirror the batch scorer's eligibility gate (_dsir_occ drops docs
+    # whose trimmed source is NULL) so stream/batch parity holds for ALL
+    # inputs, not just the non-null-source rows the parity test feeds.
+    out = (
+        docs.filter(F.trim(F.col("source")).isNotNull())
+        .select("doc_id", "source", weigh(buckets).alias("s"))
+        .select("doc_id", "source", F.col("s.n_grams").alias("n_grams"), F.col("s.logw_e6").alias("logw_e6"))
+    )
     return out.filter(F.col("n_grams") > 0)
 
 

@@ -303,6 +303,24 @@ def test_reservoir_sample_statistics_and_invariance(spark):
     assert a == b
 
 
+def test_reservoir_zero_weight_never_sampled(spark):
+    """A zero or NULL weight must yield key = +inf (P(select)=0), not the
+    NULL key Spark's divide-by-zero produces — ascending orderBy puts
+    NULLs FIRST, which would seat weight-0 rows at the head of the sample
+    while the DuckDB oracle (inf, sorts last) excludes them (advisor r4)."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mlprep import es_sample_keys
+
+    rows = [(1, 10), (2, 0), (3, None), (4, 7)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    keyed = d.withColumn("k", es_sample_keys(F.col("doc_id"), F.col("w")))
+    got = {r.doc_id: r.k for r in keyed.collect()}
+    assert got[2] == float("inf") and got[3] == float("inf")
+    top = [r.doc_id for r in keyed.orderBy("k", "doc_id").limit(2).collect()]
+    assert set(top) == {1, 4}
+
+
 def test_reservoir_sample_plan_is_takeordered(spark, sf_dir):
     """The sampler must be one map + TakeOrderedAndProject — no global
     Sort stage, no Window, no aggregation: the cheapest "k of 100 TB by

@@ -155,10 +155,16 @@ def test_dsir_weight_stream_matches_batch_query(spark, tmp_path, sf_dir):
 
     terms = dsir_ratio_terms(spark, str(sf_dir))
     docs = load_table(spark, str(sf_dir), "documents").filter(F.col("doc_id") < 20)
+    # a NULL-source doc must be excluded by the stream exactly as the
+    # batch query's _dsir_occ excludes it (advisor r4 parity gap)
+    null_src = docs.limit(1).withColumn(
+        "doc_id", F.lit(999_999).cast("long")
+    ).withColumn("source", F.lit(None).cast("string"))
     d = str(tmp_path / "dsir_drop")
-    docs.coalesce(1).write.parquet(d)
+    docs.unionByName(null_src).coalesce(1).write.parquet(d)
     got = _run(dsir_weight_stream(stream_documents(spark, d), terms), "t_dsir_stream")
     g = {r["doc_id"]: (r["n_grams"], r["logw_e6"]) for r in got.collect()}
+    assert 999_999 not in g
     want = {
         r["doc_id"]: (r["n_grams"], r["logw_e6"])
         for r in q_dsir_weights(spark, str(sf_dir)).collect()
