@@ -71,6 +71,13 @@ BUDGETS = {
     # miner (the scale path; the exact variant is the deliberate quadratic)
     "q_dsir_weights": 2.9,
     "q_hard_negatives_lsh": 1.6,
+    # r5 additions (measured warm min-of-3 at sf0.1: 1.21 / 5.64) — the
+    # banded-LSH embedding-dedup scale path (the exact theta-join twin
+    # measures 10.95 s on the same data: the last all-pairs join, retired
+    # from the scale path per the r4 verdict) and the end-to-end near-dup
+    # dedup composite (LSH pairs → connected components → keep list)
+    "q_embedding_dedup_lsh": 1.7,
+    "q_dedup_clusters": 7.3,
 }
 
 HEADLINE = [
@@ -123,6 +130,10 @@ HEADLINE = [
     # hard-negative mining
     "q_dsir_weights",
     "q_hard_negatives_lsh",
+    # r5: the embedding-dedup scale path and the composite near-dup
+    # dedup pipeline (the most scale-critical composite in the LLM surface)
+    "q_embedding_dedup_lsh",
+    "q_dedup_clusters",
 ]
 
 
@@ -134,13 +145,37 @@ SF1_QUERIES = [
     "q_semantic_dedup",
     "q_dup_spans",
     "q_corpus_pipeline",
+    # r5: banded-candidate embedding dedup (growth must stay ~<2.5× for
+    # 10× data — the whole point of retiring the theta join) and the
+    # iterative-component composite (its rounds-to-fixpoint and per-round
+    # shuffle are exactly where lineage costs surface at scale)
+    "q_embedding_dedup_lsh",
+    "q_dedup_clusters",
 ]
 SF1_WARM_RUNS = 2
+
+
+def _calibration_s() -> float:
+    """Fixed single-thread CPU work, timed — a load canary.  On an idle
+    machine this constant is stable round over round; ambient load (other
+    benchmarks, a concurrent pytest) inflates it roughly in proportion to
+    how much it inflates every query below, which makes cross-round BENCH
+    deltas attributable (r4 verdict: 27 of 30 untouched queries drifted
+    +8-25% with no code change — unjudgeable without a canary)."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    assert s > 0
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     from changegen_spark.queries import all_queries
     from changegen_spark.session import get_spark
+
+    load_before = round(os.getloadavg()[0], 2)
+    calib_before = _calibration_s()
 
     spark = get_spark("changegen_spark-bench")
     queries = all_queries()
@@ -225,6 +260,12 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "warm_runs": WARM_RUNS,
         "over_budget": over_budget,
+        # Trustworthiness fields (r4 verdict #2): 1-min loadavg and a fixed
+        # single-thread CPU calibration, sampled before and after the run.
+        # Compare calib_s across rounds before reading anything into
+        # per-query drift; idle baseline for calib_s is ~0.4-0.5 s here.
+        "load_1m": {"before": load_before, "after": round(os.getloadavg()[0], 2)},
+        "calib_s": {"before": calib_before, "after": _calibration_s()},
     }
     if sf1 is not None:
         out["sf1"] = sf1

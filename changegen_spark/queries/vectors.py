@@ -249,6 +249,106 @@ ORDER BY id_a, id_b
 """
 
 
+# 4 staggered bands × 8 sign bits for the embedding-dedup SCALE path: 8
+# bits/band (256 buckets) keeps within-bucket pairing subquadratic while
+# the 4-way OR keeps recall on genuinely-similar pairs; in production the
+# bits-per-band grow with log(n) so bucket occupancy stays bounded.
+EMB_DEDUP_BANDS = [[o + 8 * j for j in range(8)] for o in range(4)]
+EMB_DEDUP_SIM = 0.35  # same floor as the exact query, so recall is measurable
+
+
+def _dedup_sigs(df: DataFrame, id_name: str, vec_col: str = "e") -> DataFrame:
+    """(id, band, bucket) sign-LSH signature rows — one explode over the
+    per-band bucket structs, so each vector is hashed once per band in a
+    single map pass (no joins, no shuffle)."""
+    return df.select(
+        F.col(df.columns[0]).alias(id_name),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        sign_lsh_bucket(F.col(vec_col), bd).alias("bucket"),
+                    )
+                    for i, bd in enumerate(EMB_DEDUP_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_name, "s.band", "s.bucket")
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of embedding near-dup detection: candidate pairs come
+    from OR-amplified sign-LSH band collisions instead of the probe×corpus
+    theta join of the exact ``q_embedding_dedup`` (which plans as a
+    nested-loop and does O(n²/10) compare work).
+
+    Shape: one map computes 4 band buckets per vector (explode, no
+    shuffle), candidates are ONE equi-join on (band, bucket) carrying only
+    ids, deduped, and scored exactly after re-attaching vectors by id —
+    O(n·bands) map work + O(collisions), every join an equi-join
+    (plan-pinned: no BroadcastNestedLoopJoin/CartesianProduct).  The exact
+    form stays as the small-sf oracle baseline; containment (lsh ⊆ exact)
+    and a recall floor on high-similarity pairs are pytest-pinned."""
+    v = _vecs(spark, sf_dir).select("vec_id", as_double(F.col("embedding")).alias("e"))
+    probe = v.filter(F.col("vec_id") % 10 == 0)
+    vs = _dedup_sigs(v, "id_b")
+    ps = _dedup_sigs(probe, "id_a")
+    cands = (
+        vs.join(ps, ["band", "bucket"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a_side = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b_side = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e"))
+    pairs = (
+        cands.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("e")), 6))
+        .filter(F.col("cos_sim") >= EMB_DEDUP_SIM)
+    )
+    return pairs.select("id_a", "id_b", "cos_sim").orderBy("id_a", "id_b")
+
+
+def _dedup_bucket_sql(dims: list[int]) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_extract(embedding, {d + 1}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, d in enumerate(dims)
+        )
+        + ")"
+    )
+
+
+_EMB_DEDUP_SIG_UNION = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {i} AS band, {_dedup_bucket_sql(bd)} AS bucket FROM embeddings"
+    for i, bd in enumerate(EMB_DEDUP_BANDS)
+)
+
+Q_EMBED_DEDUP_LSH_SQL = f"""
+WITH sig AS (
+  {_EMB_DEDUP_SIG_UNION}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, s.vec_id AS id_b
+  FROM sig s JOIN sig p ON s.band = p.band AND s.bucket = p.bucket
+  WHERE p.vec_id % 10 = 0 AND s.vec_id > p.vec_id
+),
+v AS (SELECT vec_id, {_VD} AS e FROM embeddings),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+           AS cos_sim
+  FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {EMB_DEDUP_SIM}
+ORDER BY id_a, id_b
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (the k-means/IVF building block as a
     standalone operator): posexplode to (label, dim) cells, sum in exact
@@ -633,6 +733,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_pq": q_ann_pq,
     "q_embedding_dedup": q_embedding_dedup,
+    "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
     "q_dim_standardize": q_dim_standardize,
     "q_random_projection": q_random_projection,
 }
@@ -646,6 +747,7 @@ ORACLES = {
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_pq": Q_ANN_PQ_SQL,
     "q_embedding_dedup": Q_EMBED_DEDUP_SQL,
+    "q_embedding_dedup_lsh": Q_EMBED_DEDUP_LSH_SQL,
     "q_dim_standardize": Q_DIM_STANDARDIZE_SQL,
     "q_random_projection": Q_RANDOM_PROJECTION_SQL,
 }

@@ -390,3 +390,14 @@ def test_reservoir_per_source_pushes_window_group_limit(spark, sf_dir):
 
     plan = q_reservoir_per_source(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_embedding_dedup_lsh_plan_is_equi_join(spark, sf_dir):
+    """The dedup scale path must pair candidates through the (band, bucket)
+    hash equi-join — never the BroadcastNestedLoopJoin the exact query's
+    vec_id > id_a theta join plans as (r4 verdict: the last all-pairs join)."""
+    from changegen_spark.queries.vectors import q_embedding_dedup_lsh
+
+    plan = _plan(q_embedding_dedup_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

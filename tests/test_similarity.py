@@ -366,3 +366,54 @@ def test_hard_negatives_lsh_recall_golden(spark, sf_dir):
     assert exact
     recalls = [len(exact[a] & approx.get(a, set())) / len(exact[a]) for a in exact]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_embedding_dedup_lsh_containment_and_planted_recall(spark, tmp_path):
+    """The banded-LSH dedup scale path must be a strict SUBSET of the exact
+    theta-join query (identical scoring on LSH-collided candidates), and on
+    PLANTED near-duplicates (cos ~0.97 — the regime dedup exists for; the
+    shipped fixture's max pair is cos 0.46) the 4x8-bit OR-amplified bands
+    must recall most pairs (theory: p_band = (1-acos(0.97)/pi)^8 ~ 0.48,
+    1-(1-p)^4 ~ 0.93 per pair)."""
+    import numpy as np
+
+    from changegen_spark.queries.vectors import (
+        q_embedding_dedup,
+        q_embedding_dedup_lsh,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    # containment on the real table
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in q_embedding_dedup(spark, "/root/testdata/sf0.01").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in q_embedding_dedup_lsh(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == lsh[p] for p in lsh)
+
+    # planted near-dups: jitter every probe-slice vector, append with a
+    # fresh id in the SAME probe residue system (id_b > id_a holds)
+    base = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = base.collect()
+    rng = np.random.default_rng(7)
+    planted, want_pairs = [], []
+    for r in rows:
+        if r.vec_id % 10 == 0:
+            e = np.asarray(r.embedding, dtype=np.float64)
+            noise = rng.normal(0.0, 0.25 * float(np.abs(e).mean()), e.shape)
+            planted.append((int(r.vec_id) + 100_000, (e + noise).astype(np.float32).tolist(), int(r.label)))
+            want_pairs.append((int(r.vec_id), int(r.vec_id) + 100_000))
+    aug = base.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    d = str(tmp_path / "aug")
+    aug.coalesce(1).write.parquet(d + "/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b) for r in q_embedding_dedup_lsh(spark, d).collect()
+    }
+    hits = sum(p in got for p in want_pairs)
+    assert hits / len(want_pairs) >= 0.6, (hits, len(want_pairs))
