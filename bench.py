@@ -70,7 +70,8 @@ BUDGETS = {
     # importance-resampling selection and the banded-LSH hard-negative
     # miner (the scale path; the exact variant is the deliberate quadratic)
     "q_dsir_weights": 2.9,
-    "q_hard_negatives_lsh": 1.6,
+    # r5: 8-band config (recall@5 0.44 → 0.80); measured 1.73 s warm
+    "q_hard_negatives_lsh": 2.3,
     # r5 additions (measured warm min-of-3 at sf0.1: 1.21 / 5.64) — the
     # banded-LSH embedding-dedup scale path (the exact theta-join twin
     # measures 10.95 s on the same data: the last all-pairs join, retired

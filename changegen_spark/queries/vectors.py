@@ -73,11 +73,23 @@ ORDER BY query_id, rank
 """
 
 
-# 4 bands × 4 sign bits over the 64-dim embedding: OR-amplified LSH (a
+# 8 bands × 4 sign bits over the 64-dim embedding: OR-amplified LSH (a
 # vector is a candidate on ANY band collision).  r2's single band had
-# recall@5 = 0.16 on the fixture; 4 bands measure 0.40 at a ~20% candidate
-# fraction (tests/test_similarity.py pins the floor).
-LSH_BANDS = [[0, 8, 16, 24], [32, 40, 48, 56], [4, 12, 20, 28], [36, 44, 52, 60]]
+# recall@5 = 0.16 on the fixture; 4 bands measured 0.40-0.44; r5 doubles
+# to 8 bands after an offline sweep (candidate-containment recall 0.56 →
+# 0.80 at a 0.23 → 0.41 candidate fraction — this fixture's pairs top out
+# at cos ~0.46, where sign-planes agree only ~65% per bit, so recall is
+# bought with bands, not bits).  tests/test_similarity.py pins the floors.
+LSH_BANDS = [
+    [0, 8, 16, 24],
+    [32, 40, 48, 56],
+    [4, 12, 20, 28],
+    [36, 44, 52, 60],
+    [2, 10, 18, 26],
+    [34, 42, 50, 58],
+    [6, 14, 22, 30],
+    [38, 46, 54, 62],
+]
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

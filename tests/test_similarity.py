@@ -161,8 +161,8 @@ def test_ivfpq_composite(vectors, queries):
 
 
 def test_recall_golden_lsh_registry(vectors):
-    """q_ann_lsh's 4-band config: measured 0.40 (vs 0.16 for r2's single
-    band) — floor 0.35."""
+    """q_ann_lsh's banded config: r2 single band 0.16 → r3 4 bands 0.40 →
+    r5 8 bands measured 0.76 — floor 0.65."""
     from changegen_spark.functions.similarity import brute_force_topk, lsh_bucketed_topk
     from changegen_spark.queries.vectors import LSH_BANDS
 
@@ -171,7 +171,7 @@ def test_recall_golden_lsh_registry(vectors):
     )
     exact = _result_map(brute_force_topk(vectors, q50, k=5))
     approx = _result_map(lsh_bucketed_topk(vectors, q50, k=5, bands=LSH_BANDS))
-    assert _mean_recall(exact, approx, 5) >= 0.35
+    assert _mean_recall(exact, approx, 5) >= 0.65
 
 
 def test_ivf_is_deterministic(vectors, queries):
@@ -352,10 +352,10 @@ def test_hard_negatives_match_numpy_bruteforce(spark, sf_dir):
 
 def test_hard_negatives_lsh_recall_golden(spark, sf_dir):
     """The banded-LSH scale path must recover a measured floor of the
-    exact hard-negative sets (mean recall@HARDNEG_K >= 0.3; measured
-    0.44 at sf0.001 with the 4-band OR-amplified config — same ballpark
-    as the q_ann_lsh recall golden). Guards band/bucket tuning from
-    silently losing negatives."""
+    exact hard-negative sets (mean recall@HARDNEG_K >= 0.6; measured
+    0.80 at sf0.01 with the r5 8-band OR-amplified config — the r4
+    4-band config measured 0.44, thin for production contrastive
+    mining). Guards band/bucket tuning from silently losing negatives."""
     from changegen_spark.queries.vectors import q_hard_negatives, q_hard_negatives_lsh
 
     exact, approx = {}, {}
@@ -365,7 +365,7 @@ def test_hard_negatives_lsh_recall_golden(spark, sf_dir):
         approx.setdefault(r["anchor_id"], set()).add(r["vec_id"])
     assert exact
     recalls = [len(exact[a] & approx.get(a, set())) / len(exact[a]) for a in exact]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
 def test_embedding_dedup_lsh_containment_and_planted_recall(spark, tmp_path):
