@@ -124,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
         max_contamination=args.max_contamination,
         pack_budget=args.pack_budget,
         keep_text=not args.no_text,
+        # scale path: the shard sink hash-places rows and fixes the
+        # within-shard order itself — no global presentation sort here
+        sort=False,
     )
     if args.evalset:
         # external-artifact decontamination: drop documents whose n-gram

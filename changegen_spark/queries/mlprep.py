@@ -654,6 +654,7 @@ def corpus_pipeline(
     max_contamination: float = 0.5,
     pack_budget: int = None,
     keep_text: bool = False,
+    sort: bool = True,
 ) -> DataFrame:
     """Parameterized end-to-end corpus build: exact dedup (min doc_id per
     content hash) → quality gate (≥min_tokens, alpha_ratio ≥ min_alpha) →
@@ -664,7 +665,13 @@ def corpus_pipeline(
     (``python -m changegen_spark.corpus``) drives the same code path with
     user thresholds.  Shuffle inventory at scale: one hash agg (dedup),
     one n-gram distinct + semi-join (decon), one per-source window (pack)
-    — nothing quadratic, nothing driver-side."""
+    — nothing quadratic, nothing driver-side.  ``sort=False`` drops the
+    final presentation ``orderBy`` (a full-output range exchange whose
+    only purpose is display determinism) — the scale path for
+    programmatic consumers: the corpus CLI writes hash-placed shards
+    whose within-shard order the sink itself fixes, so a global sort
+    here is pure waste at 100 TB (r4 verdict #5; plan-pinned: no
+    rangepartitioning exchange in the sort=False plan)."""
     from changegen_spark.functions.text import quality_features
 
     if pack_budget is None:
@@ -726,19 +733,16 @@ def corpus_pipeline(
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     text_cols = ["text"] if keep_text else []
-    return (
-        final.withColumn("start_tok", start)
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "contamination_frac",
-            F.floor(F.col("start_tok") / pack_budget).cast("long").alias("seq_id"),
-            (F.col("start_tok") % pack_budget).alias("offset_in_seq"),
-            *text_cols,
-        )
-        .orderBy("doc_id")
+    out = final.withColumn("start_tok", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "contamination_frac",
+        F.floor(F.col("start_tok") / pack_budget).cast("long").alias("seq_id"),
+        (F.col("start_tok") % pack_budget).alias("offset_in_seq"),
+        *text_cols,
     )
+    return out.orderBy("doc_id") if sort else out
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -401,3 +401,19 @@ def test_embedding_dedup_lsh_plan_is_equi_join(spark, sf_dir):
     plan = _plan(q_embedding_dedup_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_cli_pipeline_has_no_global_sort(spark, sf_dir):
+    """The sort=False corpus_pipeline (what the corpus CLI executes before
+    the shard sink) must contain NO range-partitioning exchange — at 100 TB
+    a full-output presentation sort is a real shuffle whose only purpose is
+    display determinism, and the shard sink fixes within-shard order itself
+    (sortWithinPartitions).  The contract query keeps its orderBy (and the
+    range exchange), pinned here so the two shapes can't silently converge."""
+    from changegen_spark.queries.mlprep import corpus_pipeline
+    from changegen_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(corpus_pipeline(docs, sort=False))
+    assert "rangepartitioning" not in plan
+    assert "rangepartitioning" in _plan(corpus_pipeline(docs))
