@@ -96,6 +96,44 @@ def _base_oracles():
 # query now fails one shard, not the whole transitive check.
 DIGEST_NAMES = ("q_relational_digest", "q_digest_shard_b", "q_digest_shard_c")
 
+# r5 window rotation (r4 verdict #7): families that had been digest-verified
+# but never DIRECTLY checked by the driver since r2 (tags, window battery,
+# sketches, text dedup, misc/geo, search, graph, timeseries, setsim,
+# winnowing) get a round of direct DuckDB verification.  The entries they
+# displace fall into the digest-covered set — queries/digest.KINDS carries
+# their schemas (tests/test_digest.py pins the map against live schemas),
+# so transitive verification stays total.  Dict insertion order makes this
+# stable: rotated names are inserted right after the digest slots and keep
+# that position when the module sweep re-updates them.
+ROTATED_IN = (
+    "q_tag_unpivot",
+    "q_hstore_parse",
+    "q_window_rank",
+    "q_window_funcs",
+    "q_hll_distinct",
+    "q_kmv_distinct",
+    "q_kmv_jaccard",
+    "q_countmin_topk",
+    "q_sample_quantiles",
+    "q_exact_dedup",
+    "q_lsh_pairs",
+    "q_simhash",
+    "q_fingerprint",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_catalog",
+    "q_grid_dedup",
+    "q_mercator",
+    "q_nearest_neighbor",
+    "q_self_join",
+    "q_dwithin_semi",
+    "q_bm25_search",
+    "q_pagerank",
+    "q_resample",
+    "q_setsim_join",
+    "q_winnow_pairs",
+)
+
 
 def all_queries():
     """Module-ordered registry with rows-only (no-oracle) queries demoted to
@@ -116,6 +154,7 @@ def all_queries():
     out = {
         nm: _digest.q_digest_shard(i) for i, nm in enumerate(DIGEST_NAMES)
     }
+    out.update({nm: ordered[nm] for nm in ROTATED_IN})
     out.update({k: v for k, v in ordered.items() if k in oracles})
     out.update({k: v for k, v in ordered.items() if k not in oracles})
     return out

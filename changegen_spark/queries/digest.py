@@ -198,6 +198,25 @@ KINDS = {
     "q08_market_share": {"o_year": "num", "nation_revenue_e4": "num", "total_revenue_e4": "num", "mkt_share": "e6"},
     "q09_product_profit": {"nation": "str", "o_year": "num", "profit_e4": "num"},
     "q11_important_stock": {"l_partkey": "num", "value_e2": "num"},
+    # displaced by the r5 window rotation (ROTATED_IN in queries/__init__.py)
+    "q_view_purchase_pairs": {"user_id": "num", "view_id": "num", "purchase_id": "num", "gap_us": "num", "value_cents": "num"},
+    "q_sessionize": {"user_id": "num", "session_seq": "num", "n_events": "num", "session_start": "str", "session_end": "str"},
+    "q_props_parse": {"event_id": "num", "event_type": "str", "k": "num", "k_band": "str"},
+    "q_asof_join": {"event_id": "num", "user_id": "num", "click_ts": "str", "view_event_id": "num", "gap_us": "num"},
+    "q_range_join": {"event_id": "num", "user_id": "num", "n_prior": "num", "sum_prior_value_e6": "num"},
+    "q_dsir_weights": {"doc_id": "num", "n_grams": "num", "logw_e6": "num", "selected": "num"},
+    "q_decontaminate": {"doc_id": "num", "n_ngrams": "num", "n_contaminated": "num", "contamination_frac": "e6"},
+    "q_external_decontaminate": {"doc_id": "num", "n_ngrams": "num", "n_contaminated": "num", "contamination_frac": "e6"},
+    "q_corpus_pipeline": {"doc_id": "num", "source": "str", "n_tokens": "num", "contamination_frac": "e6", "seq_id": "num", "offset_in_seq": "num"},
+    "q_mixture_plan": {"source": "str", "n_docs": "num", "n_tokens": "num", "budget_tokens": "num", "sample_rate": "e6", "contrib_tokens": "num"},
+    "q_pii_scrub": {"doc_id": "num", "n_email": "num", "n_phone": "num", "n_ip": "num", "redacted_hash": "str"},
+    "q_repetition": {"doc_id": "num", "n_tokens": "num", "dup_word_frac": "e6", "top_word_frac": "e6", "top_bigram_frac": "e6"},
+    "q_hash_sample": {"doc_id": "num", "source": "str", "hkey": "str", "in_bernoulli": "num", "strat_keep": "num"},
+    "q_reservoir_sample": {"doc_id": "num", "w": "num", "es_key": "e6"},
+    "q_reservoir_per_source": {"source": "str", "doc_id": "num", "w": "num", "es_key": "e6", "rank": "num"},
+    "q_token_chunks": {"doc_id": "num", "chunk_idx": "num", "n_in_chunk": "num", "chunk_hash": "str"},
+    "q_pack_sequences": {"doc_id": "num", "source": "str", "n_tokens": "num", "seq_id": "num", "offset_in_seq": "num", "n_seqs_spanned": "num"},
+    "q_distance_join": {"a_id": "num", "b_id": "num", "dist": "e6"},
     "q12_priority_lines": {"l_linestatus": "str", "high_line_count": "num", "low_line_count": "num"},
     "q15_top_supplier": {"s_suppkey": "num", "s_name": "str", "total_revenue_e4": "num"},
     "q17_small_quantity": {"total_cents": "num", "avg_yearly": "e6"},
