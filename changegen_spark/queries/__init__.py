@@ -39,6 +39,7 @@ from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import cdc as _cdc
+from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import vectors as _vectors
 from changegen_spark.queries import winnow as _winnow
 
@@ -73,6 +74,7 @@ MODULES = (
     _cdc,  # content-defined chunking dedup (late r3) — digest-covered
     _suffix,  # prefix-doubling suffix array + exact repeats (late r3)
     _sketches,  # mergeable HLL/KMV distinct sketches (r3.4) — digest-covered
+    _curation,  # Gopher rules, CCNet buckets, temperature mix, novelty (r5)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -217,6 +217,11 @@ KINDS = {
     "q_token_chunks": {"doc_id": "num", "chunk_idx": "num", "n_in_chunk": "num", "chunk_hash": "str"},
     "q_pack_sequences": {"doc_id": "num", "source": "str", "n_tokens": "num", "seq_id": "num", "offset_in_seq": "num", "n_seqs_spanned": "num"},
     "q_distance_join": {"a_id": "num", "b_id": "num", "dist": "e6"},
+    # r5 curation family (queries/curation.py)
+    "q_gopher_rules": {"doc_id": "num", "n_words": "num", "mean_word_len": "e6", "alpha_word_frac": "e6", "n_stop_hits": "num", "keep": "num"},
+    "q_ccnet_buckets": {"doc_id": "num", "lang": "str", "nll": "e6", "ppl": "e6", "tercile": "num", "bucket": "str"},
+    "q_mixture_temperature": {"source": "str", "n_docs": "num", "n_tokens": "num", "p_e6": "num", "budget_tokens": "num", "contrib_tokens": "num", "epochs_e6": "num"},
+    "q_ngram_novelty": {"doc_id": "num", "n_grams": "num", "n_novel": "num", "novelty_frac": "e6"},
     "q12_priority_lines": {"l_linestatus": "str", "high_line_count": "num", "low_line_count": "num"},
     "q15_top_supplier": {"s_suppkey": "num", "s_name": "str", "total_revenue_e4": "num"},
     "q17_small_quantity": {"total_cents": "num", "avg_yearly": "e6"},

@@ -1,0 +1,90 @@
+"""Curation-family tests: planted-input semantics for the Gopher rule
+set, CCNet terciles, temperature mixing, and n-gram novelty (the oracle
+rows pin the corpus values; these pin the DECISIONS on crafted docs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def docs(spark, tmp_path):
+    rows = [
+        # passes every Gopher rule: 60 words, mwl in band, stopwords
+        (1, " ".join(["the", "a", "table"] * 20), "en", "s1"),
+        # too short
+        (2, "the a short doc", "en", "s1"),
+        # mean word length too long (every word 12 chars)
+        (3, " ".join(["abcdefghijkl"] * 60), "en", "s1"),
+        # no stopword hits
+        (4, " ".join(["zig", "zag"] * 30), "en", "s2"),
+        # numeric words → alpha fraction low
+        (5, " ".join(["123", "456", "the", "a"] * 15), "en", "s2"),
+    ]
+    d = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "cur")
+    d.coalesce(1).write.parquet(p + "/documents.parquet")
+    return p
+
+
+def test_gopher_rules_decisions(spark, docs):
+    from changegen_spark.queries.curation import q_gopher_rules
+
+    got = {r.doc_id: r for r in q_gopher_rules(spark, docs).collect()}
+    assert got[1].keep == 1
+    assert got[2].keep == 0 and got[2].n_words == 4
+    assert got[3].keep == 0 and got[3].mean_word_len == 12.0
+    assert got[4].keep == 0 and got[4].n_stop_hits == 0
+    assert got[5].keep == 0 and got[5].alpha_word_frac == 0.5
+
+
+def test_ngram_novelty_first_writer_wins(spark, docs):
+    """Doc 1 introduces its bigrams; an identical later doc would score 0.
+    Here doc 2 shares the leading 'the a' bigram with doc 1 (doc 1 is the
+    first writer), so doc 2's novelty < 1."""
+    from changegen_spark.queries.curation import q_ngram_novelty
+
+    got = {r.doc_id: r for r in q_ngram_novelty(spark, docs).collect()}
+    assert got[1].novelty_frac == 1.0  # lowest doc_id introduces everything
+    assert got[2].n_novel < got[2].n_grams  # 'the a' already seen in doc 1
+    assert all(0.0 <= r.novelty_frac <= 1.0 for r in got.values())
+
+
+def test_mixture_temperature_flattens_skew(spark, docs):
+    """alpha=1/2 must give the small source a LARGER share than its token
+    share (that is the point of temperature sampling), probabilities sum
+    to ~1e6, and contributions never exceed the budget."""
+    from changegen_spark.queries.curation import q_mixture_temperature
+
+    rows = q_mixture_temperature(spark, docs).collect()
+    by_src = {r.source: r for r in rows}
+    tot_tokens = sum(r.n_tokens for r in rows)
+    small, big = ("s2", "s1") if by_src["s2"].n_tokens < by_src["s1"].n_tokens else ("s1", "s2")
+    assert by_src[small].p_e6 / 1e6 > by_src[small].n_tokens / tot_tokens
+    assert by_src[big].p_e6 / 1e6 < by_src[big].n_tokens / tot_tokens
+    assert abs(sum(r.p_e6 for r in rows) - 1_000_000) <= len(rows)
+    assert sum(r.contrib_tokens for r in rows) <= rows[0].budget_tokens + len(rows)
+
+
+def test_ccnet_buckets_tercile_contract(spark, sf_dir):
+    """Terciles are per-language, ordered by nll: every lang's head bucket
+    must have max(nll) <= its tail bucket's min(nll), and sizes differ by
+    at most 1 within a lang."""
+    from changegen_spark.queries.curation import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, sf_dir).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        byb = {}
+        for r in rs:
+            byb.setdefault(r.tercile, []).append(r.nll)
+        ks = sorted(byb)
+        for a, b in zip(ks, ks[1:]):
+            assert max(byb[a]) <= min(byb[b]), lang
+        sizes = [len(v) for v in byb.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)

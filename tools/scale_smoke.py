@@ -118,7 +118,10 @@ def main() -> None:
     t_plan = time.time() - t0
 
     t0 = time.time()
-    counts = write_osmchange_sharded(cset, "/tmp/scale_smoke.osc", shards_per_block=16)
+    sink_t: dict = {}
+    counts = write_osmchange_sharded(
+        cset, "/tmp/scale_smoke.osc", shards_per_block=16, timings=sink_t
+    )
     t_exec = time.time() - t0
 
     print(
@@ -132,6 +135,8 @@ def main() -> None:
                 "build_s": round(t_build, 1),
                 "plan_s": round(t_plan, 1),
                 "execute_and_sink_s": round(t_exec, 1),
+                "sink_spark_s": sink_t.get("spark_s"),
+                "sink_concat_s": sink_t.get("concat_s"),
             }
         )
     )
