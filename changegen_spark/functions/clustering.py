@@ -20,9 +20,12 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component = min
-    node id of the connected component."""
+    node id of the connected component.  ``stats``, if given, receives
+    {"rounds": n} — the propagation rounds to fixpoint (data diameter,
+    NOT data size: the scale-relevant number, see SCALE.md r5)."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -35,7 +38,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
@@ -60,6 +65,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", "comp")
 
 
