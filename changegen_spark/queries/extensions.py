@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _COUNTER = itertools.count()
@@ -86,6 +86,42 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "window_start", "event_type").alias("grp"), "bucket", "r"
     )
     return hll_estimate(grp).orderBy("grp")
+
+
+def q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted reservoir as a STREAM: bounded k-row state per
+    source via applyInPandasWithState (merge law = k-smallest-of-union,
+    the KMV discipline), E-S keys computed by the same Catalyst
+    expression as the batch q_reservoir_per_source so the final emission
+    equals the batch sample exactly (pinned in
+    tests/test_streaming_corpus.py::test_reservoir_stream_matches_batch).
+    Rows-only by nature (streaming); the key arithmetic itself is
+    oracle-backed via q_reservoir_per_source."""
+    from changegen_spark.queries.mlprep import RS_GROUP_K
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.corpus import reservoir_per_source_stream
+    from changegen_spark.streaming.events import run_to_memory_sink
+
+    name = f"q_streaming_reservoir_{next(_COUNTER)}"
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="res_stream_")
+    load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(d)
+    out = run_to_memory_sink(
+        reservoir_per_source_stream(stream, k=RS_GROUP_K), name, mode="update"
+    )
+    w = F.max("n_seen").over(Window.partitionBy("source"))
+    return (
+        out.withColumn("__mx", w)
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("source", "doc_id", "w", "es_key", "rank")
+        .orderBy("source", "rank")
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +397,7 @@ QUERIES = {
     "q_streaming_sessions": q_streaming_sessions,
     "q_streaming_pair_join": q_streaming_pair_join,
     "q_streaming_hll": q_streaming_hll,
+    "q_streaming_reservoir": q_streaming_reservoir,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_features_ann": q_multimodal_features_ann,
