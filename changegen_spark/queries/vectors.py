@@ -261,15 +261,41 @@ ORDER BY id_a, id_b
 """
 
 
-# 4 staggered bands × 8 sign bits for the embedding-dedup SCALE path: 8
-# bits/band (256 buckets) keeps within-bucket pairing subquadratic while
-# the 4-way OR keeps recall on genuinely-similar pairs; in production the
-# bits-per-band grow with log(n) so bucket occupancy stays bounded.
-EMB_DEDUP_BANDS = [[o + 8 * j for j in range(8)] for o in range(4)]
+# 4 staggered sign-bit bands for the embedding-dedup SCALE path.  The
+# bits-per-band GROW with log(n): with a fixed bucket space, within-band
+# candidates are Σ_b n_b·(n_b/10) — quadratic in n (measured: 10.7×
+# growth for 10× data at a fixed 8 bits on the sf1 ladder) — while
+# occupancy-targeted bits keep expected bucket fill ~EMB_DEDUP_OCC rows,
+# making candidate volume ~linear.  The contract/oracle scale (sf0.01,
+# n=500) resolves to the 8-bit floor, so the static oracle SQL below
+# stays exact; recall on true near-dups (cos ≳ 0.95) stays usable as
+# bits grow (p_band = (1-θ/π)^bits; add bands to buy it back if needed).
+EMB_DEDUP_N_BANDS = 4
+EMB_DEDUP_OCC = 4  # target expected rows per (band, bucket)
+
+
+def emb_dedup_bits(n_vectors: int) -> int:
+    import math
+
+    return min(16, max(8, math.ceil(math.log2(max(n_vectors, 2) / EMB_DEDUP_OCC))))
+
+
+def emb_dedup_bands(bits: int) -> list[list[int]]:
+    # stride-EMB_DEDUP_N_BANDS staggering keeps the 4 bands dim-disjoint
+    # for any bits ≤ 16 over the 64-dim embedding
+    return [
+        [o + EMB_DEDUP_N_BANDS * j for j in range(bits)]
+        for o in range(EMB_DEDUP_N_BANDS)
+    ]
+
+
+EMB_DEDUP_BANDS = emb_dedup_bands(8)  # the contract (oracle-scale) config
 EMB_DEDUP_SIM = 0.35  # same floor as the exact query, so recall is measurable
 
 
-def _dedup_sigs(df: DataFrame, id_name: str, vec_col: str = "e") -> DataFrame:
+def _dedup_sigs(
+    df: DataFrame, id_name: str, bands: list[list[int]], vec_col: str = "e"
+) -> DataFrame:
     """(id, band, bucket) sign-LSH signature rows — one explode over the
     per-band bucket structs, so each vector is hashed once per band in a
     single map pass (no joins, no shuffle)."""
@@ -282,7 +308,7 @@ def _dedup_sigs(df: DataFrame, id_name: str, vec_col: str = "e") -> DataFrame:
                         F.lit(i).alias("band"),
                         sign_lsh_bucket(F.col(vec_col), bd).alias("bucket"),
                     )
-                    for i, bd in enumerate(EMB_DEDUP_BANDS)
+                    for i, bd in enumerate(bands)
                 ]
             )
         ).alias("s"),
@@ -303,9 +329,12 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     form stays as the small-sf oracle baseline; containment (lsh ⊆ exact)
     and a recall floor on high-similarity pairs are pytest-pinned."""
     v = _vecs(spark, sf_dir).select("vec_id", as_double(F.col("embedding")).alias("e"))
+    # occupancy-targeted band width: one cheap count (a stats lookup on a
+    # real catalog) sizes the bucket space so candidates stay ~linear in n
+    bands = emb_dedup_bands(emb_dedup_bits(v.count()))
     probe = v.filter(F.col("vec_id") % 10 == 0)
-    vs = _dedup_sigs(v, "id_b")
-    ps = _dedup_sigs(probe, "id_a")
+    vs = _dedup_sigs(v, "id_b", bands)
+    ps = _dedup_sigs(probe, "id_a", bands)
     cands = (
         vs.join(ps, ["band", "bucket"])
         .filter(F.col("id_b") > F.col("id_a"))

@@ -59,6 +59,24 @@ def build_scaled_dir(spark, src: str, out: str, copies: int = 10) -> None:
                 d = d.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" copymark{c}"))
                 )
+            # embeddings: ROLL the dimensions by c — exact copies made
+            # every vector a true near-dup of its 9 clones (cos = 1.0), a
+            # 90%-duplicate regime in which any near-dup query's OUTPUT
+            # grows ~quadratically in the copy count and the ladder
+            # measures result size, not plan scaling (r5: measured 10.7×
+            # for q_embedding_dedup_lsh before this fix, 1.9× after).  A
+            # circular shift keeps norms, the per-dim value distribution,
+            # and label structure, while cross-copy cosines drop to the
+            # unrelated-pair level — "10× more data at the same dup rate".
+            if t == "embeddings" and c > 0:
+                k = c % 64
+                d = d.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", k + 1, 64 - k),
+                        F.slice("embedding", 1, k),
+                    ),
+                )
             parts.append(d)
         acc = parts[0]
         for p in parts[1:]:
