@@ -26,17 +26,19 @@ def connected_components(
     node id of the connected component.  ``stats``, if given, receives
     {"rounds": n} — the propagation rounds to fixpoint (data diameter,
     NOT data size: the scale-relevant number, see SCALE.md r5)."""
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("comp", F.col("node"))
+    # materialize the symmetric edge list ONCE, then derive nodes from the
+    # checkpointed rows — the r5 shape; deriving nodes from `edges` re-ran
+    # the full upstream candidate plan (LSH signatures + band join) a
+    # second time before the loop even started
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    # sym holds both directions, so column `a` alone covers every node
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
     )
     rounds = 0
     for _ in range(max_iter):
@@ -46,23 +48,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nmin"))
         )
+        # carry the moved flag through the checkpoint: the convergence
+        # check is then a filter+count over materialized rows instead of
+        # an extra new×old join per round (one job saved per round)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
+                    "new_comp"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias(
+                    "moved"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     if stats is not None:
