@@ -77,6 +77,13 @@ CASES = [
     ("q_reservoir_sample", lambda n: n == 0),
     ("q_reservoir_per_source", lambda n: n == 0),
     ("q_catalog", lambda n: n == 10),  # catalog row per (empty) table
+    # round-5 additions: curation family + the embedding-dedup scale path
+    ("q_gopher_rules", lambda n: n == 0),
+    ("q_ccnet_buckets", lambda n: n == 0),
+    ("q_mixture_temperature", lambda n: n == 0),
+    ("q_ngram_novelty", lambda n: n == 0),
+    ("q_embedding_dedup_lsh", lambda n: n == 0),
+    ("q_dedup_clusters", lambda n: n == 0),
 ]
 
 
