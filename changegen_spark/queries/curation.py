@@ -306,10 +306,75 @@ ORDER BY doc_id
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the temperature plan: per-source Bernoulli document
+    selection at the plan's realized token rate (contrib/n_tokens), with
+    the uniform drawn from the deterministic 60-bit hash of the doc id —
+    the map-only pass that turns q_mixture_temperature's KB-sized plan
+    into an actual training mix.  Reproducible across engines, retries
+    and partitionings (no rand()); the per-source rate join is a
+    broadcast of the |sources| plan rows.  Emits selected docs only."""
+    from changegen_spark.functions.text import token_count
+    from changegen_spark.queries.sketches import h60
+
+    plan = q_mixture_temperature(spark, sf_dir).select(
+        "source", "n_tokens", "contrib_tokens"
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("doc_tokens")
+    )
+    u_e6 = F.floor(
+        (h60(F.col("doc_id")).cast("double") / F.lit(float(1 << 60))) * 1e6
+    ).cast("long")
+    rate_e6 = F.floor(F.lit(1e6) * F.col("contrib_tokens") / F.col("n_tokens")).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(plan), "source")
+        .withColumn("u_e6", u_e6)
+        .withColumn("rate_e6", rate_e6)
+        .filter(F.col("u_e6") < F.col("rate_e6"))
+        .select("doc_id", "source", "doc_tokens", "u_e6", "rate_e6")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_PLAN_BODY = Q_MIXTURE_TEMPERATURE_SQL.strip().rsplit("ORDER BY", 1)[0]
+
+Q_MIXTURE_SAMPLE_SQL = f"""
+WITH plan AS (
+{_MIX_PLAN_BODY}
+), d AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS doc_tokens
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.doc_tokens,
+       CAST(floor((CAST({{h}} AS DOUBLE) / {{two60}}) * 1e6) AS BIGINT) AS u_e6,
+       CAST(floor(1e6 * plan.contrib_tokens / plan.n_tokens) AS BIGINT) AS rate_e6
+FROM d JOIN plan ON d.source = plan.source
+WHERE CAST(floor((CAST({{h}} AS DOUBLE) / {{two60}}) * 1e6) AS BIGINT)
+      < CAST(floor(1e6 * plan.contrib_tokens / plan.n_tokens) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+def _mix_sample_sql() -> str:
+    from changegen_spark.queries.mlprep import _TWO60F
+    from changegen_spark.queries.sketches import _H60_SQL
+
+    return Q_MIXTURE_SAMPLE_SQL.format(
+        h=_H60_SQL.format(x="d.doc_id"), two60=repr(_TWO60F)
+    )
+
+
 QUERIES = {
     "q_gopher_rules": q_gopher_rules,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_mixture_temperature": q_mixture_temperature,
+    "q_mixture_sample": q_mixture_sample,
     "q_ngram_novelty": q_ngram_novelty,
 }
 
@@ -317,5 +382,6 @@ ORACLES = {
     "q_gopher_rules": Q_GOPHER_RULES_SQL,
     "q_ccnet_buckets": _ccnet_sql(),
     "q_mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
+    "q_mixture_sample": _mix_sample_sql(),
     "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
 }

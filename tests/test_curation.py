@@ -88,3 +88,39 @@ def test_ccnet_buckets_tercile_contract(spark, sf_dir):
             assert max(byb[a]) <= min(byb[b]), lang
         sizes = [len(v) for v in byb.values()]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_mixture_sample_realizes_plan_rates(spark, sf_dir):
+    """The executed sample's per-source doc fraction must track the plan's
+    rate (hash-Bernoulli: binomial tolerance), selection must be exactly
+    reproducible run to run, and no source may exceed rate 1."""
+    from changegen_spark.queries.curation import (
+        q_mixture_sample,
+        q_mixture_temperature,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    plan = {r.source: r for r in q_mixture_temperature(spark, sf_dir).collect()}
+    rows = q_mixture_sample(spark, sf_dir).collect()
+    rows2 = q_mixture_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]  # deterministic
+    n_docs = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    from collections import Counter
+
+    picked = Counter(r.source for r in rows)
+    for s, p in plan.items():
+        rate = p.contrib_tokens / p.n_tokens
+        assert rate <= 1.0 + 1e-9
+        frac = picked.get(s, 0) / n_docs[s]
+        # binomial 4-sigma band around the rate
+        import math
+
+        tol = 4 * math.sqrt(max(rate * (1 - rate), 0.01) / n_docs[s])
+        assert abs(frac - rate) <= tol, (s, frac, rate, tol)
