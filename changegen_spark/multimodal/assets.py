@@ -398,3 +398,57 @@ def extract_mel(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("kind") == "audio").select(
         "asset_id", "payload"
     ).mapInPandas(fn, MEL_SCHEMA)
+
+
+DHASH_SCHEMA = "asset_id long, dhash string, ok boolean"
+
+
+def dhash_images(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) stage: decode → 8×9 integer area
+    grid → 64 horizontal-gradient bits as 16 hex chars — the image twin
+    of the text fingerprints: near-identical images (recompression,
+    slight crops/noise) land within a small Hamming distance, so image
+    dedup becomes the same hash-groupBy / hamming-pair machinery the
+    text side uses.  Arrow-batched map-only work (no shuffle, no driver
+    traffic); numpy region sums here vs the fixture builder's plain
+    loops (tools/make_media.py dhash_expected) — two independent
+    implementations pinned equal by the oracle.
+
+    Quarantine contract as decode_images; images narrower than 9 px or
+    shorter than 8 px cannot fill the grid and are quarantined."""
+    import numpy as np
+
+    def one(px: bytes, w: int, h: int) -> str:
+        a = np.frombuffer(bytes(px), dtype=np.uint8)[: w * h].reshape(h, w)
+        a = a.astype(np.int64)
+        rb = [r * h // 8 for r in range(9)]
+        cb = [c * w // 9 for c in range(10)]
+        cells = np.empty((8, 9), dtype=np.int64)
+        for r in range(8):
+            for c in range(9):
+                blk = a[rb[r] : rb[r + 1], cb[c] : cb[c + 1]]
+                s, area = int(blk.sum()), blk.size
+                cells[r, c] = (s + area // 2) // area
+        v = 0
+        for r in range(8):
+            for c in range(8):
+                if cells[r, c] < cells[r, c + 1]:
+                    v |= 1 << (r * 8 + c)
+        return f"{v:016x}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, px = _parse_image(bytes(payload))
+                    if w < 9 or h < 8:
+                        raise ValueError("image smaller than dhash grid")
+                    out.append((asset_id, one(px, w, h), True))
+                except Exception:
+                    out.append((asset_id, None, False))
+            yield pd.DataFrame(out, columns=["asset_id", "dhash", "ok"])
+
+    return assets.filter(F.col("kind") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, DHASH_SCHEMA)

@@ -194,7 +194,32 @@ FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
 """
 
 
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture image's perceptual difference hash (dHash, 16 hex
+    chars) — the multimodal dedup key.  The oracle reads expectations
+    computed by the fixture builder's INDEPENDENT plain-Python
+    implementation (tools/make_media.py dhash_expected vs the engine's
+    numpy region sums); lossless formats chain source→encode→decode→hash,
+    JPEG chains through its decode-determinism pin."""
+    from changegen_spark.multimodal.assets import dhash_images
+
+    a = _assets(spark)
+    d = dhash_images(a).filter(F.col("ok"))
+    return (
+        d.join(a.select("asset_id", "fmt"), "asset_id")
+        .select("asset_id", "fmt", "dhash")
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_DHASH_SQL = f"""
+SELECT asset_id, fmt, exp_dhash AS dhash
+FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
+"""
+
+
 QUERIES = {
+    "q_media_dhash": q_media_dhash,
     "q_media_image_decode": q_media_image_decode,
     "q_media_resize": q_media_resize,
     "q_media_audio_features": q_media_audio_features,
@@ -204,6 +229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_media_dhash": Q_MEDIA_DHASH_SQL,
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
     "q_media_resize": Q_MEDIA_RESIZE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,

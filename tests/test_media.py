@@ -341,3 +341,51 @@ def test_extract_mel_quarantines_bad_payloads(spark):
     )
     rows = extract_mel(df).collect()
     assert len(rows) == 1 and rows[0].ok is False and rows[0].band is None
+
+
+def test_dhash_locality_and_separation(spark):
+    """The perceptual property dHash exists for: a lightly-noised copy of
+    an image stays within a small Hamming distance (near-dup detectable),
+    an unrelated image is far (≈32 expected bits differ), and the engine
+    hash equals the fixture builder's independent plain-Python
+    implementation on fresh random images."""
+    import numpy as np
+
+    from changegen_spark.multimodal.assets import dhash_images
+    from changegen_spark.multimodal.png import encode_png
+
+    import importlib.util as _u
+    import os as _os
+
+    spec = _u.spec_from_file_location(
+        "make_media", _os.path.join(_os.path.dirname(__file__), "..", "tools", "make_media.py")
+    )
+    mm = _u.module_from_spec(spec)
+    spec.loader.exec_module(mm)
+
+    rng = np.random.default_rng(11)
+    w, h = 36, 28
+    base = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+    # smooth the base so the gradient structure is stable under noise
+    sm = base.reshape(h, w).astype(np.int64)
+    sm = (sm + np.roll(sm, 1, 0) + np.roll(sm, 1, 1) + np.roll(sm, -1, 0)) // 4
+    base = sm.astype(np.uint8).reshape(-1)
+    noisy = np.clip(
+        base.astype(np.int64) + rng.integers(-6, 7, size=base.size), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+
+    rows = [
+        (1, "image", encode_png(w, h, bytes(base))),
+        (2, "image", encode_png(w, h, bytes(noisy))),
+        (3, "image", encode_png(w, h, bytes(other))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, kind string, payload binary")
+    got = {r.asset_id: r.dhash for r in dhash_images(df).collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert got[1] == mm.dhash_expected(bytes(base), w, h)  # impl parity
+    assert ham(got[1], got[2]) <= 10, ham(got[1], got[2])  # near-dup close
+    assert ham(got[1], got[3]) >= 16, ham(got[1], got[3])  # unrelated far

@@ -75,6 +75,32 @@ def resize2_expected(px: bytes, w: int, h: int, f: int = 2) -> dict:
     }
 
 
+def dhash_expected(px: bytes, w: int, h: int) -> str:
+    """Expected 64-bit difference hash (dHash) as 16 hex chars — plain
+    Python loops, deliberately independent of the engine's numpy
+    implementation (multimodal.assets.dhash_images).  Grid: 8 rows × 9
+    cols of integer area regions [r*h//8,(r+1)*h//8) × [c*w//9,(c+1)*w//9);
+    cell = half-up integer mean; bit r*8+c = 1 iff cell[r][c] < cell[r][c+1]."""
+    cells = []
+    for r in range(8):
+        row = []
+        for c in range(9):
+            r0, r1 = r * h // 8, (r + 1) * h // 8
+            c0, c1 = c * w // 9, (c + 1) * w // 9
+            s, area = 0, (r1 - r0) * (c1 - c0)
+            for y in range(r0, r1):
+                for x in range(c0, c1):
+                    s += px[y * w + x]
+            row.append((s + area // 2) // area)
+        cells.append(row)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r][c] < cells[r][c + 1]:
+                v |= 1 << (r * 8 + c)
+    return f"{v:016x}"
+
+
 def write_float32_wav(rate: int, channels: int, arr: np.ndarray) -> bytes:
     """IEEE-float (format 3) WAV writer — stdlib wave can't; independent of
     the decoder's parsing path."""
@@ -107,6 +133,7 @@ def main() -> None:
                 "image", f"png_f{filt}c{ctype}",
                 encode_png(w, h, gray, filter_type=filt, color_type=ctype),
                 width=w, height=h, mean_e6=mean_e6(gray),
+                dhash=dhash_expected(gray, w, h),
                 **resize2_expected(gray, w, h),
             )
     # --- images: baseline JPEG (gray, restarts, 4:4:4 / 4:2:0 color) ------
@@ -146,6 +173,7 @@ def main() -> None:
         # the same decode-determinism pin as the mean
         w, h, px = decode_jpeg(payload)
         add("image", fmt, payload, width=w, height=h, mean_e6=mean_e6(px),
+            dhash=dhash_expected(px, w, h),
             **resize2_expected(px, w, h))
 
     # --- images: GIF (palette sizes, plain + interlaced) ------------------
@@ -157,6 +185,7 @@ def main() -> None:
             "image", "gif_i" if interlace else f"gif{ncol}",
             encode_gif(w, h, idx, pal, interlace=interlace),
             width=w, height=h, mean_e6=mean_e6(idx),
+            dhash=dhash_expected(idx, w, h),
             **resize2_expected(idx, w, h),
         )
 
@@ -239,6 +268,9 @@ def main() -> None:
         cols[f"exp_{k}"] = pa.array(
             [a[4].get(k) for a in assets], pa.int64()
         )
+    cols["exp_dhash"] = pa.array(
+        [a[4].get("dhash") for a in assets], pa.string()
+    )
     cols["exp_mel_e3"] = pa.array(
         [a[4].get("mel_e3") for a in assets], pa.list_(pa.int64())
     )
