@@ -218,8 +218,93 @@ FROM '{ASSETS_PATH}' WHERE kind = 'image' ORDER BY asset_id
 """
 
 
+DUP_HAM = 7  # pigeonhole: 8 bands of 8 bits -> any pair with hamming <= 7
+# shares at least one exact band, so the banded join is COMPLETE, not
+# approximate, at this threshold
+
+
+def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash → 8 one-byte bands →
+    (band, byte) equi-join → exact Hamming refine ≤ {DUP_HAM}.  By the
+    pigeonhole principle every pair within the threshold collides on at
+    least one band, so this is the EXACT result with an LSH-shaped plan
+    (no all-pairs comparison) — the image twin of the banded MinHash
+    join, and the reason dHash exists: the fixture plants a cross-format
+    exact dup (PNG pixels re-encoded as GIF, hamming 0) and a noised
+    re-encode (hamming 1)."""
+    from changegen_spark.multimodal.assets import dhash_images
+
+    d = dhash_images(_assets(spark)).filter(F.col("ok")).select("asset_id", "dhash")
+    sig = d.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("dhash", 1 + 2 * i, 2).alias("bs"),
+                )
+                for i in range(8)
+            ])
+        ).alias("s"),
+    ).select("asset_id", "dhash", "s.band", "s.bs")
+    a = sig.select(
+        F.col("asset_id").alias("id_a"), F.col("dhash").alias("da"), "band", "bs"
+    )
+    b = sig.select(
+        F.col("asset_id").alias("id_b"), F.col("dhash").alias("db"), "band", "bs"
+    )
+    cand = (
+        a.join(b, ["band", "bs"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "da", "id_b", "db")
+        .distinct()
+    )
+
+    def _half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    hamming = (
+        F.bit_count(_half("da", 1).bitwiseXOR(_half("db", 1)))
+        + F.bit_count(_half("da", 9).bitwiseXOR(_half("db", 9)))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= DUP_HAM)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_MEDIA_DUP_PAIRS_SQL = f"""
+WITH img AS (
+  SELECT asset_id, exp_dhash AS dhash FROM '{ASSETS_PATH}' WHERE kind = 'image'
+), sig AS (
+  SELECT asset_id, dhash, CAST(i AS INT) AS band,
+         substr(dhash, 1 + 2 * CAST(i AS INT), 2) AS bs
+  FROM img, (SELECT unnest(generate_series(0, 7)) AS i)
+), cand AS (
+  SELECT DISTINCT a.asset_id AS id_a, a.dhash AS da,
+                  b.asset_id AS id_b, b.dhash AS db
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bs = b.bs
+  WHERE b.asset_id > a.asset_id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(CAST('0x' || substr(da, 1, 8) AS BIGINT),
+                            CAST('0x' || substr(db, 1, 8) AS BIGINT)))
+            + bit_count(xor(CAST('0x' || substr(da, 9, 8) AS BIGINT),
+                            CAST('0x' || substr(db, 9, 8) AS BIGINT))) AS BIGINT)
+           AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {DUP_HAM}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q_media_dhash": q_media_dhash,
+    "q_media_dup_pairs": q_media_dup_pairs,
     "q_media_image_decode": q_media_image_decode,
     "q_media_resize": q_media_resize,
     "q_media_audio_features": q_media_audio_features,
@@ -230,6 +315,7 @@ QUERIES = {
 
 ORACLES = {
     "q_media_dhash": Q_MEDIA_DHASH_SQL,
+    "q_media_dup_pairs": Q_MEDIA_DUP_PAIRS_SQL,
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
     "q_media_resize": Q_MEDIA_RESIZE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,

@@ -389,3 +389,17 @@ def test_dhash_locality_and_separation(spark):
     assert got[1] == mm.dhash_expected(bytes(base), w, h)  # impl parity
     assert ham(got[1], got[2]) <= 10, ham(got[1], got[2])  # near-dup close
     assert ham(got[1], got[3]) >= 16, ham(got[1], got[3])  # unrelated far
+
+
+def test_media_dup_pairs_finds_planted_dups(spark):
+    """The banded perceptual join must surface the two planted near-dups
+    of asset 0 (cross-format GIF re-encode at hamming 0, noised PNG at
+    hamming 1) — and, by pigeonhole over the 8 one-byte bands, the result
+    is EXACT at the <=7 threshold, so the planted rows cannot be lost to
+    banding."""
+    from changegen_spark.queries.media import q_media_dup_pairs
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in q_media_dup_pairs(spark, "").collect()}
+    assert pairs[(0, 29)] == 0  # dup_gif_exact
+    assert pairs[(0, 30)] == 1  # dup_png_noise
+    assert pairs[(29, 30)] == 1  # the dups are near-dups of each other

@@ -136,6 +136,8 @@ def main() -> None:
                 dhash=dhash_expected(gray, w, h),
                 **resize2_expected(gray, w, h),
             )
+            if filt == 0 and ctype == 0:
+                first_gray, fg_w, fg_h = gray, w, h
     # --- images: baseline JPEG (gray, restarts, 4:4:4 / 4:2:0 color) ------
     # JPEG is lossy: expected means come from DECODING the encoded bytes
     # (a decode-determinism pin, not source parity — the two-implementation
@@ -188,6 +190,33 @@ def main() -> None:
             dhash=dhash_expected(idx, w, h),
             **resize2_expected(idx, w, h),
         )
+
+    # --- images: planted near-duplicates of png_f0c0 (asset 0) ------------
+    # cross-format exact dup (same pixels as GIF: identical dhash) and a
+    # lightly-noised re-encode (small Hamming distance) — the inputs the
+    # q_media_dup_pairs perceptual-dedup join exists to find.  A separate
+    # rng keeps the main seed-42 draw sequence (and thus every other
+    # asset's expectations) untouched.
+    dup_rng = np.random.default_rng(7)
+    gif_pal = [(i, i, i) for i in range(256)]
+    add(
+        "image", "dup_gif_exact",
+        encode_gif(fg_w, fg_h, first_gray, gif_pal),
+        width=fg_w, height=fg_h, mean_e6=mean_e6(first_gray),
+        dhash=dhash_expected(first_gray, fg_w, fg_h),
+        **resize2_expected(first_gray, fg_w, fg_h),
+    )
+    noised = bytes(
+        int(min(255, max(0, b + int(d))))
+        for b, d in zip(first_gray, dup_rng.integers(-2, 3, size=len(first_gray)))
+    )
+    add(
+        "image", "dup_png_noise",
+        encode_png(fg_w, fg_h, noised),
+        width=fg_w, height=fg_h, mean_e6=mean_e6(noised),
+        dhash=dhash_expected(noised, fg_w, fg_h),
+        **resize2_expected(noised, fg_w, fg_h),
+    )
 
     # --- audio: stdlib-wave PCM + float32 ---------------------------------
     def pcm_norm(bits, src):
