@@ -403,6 +403,30 @@ def extract_mel(assets: DataFrame) -> DataFrame:
 DHASH_SCHEMA = "asset_id long, dhash string, ok boolean"
 
 
+def _dhash_px(px: bytes, w: int, h: int) -> str:
+    """64-bit dHash of a w×h luma plane as 16 hex chars (numpy region
+    sums; the fixture builder's plain-loop twin is tools/make_media.py
+    dhash_expected).  Shared by the image and video signature stages."""
+    import numpy as np
+
+    a = np.frombuffer(bytes(px), dtype=np.uint8)[: w * h].reshape(h, w)
+    a = a.astype(np.int64)
+    rb = [r * h // 8 for r in range(9)]
+    cb = [c * w // 9 for c in range(10)]
+    cells = np.empty((8, 9), dtype=np.int64)
+    for r in range(8):
+        for c in range(9):
+            blk = a[rb[r] : rb[r + 1], cb[c] : cb[c + 1]]
+            s, area = int(blk.sum()), blk.size
+            cells[r, c] = (s + area // 2) // area
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r, c] < cells[r, c + 1]:
+                v |= 1 << (r * 8 + c)
+    return f"{v:016x}"
+
+
 def dhash_images(assets: DataFrame) -> DataFrame:
     """Perceptual difference-hash (dHash) stage: decode → 8×9 integer area
     grid → 64 horizontal-gradient bits as 16 hex chars — the image twin
@@ -416,25 +440,7 @@ def dhash_images(assets: DataFrame) -> DataFrame:
 
     Quarantine contract as decode_images; images narrower than 9 px or
     shorter than 8 px cannot fill the grid and are quarantined."""
-    import numpy as np
-
-    def one(px: bytes, w: int, h: int) -> str:
-        a = np.frombuffer(bytes(px), dtype=np.uint8)[: w * h].reshape(h, w)
-        a = a.astype(np.int64)
-        rb = [r * h // 8 for r in range(9)]
-        cb = [c * w // 9 for c in range(10)]
-        cells = np.empty((8, 9), dtype=np.int64)
-        for r in range(8):
-            for c in range(9):
-                blk = a[rb[r] : rb[r + 1], cb[c] : cb[c + 1]]
-                s, area = int(blk.sum()), blk.size
-                cells[r, c] = (s + area // 2) // area
-        v = 0
-        for r in range(8):
-            for c in range(8):
-                if cells[r, c] < cells[r, c + 1]:
-                    v |= 1 << (r * 8 + c)
-        return f"{v:016x}"
+    one = _dhash_px
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -452,3 +458,62 @@ def dhash_images(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("kind") == "image").select(
         "asset_id", "payload"
     ).mapInPandas(fn, DHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "asset_id long, afp_frames long, afp string, ok boolean"
+
+
+def audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """Audio fingerprint stage: WAV decode → shared dominant-bin peak hash
+    (multimodal.wav.peak_hash) — fingerprint equality is the audio dedup
+    key (requantized/re-encoded copies collide; see the planted
+    dup_wav_requant fixture).  Arrow-batched map-only work."""
+    from changegen_spark.multimodal.wav import decode_wav, peak_hash
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, _ch, arr = decode_wav(bytes(payload))
+                    d = peak_hash(rate, arr)
+                    out.append((asset_id, d["afp_frames"], d["afp"], True))
+                except Exception:
+                    out.append((asset_id, None, None, False))
+            yield pd.DataFrame(out, columns=["asset_id", "afp_frames", "afp", "ok"])
+
+    return assets.filter(F.col("kind") == "audio").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = "asset_id long, n_frames long, vsig string, ok boolean"
+
+
+def video_signatures(assets: DataFrame) -> DataFrame:
+    """Video signature stage: Y4M decode → per-frame luma dHash → md5 of
+    the frame-hash sequence (first 16 hex) — chroma-format-independent
+    (the signature reads only Y planes), so the same footage re-encoded
+    420/422/444/mono collides (see the planted dup_y4m fixture)."""
+    import hashlib
+
+    from changegen_spark.multimodal.y4m import decode_y4m
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, _fn_, _fd, planes = decode_y4m(bytes(payload))
+                    if w < 9 or h < 8:
+                        raise ValueError("frame smaller than dhash grid")
+                    hs = [_dhash_px(p, w, h) for p in planes]
+                    vsig = hashlib.md5(",".join(hs).encode()).hexdigest()[:16]
+                    out.append((asset_id, len(planes), vsig, True))
+                except Exception:
+                    out.append((asset_id, None, None, False))
+            yield pd.DataFrame(out, columns=["asset_id", "n_frames", "vsig", "ok"])
+
+    return assets.filter(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, VIDEO_SIG_SCHEMA)

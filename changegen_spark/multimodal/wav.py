@@ -223,3 +223,31 @@ def mel_bands(
         e = float(np.sum(w * P))
         out.append(int(round(np.log10(e + 1e-10) * 1000)))
     return out
+
+
+AFP_WIN, AFP_HOP = 256, 128
+
+
+def peak_hash(sample_rate: int, samples: np.ndarray) -> dict:
+    """Deterministic audio fingerprint (the constellation idea reduced to
+    its verifiable core): mono mix → 256-sample frames at hop 128 → rfft
+    magnitude → dominant non-DC bin per frame → md5 of the bin sequence
+    (first 16 hex).  Shared between the fixture builder (source arrays)
+    and the decode stage (post-decode arrays) — the same factoring-as-
+    parity-check as audio_features/mel_bands.  Near-identical audio
+    (requantization, light noise) keeps the dominant-bin sequence, so
+    fingerprint equality is the audio dedup key.
+
+    Ties in the magnitude argmax resolve to the LOWEST bin (numpy argmax
+    convention) — part of the definition, identical on both sides."""
+    import hashlib
+
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = (mono.shape[0] - AFP_WIN) // AFP_HOP + 1 if mono.shape[0] >= AFP_WIN else 0
+    bins = []
+    for i in range(n):
+        frame = mono[i * AFP_HOP : i * AFP_HOP + AFP_WIN]
+        mag = np.abs(np.fft.rfft(frame))
+        bins.append(int(np.argmax(mag[1:])) + 1)
+    digest = hashlib.md5(",".join(map(str, bins)).encode()).hexdigest()[:16]
+    return {"afp_frames": n, "afp": digest}

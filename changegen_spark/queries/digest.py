@@ -225,6 +225,8 @@ KINDS = {
     "q_mixture_sample": {"doc_id": "num", "source": "str", "doc_tokens": "num", "u_e6": "num", "rate_e6": "num"},
     "q_media_dhash": {"asset_id": "num", "fmt": "str", "dhash": "str"},
     "q_media_dup_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
+    "q_media_audio_fingerprint": {"asset_id": "num", "fmt": "str", "afp_frames": "num", "afp": "str"},
+    "q_media_video_signature": {"asset_id": "num", "fmt": "str", "n_frames": "num", "vsig": "str"},
     "q12_priority_lines": {"l_linestatus": "str", "high_line_count": "num", "low_line_count": "num"},
     "q15_top_supplier": {"s_suppkey": "num", "s_name": "str", "total_revenue_e4": "num"},
     "q17_small_quantity": {"total_cents": "num", "avg_yearly": "e6"},

@@ -302,7 +302,52 @@ ORDER BY id_a, id_b
 """
 
 
+def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture audio asset's dominant-bin fingerprint (WAV decode →
+    shared peak_hash) — fingerprint equality is the audio dedup key: the
+    planted dup_wav_requant (float32 track requantized to 16-bit PCM)
+    collides with its source."""
+    from changegen_spark.multimodal.assets import audio_fingerprints
+
+    a = _assets(spark)
+    d = audio_fingerprints(a).filter(F.col("ok"))
+    return (
+        d.join(a.select("asset_id", "fmt"), "asset_id")
+        .select("asset_id", "fmt", "afp_frames", "afp")
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_AFP_SQL = f"""
+SELECT asset_id, fmt, exp_afp_frames AS afp_frames, exp_afp AS afp
+FROM '{ASSETS_PATH}' WHERE kind = 'audio' ORDER BY asset_id
+"""
+
+
+def q_media_video_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fixture video's luma-dHash sequence signature — chroma-format
+    independent, so the planted dup_y4m444 (the mono footage re-encoded
+    with 444 chroma) collides with y4mmono: the video dedup key."""
+    from changegen_spark.multimodal.assets import video_signatures
+
+    a = _assets(spark)
+    d = video_signatures(a).filter(F.col("ok"))
+    return (
+        d.join(a.select("asset_id", "fmt"), "asset_id")
+        .select("asset_id", "fmt", "n_frames", "vsig")
+        .orderBy("asset_id")
+    )
+
+
+Q_MEDIA_VSIG_SQL = f"""
+SELECT asset_id, fmt, exp_n_frames AS n_frames, exp_vsig AS vsig
+FROM '{ASSETS_PATH}' WHERE kind = 'video' ORDER BY asset_id
+"""
+
+
 QUERIES = {
+    "q_media_audio_fingerprint": q_media_audio_fingerprint,
+    "q_media_video_signature": q_media_video_signature,
     "q_media_dhash": q_media_dhash,
     "q_media_dup_pairs": q_media_dup_pairs,
     "q_media_image_decode": q_media_image_decode,
@@ -314,6 +359,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_media_audio_fingerprint": Q_MEDIA_AFP_SQL,
+    "q_media_video_signature": Q_MEDIA_VSIG_SQL,
     "q_media_dhash": Q_MEDIA_DHASH_SQL,
     "q_media_dup_pairs": Q_MEDIA_DUP_PAIRS_SQL,
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,

@@ -403,3 +403,23 @@ def test_media_dup_pairs_finds_planted_dups(spark):
     assert pairs[(0, 29)] == 0  # dup_gif_exact
     assert pairs[(0, 30)] == 1  # dup_png_noise
     assert pairs[(29, 30)] == 1  # the dups are near-dups of each other
+
+
+def test_audio_and_video_dup_signatures_collide(spark):
+    """The planted multimodal dups must collide on their dedup keys:
+    dup_wav_requant (float32 → 16-bit PCM requantization) shares the
+    dominant-bin fingerprint with its source; dup_y4m444 (mono footage
+    re-encoded 444) shares the luma signature with y4mmono — while
+    unrelated assets differ."""
+    from changegen_spark.queries.media import (
+        q_media_audio_fingerprint,
+        q_media_video_signature,
+    )
+
+    afp = {r.fmt: r.afp for r in q_media_audio_fingerprint(spark, "").collect()}
+    assert afp["dup_wav_requant"] == afp["wavf32c1"]
+    assert afp["wav16c1"] != afp["wavf32c1"]
+
+    vsig = {r.fmt: r.vsig for r in q_media_video_signature(spark, "").collect()}
+    assert vsig["dup_y4m444"] == vsig["y4mmono"]
+    assert len(set(vsig.values())) == 4  # 5 videos, exactly one collision

@@ -28,6 +28,7 @@ Rerun only when codecs/fixture shapes change:  python tools/make_media.py
 
 from __future__ import annotations
 
+import hashlib
 import io
 import os
 import struct
@@ -42,7 +43,7 @@ import pyarrow.parquet as pq
 
 from changegen_spark.multimodal.gif import encode_gif
 from changegen_spark.multimodal.png import encode_png
-from changegen_spark.multimodal.wav import audio_features, mel_bands, spectral_features
+from changegen_spark.multimodal.wav import audio_features, mel_bands, peak_hash, spectral_features
 from changegen_spark.multimodal.y4m import encode_y4m, frame_mad_e6, frame_mean_e6
 
 FIXDIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "fixtures"))
@@ -253,6 +254,8 @@ def main() -> None:
                 sample_rate=rate, n_channels=channels,
                 **audio_features(rate, norm), **spectral_features(rate, norm),
                 mel_e3=mel_bands(rate, norm),
+                **{"afp_frames": peak_hash(rate, norm)["afp_frames"],
+                   "afp": peak_hash(rate, norm)["afp"]},
             )
     for channels in (1, 2):
         rate, n = 22050, 1700
@@ -263,7 +266,32 @@ def main() -> None:
             sample_rate=rate, n_channels=channels,
             **audio_features(rate, arr), **spectral_features(rate, arr),
             mel_e3=mel_bands(rate, arr),
+            **peak_hash(rate, arr),
         )
+        if channels == 1:
+            f32_mono = arr  # saved for the planted requantized dup below
+
+    # --- audio: planted near-dup — the float32 mono track requantized to
+    # 16-bit PCM via stdlib wave: decoded floats differ by quantization
+    # noise (~-90 dB) but the dominant-bin sequence (and thus the
+    # fingerprint) should collide — the audio dedup key the
+    # q_media_audio_fingerprint stage exists for.
+    q16 = np.clip(np.round(f32_mono * 32768.0), -32768, 32767).astype(np.int64)
+    buf = io.BytesIO()
+    wf = wave.open(buf, "wb")
+    wf.setnchannels(1)
+    wf.setsampwidth(2)
+    wf.setframerate(22050)
+    wf.writeframes(q16.astype("<i2").tobytes())
+    wf.close()
+    qnorm = q16.astype(np.float64).reshape(-1, 1) / 32768.0
+    add(
+        "audio", "dup_wav_requant", buf.getvalue(),
+        sample_rate=22050, n_channels=1,
+        **audio_features(22050, qnorm), **spectral_features(22050, qnorm),
+        mel_e3=mel_bands(22050, qnorm),
+        **peak_hash(22050, qnorm),
+    )
 
     # --- video: Y4M across chroma formats ---------------------------------
     for chroma, nf in (("420jpeg", 6), ("422", 4), ("444", 5), ("mono", 8)):
@@ -272,20 +300,40 @@ def main() -> None:
             bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8)) for _ in range(nf)
         ]
         vid_id = aid
+        vsig = hashlib.md5(
+            ",".join(dhash_expected(p, w, h) for p in planes).encode()
+        ).hexdigest()[:16]
         add(
             "video", f"y4m{chroma}",
             encode_y4m(w, h, planes, fps=(25, 1), chroma=chroma),
-            width=w, height=h, n_frames=nf,
+            width=w, height=h, n_frames=nf, vsig=vsig,
         )
         for k, p in enumerate(planes):
             mad = frame_mad_e6(planes[k - 1], p) if k else None
             frames.append((vid_id, k, frame_mean_e6(p), mad))
+        if chroma == "mono":
+            mono_planes, mono_w, mono_h = planes, w, h
+
+    # --- video: planted cross-format dup — the mono footage re-encoded
+    # with 444 chroma: the luma planes (all the signature reads) are
+    # identical, so the video signature must collide.
+    dvid_id = aid
+    dsig = hashlib.md5(
+        ",".join(dhash_expected(p, mono_w, mono_h) for p in mono_planes).encode()
+    ).hexdigest()[:16]
+    add(
+        "video", "dup_y4m444", encode_y4m(mono_w, mono_h, mono_planes, fps=(25, 1), chroma="444"),
+        width=mono_w, height=mono_h, n_frames=len(mono_planes), vsig=dsig,
+    )
+    for k, p in enumerate(mono_planes):
+        mad = frame_mad_e6(mono_planes[k - 1], p) if k else None
+        frames.append((dvid_id, k, frame_mean_e6(p), mad))
 
     exp_keys = [
         "width", "height", "mean_e6", "rwidth", "rheight", "rmean_e6",
         "sample_rate", "n_channels",
         "n_frames", "duration_e6", "rms_e6", "peak_e6", "zero_crossings",
-        "centroid_e3", "rolloff_e3",
+        "centroid_e3", "rolloff_e3", "afp_frames",
     ]
     cols = {
         "asset_id": pa.array([a[0] for a in assets], pa.int64()),
@@ -297,6 +345,12 @@ def main() -> None:
         cols[f"exp_{k}"] = pa.array(
             [a[4].get(k) for a in assets], pa.int64()
         )
+    cols["exp_afp"] = pa.array(
+        [a[4].get("afp") for a in assets], pa.string()
+    )
+    cols["exp_vsig"] = pa.array(
+        [a[4].get("vsig") for a in assets], pa.string()
+    )
     cols["exp_dhash"] = pa.array(
         [a[4].get("dhash") for a in assets], pa.string()
     )
