@@ -1,0 +1,144 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: seed-substring vocabulary,
+Viterbi-EM refinement, and a distributed encode stage.
+
+The BPE complement (functions/bpe.py): where BPE grows a vocabulary by
+greedy pair merging, the unigram LM starts from a LARGE candidate set and
+lets EM concentrate probability on useful pieces (Kudo 2018).  The shared
+corpus pass — a (word, cnt) frequency table — is distributed; the EM loop
+runs on the driver over a deterministically capped word table (the same
+bounded-vocab argument as ``bpe_train``: the collect is top-``max_words``
+by (cnt desc, word asc), KB..MB at any corpus size); the learned
+(piece → score) table is broadcast back into an Arrow-batched encode UDF.
+
+DETERMINISM CONTRACT (the independent golden in queries/unigram.py must
+reproduce it exactly):
+
+* corpus words: whitespace tokens of trimmed text;
+* seed vocabulary: every substring of length 1..SUB_MAX of every word,
+  weighted by word count, one count per occurrence position; keep ALL
+  single characters plus the top (vocab_size - n_chars) multi-character
+  substrings by (count desc, substring asc);
+* piece scores are INTEGERS: cost_e9(s) = -round(1e9 * ln((c_s + 1) /
+  (total + |V|))) — add-1 smoothing, 1e9-scaled; Viterbi runs entirely
+  on these ints so no float comparison can tie-break differently;
+* Viterbi best segmentation of a word minimizes (total cost, n_tokens,
+  token tuple) — the lexicographic tuple makes equal-cost paths
+  deterministic;
+* one EM round = Viterbi-segment every (capped) word, recount piece
+  usage weighted by word count, drop unused multi-char pieces, recompute
+  costs over the survivors.  UNI_EM rounds, no early stop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUB_MAX = 4  # max candidate piece length
+UNI_VOCAB = 60  # seed vocabulary cap (chars always kept on top of this)
+UNI_EM = 3  # EM rounds
+
+
+def _cost_table(counts: dict[str, int]) -> dict[str, int]:
+    total = sum(counts.values())
+    v = len(counts)
+    return {
+        s: -round(1e9 * math.log((c + 1) / (total + v)))
+        for s, c in counts.items()
+    }
+
+
+def _viterbi(word: str, costs: dict[str, int]) -> list[str]:
+    """Min-cost segmentation; ties → fewer tokens, then lexicographically
+    smaller token tuple.  Every single char is in the vocabulary by
+    construction, so a segmentation always exists."""
+    n = len(word)
+    # dp[i] = (cost, ntok, tokens tuple) for word[:i]
+    dp: list[tuple[int, int, tuple[str, ...]]] = [(0, 0, ())] + [None] * n  # type: ignore[list-item]
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(0, j - SUB_MAX), j):
+            piece = word[i:j]
+            c = costs.get(piece)
+            if c is None or dp[i] is None:
+                continue
+            cand = (dp[i][0] + c, dp[i][1] + 1, dp[i][2] + (piece,))
+            if best is None or cand < best:
+                best = cand
+        dp[j] = best
+    return list(dp[n][2])
+
+
+def seed_counts(wc_rows: list[tuple[str, int]]) -> dict[str, int]:
+    """Positional substring counts over the capped word table."""
+    counts: dict[str, int] = {}
+    for word, cnt in wc_rows:
+        for i in range(len(word)):
+            for ln in range(1, min(SUB_MAX, len(word) - i) + 1):
+                s = word[i : i + ln]
+                counts[s] = counts.get(s, 0) + cnt
+    return counts
+
+
+def seed_vocab(counts: dict[str, int], vocab_size: int = UNI_VOCAB) -> dict[str, int]:
+    chars = {s: c for s, c in counts.items() if len(s) == 1}
+    multi = sorted(
+        ((s, c) for s, c in counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, vocab_size - len(chars))]
+    out = dict(chars)
+    out.update(multi)
+    return out
+
+
+def unigram_train(
+    wc: DataFrame,
+    vocab_size: int = UNI_VOCAB,
+    em_rounds: int = UNI_EM,
+    max_words: int = 1_000_000,
+) -> dict[str, int]:
+    """Learn the (piece → cost_e9) table from a distributed (word, cnt)
+    frequency table.  Returns the final cost table after ``em_rounds``
+    Viterbi-EM rounds (lower cost = more probable piece)."""
+    rows = [
+        (r["word"], int(r["cnt"]))
+        for r in wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    ]
+    vocab = seed_vocab(seed_counts(rows), vocab_size)
+    costs = _cost_table(vocab)
+    for _ in range(em_rounds):
+        usage: dict[str, int] = {}
+        for word, cnt in rows:
+            for piece in _viterbi(word, costs):
+                usage[piece] = usage.get(piece, 0) + cnt
+        kept = {
+            s: usage.get(s, 0)
+            for s in costs
+            if len(s) == 1 or usage.get(s, 0) > 0
+        }
+        costs = _cost_table(kept)
+    return costs
+
+
+def unigram_encode_udf(costs: dict[str, int]):
+    """Arrow-batched encoder: text → total piece count under the learned
+    table (Viterbi per word) — the distributed inference stage; the
+    cost table is a broadcast-sized Python closure."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def encode(texts):
+        out = []
+        for t in texts:
+            n = 0
+            for w in (t or "").strip().split():
+                n += len(_viterbi(w, costs))
+            out.append(n)
+        return pd.Series(out)
+
+    return encode

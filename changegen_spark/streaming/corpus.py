@@ -320,3 +320,41 @@ def reservoir_per_source_stream(docs: DataFrame, k: int = 10) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gopher_filter_stream(docs: DataFrame) -> DataFrame:
+    """Stateless streaming Gopher quality gate: the EXACT batch column
+    expressions from queries/curation.q_gopher_rules applied to arriving
+    documents — pure map, no state, no watermark; batch parity is exact
+    (same Catalyst expressions, pinned in tests)."""
+    from changegen_spark.queries.curation import (
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MWL,
+        GOPHER_MAX_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    t = F.split(F.trim("text"), r"\s+")
+    n = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(t)).cast("long")
+    sum_len = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n > 0, sum_len.cast("double") / n).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    alpha_frac = F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+    stop_hits = sum(
+        [F.array_contains(t, s).cast("int") for s in GOPHER_STOPWORDS],
+        start=F.lit(0),
+    ).cast("long")
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL)
+        & (mwl <= GOPHER_MAX_MWL)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id", "source", n.alias("n_words"), keep.cast("long").alias("keep")
+    ).filter(F.col("keep") == 1)

@@ -256,3 +256,22 @@ def test_reservoir_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in q_reservoir_per_source(spark, str(sf_dir)).collect()
     }
     assert got == want
+
+
+def test_gopher_filter_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming Gopher gate must keep exactly the docs the batch
+    scorecard keeps (same Catalyst expressions → exact parity)."""
+    from changegen_spark.queries.curation import q_gopher_rules
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.corpus import gopher_filter_stream, stream_documents
+
+    docs = load_table(spark, str(sf_dir), "documents")
+    d = str(tmp_path / "gopher_drop")
+    docs.coalesce(1).write.parquet(d)
+    got = {r.doc_id for r in _run(
+        gopher_filter_stream(stream_documents(spark, d)), "t_gopher_stream"
+    ).collect()}
+    want = {
+        r.doc_id for r in q_gopher_rules(spark, str(sf_dir)).collect() if r.keep == 1
+    }
+    assert got == want and len(want) > 0
