@@ -361,6 +361,87 @@ ORDER BY doc_id
 """
 
 
+# --- compression-ratio quality signal -----------------------------------
+
+ZRATIO_MIN_E6 = 300_000  # keep docs with deflate ratio >= 0.30 (highly
+# repetitive text compresses far below this — the classic cheap
+# repetition filter alongside q_repetition's exact token fractions)
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deflate compression ratio — the cheap whole-document
+    repetitiveness signal (a document that compresses to near nothing is
+    boilerplate/spam; used alongside token-level repetition fractions).
+    zlib level 6 over UTF-8 bytes, e6-integer ratio; Arrow-batched
+    map-only.  The oracle is a VALUES golden computed by an independent
+    zlib call over the same fixture (a determinism pin, like the JPEG
+    decode golden: DEFLATE output is fixed for a given library/level,
+    and the container pins one zlib)."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_bytes:long, z_bytes:long>")
+    def zsize(texts):
+        nb, zb = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            nb.append(len(raw))
+            zb.append(len(zlib.compress(raw, 6)))
+        return pd.DataFrame({"n_bytes": nb, "z_bytes": zb})
+
+    d = _docs(spark, sf_dir)
+    out = d.select("doc_id", zsize(F.col("text")).alias("s")).select(
+        "doc_id",
+        F.col("s.n_bytes").alias("n_bytes"),
+        F.col("s.z_bytes").alias("z_bytes"),
+    )
+    ratio = F.round(F.lit(1e6) * F.col("z_bytes") / F.col("n_bytes")).cast("long")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        ratio.alias("ratio_e6"),
+        (ratio >= ZRATIO_MIN_E6).cast("long").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _zratio_values_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import os
+    import zlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet(?) ORDER BY doc_id",
+        [os.path.join(sf_dir, "documents.parquet")],
+    ).fetchall()
+    con.close()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = []
+    for doc_id, text in rows:
+        raw = (text or "").encode("utf-8")
+        nb, zb = len(raw), len(zlib.compress(raw, 6))
+        # Spark round(double) is HALF_UP; Python round() is banker's —
+        # mirror Spark exactly on the .5 boundaries
+        r = (
+            int(Decimal(repr(1e6 * zb / nb)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+            if nb
+            else 0
+        )
+        vals.append(f"({doc_id}, {nb}, {zb}, {r}, {1 if r >= ZRATIO_MIN_E6 else 0})")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,\n"
+        "       CAST(z_bytes AS BIGINT) AS z_bytes, CAST(ratio_e6 AS BIGINT) AS ratio_e6,\n"
+        "       CAST(keep AS BIGINT) AS keep\n"
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, n_bytes, z_bytes, ratio_e6, keep)\n"
+        "ORDER BY doc_id"
+    )
+
+
 def _mix_sample_sql() -> str:
     from changegen_spark.queries.mlprep import _TWO60F
     from changegen_spark.queries.sketches import _H60_SQL
@@ -375,6 +456,7 @@ QUERIES = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_mixture_temperature": q_mixture_temperature,
     "q_mixture_sample": q_mixture_sample,
+    "q_compression_ratio": q_compression_ratio,
     "q_ngram_novelty": q_ngram_novelty,
 }
 
@@ -383,5 +465,6 @@ ORACLES = {
     "q_ccnet_buckets": _ccnet_sql(),
     "q_mixture_temperature": Q_MIXTURE_TEMPERATURE_SQL,
     "q_mixture_sample": _mix_sample_sql(),
+    "q_compression_ratio": _zratio_values_sql(),
     "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
 }

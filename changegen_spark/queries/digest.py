@@ -227,6 +227,7 @@ KINDS = {
     "q_media_dup_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_media_audio_fingerprint": {"asset_id": "num", "fmt": "str", "afp_frames": "num", "afp": "str"},
     "q_unigram_vocab": {"rank": "num", "piece": "str", "cost_e9": "num"},
+    "q_compression_ratio": {"doc_id": "num", "n_bytes": "num", "z_bytes": "num", "ratio_e6": "num", "keep": "num"},
     "q_unigram_encode_stats": {"doc_id": "num", "n_words": "num", "n_pieces": "num", "chars_per_piece": "e6"},
     "q_media_video_signature": {"asset_id": "num", "fmt": "str", "n_frames": "num", "vsig": "str"},
     "q12_priority_lines": {"l_linestatus": "str", "high_line_count": "num", "low_line_count": "num"},

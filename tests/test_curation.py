@@ -124,3 +124,25 @@ def test_mixture_sample_realizes_plan_rates(spark, sf_dir):
 
         tol = 4 * math.sqrt(max(rate * (1 - rate), 0.01) / n_docs[s])
         assert abs(frac - rate) <= tol, (s, frac, rate, tol)
+
+
+def test_compression_ratio_flags_repetitive_text(spark, tmp_path):
+    """A pathologically repetitive document must compress far below the
+    keep threshold while high-entropy text stays above it."""
+    from changegen_spark.queries.curation import ZRATIO_MIN_E6, q_compression_ratio
+    import random
+
+    random.seed(3)
+    rows = [
+        (1, "spam " * 400, "en", "s", 2000),
+        (2, " ".join(random.choice("abcdefghijklmnop") * random.randint(1, 3)
+                     for _ in range(400)), "en", "s", 1200),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "z")
+    d.coalesce(1).write.parquet(p + "/documents.parquet")
+    got = {r.doc_id: r for r in q_compression_ratio(spark, p).collect()}
+    assert got[1].keep == 0 and got[1].ratio_e6 < ZRATIO_MIN_E6 // 3
+    assert got[2].keep == 1

@@ -41,3 +41,37 @@ def test_unigram_encode_bounds(spark, sf_dir):
     assert stats
     for doc_id, r in stats.items():
         assert r.n_words <= r.n_pieces <= chars[doc_id], (doc_id, tuple(r))
+
+
+def test_viterbi_implementations_agree_property():
+    """Property sweep: the engine's iterative prefix DP and the gold's
+    memoized suffix recursion must produce IDENTICAL segmentations for
+    random words under random integer cost tables — the two-implementation
+    guarantee behind the VALUES oracles, exercised beyond the fixture."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from changegen_spark.functions.unigram import _viterbi
+    from changegen_spark.queries.unigram import _gold_segmenter
+
+    alphabet = "abc"
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet=alphabet, min_size=1, max_size=12),
+        data=st.data(),
+    )
+    def check(word, data):
+        # random vocabulary: all single chars + random multi-char pieces
+        pieces = {c for c in alphabet}
+        for ln in (2, 3, 4):
+            for _ in range(3):
+                s = data.draw(st.text(alphabet=alphabet, min_size=ln, max_size=ln))
+                pieces.add(s)
+        costs = {
+            p: data.draw(st.integers(min_value=1, max_value=10**9))
+            for p in sorted(pieces)
+        }
+        assert _viterbi(word, costs) == _gold_segmenter(costs)(word)
+
+    check()
