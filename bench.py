@@ -79,6 +79,11 @@ BUDGETS = {
     # dedup composite (LSH pairs → connected components → keep list)
     "q_embedding_dedup_lsh": 1.7,
     "q_dedup_clusters": 7.3,
+    # r5 curation family representatives (measured warm min-of-3 at
+    # sf0.1: 1.25 / 1.90) — first-occurrence n-gram novelty (two hash
+    # shuffles) and CCNet perplexity terciles (composes the bigram LM)
+    "q_ngram_novelty": 1.7,
+    "q_ccnet_buckets": 2.5,
 }
 
 HEADLINE = [
@@ -135,6 +140,9 @@ HEADLINE = [
     # dedup pipeline (the most scale-critical composite in the LLM surface)
     "q_embedding_dedup_lsh",
     "q_dedup_clusters",
+    # r5: curation-family representatives
+    "q_ngram_novelty",
+    "q_ccnet_buckets",
 ]
 
 
