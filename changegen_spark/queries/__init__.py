@@ -39,6 +39,7 @@ from changegen_spark.queries import timeseries as _timeseries
 from changegen_spark.queries import tpch_extra as _tpch_extra
 from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import unigram as _unigram
+from changegen_spark.queries import wordpiece as _wordpiece
 from changegen_spark.queries import c4 as _c4
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
@@ -79,6 +80,7 @@ MODULES = (
     _curation,  # Gopher rules, CCNet buckets, temperature mix, novelty (r5)
     _unigram,  # unigram-LM tokenizer, golden-oracle-backed (r5)
     _c4,  # C4 page cleaning + 3-sentence-span dedup, fixture-backed (r5)
+    _wordpiece,  # WordPiece tokenizer (likelihood merges), golden-backed (r5)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -229,6 +229,8 @@ KINDS = {
     "q_unigram_vocab": {"rank": "num", "piece": "str", "cost_e9": "num"},
     "q_compression_ratio": {"doc_id": "num", "n_bytes": "num", "z_bytes": "num", "ratio_e6": "num", "keep": "num"},
     "q_unigram_encode_stats": {"doc_id": "num", "n_words": "num", "n_pieces": "num", "chars_per_piece": "e6"},
+    "q_wordpiece_merges": {"rank": "num", "left": "str", "right": "str", "merged": "str", "pair_count": "num", "score_e9": "num"},
+    "q_wordpiece_encode_stats": {"doc_id": "num", "n_words": "num", "n_pieces": "num", "n_unk": "num", "chars_per_piece": "e6"},
     "q_c4_line_filter": {"page_id": "num", "n_lines": "num", "n_kept_lines": "num", "n_sentences": "num", "has_lorem": "num", "has_brace": "num", "has_badword": "num", "keep": "num"},
     "q_c4_span_dedup": {"page_id": "num", "n_sents": "num", "n_removed": "num", "n_kept": "num", "kept_fp": "str"},
     "q_media_video_signature": {"asset_id": "num", "fmt": "str", "n_frames": "num", "vsig": "str"},
