@@ -41,6 +41,7 @@ from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import unigram as _unigram
 from changegen_spark.queries import wordpiece as _wordpiece
 from changegen_spark.queries import c4 as _c4
+from changegen_spark.queries import cluster as _cluster
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import vectors as _vectors
@@ -81,6 +82,7 @@ MODULES = (
     _unigram,  # unigram-LM tokenizer, golden-oracle-backed (r5)
     _c4,  # C4 page cleaning + 3-sentence-span dedup, fixture-backed (r5)
     _wordpiece,  # WordPiece tokenizer (likelihood merges), golden-backed (r5)
+    _cluster,  # Lloyd's k-means, integer-exact, unrolled SQL oracle (r5)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -229,6 +229,8 @@ KINDS = {
     "q_unigram_vocab": {"rank": "num", "piece": "str", "cost_e9": "num"},
     "q_compression_ratio": {"doc_id": "num", "n_bytes": "num", "z_bytes": "num", "ratio_e6": "num", "keep": "num"},
     "q_unigram_encode_stats": {"doc_id": "num", "n_words": "num", "n_pieces": "num", "chars_per_piece": "e6"},
+    "q_kmeans": {"vec_id": "num", "cluster": "num", "dist2_e12": "num"},
+    "q_k_anonymity": {"c_nationkey": "num", "c_mktsegment": "str", "bal_band": "num", "n": "num", "suppressed": "num", "risk_e6": "num", "n_released": "num"},
     "q_wordpiece_merges": {"rank": "num", "left": "str", "right": "str", "merged": "str", "pair_count": "num", "score_e9": "num"},
     "q_wordpiece_encode_stats": {"doc_id": "num", "n_words": "num", "n_pieces": "num", "n_unk": "num", "chars_per_piece": "e6"},
     "q_c4_line_filter": {"page_id": "num", "n_lines": "num", "n_kept_lines": "num", "n_sentences": "num", "has_lorem": "num", "has_brace": "num", "has_badword": "num", "keep": "num"},

@@ -321,13 +321,79 @@ FROM terms GROUP BY source ORDER BY source
 """
 
 
+K_ANON = 5
+_BAND_CENTS = 100_000  # $1000 quasi-identifier balance bands
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table — the privacy gate a
+    release pipeline runs AFTER regex PII scrubbing (q_pii_scrub): group
+    by the quasi-identifier tuple (nation, market segment, $1000
+    account-balance band) and suppress every group smaller than K_ANON,
+    reporting the re-identification risk (1/n) of each released group.
+
+    Balance bands are exact-integer: cents = round(bal·100) then
+    truncating div by 100000 — both engines truncate toward zero, so
+    the band edges are engine-identical (no float floor at the
+    boundary).  One groupBy with map-side combine; scales like any
+    count aggregate."""
+    from changegen_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(f"CAST(round(c_acctbal * 100) AS BIGINT) div {_BAND_CENTS}").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("n"))
+    )
+    suppressed = (F.col("n") < K_ANON).cast("long")
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n",
+        suppressed.alias("suppressed"),
+        F.when(F.col("n") >= K_ANON, F.expr("1000000 div n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("risk_e6"),
+        F.when(F.col("n") >= K_ANON, F.col("n")).otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_released"),
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+Q_K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // {_BAND_CENTS} AS bal_band,
+         count(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, n,
+       CAST(n < {K_ANON} AS BIGINT) AS suppressed,
+       CAST(CASE WHEN n >= {K_ANON} THEN 1000000 // n ELSE 0 END AS BIGINT) AS risk_e6,
+       CAST(CASE WHEN n >= {K_ANON} THEN n ELSE 0 END AS BIGINT) AS n_released
+FROM g
+ORDER BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
 QUERIES = {
     "q_dq_audit": q_dq_audit,
     "q_assoc_rules": q_assoc_rules,
     "q_source_drift": q_source_drift,
+    "q_k_anonymity": q_k_anonymity,
 }
 ORACLES = {
     "q_dq_audit": Q_DQ_AUDIT_SQL,
     "q_assoc_rules": Q_ASSOC_RULES_SQL,
     "q_source_drift": Q_SOURCE_DRIFT_SQL,
+    "q_k_anonymity": Q_K_ANONYMITY_SQL,
 }
