@@ -84,6 +84,12 @@ CASES = [
     ("q_ngram_novelty", lambda n: n == 0),
     ("q_embedding_dedup_lsh", lambda n: n == 0),
     ("q_dedup_clusters", lambda n: n == 0),
+    # r5 second continuation: tokenizer trio completion, clustering,
+    # privacy audit (the C4 family reads a fixed fixture, not sf tables)
+    ("q_wordpiece_merges", lambda n: n == 0),
+    ("q_wordpiece_encode_stats", lambda n: n == 0),
+    ("q_kmeans", lambda n: n == 0),
+    ("q_k_anonymity", lambda n: n == 0),
 ]
 
 
