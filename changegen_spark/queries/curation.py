@@ -219,9 +219,9 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MIXTURE_TEMPERATURE_SQL = """
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
-         sum(CASE WHEN trim(text) = '' THEN 0
-                  ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-             END) AS n_tokens
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                       ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                  END) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), keyed AS (
   SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_e6

@@ -343,7 +343,7 @@ WITH toks AS (
               AS BIGINT) AS bias_e6
   FROM documents
 ), scores AS (
-  SELECT tb.doc_id, sum(w.w_e6) AS s
+  SELECT tb.doc_id, CAST(sum(w.w_e6) AS BIGINT) AS s
   FROM tb JOIN weights w USING (bucket) GROUP BY tb.doc_id
 )
 SELECT d.doc_id,

@@ -212,7 +212,7 @@ WITH active AS (
 )
 SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new,
        a.n_active - coalesce(n.n_new, 0) AS n_returning,
-       sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day) AS cum_users
+       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users
 FROM active a LEFT JOIN new n ON n.day = a.day
 ORDER BY a.day
 """
@@ -323,7 +323,7 @@ WITH first_view AS (
 ), pv AS (
   SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
               THEN 'A' ELSE 'B' END AS variant,
-         count(*) AS n_exposed, sum(converted) AS n_converted
+         count(*) AS n_exposed, CAST(sum(converted) AS BIGINT) AS n_converted
   FROM conv GROUP BY 1
 ), stats AS (
   SELECT max(CASE WHEN variant = 'A' THEN n_exposed END) AS n1,

@@ -316,7 +316,7 @@ WITH tok AS (
 )
 SELECT source, max(n_s) AS n_tokens,
        round(CAST(sum(kl_term) AS DOUBLE) / max(n_s), 3) AS kl_e6,
-       sum(chi2_term) AS chi2_sum_e6
+       CAST(sum(chi2_term) AS BIGINT) AS chi2_sum_e6
 FROM terms GROUP BY source ORDER BY source
 """
 

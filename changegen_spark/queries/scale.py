@@ -247,7 +247,8 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CMS_CELLS = ", ".join(
-    f"(SELECT sum(true_count) FROM wc i WHERE substr(md5(i.w || '#{j}'), 1, {CMS_HEX})"
+    f"(SELECT CAST(sum(true_count) AS BIGINT) FROM wc i"
+    f" WHERE substr(md5(i.w || '#{j}'), 1, {CMS_HEX})"
     f" = substr(md5(o.w || '#{j}'), 1, {CMS_HEX})) AS cell_{j}"
     for j in range(1, CMS_DEPTH + 1)
 )

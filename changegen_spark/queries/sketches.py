@@ -396,7 +396,7 @@ pairs AS (
          row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
   FROM cand
 ), est AS (
-  SELECT ga, gb, sum(in_a * in_b) AS n_inter_sketch,
+  SELECT ga, gb, CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_sketch,
          count(*) AS n_union_sketch
   FROM m WHERE rn <= {KMV_K} GROUP BY ga, gb
 ), parts AS (

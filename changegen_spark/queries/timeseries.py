@@ -444,7 +444,7 @@ WITH assigned AS (
        (SELECT unnest(generate_series(0, {HOP_DURATION_S // HOP_SLIDE_S - 1})) AS k) k
 )
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-       event_type, count(*) AS n, sum(val_e6) AS sum_value_e6
+       event_type, count(*) AS n, CAST(sum(val_e6) AS BIGINT) AS sum_value_e6
 FROM assigned
 GROUP BY 1, 2
 ORDER BY 1, 2
