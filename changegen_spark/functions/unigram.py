@@ -50,10 +50,21 @@ def _cost_table(counts: dict[str, int]) -> dict[str, int]:
     }
 
 
+# Fallback cost for a single character absent from the cost table.  The
+# vocab is seeded from a max_words-capped word table, so at corpus scale a
+# document word can contain a character that appears only in excluded
+# words; without a fallback dp[n] is None and encode crashes.  The value is
+# far above any real piece cost (-1e9*ln(p) tops out ~3e10 even at
+# p≈1e-13), so known pieces always win and encode merely degrades to
+# char-at-a-time over the unknown span — deterministically, in both the
+# engine DP and the golden recursion.
+UNK_CHAR_COST = 10**12
+
+
 def _viterbi(word: str, costs: dict[str, int]) -> list[str]:
     """Min-cost segmentation; ties → fewer tokens, then lexicographically
-    smaller token tuple.  Every single char is in the vocabulary by
-    construction, so a segmentation always exists."""
+    smaller token tuple.  Unknown single chars take ``UNK_CHAR_COST`` so a
+    segmentation always exists even for out-of-seed characters."""
     n = len(word)
     # dp[i] = (cost, ntok, tokens tuple) for word[:i]
     dp: list[tuple[int, int, tuple[str, ...]]] = [(0, 0, ())] + [None] * n  # type: ignore[list-item]
@@ -62,6 +73,8 @@ def _viterbi(word: str, costs: dict[str, int]) -> list[str]:
         for i in range(max(0, j - SUB_MAX), j):
             piece = word[i:j]
             c = costs.get(piece)
+            if c is None and j - i == 1:
+                c = UNK_CHAR_COST
             if c is None or dp[i] is None:
                 continue
             cand = (dp[i][0] + c, dp[i][1] + 1, dp[i][2] + (piece,))

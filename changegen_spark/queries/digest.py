@@ -243,6 +243,20 @@ KINDS = {
     "q20_dominant_suppliers": {"s_suppkey": "num", "s_name": "str"},
     "q21_suppliers_waiting": {"s_name": "str", "numwait": "num"},
     "q22_sales_opportunity": {"cntrycode": "str", "numcust": "num", "totacctbal_cents": "num"},
+    # r6 rotation: the vector/ANN + event-window family leaves the direct
+    # window (displaced by the latent-HUGEINT + never-direct families).
+    "q_embed_norm": {"vec_id": "num", "l2_norm": "e6", "dim": "num"},
+    "q_hard_negatives": {"anchor_id": "num", "anchor_label": "num", "vec_id": "num", "neg_label": "num", "cos_sim": "e6", "rank": "num"},
+    "q_hard_negatives_lsh": {"anchor_id": "num", "anchor_label": "num", "vec_id": "num", "neg_label": "num", "cos_sim": "e6", "rank": "num"},
+    "q_label_centroids": {"label": "num", "pos": "num", "centroid_val": "e6", "n_vecs": "num"},
+    "q_ann_bruteforce": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
+    "q_ann_lsh": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
+    "q_ann_pq": {"query_id": "num", "vec_id": "num", "est_d2": "e6", "rank": "num"},
+    "q_embedding_dedup": {"id_a": "num", "id_b": "num", "cos_sim": "e6"},
+    "q_embedding_dedup_lsh": {"id_a": "num", "id_b": "num", "cos_sim": "e6"},
+    "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
+    "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
+    "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
 }
 
 

@@ -145,8 +145,9 @@ def _gold_train(sf_dir: str) -> dict[str, int]:
 
 def _gold_segmenter(costs: dict[str, int]):
     """Memoized SUFFIX recursion (vs the engine's iterative prefix DP) —
-    same (cost, n_tokens, token tuple) minimization."""
-    from changegen_spark.functions.unigram import SUB_MAX
+    same (cost, n_tokens, token tuple) minimization, including the
+    identical unknown-single-char fallback."""
+    from changegen_spark.functions.unigram import SUB_MAX, UNK_CHAR_COST
 
     @functools.lru_cache(maxsize=None)
     def best(word: str, pos: int) -> tuple[int, int, tuple[str, ...]]:
@@ -156,6 +157,8 @@ def _gold_segmenter(costs: dict[str, int]):
         for ln in range(1, min(SUB_MAX, len(word) - pos) + 1):
             piece = word[pos : pos + ln]
             c = costs.get(piece)
+            if c is None and ln == 1:
+                c = UNK_CHAR_COST
             if c is None:
                 continue
             sc, sn, st = best(word, pos + ln)

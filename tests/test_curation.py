@@ -146,3 +146,59 @@ def test_compression_ratio_flags_repetitive_text(spark, tmp_path):
     got = {r.doc_id: r for r in q_compression_ratio(spark, p).collect()}
     assert got[1].keep == 0 and got[1].ratio_e6 < ZRATIO_MIN_E6 // 3
     assert got[2].keep == 1
+
+
+def test_ccnet_buckets_matches_ntile_exactly(spark, sf_dir):
+    """The de-skewed rank-stitch implementation (range partition +
+    broadcast prefix offsets, r5 verdict #3) must be BYTE-IDENTICAL to
+    the straightforward per-language ntile(3) it replaced."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.curation import _docs, q_ccnet_buckets
+    from changegen_spark.queries.lm import q_lm_score
+
+    got = q_ccnet_buckets(spark, sf_dir).collect()
+
+    scored = q_lm_score(spark, sf_dir).select("doc_id", "nll", "ppl")
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    bucket = F.ntile(3).over(w)
+    want = (
+        scored.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "nll",
+            "ppl",
+            bucket.cast("long").alias("tercile"),
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_ccnet_buckets_plan_has_no_per_lang_window(spark, sf_dir):
+    """Skew pin: no ntile anywhere, and every row_number Window (the one
+    node that sees the full document frame) must partition by the range
+    partition id as well as lang, so a dominant language never lands in
+    one task.  (Windows partitioned by lang alone do remain — the prefix
+    sum over the partitions×langs counts frame — which is KB-sized by
+    construction.)"""
+    import re
+
+    from changegen_spark.queries.curation import q_ccnet_buckets
+
+    plan = q_ccnet_buckets(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    rn_windows = [
+        ln for ln in plan.splitlines() if "Window [row_number()" in ln
+    ]
+    assert rn_windows, "rank window vanished — implementation changed?"
+    for ln in rn_windows:
+        spec = re.search(r"windowspecdefinition\(([^)]*)\)", ln).group(1)
+        assert "__part" in spec, ln

@@ -75,3 +75,21 @@ def test_viterbi_implementations_agree_property():
         assert _viterbi(word, costs) == _gold_segmenter(costs)(word)
 
     check()
+
+
+def test_viterbi_unknown_char_fallback():
+    """A word containing a character absent from the cost table must still
+    segment (UNK_CHAR_COST fallback) — identically in both implementations —
+    instead of crashing the Arrow encode UDF at corpus scale."""
+    from changegen_spark.functions.unigram import UNK_CHAR_COST, _viterbi
+    from changegen_spark.queries.unigram import _gold_segmenter
+
+    costs = {"a": 5, "b": 7, "ab": 9}  # no 'z' anywhere
+    for word in ("zab", "abz", "azb", "zzz", "z"):
+        got = _viterbi(word, costs)
+        assert got == _gold_segmenter(costs)(word), word
+        assert "".join(got) == word
+    # known pieces still beat the fallback: 'ab' (9) not 'a'+'b' (12),
+    # and the unknown char costs UNK_CHAR_COST exactly once
+    assert _viterbi("zab", costs) == ["z", "ab"]
+    assert UNK_CHAR_COST > 3 * 10**10
