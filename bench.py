@@ -292,6 +292,54 @@ def main() -> None:
             "warm_runs": SF1_WARM_RUNS,
         }
 
+    # media ladder (r5 verdict #4): the banded image-dedup join at
+    # O(10^3) and O(10^4) synthesized assets with planted near-dups
+    # (sources/scaleup.build_media_assets — exact controlled Hamming).
+    # Records wall growth for 10× assets AND candidate volume per band
+    # width: 8×8-bit banding is pigeonhole-complete at ham≤7 but costs
+    # ~n²/64 candidates on uncorrelated hashes, 4×16-bit is complete at
+    # ham≤3 for ~n²/16384 — the dial SCALE.md documents.
+    media = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from changegen_spark.multimodal.assets import dhash_images
+        from changegen_spark.queries.media import (
+            banded_candidates,
+            dup_pairs_from_dhash,
+        )
+        from changegen_spark.sources.scaleup import build_media_assets
+
+        media_dir = os.environ.get(
+            "SPARK_GRAFT_MEDIA_DIR", "/tmp/changegen_spark_media"
+        )
+        media = {"n": {}, "build_s": 0.0}
+        for n_assets in (2_000, 20_000):
+            t0 = time.time()
+            path = build_media_assets(spark, media_dir, n_assets=n_assets)
+            media["build_s"] += time.time() - t0
+            assets = spark.read.parquet(path)
+            stats = {}
+            best = float("inf")
+            for i in range(1 + SF1_WARM_RUNS):  # first run is warmup
+                t0 = time.time()
+                d = dhash_images(assets).filter("ok").select("asset_id", "dhash")
+                stats["n_pairs"] = dup_pairs_from_dhash(d, ham=7, band_hex=2).count()
+                if i > 0:
+                    best = min(best, time.time() - t0)
+            stats["wall_s"] = round(best, 3)
+            d = dhash_images(assets).filter("ok").select("asset_id", "dhash")
+            stats["cand_8bit"] = banded_candidates(d, band_hex=2).count()
+            stats["cand_16bit"] = banded_candidates(d, band_hex=4).count()
+            media["n"][str(n_assets)] = stats
+        media["build_s"] = round(media["build_s"], 1)
+        small, big = media["n"]["2000"], media["n"]["20000"]
+        media["growth_wall_10x"] = round(big["wall_s"] / small["wall_s"], 2)
+        media["cand_growth_8bit_10x"] = round(
+            big["cand_8bit"] / max(small["cand_8bit"], 1), 1
+        )
+        media["cand_growth_16bit_10x"] = round(
+            big["cand_16bit"] / max(small["cand_16bit"], 1), 1
+        )
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -315,6 +363,8 @@ def main() -> None:
     }
     if sf1 is not None:
         out["sf1"] = sf1
+    if media is not None:
+        out["media_ladder"] = media
     print(json.dumps(out))
 
 

@@ -403,22 +403,34 @@ def extract_mel(assets: DataFrame) -> DataFrame:
 DHASH_SCHEMA = "asset_id long, dhash string, ok boolean"
 
 
-def _dhash_px(px: bytes, w: int, h: int) -> str:
-    """64-bit dHash of a w×h luma plane as 16 hex chars (numpy region
-    sums; the fixture builder's plain-loop twin is tools/make_media.py
-    dhash_expected).  Shared by the image and video signature stages."""
+def _grid_bounds(w: int, h: int) -> tuple[list[int], list[int]]:
+    """Row/col block boundaries of the 8×9 dHash grid."""
+    return [r * h // 8 for r in range(9)], [c * w // 9 for c in range(10)]
+
+
+def _grid_cells(px: bytes, w: int, h: int):
+    """8×9 rounded-mean luma grid (the dHash intermediate).  Exposed so
+    the scale-fixture builder (sources/scaleup.py) can plant near-dups at
+    exact Hamming distances by inverting individual cell comparisons."""
     import numpy as np
 
     a = np.frombuffer(bytes(px), dtype=np.uint8)[: w * h].reshape(h, w)
     a = a.astype(np.int64)
-    rb = [r * h // 8 for r in range(9)]
-    cb = [c * w // 9 for c in range(10)]
+    rb, cb = _grid_bounds(w, h)
     cells = np.empty((8, 9), dtype=np.int64)
     for r in range(8):
         for c in range(9):
             blk = a[rb[r] : rb[r + 1], cb[c] : cb[c + 1]]
             s, area = int(blk.sum()), blk.size
             cells[r, c] = (s + area // 2) // area
+    return cells
+
+
+def _dhash_px(px: bytes, w: int, h: int) -> str:
+    """64-bit dHash of a w×h luma plane as 16 hex chars (numpy region
+    sums; the fixture builder's plain-loop twin is tools/make_media.py
+    dhash_expected).  Shared by the image and video signature stages."""
+    cells = _grid_cells(px, w, h)
     v = 0
     for r in range(8):
         for c in range(8):

@@ -223,43 +223,24 @@ DUP_HAM = 7  # pigeonhole: 8 bands of 8 bits -> any pair with hamming <= 7
 # approximate, at this threshold
 
 
-def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup pairs: dHash → 8 one-byte bands →
-    (band, byte) equi-join → exact Hamming refine ≤ {DUP_HAM}.  By the
-    pigeonhole principle every pair within the threshold collides on at
-    least one band, so this is the EXACT result with an LSH-shaped plan
-    (no all-pairs comparison) — the image twin of the banded MinHash
-    join, and the reason dHash exists: the fixture plants a cross-format
-    exact dup (PNG pixels re-encoded as GIF, hamming 0) and a noised
-    re-encode (hamming 1)."""
-    from changegen_spark.multimodal.assets import dhash_images
+def dup_pairs_from_dhash(
+    d: DataFrame, ham: int = DUP_HAM, band_hex: int = 2
+) -> DataFrame:
+    """Banded Hamming join over a (asset_id, dhash) frame: split the
+    16-hex dHash into ``16 // band_hex`` bands, equi-join on (band,
+    substring), refine with the exact 64-bit Hamming distance ≤ ``ham``.
 
-    d = dhash_images(_assets(spark)).filter(F.col("ok")).select("asset_id", "dhash")
-    sig = d.select(
-        "asset_id",
-        "dhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.substring("dhash", 1 + 2 * i, 2).alias("bs"),
-                )
-                for i in range(8)
-            ])
-        ).alias("s"),
-    ).select("asset_id", "dhash", "s.band", "s.bs")
-    a = sig.select(
-        F.col("asset_id").alias("id_a"), F.col("dhash").alias("da"), "band", "bs"
-    )
-    b = sig.select(
-        F.col("asset_id").alias("id_b"), F.col("dhash").alias("db"), "band", "bs"
-    )
-    cand = (
-        a.join(b, ["band", "bs"])
-        .filter(F.col("id_b") > F.col("id_a"))
-        .select("id_a", "da", "id_b", "db")
-        .distinct()
-    )
+    Pigeonhole completeness: with ``b`` bands the join is EXACT for
+    ``ham <= b - 1`` (any pair within the threshold shares ≥1 unchanged
+    band).  Band width is the candidate-volume dial at scale: random
+    uncorrelated hashes collide on a band with prob ``b / 16^band_hex``,
+    so 8×8-bit bands (complete at ≤7) cost ~n²/64 candidates while
+    4×16-bit bands (complete at ≤3) cost ~n²/16384 — the media ladder in
+    bench.py measures both (SCALE.md)."""
+    nbands = 16 // band_hex
+    if ham > nbands - 1:
+        raise ValueError(f"banding incomplete: ham={ham} > bands-1={nbands - 1}")
+    cand = banded_candidates(d, band_hex)
 
     def _half(col, start):
         return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
@@ -270,10 +251,59 @@ def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= DUP_HAM)
+        .filter(F.col("hamming") <= ham)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def banded_candidates(d: DataFrame, band_hex: int = 2) -> DataFrame:
+    """Distinct candidate pairs (id_a, da, id_b, db) colliding on ≥1 band —
+    exposed separately so the media ladder can record candidate volume per
+    band width (the collision-rate stat in SCALE.md)."""
+    nbands = 16 // band_hex
+    sig = d.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("dhash", 1 + band_hex * i, band_hex).alias("bs"),
+                )
+                for i in range(nbands)
+            ])
+        ).alias("s"),
+    ).select("asset_id", "dhash", "s.band", "s.bs")
+    a = sig.select(
+        F.col("asset_id").alias("id_a"), F.col("dhash").alias("da"), "band", "bs"
+    )
+    b = sig.select(
+        F.col("asset_id").alias("id_b"), F.col("dhash").alias("db"), "band", "bs"
+    )
+    return (
+        a.join(b, ["band", "bs"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "da", "id_b", "db")
+        .distinct()
+    )
+
+
+def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash → 8 one-byte bands →
+    (band, byte) equi-join → exact Hamming refine ≤ {DUP_HAM}.  By the
+    pigeonhole principle every pair within the threshold collides on at
+    least one band, so this is the EXACT result with an LSH-shaped plan
+    (no all-pairs comparison) — the image twin of the banded MinHash
+    join, and the reason dHash exists: the fixture plants a cross-format
+    exact dup (PNG pixels re-encoded as GIF, hamming 0) and a noised
+    re-encode (hamming 1).  The O(10^4)-asset scale path over the same
+    machinery is dup_pairs_from_dhash + sources/scaleup.build_media_assets
+    (bench.py media ladder)."""
+    from changegen_spark.multimodal.assets import dhash_images
+
+    d = dhash_images(_assets(spark)).filter(F.col("ok")).select("asset_id", "dhash")
+    return dup_pairs_from_dhash(d)
 
 
 Q_MEDIA_DUP_PAIRS_SQL = f"""

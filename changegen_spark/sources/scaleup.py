@@ -82,3 +82,111 @@ def build_scaled_dir(spark, src: str, out: str, copies: int = 10) -> None:
         for p in parts[1:]:
             acc = acc.unionByName(p)
         acc.write.mode("overwrite").parquet(dst)
+
+
+# --- media scale fixture (r5 verdict #4) -------------------------------------
+#
+# The fixture media_assets.parquet exercises the banded image-dedup join on
+# ~dozens of assets; this builder synthesizes O(10^4) PNG assets with
+# near-dups planted at EXACT, controlled Hamming distances so the ladder
+# can measure candidate growth the way text dedup already does.
+#
+# Controlled-distance construction: a dup at target distance t copies its
+# source's pixels and, for rows r = 0..t-1, inverts dHash bit (r, 0) by
+# overwriting grid block (r, 0).  Block (r, 0) participates in NO other
+# comparison (bit (r, c) compares cells c and c+1 of row r, so column 0 is
+# only ever a left operand), and original pixels are confined to
+# [10, 245], so setting the block to 255 (when the bit was set) or 0
+# (when clear) is a GUARANTEED inversion: hamming(src, dup) == t exactly.
+
+MEDIA_W, MEDIA_H = 72, 48
+MEDIA_PX_LO, MEDIA_PX_HI = 10, 245  # inclusive; keeps 0/255 flips decisive
+MEDIA_SEED = 7
+
+
+def _media_pixels(asset_id: int):
+    """Deterministic per-asset base image (numpy PCG stream)."""
+    import numpy as np
+
+    rng = np.random.default_rng(MEDIA_SEED * 1_000_003 + asset_id)
+    return rng.integers(
+        MEDIA_PX_LO, MEDIA_PX_HI + 1, size=MEDIA_W * MEDIA_H, dtype=np.uint8
+    )
+
+
+def media_dup_plan(n_assets: int, dup_frac: float = 0.1):
+    """(n_orig, {dup_id: (src_id, target_hamming)}) — pure arithmetic so
+    tests can recompute the expected pair set without reading pixels."""
+    n_dup = int(n_assets * dup_frac)
+    n_orig = n_assets - n_dup
+    plan = {}
+    for aid in range(n_orig, n_assets):
+        plan[aid] = ((aid * 2654435761) % n_orig, aid % 8)
+    return n_orig, plan
+
+
+def build_media_assets(
+    spark,
+    out: str,
+    n_assets: int = 20_000,
+    dup_frac: float = 0.1,
+    parts: int = 32,
+) -> str:
+    """Materialize ``n_assets`` PNG assets (schema: asset_id, kind,
+    payload — the subset dhash_images reads) with ``dup_frac`` planted
+    near-dups at Hamming 0..7.  Distributed, map-only, idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out, f"media_assets_{n_assets}.parquet")
+    if os.path.exists(path):
+        return path
+
+    n_orig, plan = media_dup_plan(n_assets, dup_frac)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from changegen_spark.multimodal.assets import _grid_bounds, _grid_cells
+        from changegen_spark.multimodal.png import encode_png
+
+        rb, cb = _grid_bounds(MEDIA_W, MEDIA_H)
+        for pdf in batches:
+            ids, payloads = [], []
+            for aid in pdf["id"]:
+                aid = int(aid)
+                if aid < n_orig:
+                    px = _media_pixels(aid)
+                    payload = encode_png(MEDIA_W, MEDIA_H, px.tobytes())
+                else:
+                    src, t = plan[aid]
+                    px = _media_pixels(src).copy().reshape(MEDIA_H, MEDIA_W)
+                    cells = _grid_cells(px.tobytes(), MEDIA_W, MEDIA_H)
+                    for r in range(t):
+                        bit_set = cells[r, 0] < cells[r, 1]
+                        px[rb[r] : rb[r + 1], cb[0] : cb[1]] = (
+                            255 if bit_set else 0
+                        )
+                    # t = 0 → identical pixels; vary the container bytes
+                    # (filter type) so the dup is a re-encode, not a copy
+                    payload = encode_png(
+                        MEDIA_W,
+                        MEDIA_H,
+                        px.reshape(-1).tobytes(),
+                        filter_type=1 if t == 0 else 0,
+                    )
+                ids.append(aid)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": "image", "payload": payloads}
+            )
+
+    (
+        spark.range(n_assets, numPartitions=parts)
+        .mapInPandas(gen, "asset_id long, kind string, payload binary")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

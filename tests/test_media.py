@@ -423,3 +423,55 @@ def test_audio_and_video_dup_signatures_collide(spark):
     vsig = {r.fmt: r.vsig for r in q_media_video_signature(spark, "").collect()}
     assert vsig["dup_y4m444"] == vsig["y4mmono"]
     assert len(set(vsig.values())) == 4  # 5 videos, exactly one collision
+
+
+def test_media_scale_fixture_plants_exact_hamming(spark, tmp_path):
+    """build_media_assets plants near-dups at EXACT Hamming distances:
+    the banded join must recover precisely the planned pair set —
+    (src, dup) at the planned t, plus same-source dup-dup pairs at
+    |t1 - t2| — and the 4×16-bit banding (complete at ≤3) must agree
+    with the 8×8-bit result filtered to ≤3."""
+    from changegen_spark.multimodal.assets import dhash_images
+    from changegen_spark.queries.media import dup_pairs_from_dhash
+    from changegen_spark.sources.scaleup import build_media_assets, media_dup_plan
+
+    n = 300
+    path = build_media_assets(spark, str(tmp_path), n_assets=n, parts=4)
+    assets = spark.read.parquet(path)
+    assert assets.count() == n
+    d = dhash_images(assets).filter("ok").select("asset_id", "dhash")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dup_pairs_from_dhash(d, ham=7, band_hex=2).collect()
+    }
+
+    _, plan = media_dup_plan(n)
+    want = {}
+    for dup, (src, t) in plan.items():
+        want[tuple(sorted((src, dup)))] = t
+    dups_by_src = {}
+    for dup, (src, t) in plan.items():
+        dups_by_src.setdefault(src, []).append((dup, t))
+    for src, lst in dups_by_src.items():
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                (d1, t1), (d2, t2) = lst[i], lst[j]
+                want[tuple(sorted((d1, d2)))] = abs(t1 - t2)
+    assert got == want
+
+    got3 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dup_pairs_from_dhash(d, ham=3, band_hex=4).collect()
+    }
+    assert got3 == {k: v for k, v in got.items() if v <= 3}
+
+
+def test_banded_completeness_guard():
+    """Requesting a threshold the banding cannot cover must raise."""
+    import pytest as _pytest
+
+    from changegen_spark.queries.media import dup_pairs_from_dhash
+
+    with _pytest.raises(ValueError):
+        dup_pairs_from_dhash(None, ham=4, band_hex=4)
