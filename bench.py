@@ -84,6 +84,13 @@ BUDGETS = {
     # shuffles) and CCNet perplexity terciles (composes the bigram LM)
     "q_ngram_novelty": 1.7,
     "q_ccnet_buckets": 2.5,
+    # r6 (r5 verdict #7): the three tokenizer encode stages — train on
+    # the dir's own docs (one word-count shuffle + bounded driver loop)
+    # then Arrow-batched encode.  Measured warm min-of-3 at sf0.1:
+    # 1.35 / 1.21 / 3.71 (unigram pays 3 Viterbi-EM rounds driver-side).
+    "q_bpe_encode_stats": 2.0,
+    "q_wordpiece_encode_stats": 1.8,
+    "q_unigram_encode_stats": 5.0,
 }
 
 HEADLINE = [
@@ -143,6 +150,10 @@ HEADLINE = [
     # r5: curation-family representatives
     "q_ngram_novelty",
     "q_ccnet_buckets",
+    # r6: tokenizer encode stages (train + Arrow encode; r5 verdict #7)
+    "q_bpe_encode_stats",
+    "q_wordpiece_encode_stats",
+    "q_unigram_encode_stats",
 ]
 
 
@@ -160,6 +171,12 @@ SF1_QUERIES = [
     # shuffle are exactly where lineage costs surface at scale)
     "q_embedding_dedup_lsh",
     "q_dedup_clusters",
+    # r6: tokenizer encode at corpus scale — text volume is the axis that
+    # matters for the encode stages; growth should track ~linear (the
+    # train step's word-count shuffle dedups, so its cost grows slower)
+    "q_bpe_encode_stats",
+    "q_wordpiece_encode_stats",
+    "q_unigram_encode_stats",
 ]
 SF1_WARM_RUNS = 2
 
