@@ -44,6 +44,7 @@ from changegen_spark.queries import c4 as _c4
 from changegen_spark.queries import cluster as _cluster
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
+from changegen_spark.queries import er as _er
 from changegen_spark.queries import vectors as _vectors
 from changegen_spark.queries import winnow as _winnow
 
@@ -83,6 +84,7 @@ MODULES = (
     _c4,  # C4 page cleaning + 3-sentence-span dedup, fixture-backed (r5)
     _wordpiece,  # WordPiece tokenizer (likelihood merges), golden-backed (r5)
     _cluster,  # Lloyd's k-means, integer-exact, unrolled SQL oracle (r5)
+    _er,  # entity resolution: phonetic blocking + Levenshtein refine (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

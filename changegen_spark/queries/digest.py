@@ -257,6 +257,11 @@ KINDS = {
     "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
     "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    # r6 new family: entity resolution (out-of-window from birth)
+    "q_er_blocks": {"block_key": "str", "n_records": "num", "n_cand_pairs": "num"},
+    "q_er_pairs": {"rec_a": "num", "rec_b": "num", "lev": "num"},
+    "q_er_clusters": {"rec_id": "num", "entity": "num"},
+    "q_er_eval": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "block_recall_e6": "num"},
 }
 
 

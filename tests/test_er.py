@@ -1,0 +1,117 @@
+"""Entity-resolution family (queries/er.py + tools/make_er.py fixture)."""
+
+import pytest
+
+
+def test_phonetic_key_matches_classic_soundex_values(spark):
+    """The dialect-shared phonetic key reproduces classic Soundex codes on
+    the textbook examples (and smith/smyth land in one block)."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import phonetic_key_sql
+
+    cases = {
+        "smith": "s530",
+        "smyth": "s530",
+        "jackson": "j250",
+        "robert": "r163",
+        "rupert": "r163",
+        "ashcraft": "a261",  # h transparent: s,c collapse across it
+        "tymczak": "t522",
+        "honeyman": "h555",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {
+        r.w: r.k
+        for r in df.select(
+            "w", F.expr(phonetic_key_sql("w", duck=False)).alias("k")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_phonetic_key_spark_equals_duckdb(spark):
+    """The duck=True and duck=False renderings are the SAME function: run
+    both engines over every fixture name and compare."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import ER_PATH, phonetic_key_sql
+
+    sp = {
+        r.name: r.k
+        for r in spark.read.parquet(ER_PATH)
+        .select("name", F.expr(phonetic_key_sql("name", duck=False)).alias("k"))
+        .collect()
+    }
+    con = duckdb.connect()
+    dk = dict(
+        con.execute(
+            f"SELECT name, {phonetic_key_sql('name', duck=True)} FROM '{ER_PATH}'"
+        ).fetchall()
+    )
+    con.close()
+    assert sp == dk
+
+
+def test_er_eval_pins_planted_recovery(spark):
+    """Exact pins from the planted fixture: every blocked true pair is
+    recovered (refine recall 1.0 within blocks), all recall loss is
+    blocking loss, and precision stays near 1 (two natural name
+    collisions in the fixture are known)."""
+    from changegen_spark.queries.er import q_er_eval
+
+    row = q_er_eval(spark, "").collect()[0]
+    assert row.n_true == 80  # 60 class A + 12 class B + 8 class C
+    assert row.n_tp == row.n_pred - 2  # exactly two false-positive pairs
+    assert row.recall_e6 == row.block_recall_e6  # refine loses nothing
+    assert row.precision_e6 >= 950_000
+    # class B (12 first-letter typos) is *designed* blocking loss
+    assert row.n_true - row.n_tp >= 12
+
+
+def test_er_class_b_misses_are_blocking_only(spark):
+    """All class-B planted dups (first-letter last-name typo, entities
+    100..111) are absent from pairs — they land in a different block —
+    while class-A vowel-swap / doubled-consonant dups are all found."""
+    from changegen_spark.queries.er import q_er_pairs
+
+    pairs = {(r.rec_a, r.rec_b) for r in q_er_pairs(spark, "").collect()}
+    # class-B records are rec_ids 460..471 (base 400 + 60 class A)
+    assert not any(460 <= r <= 471 for p in pairs for r in p)
+    # class-A vowel swaps (eid % 3 == 0) and doubled consonants
+    # (eid % 3 == 1) preserve the block: recs 400+eid pair with eid
+    for eid in range(60):
+        if eid % 3 != 2:  # transpositions may legitimately change the key
+            assert (eid, 400 + eid) in pairs, eid
+
+
+def test_er_clusters_group_matched_records(spark):
+    """Every matched pair lands in one component labeled by min rec_id."""
+    from changegen_spark.queries.er import q_er_clusters, q_er_pairs
+
+    comp = {r.rec_id: r.entity for r in q_er_clusters(spark, "").collect()}
+    for r in q_er_pairs(spark, "").collect():
+        assert comp[r.rec_a] == comp[r.rec_b]
+        assert comp[r.rec_a] <= r.rec_a
+
+
+def test_er_pairs_plan_is_blocked_equi_join(spark):
+    """Scale pin: the refine join must be a hash equi-join on the block
+    key — no cartesian/BroadcastNestedLoop anywhere in the plan."""
+    from changegen_spark.queries.er import q_er_pairs
+
+    plan = q_er_pairs(spark, "")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_eval_guard_against_fixture_drift(spark):
+    """The fixture is committed; a regenerated fixture with different
+    plants must fail loudly here rather than silently shifting oracles."""
+    from changegen_spark.queries.er import ER_PATH
+
+    df = spark.read.parquet(ER_PATH)
+    assert df.count() == 480
+    assert df.selectExpr("max(entity_id)").collect()[0][0] == 399
