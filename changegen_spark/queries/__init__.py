@@ -26,6 +26,7 @@ from changegen_spark.queries import lm as _lm
 from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
+from changegen_spark.queries import privacy as _privacy
 from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import relational as _relational
@@ -85,6 +86,7 @@ MODULES = (
     _wordpiece,  # WordPiece tokenizer (likelihood merges), golden-backed (r5)
     _cluster,  # Lloyd's k-means, integer-exact, unrolled SQL oracle (r5)
     _er,  # entity resolution: phonetic blocking + Levenshtein refine (r6)
+    _privacy,  # DP release mechanisms: Laplace counts/clipped sums, RR (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

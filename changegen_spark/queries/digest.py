@@ -257,6 +257,10 @@ KINDS = {
     "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
     "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    # r6 new family: differential-privacy releases (out-of-window from birth)
+    "q_dp_counts": {"segment": "str", "n_exact": "num", "n_dp_e3": "num"},
+    "q_dp_sum_clipped": {"segment": "str", "sum_exact_cents": "num", "sum_clipped_cents": "num", "sum_dp_cents": "num"},
+    "q_rr_estimate": {"segment": "str", "n": "num", "n_true": "num", "n_reported": "num", "est_prev_e6": "num", "true_prev_e6": "num"},
     # r6 new family: entity resolution (out-of-window from birth)
     "q_er_blocks": {"block_key": "str", "n_records": "num", "n_cand_pairs": "num"},
     "q_er_pairs": {"rec_a": "num", "rec_b": "num", "lev": "num"},
