@@ -42,6 +42,7 @@ from changegen_spark.queries import tpch_full as _tpch_full
 from changegen_spark.queries import unigram as _unigram
 from changegen_spark.queries import wordpiece as _wordpiece
 from changegen_spark.queries import c4 as _c4
+from changegen_spark.queries import chunking as _chunking
 from changegen_spark.queries import cluster as _cluster
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
@@ -87,6 +88,7 @@ MODULES = (
     _cluster,  # Lloyd's k-means, integer-exact, unrolled SQL oracle (r5)
     _er,  # entity resolution: phonetic blocking + Levenshtein refine (r6)
     _privacy,  # DP release mechanisms: Laplace counts/clipped sums, RR (r6)
+    _chunking,  # RAG-prep chunking: fixed windows + sentence buckets (r6)
     _relational,
     _tpch_extra,
     _tpch_full,
