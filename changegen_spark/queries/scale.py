@@ -635,7 +635,90 @@ ORDER BY doc_id
 """
 
 
+SKEW_KEY_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (r6): for each lineitem join key, the
+    numbers a 100 TB join plan is sized by — row/key counts, the heaviest
+    key and its mass, mean key frequency, and the Shannon entropy of the
+    key distribution (H = ln N − Σ f·ln f / N; max-entropy = ln n_keys,
+    so the gap to ln(n_keys) IS the skew).  Everything is one groupBy per
+    key column plus KB-sized finishing aggregates — no sort, no window
+    over the base table; this is the audit you run BEFORE choosing
+    broadcast/salting/AQE-skew strategies, not after the job dies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for col in SKEW_KEY_COLS:
+        freqs = li.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").alias("f")
+        )
+        stats = freqs.agg(
+            F.sum("f").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("f").cast("long").alias("max_freq"),
+            F.sum(F.col("f") * F.log("f")).alias("sum_flnf"),
+        )
+        top = (
+            freqs.join(
+                F.broadcast(stats.select("max_freq")),
+                freqs["f"] == F.col("max_freq"),
+            )
+            .agg(F.min("k").cast("long").alias("top_key"))
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(top)).select(
+                F.lit(col).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                "top_key",
+                F.round(F.col("n_rows") / F.col("n_keys") * 1e6)
+                .cast("long")
+                .alias("avg_freq_e6"),
+                F.round(
+                    (
+                        F.log("n_rows")
+                        - F.col("sum_flnf") / F.col("n_rows")
+                    )
+                    * 1e6
+                )
+                .cast("long")
+                .alias("entropy_e6"),
+                F.round(F.log("n_keys") * 1e6)
+                .cast("long")
+                .alias("max_entropy_e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_col")
+
+
+def _skew_block(col: str) -> str:
+    return f"""
+SELECT '{col}' AS key_col,
+       CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       CAST((SELECT min(k) FROM (SELECT {col} AS k, count(*) AS f FROM lineitem GROUP BY 1) i
+             WHERE i.f = (SELECT max(f) FROM (SELECT count(*) AS f FROM lineitem GROUP BY {col}) m)) AS BIGINT) AS top_key,
+       CAST(round(sum(f) / (1.0 * count(*)) * 1e6) AS BIGINT) AS avg_freq_e6,
+       CAST(round((ln(sum(f)) - sum(f * ln(f)) / sum(f)) * 1e6) AS BIGINT) AS entropy_e6,
+       CAST(round(ln(count(*)) * 1e6) AS BIGINT) AS max_entropy_e6
+FROM (SELECT {col} AS k, count(*) AS f FROM lineitem GROUP BY 1)
+"""
+
+
+Q_SKEW_PROFILE_SQL = (
+    "\nUNION ALL\n".join(_skew_block(c) for c in SKEW_KEY_COLS)
+    + "\nORDER BY key_col"
+)
+
+
 QUERIES = {
+    "q_skew_profile": q_skew_profile,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_hrw_shards": q_hrw_shards,
     "q_incremental_dedup": q_incremental_dedup,
@@ -646,6 +729,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skew_profile": Q_SKEW_PROFILE_SQL,
     "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
     "q_hrw_shards": Q_HRW_SHARDS_SQL,
     "q_incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,

@@ -156,3 +156,38 @@ def test_hrw_assignment_is_balanced(spark, sf_dir):
     # uniform hash → no shard more than 3x the fair share at fixture size
     fair = len(rows) / HRW_SHARDS
     assert max(counts.values()) < 3 * fair
+
+
+def test_skew_profile_diagnostics(spark, sf_dir):
+    """Entropy is bounded by ln(n_keys); the heavy key really is the mode
+    (recomputed driver-side); avg frequency reconciles."""
+    import math
+    from collections import Counter
+
+    from changegen_spark.queries.scale import SKEW_KEY_COLS, q_skew_profile
+    from changegen_spark.sources.tables import load_table
+
+    rows = {r.key_col: r for r in q_skew_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(SKEW_KEY_COLS)
+    li = load_table(spark, sf_dir, "lineitem").select(*SKEW_KEY_COLS).collect()
+    for col in SKEW_KEY_COLS:
+        r = rows[col]
+        freqs = Counter(getattr(x, col) for x in li)
+        assert r.n_rows == sum(freqs.values())
+        assert r.n_keys == len(freqs)
+        assert r.max_freq == max(freqs.values())
+        assert r.top_key == min(k for k, f in freqs.items() if f == r.max_freq)
+        assert r.entropy_e6 <= r.max_entropy_e6
+        n = r.n_rows
+        h = math.log(n) - sum(f * math.log(f) for f in freqs.values()) / n
+        assert abs(r.entropy_e6 - round(h * 1e6)) <= 1
+        assert r.avg_freq_e6 == round(r.n_rows / r.n_keys * 1e6)
+
+
+def test_skew_profile_plan_has_no_base_table_sort(spark, sf_dir):
+    """The profile must stay aggregate-only: no Sort or Window over the
+    lineitem scan (the final 3-row orderBy is fine)."""
+    from changegen_spark.queries.scale import q_skew_profile
+
+    plan = q_skew_profile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
