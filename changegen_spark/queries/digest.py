@@ -257,6 +257,8 @@ KINDS = {
     "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
     "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    # r6: MMR diversified rerank (out-of-window from birth)
+    "q_mmr_topk": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)
     "q_skew_profile": {"key_col": "str", "n_rows": "num", "n_keys": "num", "max_freq": "num", "top_key": "num", "avg_freq_e6": "num", "entropy_e6": "num", "max_entropy_e6": "num"},
     # r6 new family: RAG chunking (out-of-window from birth)

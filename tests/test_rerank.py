@@ -1,0 +1,80 @@
+"""MMR rerank (queries/rerank.py) vs an independent plain-Python greedy."""
+
+
+def _pools_and_expected(spark, sf_dir):
+    from changegen_spark.queries.rerank import (
+        MMR_K,
+        MMR_POOL,
+        MMR_QMOD,
+        _vecs_e6,
+    )
+
+    vecs = {r.vec_id: r.v for r in _vecs_e6(spark, sf_dir).collect()}
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    expected = {}
+    for qid in (i for i in vecs if i % MMR_QMOD == 0):
+        rel = {
+            c: dot(vecs[qid], vecs[c]) for c in vecs if c != qid
+        }
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
+        sel = [max(pool, key=lambda c: (rel[c], -c))]
+        scores = [rel[sel[0]]]
+        while len(sel) < MMR_K:
+            best = None
+            for c in pool:
+                if c in sel:
+                    continue
+                s = rel[c] - max(dot(vecs[c], vecs[x]) for x in sel)
+                k = (s, -c)
+                if best is None or k > best[0]:
+                    best = (k, c, s)
+            sel.append(best[1])
+            scores.append(best[2])
+        expected[qid] = list(zip(sel, scores))
+    return expected
+
+
+def test_mmr_matches_independent_greedy(spark, sf_dir):
+    """The engine's distributed greedy equals a from-scratch Python MMR
+    (selection order AND objective values, every query)."""
+    from changegen_spark.queries.rerank import q_mmr_topk
+
+    got = {}
+    for r in q_mmr_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.mmr_score))
+    assert got == _pools_and_expected(spark, sf_dir)
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark, sf_dir):
+    """The defining property: the MMR set's worst-case redundancy (max
+    pairwise similarity) must not exceed the pure top-k-by-relevance
+    set's, and for at least one query it must be strictly lower."""
+    from changegen_spark.queries.rerank import (
+        MMR_K,
+        MMR_QMOD,
+        _vecs_e6,
+        q_mmr_topk,
+    )
+
+    vecs = {r.vec_id: r.v for r in _vecs_e6(spark, sf_dir).collect()}
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+
+    sel = {}
+    for r in q_mmr_topk(spark, sf_dir).collect():
+        sel.setdefault(r.query_id, []).append(r.vec_id)
+
+    def max_pair_sim(ids):
+        return max(
+            dot(vecs[a], vecs[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        )
+
+    strict = 0
+    for qid, ids in sel.items():
+        rel = {c: dot(vecs[qid], vecs[c]) for c in vecs if c != qid}
+        topk = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_K]
+        m_mmr, m_top = max_pair_sim(ids), max_pair_sim(topk)
+        assert m_mmr <= m_top, qid
+        strict += m_mmr < m_top
+    assert strict >= 1
