@@ -29,6 +29,7 @@ from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import privacy as _privacy
 from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
+from changegen_spark.queries import quantize as _quantize
 from changegen_spark.queries import rerank as _rerank
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
@@ -91,6 +92,7 @@ MODULES = (
     _privacy,  # DP release mechanisms: Laplace counts/clipped sums, RR (r6)
     _chunking,  # RAG-prep chunking: fixed windows + sentence buckets (r6)
     _rerank,  # MMR diversified top-k, integer-exact, unrolled SQL oracle (r6)
+    _quantize,  # SQ8 scalar quantization + recall audit (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -257,6 +257,8 @@ KINDS = {
     "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
     "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    # r6: SQ8 scalar quantization recall audit (out-of-window from birth)
+    "q_sq8_recall": {"query_id": "num", "n_overlap": "num", "recall_e6": "num"},
     # r6: MMR diversified rerank (out-of-window from birth)
     "q_mmr_topk": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)
