@@ -257,6 +257,8 @@ KINDS = {
     "q_semantic_dedup": {"vec_id": "num", "cell": "num", "n_dup_lower": "num", "keep": "num"},
     "q_ann_ivf": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_event_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    # r6: CUPED variance-reduced experiment readout
+    "q_cuped": {"variant": "str", "n": "num", "theta_e6": "num", "mean_y_e6": "num", "mean_cuped_e6": "num", "var_y_e6": "num", "var_cuped_e6": "num", "var_reduction_e6": "num"},
     # r6: SQ8 scalar quantization recall audit (out-of-window from birth)
     "q_sq8_recall": {"query_id": "num", "n_overlap": "num", "recall_e6": "num"},
     # r6: MMR diversified rerank (out-of-window from birth)

@@ -349,15 +349,178 @@ ORDER BY pv.variant
 """
 
 
+CUPED_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the experiment
+    metric Y (post-cutoff purchase cents) with the pre-period covariate X
+    (pre-cutoff purchase cents), a_u = y_u − θ(x_u − μ_x) with the pooled
+    θ = cov(X,Y)/var(X) — the industry-standard way to shrink A/B
+    confidence intervals without touching the treatment effect.
+
+    Determinism contract: every moment is assembled from EXACT BIGINT
+    sums of cents (Σx, Σy, Σx², Σxy per variant and pooled), and only
+    the final algebra runs in doubles — identical correctly-rounded IEEE
+    ops on identical integers in both engines, rounded e6 on emission.
+    One groupBy over users; the θ/μ_x scalars ride a broadcast
+    cross-join, so at 100 TB this is a single aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    cents = F.round(F.col("value") * 100).cast("long")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).alias("y"),
+        )
+    )
+    pu = users.join(pur, "user_id", "left").select(
+        "user_id",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8) < "80000000",
+        "A",
+    ).otherwise("B")
+    tagged = pu.select(variant.alias("variant"), "x", "y")
+
+    def sums(df, extra_key=None):
+        keys = [extra_key] if extra_key else []
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    g = sums(tagged).select(
+        F.col("n").alias("gn"),
+        F.col("sx").alias("gsx"),
+        F.col("sy").alias("gsy"),
+        F.col("sxx").alias("gsxx"),
+        F.col("sxy").alias("gsxy"),
+    )
+    pv = sums(tagged, "variant")
+    j = pv.crossJoin(F.broadcast(g))
+    den = (F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx")).cast(
+        "double"
+    )
+    theta = F.when(
+        den > 0,
+        (F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy")).cast(
+            "double"
+        )
+        / den,
+    ).otherwise(F.lit(0.0))
+    mu = F.col("gsx").cast("double") / F.col("gn").cast("double")
+    nv = F.col("n").cast("double")
+    mean_y = F.col("sy").cast("double") / nv
+    mean_adj = mean_y - theta * (F.col("sx").cast("double") / nv - mu)
+    var_y = F.col("syy").cast("double") / nv - mean_y * mean_y
+    e_a2 = (
+        F.col("syy").cast("double")
+        - 2.0 * theta * (F.col("sxy").cast("double") - mu * F.col("sy").cast("double"))
+        + theta
+        * theta
+        * (
+            F.col("sxx").cast("double")
+            - 2.0 * mu * F.col("sx").cast("double")
+            + nv * mu * mu
+        )
+    ) / nv
+    var_adj = e_a2 - mean_adj * mean_adj
+    red = F.when(var_y > 0, 1.0 - var_adj / var_y).otherwise(F.lit(0.0))
+    e6 = lambda c: F.round(c * 1e6).cast("long")  # noqa: E731
+    return j.select(
+        "variant",
+        "n",
+        e6(theta).alias("theta_e6"),
+        e6(mean_y).alias("mean_y_e6"),
+        e6(mean_adj).alias("mean_cuped_e6"),
+        e6(var_y).alias("var_y_e6"),
+        e6(var_adj).alias("var_cuped_e6"),
+        e6(red).alias("var_reduction_e6"),
+    ).orderBy("variant")
+
+
+Q_CUPED_SQL = f"""
+WITH pu AS (
+  SELECT u.user_id,
+         coalesce(p.x, 0) AS x, coalesce(p.y, 0) AS y
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN (
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+  ) p USING (user_id)
+), tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
+              THEN 'A' ELSE 'B' END AS variant, x, y
+  FROM pu
+), pv AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM tagged GROUP BY variant
+), g AS (
+  SELECT count(*) AS gn,
+         CAST(sum(x) AS BIGINT) AS gsx, CAST(sum(y) AS BIGINT) AS gsy,
+         CAST(sum(x*x) AS BIGINT) AS gsxx, CAST(sum(x*y) AS BIGINT) AS gsxy
+  FROM tagged
+), fin AS (
+  SELECT variant, n,
+         CASE WHEN CAST(gn * gsxx - gsx * gsx AS DOUBLE) > 0
+              THEN CAST(gn * gsxy - gsx * gsy AS DOUBLE)
+                   / CAST(gn * gsxx - gsx * gsx AS DOUBLE)
+              ELSE 0.0 END AS theta,
+         CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) AS mu,
+         CAST(n AS DOUBLE) AS nv,
+         sx, sy, sxx, sxy, syy
+  FROM pv CROSS JOIN g
+)
+SELECT variant, CAST(n AS BIGINT) AS n,
+       CAST(round(theta * 1e6) AS BIGINT) AS theta_e6,
+       CAST(round(CAST(sy AS DOUBLE) / nv * 1e6) AS BIGINT) AS mean_y_e6,
+       CAST(round((CAST(sy AS DOUBLE) / nv - theta * (CAST(sx AS DOUBLE) / nv - mu)) * 1e6) AS BIGINT) AS mean_cuped_e6,
+       CAST(round((CAST(syy AS DOUBLE) / nv - (CAST(sy AS DOUBLE) / nv) * (CAST(sy AS DOUBLE) / nv)) * 1e6) AS BIGINT) AS var_y_e6,
+       CAST(round(((CAST(syy AS DOUBLE)
+                    - 2.0 * theta * (CAST(sxy AS DOUBLE) - mu * CAST(sy AS DOUBLE))
+                    + theta * theta * (CAST(sxx AS DOUBLE) - 2.0 * mu * CAST(sx AS DOUBLE) + nv * mu * mu)) / nv
+                   - (CAST(sy AS DOUBLE) / nv - theta * (CAST(sx AS DOUBLE) / nv - mu))
+                     * (CAST(sy AS DOUBLE) / nv - theta * (CAST(sx AS DOUBLE) / nv - mu))) * 1e6) AS BIGINT) AS var_cuped_e6,
+       CAST(round(CASE WHEN (CAST(syy AS DOUBLE) / nv - (CAST(sy AS DOUBLE) / nv) * (CAST(sy AS DOUBLE) / nv)) > 0
+                       THEN (1.0 - ((CAST(syy AS DOUBLE)
+                                     - 2.0 * theta * (CAST(sxy AS DOUBLE) - mu * CAST(sy AS DOUBLE))
+                                     + theta * theta * (CAST(sxx AS DOUBLE) - 2.0 * mu * CAST(sx AS DOUBLE) + nv * mu * mu)) / nv
+                                    - (CAST(sy AS DOUBLE) / nv - theta * (CAST(sx AS DOUBLE) / nv - mu))
+                                      * (CAST(sy AS DOUBLE) / nv - theta * (CAST(sx AS DOUBLE) / nv - mu)))
+                                   / (CAST(syy AS DOUBLE) / nv - (CAST(sy AS DOUBLE) / nv) * (CAST(sy AS DOUBLE) / nv)))
+                       ELSE 0.0 END * 1e6) AS BIGINT) AS var_reduction_e6
+FROM fin
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_new_vs_returning": q_new_vs_returning,
     "q_ab_test": q_ab_test,
+    "q_cuped": q_cuped,
 }
 ORACLES = {
     "q_funnel": Q_FUNNEL_SQL,
     "q_retention": Q_RETENTION_SQL,
     "q_new_vs_returning": Q_NEW_VS_RETURNING_SQL,
     "q_ab_test": Q_AB_TEST_SQL,
+    "q_cuped": Q_CUPED_SQL,
 }

@@ -102,3 +102,68 @@ def test_retention_cohorts(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_cuped_matches_plain_python_moments(spark, sf_dir):
+    """Every CUPED output reproduces from a from-scratch recomputation:
+    per-user pre/post cents, pooled theta from exact integer sums, and
+    the adjusted means/variances; the adjustment must not move the
+    between-variant mean gap by more than |theta|*|mean-x gap| and must
+    never INCREASE variance (theta is the pooled OLS optimum... up to
+    pooling-vs-per-variant mismatch, so allow a tiny epsilon)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from changegen_spark.queries.funnels import CUPED_CUTOFF, q_cuped
+    from changegen_spark.sources.tables import load_table
+    import datetime
+
+    cutoff = datetime.datetime.fromisoformat(CUPED_CUTOFF)
+    ev = load_table(spark, sf_dir, "events").collect()
+    xs, ys = {}, {}
+    users = set()
+    for e in ev:
+        users.add(e.user_id)
+        if e.event_type != "purchase":
+            continue
+        cents = int(Decimal(repr(e.value * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+        ts = e.ts if isinstance(e.ts, datetime.datetime) else e.ts
+        if ts < cutoff:
+            xs[e.user_id] = xs.get(e.user_id, 0) + cents
+        else:
+            ys[e.user_id] = ys.get(e.user_id, 0) + cents
+    rows = {}
+    for u in users:
+        v = "A" if hashlib.md5(str(u).encode()).hexdigest()[:8] < "80000000" else "B"
+        rows.setdefault(v, []).append((xs.get(u, 0), ys.get(u, 0)))
+    allr = [p for v in rows.values() for p in v]
+    n = len(allr)
+    sx = sum(x for x, _ in allr); sy = sum(y for _, y in allr)
+    sxx = sum(x * x for x, _ in allr); sxy = sum(x * y for x, y in allr)
+    den = n * sxx - sx * sx
+    theta = (n * sxy - sx * sy) / den if den > 0 else 0.0
+    mu = sx / n
+    got = {r.variant: r for r in q_cuped(spark, sf_dir).collect()}
+    assert set(got) == set(rows)
+    for v, pairs in rows.items():
+        r = got[v]
+        nv = len(pairs)
+        assert r.n == nv
+        assert r.theta_e6 == round(theta * 1e6)
+        m_y = sum(y for _, y in pairs) / nv
+        adj = [y - theta * (x - mu) for x, y in pairs]
+        m_a = sum(adj) / nv
+        assert abs(r.mean_y_e6 - round(m_y * 1e6)) <= 1
+        assert abs(r.mean_cuped_e6 - round(m_a * 1e6)) <= 2
+        v_y = sum(y * y for _, y in pairs) / nv - m_y * m_y
+        v_a = sum(a * a for a in adj) / nv - m_a * m_a
+        assert abs(r.var_y_e6 - round(v_y * 1e6)) <= 2
+        assert abs(r.var_cuped_e6 - round(v_a * 1e6)) <= 2
+    # theta is the POOLED OLS optimum: the pooled adjusted variance can
+    # never exceed the pooled raw variance (per-variant CAN at tiny n)
+    m_y_all = sy / n
+    v_y_all = sum(y * y for _, y in allr) / n - m_y_all * m_y_all
+    adj_all = [y - theta * (x - mu) for x, y in allr]
+    m_a_all = sum(adj_all) / n
+    v_a_all = sum(a * a for a in adj_all) / n - m_a_all * m_a_all
+    assert v_a_all <= v_y_all * (1 + 1e-12)

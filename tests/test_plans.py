@@ -128,27 +128,32 @@ def test_correctness_window_all_oracle_backed():
     assert len(names) >= 50
     missing = [n for n in names[:50] if n not in oracles]
     assert missing == []
-    # the capability families the verdict called out must be inside
-    # (r5 rotation: q_decontaminate/q_asof_join moved to digest coverage
-    # to make room for the 26 rotated-in entries — r4 verdict #7 wants
-    # every family DIRECTLY verified over the project's lifetime, and the
-    # digest shards keep the displaced families transitively green)
+    # r6 window contract: the STANDING set (changegen parity core) never
+    # rotates out, and the r5 red rows + the six latent-HUGEINT oracles
+    # must be directly verified the round their casts land (r5 verdict
+    # #1/#2/#6).  Displaced families stay transitively green via the
+    # digest shards.
+    from changegen_spark.queries import STANDING
+
     window = set(names[:50])
-    for must in [
-        "q_changegen_counts",
-        "q_reference_goldens",
-        "q_ann_ivf",
-        "q_embedding_dedup_lsh",
-        "q_dedup_clusters",
+    for must in list(STANDING) + [
+        "q_kmv_jaccard",
+        "q_countmin_topk",
+        "q_nb_classifier",
+        "q_new_vs_returning",
+        "q_ab_test",
+        "q_hopping_windows",
+        "q_source_drift",
+        "q_mixture_temperature",
     ]:
         assert must in window, must
-    # the rotation itself: ≥20 entries new to the window vs the r4 gate
+    # the rotation itself: ≥25 entries new to the window vs the r5 gate
     import json
     import os
 
-    r4_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r04.json")
-    r4 = set(json.load(open(r4_path)))
-    assert len(window - r4) >= 20, sorted(window - r4)
+    r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    r5 = set(json.load(open(r5_path)))
+    assert len(window - r5) >= 25, sorted(window - r5)
 
 
 def test_lm_score_joins_aggregated_frame(spark, sf_dir):
