@@ -357,6 +357,41 @@ def main() -> None:
             big["cand_16bit"] / max(small["cand_16bit"], 1), 1
         )
 
+    # ER ladder (r6): the blocked Levenshtein join over synthesized
+    # people records at 10k and 100k entities, with BOTH blocking
+    # schemes — phonetic(last)+initial alone vs + city.  The single-key
+    # scheme's pair mass is quadratic in name frequency (its entropy
+    # stops scaling with n); the two-field scheme stays ~linear.  The
+    # ladder records both so the scale lesson is a measured table.
+    er = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from changegen_spark.queries.er import er_pairs_for
+        from changegen_spark.sources.scaleup import build_er_records
+
+        er_dir = os.environ.get("SPARK_GRAFT_ER_DIR", "/tmp/changegen_spark_er")
+        er = {"n": {}}
+        for n_ent in (10_000, 100_000):
+            path = build_er_records(spark, er_dir, n_entities=n_ent)
+            ppl = spark.read.parquet(path)
+            row = {}
+            for scheme, extra in (("name_only", ()), ("with_city", ("city",))):
+                pairs = er_pairs_for(ppl, extra)
+                pairs.count()  # warm
+                best = float("inf")
+                n_pairs = 0
+                for _ in range(SF1_WARM_RUNS):
+                    t0 = time.time()
+                    n_pairs = pairs.count()
+                    best = min(best, time.time() - t0)
+                row[scheme] = {"pairs": n_pairs, "wall_s": round(best, 3)}
+            er["n"][str(n_ent)] = row
+        for scheme in ("name_only", "with_city"):
+            er[f"growth_wall_10x_{scheme}"] = round(
+                er["n"]["100000"][scheme]["wall_s"]
+                / er["n"]["10000"][scheme]["wall_s"],
+                2,
+            )
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -382,6 +417,8 @@ def main() -> None:
         out["sf1"] = sf1
     if media is not None:
         out["media_ladder"] = media
+    if er is not None:
+        out["er_ladder"] = er
     print(json.dumps(out))
 
 

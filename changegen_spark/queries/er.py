@@ -101,12 +101,17 @@ def _people(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(ER_PATH)
 
 
-def _with_block(spark: SparkSession) -> DataFrame:
-    return _people(spark).select(
+def with_block(people: DataFrame) -> DataFrame:
+    """(rec_id, nname, block_key) over any frame with rec_id + name."""
+    return people.select(
         "rec_id",
         F.lower("name").alias("nname"),
         F.expr(block_key_sql(duck=False)).alias("block_key"),
     )
+
+
+def _with_block(spark: SparkSession) -> DataFrame:
+    return with_block(_people(spark))
 
 
 def q_er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,23 +148,33 @@ LIMIT 40
 """
 
 
-def er_pairs(spark: SparkSession) -> DataFrame:
-    """(rec_a, rec_b, lev) matched pairs: block equi-join + Levenshtein
-    refine.  Separated from the query wrapper so clustering/eval reuse
-    the same frame."""
-    k = _with_block(spark)
+def er_pairs_for(people: DataFrame, extra_block_cols=()) -> DataFrame:
+    """(rec_a, rec_b, lev) matched pairs over ANY (rec_id, name) frame:
+    block equi-join + Levenshtein refine.  ``extra_block_cols`` adds
+    exact-match fields (e.g. city) to the blocking key — the standard
+    lever at population scale, where same-name-different-person mass is
+    quadratic in name frequency and a single phonetic key's entropy
+    stops scaling with n (the ladder in bench.py measures both
+    schemes).  The scale ladder drives this over
+    sources/scaleup.build_er_records."""
+    extra = list(extra_block_cols)
+    k = with_block(people.select("rec_id", "name", *extra))
+    if extra:
+        k = k.join(people.select("rec_id", *extra), "rec_id")
     a = k.select(
         F.col("rec_id").alias("rec_a"),
         F.col("nname").alias("na"),
         "block_key",
+        *extra,
     )
     b = k.select(
         F.col("rec_id").alias("rec_b"),
         F.col("nname").alias("nb"),
         "block_key",
+        *extra,
     )
     return (
-        a.join(b, "block_key")
+        a.join(b, ["block_key", *extra])
         .filter(F.col("rec_a") < F.col("rec_b"))
         .select(
             "rec_a",
@@ -168,6 +183,10 @@ def er_pairs(spark: SparkSession) -> DataFrame:
         )
         .filter(F.col("lev") <= LEV_MAX)
     )
+
+
+def er_pairs(spark: SparkSession) -> DataFrame:
+    return er_pairs_for(_people(spark))
 
 
 def q_er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,3 +190,122 @@ def build_media_assets(
         .parquet(path)
     )
     return path
+
+
+# --- entity-resolution scale fixture (r6) ------------------------------------
+#
+# The committed er_people.parquet is 480 records; this builder synthesizes
+# O(10^5) records distributed (map-only, hash-derived — no RNG state to
+# coordinate) so the ladder can measure how the blocked Levenshtein join
+# grows.  Surnames are COMPOUNDS of two base surnames (900 combinations,
+# pairwise Levenshtein far above the refine threshold — a hash-suffix
+# scheme was tried first and failed exactly the way a naive fixture
+# would: 2-letter suffixes are themselves within lev≤2, so every record
+# sharing a base surname matched every other and the "ladder" measured
+# the degenerate vocabulary, 3.3M pairs at 100k records).  Cities come
+# from a 500-value pool so a second blocking field is available: at
+# population scale same-name-different-person mass is quadratic in name
+# frequency, and the standard fix — block on (phonetic, initial, city) —
+# is what the ladder's scheme-B measurement demonstrates.  Planted
+# duplicate classes mirror tools/make_er.py (A: interior vowel swap,
+# B: first-letter substitution = designed blocking loss, C: first-name
+# interior transposition); dups inherit their entity's city.
+
+ER_FIRST = (
+    "james mary robert patricia john jennifer michael linda david elizabeth "
+    "william barbara richard susan joseph jessica thomas sarah charles karen "
+    "christopher lisa daniel nancy matthew betty anthony sandra mark ashley"
+).split()
+ER_LAST = (
+    "smith johnson williams brown jones garcia miller davis rodriguez martinez "
+    "hernandez lopez gonzalez wilson anderson thomas taylor moore jackson martin "
+    "lee perez thompson white harris sanchez clark ramirez lewis robinson"
+).split()
+ER_N_CITIES = 500
+_ER_VOWELS = "aeiou"
+
+
+def _er_h(seed: int, *parts) -> int:
+    import hashlib
+
+    key = "|".join(str(p) for p in (seed,) + parts)
+    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+
+
+def _er_entity_name(eid: int, seed: int) -> str:
+    first = ER_FIRST[_er_h(seed, eid, "f") % len(ER_FIRST)]
+    l1 = ER_LAST[_er_h(seed, eid, "l") % len(ER_LAST)]
+    l2 = ER_LAST[_er_h(seed, eid, "m") % len(ER_LAST)]
+    return first + " " + l1 + l2
+
+
+def _er_variant(name: str, cls: int, h: int) -> str:
+    first, last = name.split(" ", 1)
+    if cls == 0:  # interior vowel swap in the last name (block-preserving)
+        idxs = [i for i, ch in enumerate(last) if ch in _ER_VOWELS and i >= 1]
+        if not idxs:
+            return first + " " + last + last[-1]
+        i = idxs[h % len(idxs)]
+        repl = _ER_VOWELS[(_ER_VOWELS.index(last[i]) + 1 + h % 4) % 5]
+        return first + " " + last[:i] + repl + last[i + 1 :]
+    if cls == 1:  # first-letter substitution (block-breaking by design)
+        c = chr(97 + h % 26)
+        if c == last[0]:
+            c = chr(97 + (h + 1) % 26)
+        return first + " " + c + last[1:]
+    # cls == 2: interior transposition in the first name
+    if len(first) < 4:
+        return first + first[-1] + " " + last
+    i = 1 + h % (len(first) - 2)
+    if first[i] == first[i + 1]:
+        i = 1 if i > 1 else i + 1
+    return first[:i] + first[i + 1] + first[i] + first[i + 2 :] + " " + last
+
+
+def build_er_records(
+    spark,
+    out: str,
+    n_entities: int = 100_000,
+    dup_frac: float = 0.15,
+    seed: int = 11,
+    parts: int = 32,
+) -> str:
+    """Materialize n_entities base records + planted dup records
+    (rec_id, name, city, entity_id).  Idempotent per size."""
+    import os
+
+    path = os.path.join(out, f"er_records_{n_entities}.parquet")
+    if os.path.exists(path):
+        return path
+    n_dup = int(n_entities * dup_frac)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                if rid < n_entities:
+                    eid = rid
+                    name = _er_entity_name(eid, seed)
+                else:
+                    j = rid - n_entities
+                    eid = _er_h(seed, j, "src") % n_entities
+                    name = _er_variant(
+                        _er_entity_name(eid, seed), j % 3, _er_h(seed, j, "op")
+                    )
+                recs.append(
+                    (rid, name, f"city{_er_h(seed, eid, 'c') % ER_N_CITIES}", eid)
+                )
+            yield pd.DataFrame(
+                recs, columns=["rec_id", "name", "city", "entity_id"]
+            )
+
+    (
+        spark.range(n_entities + n_dup, numPartitions=parts)
+        .mapInPandas(gen, "rec_id long, name string, city string, entity_id long")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -115,3 +115,44 @@ def test_er_eval_guard_against_fixture_drift(spark):
     df = spark.read.parquet(ER_PATH)
     assert df.count() == 480
     assert df.selectExpr("max(entity_id)").collect()[0][0] == 399
+
+
+def test_er_scale_records_planted_recovery(spark, tmp_path):
+    """The synthesized scale records: block-preserving planted dups
+    (classes A and C) are recovered under BOTH blocking schemes,
+    class-B (first-letter) dups under neither, and adding city to the
+    block key only removes cross-entity pairs (higher precision, same
+    planted recall)."""
+    from changegen_spark.queries.er import er_pairs_for
+    from changegen_spark.sources.scaleup import build_er_records
+
+    n = 2000
+    path = build_er_records(spark, str(tmp_path), n_entities=n, dup_frac=0.15)
+    ppl = spark.read.parquet(path)
+    truth = {r.rec_id: r.entity_id for r in ppl.select("rec_id", "entity_id").collect()}
+
+    name_only = {(r.rec_a, r.rec_b) for r in er_pairs_for(ppl).collect()}
+    with_city = {
+        (r.rec_a, r.rec_b) for r in er_pairs_for(ppl, ("city",)).collect()
+    }
+    assert with_city <= name_only
+
+    n_dup = int(n * 0.15)
+    for j in range(n_dup):
+        rid = n + j
+        src = truth[rid]
+        pair = tuple(sorted((src, rid)))
+        if j % 3 == 1:  # class B: designed blocking loss
+            assert pair not in name_only, j
+            assert pair not in with_city, j
+        else:  # classes A and C recoverable under both schemes
+            assert pair in name_only, j
+            assert pair in with_city, j
+
+    def precision(pairs):
+        if not pairs:
+            return 1.0
+        tp = sum(1 for a, b in pairs if truth[a] == truth[b])
+        return tp / len(pairs)
+
+    assert precision(with_city) >= precision(name_only)
