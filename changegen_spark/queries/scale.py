@@ -635,6 +635,97 @@ ORDER BY doc_id
 """
 
 
+JSE_HEX = 2  # join-size sketch bucket = first 2 hex chars of md5 (width 256)
+JSE_DEPTH = 3
+
+
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min join-cardinality estimation (r6): the classic
+    sketch-based planner pre-check — |A ⋈ B| is the inner product of the
+    two key-frequency vectors, and the CMS estimate is
+    ``min_d Σ_bucket cms_A[d]·cms_B[d]`` (Alon-Matias-Szegedy /
+    Cormode-Muthukrishnan), an integer-exact OVERestimate computable
+    from two KB-sized sketches without running the join.  The query
+    builds both sketches (one aggregate per side), estimates, runs the
+    real customer⋈orders join for ground truth, and reports the
+    relative error — at 100 TB you keep only the sketch side."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def sketch(df):
+        rows = []
+        for d in range(1, JSE_DEPTH + 1):
+            b = F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(f"#{d}"))),
+                1,
+                JSE_HEX,
+            )
+            rows.append(
+                df.groupBy(b.alias("bucket"))
+                .agg(F.count("*").alias("f"))
+                .select(F.lit(d).alias("d"), "bucket", "f")
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    sa, sb = sketch(orders), sketch(cust)
+    est = (
+        sa.join(sb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(sa["f"] * sb["f"]).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_rows"))
+    )
+    actual = (
+        orders.join(cust, "k")
+        .agg(F.count("*").cast("long").alias("n_actual"))
+    )
+    return actual.crossJoin(F.broadcast(est)).select(
+        "n_actual",
+        "est_rows",
+        F.round(
+            (F.col("est_rows") - F.col("n_actual"))
+            / F.col("n_actual")
+            * 1e6
+        )
+        .cast("long")
+        .alias("overest_e6"),
+    )
+
+
+def _jse_sketch_sql(table: str, key: str) -> str:
+    blocks = []
+    for d in range(1, JSE_DEPTH + 1):
+        blocks.append(
+            f"SELECT {d} AS d, substr(md5(CAST({key} AS VARCHAR) || '#{d}'), 1, {JSE_HEX}) AS bucket,"
+            f" count(*) AS f FROM {table} GROUP BY 1, 2"
+        )
+    return " UNION ALL ".join(blocks)
+
+
+Q_JOIN_SIZE_EST_SQL = f"""
+WITH sa AS ({_jse_sketch_sql("orders", "o_custkey")}),
+sb AS ({_jse_sketch_sql("customer", "c_custkey")}),
+ip AS (
+  SELECT sa.d, CAST(sum(sa.f * sb.f) AS BIGINT) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY sa.d
+), est AS (SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM ip),
+act AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_actual
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT n_actual, est_rows,
+       CAST(round((est_rows - n_actual) / (1.0 * n_actual) * 1e6) AS BIGINT) AS overest_e6
+FROM act CROSS JOIN est
+"""
+
+
 SKEW_KEY_COLS = ("l_orderkey", "l_partkey", "l_suppkey")
 
 
@@ -719,6 +810,7 @@ Q_SKEW_PROFILE_SQL = (
 
 QUERIES = {
     "q_skew_profile": q_skew_profile,
+    "q_join_size_est": q_join_size_est,
     "q_bloom_decontaminate": q_bloom_decontaminate,
     "q_hrw_shards": q_hrw_shards,
     "q_incremental_dedup": q_incremental_dedup,
@@ -730,6 +822,7 @@ QUERIES = {
 
 ORACLES = {
     "q_skew_profile": Q_SKEW_PROFILE_SQL,
+    "q_join_size_est": Q_JOIN_SIZE_EST_SQL,
     "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
     "q_hrw_shards": Q_HRW_SHARDS_SQL,
     "q_incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,

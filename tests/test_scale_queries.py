@@ -191,3 +191,25 @@ def test_skew_profile_plan_has_no_base_table_sort(spark, sf_dir):
 
     plan = q_skew_profile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_join_size_estimate_bounds(spark, sf_dir):
+    """CMS inner-product estimate: exact ground truth reproduced, the
+    sketch NEVER underestimates (one-sided guarantee), and with the
+    given width the overestimate stays within a sane band."""
+    from changegen_spark.queries.scale import q_join_size_est
+    from changegen_spark.sources.tables import load_table
+
+    r = q_join_size_est(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").collect()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    from collections import Counter
+
+    fo = Counter(x.o_custkey for x in orders)
+    fc = Counter(x.c_custkey for x in cust)
+    actual = sum(fo[k] * fc.get(k, 0) for k in fo)
+    assert r.n_actual == actual
+    assert r.est_rows >= r.n_actual
+    assert r.overest_e6 >= 0
+    # depth-3 min over width-256 buckets: collisions add ~n_a*n_b/width
+    assert r.est_rows <= actual + 3 * len(orders) * len(cust) // 256
