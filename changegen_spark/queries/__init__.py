@@ -50,6 +50,7 @@ from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import er as _er
 from changegen_spark.queries import vectors as _vectors
+from changegen_spark.queries import web as _web
 from changegen_spark.queries import winnow as _winnow
 
 # Ordered so the e2e changegen parity family, the vector/ANN family, and the
@@ -93,6 +94,7 @@ MODULES = (
     _chunking,  # RAG-prep chunking: fixed windows + sentence buckets (r6)
     _rerank,  # MMR diversified top-k, integer-exact, unrolled SQL oracle (r6)
     _quantize,  # SQ8 scalar quantization + recall audit (r6)
+    _web,  # web-crawl URL canonicalization + host inventory (r6)
     _relational,
     _tpch_extra,
     _tpch_full,
