@@ -392,6 +392,77 @@ def main() -> None:
                 2,
             )
 
+    # layout ladder (r6): the optimization no query plan shows — range-
+    # clustered vs scattered parquet layout of the SAME sf0.1 lineitem
+    # rows, a ~1/80-selectivity date predicate on both.  The decisive
+    # number is the FOOTER-level truth (row groups / rows a min/max-
+    # pruning reader skips): rows_read is the I/O a cluster pays.  The
+    # warm wall is reported too but is NOT the scale signal here — at
+    # 600k page-cached rows the scan is scheduling-bound and the
+    # clustered copy concentrates all matching rows in ONE task while
+    # scattered spreads the (free) read across 32, so wall parity or a
+    # small inversion is expected locally; SCALE.md documents it.
+    layout = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from pyspark.sql import functions as _F
+
+        from changegen_spark.sources.layout import (
+            rowgroup_prune_stats,
+            write_clustered,
+            write_scattered,
+        )
+        from changegen_spark.sources.tables import load_table
+
+        lay_dir = os.environ.get(
+            "SPARK_GRAFT_LAYOUT_DIR", "/tmp/changegen_spark_layout"
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey",
+            _F.to_date("l_shipdate").alias("ship_date"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        t0 = time.time()
+        paths = {
+            "clustered": os.path.join(lay_dir, "clustered"),
+            "scattered": os.path.join(lay_dir, "scattered"),
+        }
+        write_clustered(li, paths["clustered"], by="ship_date", partitions=32)
+        write_scattered(li, paths["scattered"], partitions=32)
+        build_s = round(time.time() - t0, 1)
+        from datetime import date
+
+        lo, hi = date(1997, 3, 1), date(1997, 3, 31)
+        layout = {"build_s": build_s, "layouts": {}}
+        for kind, path in paths.items():
+            q = (
+                spark.read.parquet(path)
+                .filter(_F.col("ship_date").between("1997-03-01", "1997-03-31"))
+                .agg(
+                    _F.count("*").alias("n"),
+                    _F.sum("l_quantity").alias("s"),
+                )
+            )
+            q.write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                q.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            st = rowgroup_prune_stats(path, "ship_date", lo, hi)
+            layout["layouts"][kind] = {
+                "scan_wall_s": round(best, 3),
+                "row_groups": st["row_groups"],
+                "row_groups_read": st["row_groups_read"],
+                "rows_read": st["rows_read"],
+                "rows_total": st["rows_total"],
+                "prune_pct": st["prune_pct"],
+            }
+        cl, sc = layout["layouts"]["clustered"], layout["layouts"]["scattered"]
+        layout["io_reduction_x"] = round(
+            sc["rows_read"] / max(cl["rows_read"], 1), 1
+        )
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -419,6 +490,8 @@ def main() -> None:
         out["media_ladder"] = media
     if er is not None:
         out["er_ladder"] = er
+    if layout is not None:
+        out["layout_ladder"] = layout
     print(json.dumps(out))
 
 
