@@ -279,6 +279,8 @@ KINDS = {
     "q_er_pairs": {"rec_a": "num", "rec_b": "num", "lev": "num"},
     "q_er_clusters": {"rec_id": "num", "entity": "num"},
     "q_er_eval": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "block_recall_e6": "num"},
+    "q_er_pairs_multi": {"rec_a": "num", "rec_b": "num", "lev": "num"},
+    "q_er_eval_multi": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "block_recall_e6": "num"},
     # r6 new family: web-crawl URL processing (out-of-window from birth)
     "q_url_canonical": {"url_id": "num", "canonical": "str", "had_default_port": "num", "had_fragment": "num", "had_tracking": "num", "changed": "num"},
     "q_host_stats": {"host": "str", "reg_domain": "str", "n_urls": "num", "n_pages": "num", "n_dup_urls": "num"},

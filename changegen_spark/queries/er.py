@@ -311,11 +311,161 @@ FROM counts
 """
 
 
+def second_key_sql(duck: bool) -> str:
+    """Second blocking key: phonetic(FIRST name) + city — orthogonal to
+    the primary key's failure mode (a last-name first-letter typo moves a
+    record out of its phonetic block but leaves first name and city
+    untouched)."""
+    return phonetic_key_sql(_FIRSTNAME, duck) + " || '|' || city"
+
+
+def er_pairs_multikey(people: DataFrame) -> DataFrame:
+    """Multi-key blocking (the standard recall lever at population
+    scale): candidates from the UNION of two independent blocking keys,
+    each an equi-join, refined by the same Levenshtein rule; distinct
+    pairs.  Candidate cost is the SUM of the two keys' Σ block² — still
+    never a cartesian — and the recall ceiling becomes the union of the
+    two keys' coverage: a true pair is lost only if BOTH keys miss it."""
+    k2 = people.select(
+        "rec_id",
+        F.lower("name").alias("nname"),
+        F.expr(second_key_sql(duck=False)).alias("block_key"),
+    )
+    a = k2.select(
+        F.col("rec_id").alias("rec_a"), F.col("nname").alias("na"), "block_key"
+    )
+    b = k2.select(
+        F.col("rec_id").alias("rec_b"), F.col("nname").alias("nb"), "block_key"
+    )
+    pairs2 = (
+        a.join(b, "block_key")
+        .filter(F.col("rec_a") < F.col("rec_b"))
+        .select(
+            "rec_a",
+            "rec_b",
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+    return er_pairs_for(people).unionByName(pairs2).distinct()
+
+
+def q_er_pairs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return er_pairs_multikey(_people(spark)).orderBy("rec_a", "rec_b")
+
+
+_MULTI_SQL_BODY = f"""
+{_PAIRS_SQL_BODY}, keyed2 AS (
+  SELECT rec_id, lower(name) AS nname, {second_key_sql(duck=True)} AS bk
+  FROM '{ER_PATH}'
+), pairs2 AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM keyed2 a JOIN keyed2 b
+    ON a.bk = b.bk AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.nname, b.nname) <= {LEV_MAX}
+), multi AS (
+  SELECT rec_a, rec_b, lev FROM er_pairs
+  UNION
+  SELECT rec_a, rec_b, lev FROM pairs2
+)
+"""
+
+Q_ER_PAIRS_MULTI_SQL = f"""
+WITH {_MULTI_SQL_BODY}
+SELECT rec_a, rec_b, lev FROM multi ORDER BY rec_a, rec_b
+"""
+
+
+def q_er_eval_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_er_eval under multi-key blocking: the class-B misses the
+    single-key eval quantifies as its designed blocking loss are
+    recovered here (first-name-phonetic+city sees through a last-name
+    first-letter typo), so recall reaches 1.0 on the fixture; measured
+    precision RISES too (the only false pairs are the two the single key
+    already admits — the second key added 16 true pairs and zero false
+    ones), the measured case for the multi-key lever SCALE.md promises
+    at population scale."""
+    pred = er_pairs_multikey(_people(spark)).select("rec_a", "rec_b")
+    ppl = _people(spark).select(
+        "rec_id",
+        "entity_id",
+        F.expr(block_key_sql(duck=False)).alias("block_key"),
+        F.expr(second_key_sql(duck=False)).alias("bk2"),
+    )
+    a = ppl.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("entity_id").alias("ea"),
+        F.col("block_key").alias("ba"),
+        F.col("bk2").alias("b2a"),
+    )
+    b = ppl.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("entity_id").alias("eb"),
+        F.col("block_key").alias("bb"),
+        F.col("bk2").alias("b2b"),
+    )
+    true_pairs = a.join(b, [a.ea == b.eb, a.rec_a < b.rec_b]).select(
+        "rec_a",
+        "rec_b",
+        (
+            (F.col("ba") == F.col("bb")) | (F.col("b2a") == F.col("b2b"))
+        ).alias("same_block"),
+    )
+    n_pred = pred.count()
+    n_true = true_pairs.count()
+    n_blocked = true_pairs.filter("same_block").count()
+    n_tp = pred.join(true_pairs, ["rec_a", "rec_b"]).count()
+    e6 = lambda num, den: int(round(1e6 * num / den)) if den else 0  # noqa: E731
+    return spark.createDataFrame(
+        [
+            (
+                n_pred,
+                n_true,
+                n_tp,
+                e6(n_tp, n_pred),
+                e6(n_tp, n_true),
+                e6(n_blocked, n_true),
+            )
+        ],
+        "n_pred long, n_true long, n_tp long, precision_e6 long, "
+        "recall_e6 long, block_recall_e6 long",
+    )
+
+
+Q_ER_EVAL_MULTI_SQL = f"""
+WITH {_MULTI_SQL_BODY}, truth AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         (ka.block_key = kb.block_key OR k2a.bk = k2b.bk) AS same_block
+  FROM '{ER_PATH}' a JOIN '{ER_PATH}' b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  JOIN keyed ka ON ka.rec_id = a.rec_id
+  JOIN keyed kb ON kb.rec_id = b.rec_id
+  JOIN keyed2 k2a ON k2a.rec_id = a.rec_id
+  JOIN keyed2 k2b ON k2b.rec_id = b.rec_id
+), counts AS (
+  SELECT (SELECT count(*) FROM multi) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth WHERE same_block) AS n_blocked,
+         (SELECT count(*) FROM multi p JOIN truth t
+            ON p.rec_a = t.rec_a AND p.rec_b = t.rec_b) AS n_tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CAST(round(1e6 * n_tp / n_pred) AS BIGINT) AS precision_e6,
+       CAST(round(1e6 * n_tp / n_true) AS BIGINT) AS recall_e6,
+       CAST(round(1e6 * n_blocked / n_true) AS BIGINT) AS block_recall_e6
+FROM counts
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
     "q_er_clusters": q_er_clusters,
     "q_er_eval": q_er_eval,
+    "q_er_pairs_multi": q_er_pairs_multi,
+    "q_er_eval_multi": q_er_eval_multi,
 }
 
 ORACLES = {
@@ -323,4 +473,6 @@ ORACLES = {
     "q_er_pairs": Q_ER_PAIRS_SQL,
     "q_er_clusters": Q_ER_CLUSTERS_SQL,
     "q_er_eval": Q_ER_EVAL_SQL,
+    "q_er_pairs_multi": Q_ER_PAIRS_MULTI_SQL,
+    "q_er_eval_multi": Q_ER_EVAL_MULTI_SQL,
 }

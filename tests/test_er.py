@@ -156,3 +156,33 @@ def test_er_scale_records_planted_recovery(spark, tmp_path):
         return tp / len(pairs)
 
     assert precision(with_city) >= precision(name_only)
+
+
+def test_multikey_blocking_recovers_class_b_with_measured_precision_cost(
+    spark, sf_dir
+):
+    """The multi-key lever, measured: the second key (first-name phonetic
+    + city) sees through class-B last-name first-letter typos, so recall
+    reaches 1.0.  The expected precision cost did NOT materialize on this
+    fixture: the two false pairs in the multi result are the SAME two the
+    single key already admits (coincidental same-block lev<=2 names);
+    key 2 contributed 16 true pairs and zero new false ones — multi-key
+    strictly dominates here, and that is pinned rather than assumed."""
+    from changegen_spark.queries.er import q_er_eval, q_er_eval_multi
+
+    single = q_er_eval(spark, sf_dir).collect()[0]
+    multi = q_er_eval_multi(spark, sf_dir).collect()[0]
+    assert single.recall_e6 == 800000 and multi.recall_e6 == 1000000
+    assert multi.block_recall_e6 == 1000000  # no true pair escapes BOTH keys
+    assert multi.n_tp == multi.n_true == 80
+    assert multi.n_pred == 82  # the single key's two false pairs, no new ones
+    assert multi.n_pred - multi.n_tp == single.n_pred - single.n_tp == 2
+    assert multi.precision_e6 > single.precision_e6  # tp grew, FPs did not
+
+
+def test_multikey_pairs_superset_of_single_key(spark, sf_dir):
+    from changegen_spark.queries.er import q_er_pairs, q_er_pairs_multi
+
+    single = {(r.rec_a, r.rec_b) for r in q_er_pairs(spark, sf_dir).collect()}
+    multi = {(r.rec_a, r.rec_b) for r in q_er_pairs_multi(spark, sf_dir).collect()}
+    assert single < multi
