@@ -392,6 +392,49 @@ def main() -> None:
                 2,
             )
 
+    # web ladder (r6): URL canonicalization + dedup throughput at 100k
+    # and 1M synthesized crawl rows (sources/scaleup.build_web_urls —
+    # expression-only generation, every variant canonicalizes to its
+    # base).  An exact correctness check rides along: n_pages groups of
+    # exactly 2 spellings, 1 doc each — bad_groups must be 0.  The whole
+    # stage is map work + one hash shuffle, so growth should track the
+    # shuffle, not the canonicalizer.
+    web = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from pyspark.sql import functions as _F
+
+        from changegen_spark.queries.web import with_canonical
+        from changegen_spark.sources.scaleup import build_web_urls
+
+        web_dir = os.environ.get(
+            "SPARK_GRAFT_WEB_DIR", "/tmp/changegen_spark_web"
+        )
+        web = {"n": {}}
+        for n_urls in (100_000, 1_000_000):
+            path = build_web_urls(spark, web_dir, n_urls)
+            dedup = (
+                with_canonical(spark.read.parquet(path))
+                .groupBy("canonical")
+                .agg(
+                    _F.count("*").alias("n_urls"),
+                    _F.countDistinct("doc_id").alias("n_docs"),
+                )
+            )
+            bad = dedup.filter("n_urls <> 2 OR n_docs <> 1").count()  # warm
+            best = float("inf")
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                dedup.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            web["n"][str(n_urls)] = {
+                "wall_s": round(best, 3),
+                "urls_per_s": int(n_urls / best),
+                "bad_groups": bad,
+            }
+        web["growth_wall_10x"] = round(
+            web["n"]["1000000"]["wall_s"] / web["n"]["100000"]["wall_s"], 2
+        )
+
     # layout ladder (r6): the optimization no query plan shows — range-
     # clustered vs scattered parquet layout of the SAME sf0.1 lineitem
     # rows, a ~1/80-selectivity date predicate on both.  The decisive
@@ -492,6 +535,8 @@ def main() -> None:
         out["er_ladder"] = er
     if layout is not None:
         out["layout_ladder"] = layout
+    if web is not None:
+        out["web_ladder"] = web
     print(json.dumps(out))
 
 

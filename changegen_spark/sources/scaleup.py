@@ -309,3 +309,72 @@ def build_er_records(
         .parquet(path)
     )
     return path
+
+
+# --- web-crawl URL scale fixture (r6) ----------------------------------------
+#
+# The committed web_urls.parquet is 811 rows; this builder synthesizes
+# O(10^6) crawl rows with pure SQL expressions (no Python row path — the
+# generator itself is a map-only codegen stage), two spellings per page:
+# the canonical one and a variant whose class is hash-chosen per page.
+# Every variant canonicalizes back to its base, so the ladder has an
+# exact built-in correctness check (n_pages groups of exactly 2) riding
+# along with the throughput measurement.
+
+WEB_HOSTS_SQL = (
+    "array('www.acme.com','blog.acme.com','docs.acme.com',"
+    "'shop.example.co.uk','news.example.co.uk','data.orgsite.org.uk',"
+    "'mirror.kanga.com.au','labs.nihon.co.jp','cdn.beta.net',"
+    "'portal.gamma.io','forum.delta.org','wiki.epsilon.dev','zeta.com',"
+    "'media.theta.tv','archive.iota.info')"
+)
+
+
+def build_web_urls(spark, out: str, n_urls: int, parts: int = 32) -> str:
+    """Materialize ``n_urls`` crawl rows (url_id, url, doc_id, cls):
+    page p gets a canonical spelling (row p) and one variant spelling
+    (row p + n_pages) in class case/port/frag/track/shuf chosen by
+    hash(p).  Distributed, expression-only, idempotent."""
+    import os
+
+    path = os.path.join(out, f"web_urls_{n_urls}.parquet")
+    if os.path.exists(path):
+        return path
+    n_pages = n_urls // 2
+    base = f"""
+      concat('https://', element_at({WEB_HOSTS_SQL}, CAST(pmod(hash(page), 15) + 1 AS INT)),
+             '/articles/', page, '?id=', pmod(page, 97), '&ref=', pmod(page, 13))
+    """
+    variant = f"""
+      CASE pmod(hash(page, 7), 5)
+        WHEN 0 THEN concat('HTTPS://', upper(element_at({WEB_HOSTS_SQL}, CAST(pmod(hash(page), 15) + 1 AS INT))),
+                           '/articles/', page, '?id=', pmod(page, 97), '&ref=', pmod(page, 13))
+        WHEN 1 THEN concat('https://', element_at({WEB_HOSTS_SQL}, CAST(pmod(hash(page), 15) + 1 AS INT)),
+                           ':443/articles/', page, '?id=', pmod(page, 97), '&ref=', pmod(page, 13))
+        WHEN 2 THEN concat({base}, '#sec', page)
+        WHEN 3 THEN concat('https://', element_at({WEB_HOSTS_SQL}, CAST(pmod(hash(page), 15) + 1 AS INT)),
+                           '/articles/', page, '?utm_source=feed&id=', pmod(page, 97),
+                           '&utm_campaign=q3&ref=', pmod(page, 13))
+        ELSE concat('https://', element_at({WEB_HOSTS_SQL}, CAST(pmod(hash(page), 15) + 1 AS INT)),
+                    '/articles/', page, '?ref=', pmod(page, 13), '&id=', pmod(page, 97))
+      END
+    """
+    (
+        spark.range(n_urls, numPartitions=parts)
+        .selectExpr(
+            "id AS url_id",
+            f"pmod(id, {n_pages}) AS page",
+            f"(id >= {n_pages}) AS is_variant",
+        )
+        .selectExpr(
+            "url_id",
+            f"CASE WHEN is_variant THEN {variant} ELSE {base} END AS url",
+            "page AS doc_id",
+            "CASE WHEN is_variant THEN "
+            "element_at(array('case','port','frag','track','shuf'), "
+            "CAST(pmod(hash(page, 7), 5) + 1 AS INT)) ELSE 'base' END AS cls",
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -152,3 +152,25 @@ def test_url_canonical_plan_is_map_side_only(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan  # no row- or Arrow-Python stage
+
+
+def test_scaleup_web_builder_variants_all_canonicalize_to_base(spark):
+    """The ladder's built-in correctness check at test scale: every
+    synthesized page has exactly two spellings (base + one variant) that
+    unify under canonicalization, and no group mixes two pages."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.web import with_canonical
+    from changegen_spark.sources.scaleup import build_web_urls
+
+    path = build_web_urls(spark, "/tmp/changegen_spark_web_test", 2_000, parts=4)
+    dedup = (
+        with_canonical(spark.read.parquet(path))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    assert dedup.filter("n_urls <> 2 OR n_docs <> 1").count() == 0
+    assert dedup.count() == 1_000
