@@ -26,6 +26,7 @@ from changegen_spark.queries import lm as _lm
 from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
+from changegen_spark.queries import mv as _mv
 from changegen_spark.queries import privacy as _privacy
 from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
@@ -95,6 +96,7 @@ MODULES = (
     _rerank,  # MMR diversified top-k, integer-exact, unrolled SQL oracle (r6)
     _quantize,  # SQ8 scalar quantization + recall audit (r6)
     _web,  # web-crawl URL canonicalization + host inventory (r6)
+    _mv,  # incremental materialized-view maintenance (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

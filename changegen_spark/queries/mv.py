@@ -1,0 +1,237 @@
+"""Incremental materialized-view maintenance (r6 new family).
+
+The 100 TB pattern behind every serving-layer aggregate: keep a
+materialized per-group summary current as data arrives WITHOUT
+rescanning the base table.  The snapshot tables make the scenario
+reproducible — orders before a date cutoff are "the base the MV was
+built from", orders on/after it are "the delta that arrived since":
+
+* ``q_mv_refresh``       — insert-only refresh: aggregate the DELTA
+  alone, full-outer-merge it into the MV by group key (count/sum are
+  self-decomposable: merged = mv + delta).  The refreshed view is
+  emitted next to a from-scratch recomputation and a per-group
+  consistency flag — the query result itself carries the proof that
+  the incremental path equals the full rescan.
+* ``q_mv_delete_repair`` — deletes break pure merging for min/max-style
+  aggregates (removing the max row needs a look at what remains), so
+  production systems repair by recomputing ONLY the groups that lost
+  rows.  A deterministic subset of the base is "deleted"; affected
+  groups are recomputed from the remaining base rows, untouched groups
+  are served verbatim from the MV, and the consistency flag again
+  rides in the result.
+
+100 TB shape: the delta aggregate shuffles |delta| rows; the merge
+joins two GROUP-CARDINALITY frames (KB-to-MB — broadcastable); the
+delete repair rescans only the affected groups' partitions (a semi-join
+pushes the group filter to the base scan).  Nothing in either path
+touches the full base table except the audit columns, which exist
+precisely to prove the shortcut honest and are dropped in production.
+
+Cross-engine: money stays in BIGINT cents throughout — every emitted
+aggregate is integer-exact, so the audit equality is bit-level, not
+approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+CUTOFF = "1997-01-01"  # orders before -> MV base; on/after -> delta
+# deterministic "deleted rows": a pseudo-random 1/7 of base orders
+DELETE_PRED = "o_orderkey % 7 = 3"
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderdate") < CUTOFF).alias("is_base"),
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+
+
+def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only incremental refresh with its own audit: per group,
+    the merged (mv + delta-aggregate) counts/sums, the from-scratch
+    recomputation, and consistent=1 iff they agree."""
+    o = _orders(spark, sf_dir)
+    mv = _agg(o.filter("is_base"))
+    delta = _agg(o.filter("NOT is_base"))
+    merged = (
+        mv.selectExpr(
+            "o_orderpriority", "n AS n_mv", "sum_cents AS sum_mv"
+        )
+        .join(
+            delta.selectExpr(
+                "o_orderpriority", "n AS n_delta", "sum_cents AS sum_delta"
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "coalesce(n_mv, 0) + coalesce(n_delta, 0) AS n_inc",
+            "coalesce(sum_mv, 0) + coalesce(sum_delta, 0) AS sum_inc",
+        )
+    )
+    full = _agg(o).selectExpr(
+        "o_orderpriority", "n AS n_full", "sum_cents AS sum_full"
+    )
+    return (
+        merged.join(full, "o_orderpriority", "full_outer")
+        .selectExpr(
+            "o_orderpriority",
+            "n_inc",
+            "sum_inc",
+            "n_full",
+            "sum_full",
+            "CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORDERS_CTE = f"""
+o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate < '{CUTOFF}' AS is_base
+  FROM orders
+)
+"""
+
+
+Q_MV_REFRESH_SQL = f"""
+WITH {_ORDERS_CTE},
+mv AS (
+  SELECT o_orderpriority, count(*) AS n_mv, CAST(sum(cents) AS BIGINT) AS sum_mv
+  FROM o WHERE is_base GROUP BY o_orderpriority
+), delta AS (
+  SELECT o_orderpriority, count(*) AS n_delta, CAST(sum(cents) AS BIGINT) AS sum_delta
+  FROM o WHERE NOT is_base GROUP BY o_orderpriority
+), merged AS (
+  SELECT o_orderpriority,
+         coalesce(n_mv, 0) + coalesce(n_delta, 0) AS n_inc,
+         coalesce(sum_mv, 0) + coalesce(sum_delta, 0) AS sum_inc
+  FROM mv FULL OUTER JOIN delta USING (o_orderpriority)
+), full_agg AS (
+  SELECT o_orderpriority, count(*) AS n_full, CAST(sum(cents) AS BIGINT) AS sum_full
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n_inc AS BIGINT) AS n_inc, CAST(sum_inc AS BIGINT) AS sum_inc,
+       CAST(n_full AS BIGINT) AS n_full, sum_full,
+       CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent
+FROM merged FULL OUTER JOIN full_agg USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+def q_mv_delete_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete repair by affected-group recompute: the MV additionally
+    tracks max_cents (NOT mergeable under deletes).  A deterministic 1/7
+    of base rows is deleted; groups that lost rows are recomputed from
+    the surviving base rows only, untouched groups serve the MV row
+    verbatim.  Emitted next to the from-scratch answer + flag.
+
+    (On this grouping every priority class loses rows, so all groups
+    take the repair path — the point the audit proves is equality of
+    the repair computation, not which groups dodge it; the group-id
+    semi-join shape is what scales when most groups DO dodge it.)"""
+    o = _orders(spark, sf_dir).filter("is_base")
+    mv = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    surviving = o.filter(f"NOT ({DELETE_PRED})")
+    affected = (
+        o.filter(DELETE_PRED).select("o_orderpriority").distinct()
+    )
+    repaired_affected = (
+        surviving.join(affected, "o_orderpriority", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rep"),
+            F.sum("cents").alias("sum_rep"),
+            F.max("cents").alias("max_rep"),
+        )
+    )
+    untouched = mv.join(affected, "o_orderpriority", "left_anti").selectExpr(
+        "o_orderpriority", "n AS n_rep", "sum_cents AS sum_rep",
+        "max_cents AS max_rep",
+    )
+    repaired = repaired_affected.unionByName(untouched)
+    full = surviving.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_full"),
+        F.sum("cents").alias("sum_full"),
+        F.max("cents").alias("max_full"),
+    )
+    return (
+        repaired.join(full, "o_orderpriority", "full_outer")
+        .selectExpr(
+            "o_orderpriority",
+            "n_rep",
+            "sum_rep",
+            "max_rep",
+            "n_full",
+            "sum_full",
+            "max_full",
+            "CAST(n_rep = n_full AND sum_rep = sum_full "
+            "AND max_rep = max_full AS INT) AS consistent",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_MV_DELETE_REPAIR_SQL = f"""
+WITH {_ORDERS_CTE},
+base AS (SELECT * FROM o WHERE is_base),
+mv AS (
+  SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         max(cents) AS max_cents
+  FROM base GROUP BY o_orderpriority
+), surviving AS (SELECT * FROM base WHERE NOT ({DELETE_PRED})),
+affected AS (SELECT DISTINCT o_orderpriority FROM base WHERE {DELETE_PRED}),
+repaired AS (
+  SELECT s.o_orderpriority, count(*) AS n_rep,
+         CAST(sum(s.cents) AS BIGINT) AS sum_rep, max(s.cents) AS max_rep
+  FROM surviving s SEMI JOIN affected a ON s.o_orderpriority = a.o_orderpriority
+  GROUP BY s.o_orderpriority
+  UNION ALL
+  SELECT mv.o_orderpriority, mv.n, mv.sum_cents, mv.max_cents
+  FROM mv ANTI JOIN affected a ON mv.o_orderpriority = a.o_orderpriority
+), full_agg AS (
+  SELECT o_orderpriority, count(*) AS n_full,
+         CAST(sum(cents) AS BIGINT) AS sum_full, max(cents) AS max_full
+  FROM surviving GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n_rep AS BIGINT) AS n_rep, sum_rep, max_rep,
+       CAST(n_full AS BIGINT) AS n_full, sum_full, max_full,
+       CAST(n_rep = n_full AND sum_rep = sum_full AND max_rep = max_full AS INT)
+         AS consistent
+FROM repaired FULL OUTER JOIN full_agg USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q_mv_refresh": q_mv_refresh,
+    "q_mv_delete_repair": q_mv_delete_repair,
+}
+
+ORACLES = {
+    "q_mv_refresh": Q_MV_REFRESH_SQL,
+    "q_mv_delete_repair": Q_MV_DELETE_REPAIR_SQL,
+}

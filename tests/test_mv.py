@@ -1,0 +1,52 @@
+"""Incremental MV maintenance (queries/mv.py)."""
+
+from pyspark.sql import functions as F
+
+
+def test_incremental_refresh_equals_full_recompute(spark, sf_dir):
+    from changegen_spark.queries.mv import q_mv_refresh
+
+    rows = q_mv_refresh(spark, sf_dir).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+    # the audit is not vacuous: both base and delta are non-empty, so the
+    # merge genuinely combined two partial aggregates
+    assert all(r.n_inc == r.n_full and r.sum_inc == r.sum_full for r in rows)
+    assert sum(r.n_full for r in rows) > max(r.n_full for r in rows)
+
+
+def test_delete_repair_equals_full_recompute_and_moves_a_max(spark, sf_dir):
+    """Every group's repaired row equals the from-scratch answer, AND at
+    least one group's max actually changed under the delete — i.e. the
+    repair path was genuinely exercised on the non-mergeable aggregate,
+    not just re-serving MV rows."""
+    from changegen_spark.queries.mv import DELETE_PRED, _orders, q_mv_delete_repair
+
+    rows = q_mv_delete_repair(spark, sf_dir).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+    base = _orders(spark, sf_dir).filter("is_base")
+    mv_max = {
+        r.o_orderpriority: r.mx
+        for r in base.groupBy("o_orderpriority")
+        .agg(F.max("cents").alias("mx"))
+        .collect()
+    }
+    assert any(r.max_rep < mv_max[r.o_orderpriority] for r in rows)
+
+
+def test_delete_repair_affected_group_filter_is_a_broadcast_semi_join(
+    spark, sf_dir
+):
+    """The scale claim: surviving base rows are filtered to affected
+    groups by a broadcast semi-join (the group-id frame is
+    group-cardinality-sized), so at 100 TB the repair scan cost is the
+    affected groups' rows, with no shuffle of the base table for the
+    filter step."""
+    from changegen_spark.queries.mv import q_mv_delete_repair
+
+    plan = (
+        q_mv_delete_repair(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
