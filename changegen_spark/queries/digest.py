@@ -287,6 +287,7 @@ KINDS = {
     "q_url_dedup": {"canonical": "str", "n_urls": "num", "keep_url_id": "num", "n_docs": "num"},
     "q_url_dedup_eval": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "designed_loss_pairs": "num"},
     "q_url_params": {"param_key": "str", "n_urls": "num", "n_values": "num"},
+    "q_unicode_nfc": {"uid": "num", "nfc_md5": "str", "changed": "num", "n_cp_before": "num", "n_cp_after": "num"},
     # r6 new family: incremental MV maintenance (out-of-window from birth)
     "q_mv_refresh": {"o_orderpriority": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_mv_delete_repair": {"o_orderpriority": "str", "n_rep": "num", "sum_rep": "num", "max_rep": "num", "n_full": "num", "sum_full": "num", "max_full": "num", "consistent": "num"},

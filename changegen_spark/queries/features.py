@@ -357,12 +357,98 @@ ORDER BY d.doc_id
 """
 
 
+# --- Unicode NFC normalization ------------------------------------------------
+#
+# The multilingual twin of q_normalize_text's ASCII pass: canonical
+# composition (UAX #15 NFC) so byte-different spellings of the same text
+# collide before exact dedup ("é" as e+U+0301 vs U+00E9).  The synthetic
+# tables are ASCII, so the query carries its own BMP test corpus —
+# declared as CODEPOINT tuples and materialized via chr() on BOTH
+# engines, which keeps every source file and SQL string pure ASCII (no
+# literal-encoding hazards between Python, Java, and DuckDB parsers).
+#
+# The oracle is genuinely independent: Spark runs Python's unicodedata
+# (CPython's UnicodeData.txt tables) in an Arrow UDF; DuckDB runs
+# utf8proc's nfc_normalize.  Two implementations of UAX #15 agreeing
+# md5-for-md5 is the strongest cross-check in this family (plus a
+# hypothesis sweep in tests/test_features.py over random BMP strings).
+NFC_CASES = (
+    (1, (0x65, 0x301)),  # e + combining acute -> precomposed
+    (2, (0xE9,)),  # already NFC: unchanged
+    (3, (0x41, 0x30A)),  # A + ring above
+    (4, (0x1100, 0x1161)),  # Hangul jamo pair -> one syllable
+    (5, (0x65, 0x323, 0x301)),  # dot-below + acute (canonical order)
+    (6, (0x65, 0x301, 0x323)),  # same marks, swapped input order
+    (7, (0x212B,)),  # Angstrom sign -> A-ring (singleton)
+    (8, (0xFB01,)),  # fi ligature: compatibility char, NFC-invariant
+    (9, tuple(ord(c) for c in "plain ascii stays put")),
+    (10, (0x6F, 0x302, 0x303)),  # stacked marks on o
+    (11, (0x73, 0x323, 0x307)),  # s with dot below + dot above
+    (12, (0x3B1, 0x301)),  # Greek alpha + acute
+    (13, (0x30, 0x41, 0x300, 0x5A)),  # mark mid-string
+    (14, (0x1E0B, 0x323)),  # precomposed d-dot-above + dot-below
+)
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (unicodedata is C-speed; the UDF is
+    the standard multilingual-cleaning map stage — row-parallel, no
+    shuffle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return nfc
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-case NFC audit: md5 of the normalized string (strict on every
+    byte), whether normalization changed it, and codepoint counts before
+    and after — composition shrinks, invariant cases don't move."""
+    rows = [(uid, "".join(chr(c) for c in cps)) for uid, cps in NFC_CASES]
+    raw = spark.createDataFrame(rows, "uid long, s string")
+    nfc = nfc_normalize_udf()
+    return (
+        raw.select("uid", "s", nfc("s").alias("n"))
+        .select(
+            "uid",
+            F.md5("n").alias("nfc_md5"),
+            F.expr("CAST(n <> s AS INT)").alias("changed"),
+            F.length("s").cast("long").alias("n_cp_before"),
+            F.length("n").cast("long").alias("n_cp_after"),
+        )
+        .orderBy("uid")
+    )
+
+
+def _nfc_values_sql() -> str:
+    vals = ", ".join(
+        f"({uid}, {' || '.join(f'chr({c})' for c in cps)})"
+        for uid, cps in NFC_CASES
+    )
+    return f"""
+WITH raw(uid, s) AS (VALUES {vals}),
+n AS (SELECT uid, s, nfc_normalize(s) AS n FROM raw)
+SELECT uid, md5(n) AS nfc_md5, CAST(n <> s AS INT) AS changed,
+       CAST(length(s) AS BIGINT) AS n_cp_before,
+       CAST(length(n) AS BIGINT) AS n_cp_after
+FROM n ORDER BY uid
+"""
+
+
 QUERIES = {
     "q_feature_hash": q_feature_hash,
     "q_nb_classifier": q_nb_classifier,
     "q_pmi_pairs": q_pmi_pairs,
     "q_skipgram_pairs": q_skipgram_pairs,
     "q_normalize_text": q_normalize_text,
+    "q_unicode_nfc": q_unicode_nfc,
 }
 
 ORACLES = {
@@ -371,4 +457,5 @@ ORACLES = {
     "q_feature_hash": Q_FEATURE_HASH_SQL,
     "q_skipgram_pairs": Q_SKIPGRAM_SQL,
     "q_normalize_text": Q_NORMALIZE_SQL,
+    "q_unicode_nfc": _nfc_values_sql(),
 }
