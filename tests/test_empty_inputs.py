@@ -90,6 +90,19 @@ CASES = [
     ("q_wordpiece_encode_stats", lambda n: n == 0),
     ("q_kmeans", lambda n: n == 0),
     ("q_k_anonymity", lambda n: n == 0),
+    # round-6 additions: DP releases, RAG chunking, rerank/quantize,
+    # skew/cardinality planners, CUPED, incremental MV (the ER, web, and
+    # NFC families read fixed fixtures, not sf tables — like C4)
+    ("q_dp_counts", lambda n: n == 0),
+    ("q_chunk_fixed", lambda n: n == 0),
+    ("q_chunk_sentences", lambda n: n == 0),
+    ("q_mmr_topk", lambda n: n == 0),
+    ("q_sq8_recall", lambda n: n == 0),
+    ("q_cuped", lambda n: n >= 0),
+    ("q_skew_profile", lambda n: n >= 0),
+    ("q_join_size_est", lambda n: n >= 0),
+    ("q_mv_refresh", lambda n: n == 0),
+    ("q_mv_delete_repair", lambda n: n == 0),
 ]
 
 
