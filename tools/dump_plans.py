@@ -40,6 +40,8 @@ ANNOTATED = {
     "q_er_pairs": "phonetic block key computed map-side (regexp chains, no UDF); refine is a hash equi-join on the block key — no cartesian; candidate volume = Σ block², audited by q_er_blocks",
     "q_sq8_recall": "dim stats one 64-row aggregate broadcast back; byte codes map-side; both rankings window per query over the broadcast-query score frame",
     "q_skew_profile": "aggregate-only: one groupBy per key column + KB finishing aggregates; no Sort/Window touches the base table",
+    "q_url_canonical": "canonicalization is pure expression work fused into the scan's codegen span — no Exchange, no Python eval before the presentation sort",
+    "q_mv_delete_repair": "affected-group filter is a broadcast LeftSemi on the group-id frame; untouched groups served from the MV via the anti-join branch — the base table is never shuffled for the filter",
 }
 
 # Static audit note prepended to the generated file (r4 verdict #5).
