@@ -50,6 +50,7 @@ from changegen_spark.queries import cluster as _cluster
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import er as _er
+from changegen_spark.queries import linmodel as _linmodel
 from changegen_spark.queries import vectors as _vectors
 from changegen_spark.queries import web as _web
 from changegen_spark.queries import winnow as _winnow
@@ -97,6 +98,7 @@ MODULES = (
     _quantize,  # SQ8 scalar quantization + recall audit (r6)
     _web,  # web-crawl URL canonicalization + host inventory (r6)
     _mv,  # incremental materialized-view maintenance (r6)
+    _linmodel,  # one-pass OLS sufficient stats + GBDT histogram split (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -291,6 +291,10 @@ KINDS = {
     # r6 new family: incremental MV maintenance (out-of-window from birth)
     "q_mv_refresh": {"o_orderpriority": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_mv_delete_repair": {"o_orderpriority": "str", "n_rep": "num", "sum_rep": "num", "max_rep": "num", "n_full": "num", "sum_full": "num", "max_full": "num", "consistent": "num"},
+    # r6 new family: one-pass linear models (out-of-window from birth)
+    "q_ols_fit": {"n": "num", "s1y": "num", "s2y": "num", "beta0_e6": "num", "beta1_e6": "num", "beta2_e6": "num"},
+    "q_ols_quality": {"n": "num", "r2_e6": "num", "rmse_e6": "num", "mean_y_e6": "num"},
+    "q_stump_split": {"split_bin": "num", "n_left": "num", "n_right": "num", "mean_left_e6": "num", "mean_right_e6": "num", "gain_frac_e6": "num"},
 }
 
 
