@@ -51,6 +51,7 @@ from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import er as _er
 from changegen_spark.queries import linmodel as _linmodel
+from changegen_spark.queries import jsonops as _jsonops
 from changegen_spark.queries import vectors as _vectors
 from changegen_spark.queries import web as _web
 from changegen_spark.queries import winnow as _winnow
@@ -99,6 +100,7 @@ MODULES = (
     _web,  # web-crawl URL canonicalization + host inventory (r6)
     _mv,  # incremental materialized-view maintenance (r6)
     _linmodel,  # one-pass OLS sufficient stats + GBDT histogram split (r6)
+    _jsonops,  # semi-structured JSON ingestion: drift-safe extract/VARIANT (r6)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -295,6 +295,11 @@ KINDS = {
     "q_ols_fit": {"n": "num", "s1y": "num", "s2y": "num", "beta0_e6": "num", "beta1_e6": "num", "beta2_e6": "num"},
     "q_ols_quality": {"n": "num", "r2_e6": "num", "rmse_e6": "num", "mean_y_e6": "num"},
     "q_stump_split": {"split_bin": "num", "n_left": "num", "n_right": "num", "mean_left_e6": "num", "mean_right_e6": "num", "gain_frac_e6": "num"},
+    # r6 new family: semi-structured JSON ingestion (out-of-window from birth)
+    "q_json_valid": {"n_total": "num", "n_valid": "num", "n_invalid": "num"},
+    "q_json_extract": {"event": "str", "n": "num", "n_amount": "num", "sum_amount_cents": "num", "n_pro": "num", "n_session": "num"},
+    "q_json_flatten": {"sku": "str", "n_lines": "num", "total_qty": "num", "revenue_cents": "num"},
+    "q_json_schema_profile": {"key": "str", "jtype": "str", "n": "num"},
 }
 
 
