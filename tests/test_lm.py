@@ -189,3 +189,87 @@ def test_lm_score_hand_computed(spark, monkeypatch):
     assert out[1].nll == pytest.approx(round(nll(toks[0]), 6), abs=1e-6)
     assert out[2].nll == pytest.approx(round(nll(toks[1]), 6), abs=1e-6)
     assert out[1].ppl == pytest.approx(round(math.exp(nll(toks[0])), 3), abs=1e-3)
+
+
+# --- interpolated Kneser-Ney -------------------------------------------------
+
+
+def test_kn_bigram_matches_independent_python_model(spark, sf_dir):
+    """Plain-Python KN from the raw texts (Counter-based, float algebra,
+    no shared code): every count column exact, every probability within
+    one e6 ulp."""
+    import collections
+
+    from changegen_spark.queries.lm import q_kn_bigram
+    from changegen_spark.sources.tables import load_table
+
+    rows = q_kn_bigram(spark, sf_dir).collect()
+    assert rows, "corpus yields bigrams"
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    bc = collections.Counter()
+    for t in texts:
+        toks = (t or "").strip().split()
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    c1, n1r, n1l = (
+        collections.Counter(),
+        collections.Counter(),
+        collections.Counter(),
+    )
+    for (a, b), c in bc.items():
+        c1[a] += c
+        n1r[a] += 1
+        n1l[b] += 1
+    tt = len(bc)
+    for r in rows:
+        assert (r.c12, r.c1, r.n1r, r.n1l) == (
+            bc[(r.w1, r.w2)],
+            c1[r.w1],
+            n1r[r.w1],
+            n1l[r.w2],
+        ), (r.w1, r.w2)
+        pkn = (max(r.c12 - 0.75, 0) + 0.75 * r.n1r * (r.n1l / tt)) / r.c1
+        assert abs(round(pkn * 1e6) - r.p_kn_e6) <= 1, (r.w1, r.w2)
+        pmle = r.c12 / r.c1
+        assert abs(round(pmle * 1e6) - r.p_mle_e6) <= 1
+
+
+def test_kn_distributes_exactly_unit_mass_per_context(spark, sf_dir):
+    """The KN identity: summed over the FULL vocabulary,
+    Σ_w2 P(w2|w1) = (c1 − D·n1r)/c1 + (D·n1r/c1)·Σ_w2 N1l(w2)/T = 1
+    exactly, because Σ_w2 N1l(w2) = T.  Verified as exact rationals
+    (fractions.Fraction) for the three heaviest contexts."""
+    import collections
+    from fractions import Fraction
+
+    from changegen_spark.sources.tables import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    bc = collections.Counter()
+    for t in texts:
+        toks = (t or "").strip().split()
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    c1 = collections.Counter()
+    n1r, n1l = collections.Counter(), collections.Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        n1r[a] += 1
+        n1l[b] += 1
+    tt = len(bc)
+    vocab_r = set(b for (_, b) in bc)
+    d = Fraction(3, 4)
+    for w1, _ in c1.most_common(3):
+        total = sum(
+            (
+                Fraction(max(bc.get((w1, w2), 0) * 4 - 3, 0), 4)
+                + d * n1r[w1] * Fraction(n1l[w2], tt)
+            )
+            / c1[w1]
+            for w2 in vocab_r
+        )
+        assert total == 1
