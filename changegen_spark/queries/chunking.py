@@ -107,12 +107,13 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum per doc (partitioned by doc_id — bounded by document length, not
     corpus size), then a grouped rollup per chunk."""
     d = _docs(spark, sf_dir)
-    sents = F.array_remove(
-        F.transform(
-            F.split(F.col("text"), r"\."), lambda s: F.trim(s)
-        ),
-        "",
-    )
+    # sent_idx is the RAW split position (empties keep their slot in the
+    # numbering but are filtered after the explode) — this matches the
+    # DuckDB oracle, which indexes generate_series over the raw split and
+    # filters trim(sent) <> '' afterwards.  Compacting before the explode
+    # (array_remove, the pre-r7 shape) desyncs first_sent/last_sent on any
+    # text containing '..' or a leading '.'.
+    sents = F.transform(F.split(F.col("text"), r"\."), lambda s: F.trim(s))
     e = (
         d.select("doc_id", F.posexplode(sents).alias("sent_idx", "sent"))
         .withColumn(

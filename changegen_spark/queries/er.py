@@ -304,9 +304,9 @@ WITH {_PAIRS_SQL_BODY}
 )
 SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
        CAST(n_tp AS BIGINT) AS n_tp,
-       CAST(round(1e6 * n_tp / n_pred) AS BIGINT) AS precision_e6,
-       CAST(round(1e6 * n_tp / n_true) AS BIGINT) AS recall_e6,
-       CAST(round(1e6 * n_blocked / n_true) AS BIGINT) AS block_recall_e6
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_blocked / n_true) AS BIGINT) ELSE 0 END AS block_recall_e6
 FROM counts
 """
 
@@ -452,9 +452,9 @@ WITH {_MULTI_SQL_BODY}, truth AS (
 )
 SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
        CAST(n_tp AS BIGINT) AS n_tp,
-       CAST(round(1e6 * n_tp / n_pred) AS BIGINT) AS precision_e6,
-       CAST(round(1e6 * n_tp / n_true) AS BIGINT) AS recall_e6,
-       CAST(round(1e6 * n_blocked / n_true) AS BIGINT) AS block_recall_e6
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_blocked / n_true) AS BIGINT) ELSE 0 END AS block_recall_e6
 FROM counts
 """
 

@@ -744,11 +744,20 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         freqs = li.groupBy(F.col(col).alias("k")).agg(
             F.count("*").alias("f")
         )
+        # f·ln(f) is rounded to an e9-scaled BIGINT PER KEY before the
+        # sum: a double accumulation over ~1e5 keys is order-dependent
+        # (Spark partial aggregation vs DuckDB sum differ in adding
+        # order), which can flip the e6 digit round-over-round.  The
+        # per-key round is deterministic (f is a small integer, the two
+        # engines' ln agree to ~1 ulp, and 0.5-boundary hits would need
+        # agreement to ~1e-12), and an integer sum is order-free.
         stats = freqs.agg(
             F.sum("f").cast("long").alias("n_rows"),
             F.count("*").cast("long").alias("n_keys"),
             F.max("f").cast("long").alias("max_freq"),
-            F.sum(F.col("f") * F.log("f")).alias("sum_flnf"),
+            F.sum(
+                F.round(F.col("f") * F.log("f") * 1e9).cast("long")
+            ).alias("sum_flnf_e9"),
         )
         top = (
             freqs.join(
@@ -770,7 +779,7 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     (
                         F.log("n_rows")
-                        - F.col("sum_flnf") / F.col("n_rows")
+                        - F.col("sum_flnf_e9") / 1e9 / F.col("n_rows")
                     )
                     * 1e6
                 )
@@ -796,7 +805,7 @@ SELECT '{col}' AS key_col,
        CAST((SELECT min(k) FROM (SELECT {col} AS k, count(*) AS f FROM lineitem GROUP BY 1) i
              WHERE i.f = (SELECT max(f) FROM (SELECT count(*) AS f FROM lineitem GROUP BY {col}) m)) AS BIGINT) AS top_key,
        CAST(round(sum(f) / (1.0 * count(*)) * 1e6) AS BIGINT) AS avg_freq_e6,
-       CAST(round((ln(sum(f)) - sum(f * ln(f)) / sum(f)) * 1e6) AS BIGINT) AS entropy_e6,
+       CAST(round((ln(sum(f)) - CAST(sum(CAST(round(f * ln(f) * 1e9) AS BIGINT)) AS BIGINT) / 1e9 / sum(f)) * 1e6) AS BIGINT) AS entropy_e6,
        CAST(round(ln(count(*)) * 1e6) AS BIGINT) AS max_entropy_e6
 FROM (SELECT {col} AS k, count(*) AS f FROM lineitem GROUP BY 1)
 """

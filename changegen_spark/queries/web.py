@@ -294,12 +294,16 @@ def q_url_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pred",
             "n_true",
             "n_tp",
-            F.expr("CAST(round(n_tp * 1e6 / n_pred) AS BIGINT)").alias(
-                "precision_e6"
-            ),
-            F.expr("CAST(round(n_tp * 1e6 / n_true) AS BIGINT)").alias(
-                "recall_e6"
-            ),
+            # zero-guarded exactly like the SQL twin: an empty or
+            # no-match crawl yields 0, never NULL/div-by-zero
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN CAST(round(n_tp * 1e6 / n_pred)"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("precision_e6"),
+            F.expr(
+                "CASE WHEN n_true > 0 THEN CAST(round(n_tp * 1e6 / n_true)"
+                " AS BIGINT) ELSE 0 END"
+            ).alias("recall_e6"),
             "designed_loss_pairs",
         )
     )
@@ -324,8 +328,8 @@ pred AS (
         FROM canon GROUP BY doc_id)
 )
 SELECT n_pred, n_true, n_tp,
-       CAST(round(n_tp * 1e6 / n_pred) AS BIGINT) AS precision_e6,
-       CAST(round(n_tp * 1e6 / n_true) AS BIGINT) AS recall_e6,
+       CASE WHEN n_pred > 0 THEN CAST(round(n_tp * 1e6 / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(n_tp * 1e6 / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
        designed_loss_pairs
 FROM pred, truth, tp, loss
 """

@@ -337,6 +337,12 @@ def build_web_urls(spark, out: str, n_urls: int, parts: int = 32) -> str:
     hash(p).  Distributed, expression-only, idempotent."""
     import os
 
+    # exactly-2-spellings-per-page is the invariant every downstream
+    # correctness check (bench.py bad_groups == 0) rides on; an odd
+    # n_urls would wrap the last row via pmod onto page 0 as a silent
+    # THIRD variant, so refuse it outright.
+    if n_urls % 2 != 0:
+        raise ValueError(f"build_web_urls needs even n_urls, got {n_urls}")
     path = os.path.join(out, f"web_urls_{n_urls}.parquet")
     if os.path.exists(path):
         return path

@@ -74,3 +74,47 @@ def test_sentence_chunks_bucket_by_global_offset(spark, sf_dir):
             for r in rows
         }
         assert got == want, doc_id
+
+
+def test_sentence_chunks_raw_split_indexing_matches_oracle(spark, tmp_path):
+    """r6-advice regression: text containing '..' or a leading '.' must
+    yield the SAME sent_idx numbering in the engine and the DuckDB oracle
+    (raw split positions, empties filtered AFTER indexing).  The shipped
+    fixtures contain no such text, so this pins the semantics on an
+    adversarial corpus directly."""
+    import duckdb
+
+    from changegen_spark.queries.chunking import (
+        Q_CHUNK_SENTENCES_SQL,
+        q_chunk_sentences,
+    )
+
+    texts = [
+        (0, "alpha beta.. gamma delta. epsilon"),  # consecutive dots
+        (1, ".lead word. two words here.  . tail"),  # leading dot + blank slot
+        (2, "one two three"),  # no dot at all
+        (3, "..."),  # only empties
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfadv")
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = [
+        (r.doc_id, r.chunk_id, r.n_sentences, r.n_tokens, r.first_sent, r.last_sent)
+        for r in q_chunk_sentences(spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(Q_CHUNK_SENTENCES_SQL).fetchall()]
+    con.close()
+    assert got == want
+    # the gap is real: doc 0's second sentence sits at raw index 2 (slot 1
+    # is the empty between the two dots), doc 1's first at raw index 1
+    assert (0, 0, 2, 5, 0, 2) in got or any(
+        r[0] == 0 and r[4] == 0 and r[5] >= 2 for r in got
+    )
