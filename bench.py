@@ -537,6 +537,16 @@ def main() -> None:
         out["layout_ladder"] = layout
     if web is not None:
         out["web_ladder"] = web
+    # r6 verdict #6: the driver captures only a 2000-char stdout tail, so
+    # the artifact must not depend on stdout — write the full JSON to a
+    # file next to the repo root as well (committed per round).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_out.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
     print(json.dumps(out))
 
 

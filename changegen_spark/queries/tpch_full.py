@@ -345,14 +345,25 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
     li = _t(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
-    stats = li.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+    # Semi-join lineitem to the filtered part keys BEFORE the per-part
+    # stats aggregate: only ~1/25 of parts are Brand#9, so the stats
+    # shuffle carries 1/25 of the keys instead of all of them — at 100×
+    # scale that exchange is the query's cost.  Exactness is unchanged:
+    # the per-part average is over all lineitem rows of each surviving
+    # part, and the semi-join keeps every row of a surviving part.
+    # p_partkey is the part table's primary key, so the semi-join also
+    # subsumes the old inner join against part (no multiplicity change).
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    stats = li_b.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt_qty"),
     )
-    joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(stats, li.l_partkey == F.col("s_partkey"))
-        .filter(qty * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+    joined = li_b.join(stats, li_b.l_partkey == F.col("s_partkey")).filter(
+        qty * 5 * F.col("cnt_qty") < F.col("sum_qty")
     )
     return joined.agg(
         F.sum(cents(F.col("l_extendedprice"))).alias("total_cents"),

@@ -433,3 +433,33 @@ def test_corpus_cli_pipeline_has_no_global_sort(spark, sf_dir):
     plan = _plan(corpus_pipeline(docs, sort=False))
     assert "rangepartitioning" not in plan
     assert "rangepartitioning" in _plan(corpus_pipeline(docs))
+
+
+def test_q17_stats_aggregate_sees_only_brand_parts(spark, sf_dir):
+    """r6-verdict #7: Q17's per-part avg-quantity stats must aggregate the
+    SEMI-JOINED lineitem (Brand#9 part keys only), not the whole table —
+    at 100× the full-key stats exchange is the query's cost.  Pin: every
+    lineitem branch in the plan carries a LeftSemi broadcast join against
+    the part keys, and the brand filter is pushed to the part scan."""
+    from changegen_spark.queries.tpch_full import q17_small_quantity
+
+    plan = _plan(q17_small_quantity(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the p_brand predicate reaches the part parquet scan
+    import re
+
+    part_scans = [
+        l for l in plan.splitlines() if "FileScan" in l and "part" in l
+    ]
+    assert any("p_brand" in l for l in part_scans)
+    # the stats aggregate (sum_qty/cnt_qty) sits ABOVE a LeftSemi join in
+    # the operator tree: the partial aggregate must not consume a raw
+    # lineitem scan directly
+    lines = plan.splitlines()
+    agg_i = next(
+        i for i, l in enumerate(lines) if "HashAggregate" in l and "sum_qty" in l
+    )
+    assert any("LeftSemi" in l for l in lines[agg_i:]), (
+        "per-part stats aggregate is not fed by the semi-joined lineitem"
+    )
