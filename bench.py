@@ -322,6 +322,8 @@ def main() -> None:
         from changegen_spark.queries.media import (
             banded_candidates,
             dup_pairs_from_dhash,
+            dup_pairs_mih,
+            mih_candidates,
         )
         from changegen_spark.sources.scaleup import build_media_assets
 
@@ -346,6 +348,18 @@ def main() -> None:
             d = dhash_images(assets).filter("ok").select("asset_id", "dhash")
             stats["cand_8bit"] = banded_candidates(d, band_hex=2).count()
             stats["cand_16bit"] = banded_candidates(d, band_hex=4).count()
+            # r7 scale path: multi-index Hamming search (complete at ≤3) —
+            # candidate volume should grow ~linearly with assets because
+            # the random-collision term is n²·66/2^32
+            best_mih = float("inf")
+            for i in range(1 + SF1_WARM_RUNS):
+                t0 = time.time()
+                d2 = dhash_images(assets).filter("ok").select("asset_id", "dhash")
+                stats["n_pairs_mih"] = dup_pairs_mih(d2).count()
+                if i > 0:
+                    best_mih = min(best_mih, time.time() - t0)
+            stats["wall_mih_s"] = round(best_mih, 3)
+            stats["cand_mih"] = mih_candidates(d).count()
             media["n"][str(n_assets)] = stats
         media["build_s"] = round(media["build_s"], 1)
         small, big = media["n"]["2000"], media["n"]["20000"]
@@ -355,6 +369,12 @@ def main() -> None:
         )
         media["cand_growth_16bit_10x"] = round(
             big["cand_16bit"] / max(small["cand_16bit"], 1), 1
+        )
+        media["cand_growth_mih_10x"] = round(
+            big["cand_mih"] / max(small["cand_mih"], 1), 1
+        )
+        media["growth_wall_mih_10x"] = round(
+            big["wall_mih_s"] / small["wall_mih_s"], 2
         )
 
     # ER ladder (r6): the blocked Levenshtein join over synthesized

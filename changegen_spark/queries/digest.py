@@ -225,6 +225,7 @@ KINDS = {
     "q_mixture_sample": {"doc_id": "num", "source": "str", "doc_tokens": "num", "u_e6": "num", "rate_e6": "num"},
     "q_media_dhash": {"asset_id": "num", "fmt": "str", "dhash": "str"},
     "q_media_dup_pairs": {"id_a": "num", "id_b": "num", "hamming": "num"},
+    "q_media_dup_pairs_mih": {"id_a": "num", "id_b": "num", "hamming": "num"},
     "q_media_audio_fingerprint": {"asset_id": "num", "fmt": "str", "afp_frames": "num", "afp": "str"},
     "q_unigram_vocab": {"rank": "num", "piece": "str", "cost_e9": "num"},
     "q_compression_ratio": {"doc_id": "num", "n_bytes": "num", "z_bytes": "num", "ratio_e6": "num", "keep": "num"},

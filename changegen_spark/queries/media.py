@@ -289,6 +289,106 @@ def banded_candidates(d: DataFrame, band_hex: int = 2) -> DataFrame:
     )
 
 
+# --- multi-index Hamming search (r7: the 10^9-asset scale path) -------------
+#
+# Pigeonhole-complete banding has a random-collision term n²·b/2^bits whose
+# best fixed constant over a 64-bit hash is 4/2^16 (4×16-bit bands, complete
+# at ham ≤ 3): the r6 media ladder measured its candidate volume growing
+# 79.6× for 10× assets — quadratic, hopeless at 10^9 images (SCALE.md).
+# Multi-index Hamming search (Norouzi, Punjani & Fleet, "Fast Search in
+# Hamming Space with Multi-Index Hashing", CVPR 2012 — public) replaces
+# wider bands with PROBE ENUMERATION over narrower substring counts: split
+# the 64-bit hash into m=2 halves of 32 bits; any pair within Hamming r has
+# some half within floor(r/m) (pigeonhole over the halves), so for r ≤ 3
+# probing each half's 32 one-bit flips (+ itself) against exact half keys is
+# COMPLETE.  The random-collision term becomes n²·2·33/2^32 ≈ 1.5e-8·n² —
+# four orders of magnitude below 16-bit bands — so candidates are dominated
+# by the true near-dup mass (linear) into the 10^9-asset regime.  The cost
+# is bounded row amplification: 66 probe rows per asset (id + key only; the
+# hashes are re-attached by id AFTER the candidate join, so the big shuffle
+# carries ~20-byte rows).
+
+MIH_HAM = 3  # complete: 2 halves, radius-1 probes cover floor(3/2) = 1
+
+
+def _mih_half(col, idx: int):
+    """32-bit half ``idx`` (0 or 1) of a 16-hex dHash, as a long."""
+    return F.conv(F.substring(col, 1 + 8 * idx, 8), 16, 10).cast("long")
+
+
+def mih_candidates(d: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a, da, id_b, db) whose dHashes agree on
+    some 32-bit half within Hamming ≤ 1 — a superset of all pairs with
+    full-hash Hamming ≤ MIH_HAM.  Exact half keys (2 rows/asset) are
+    equi-joined against radius-1 probe keys (66 rows/asset, ids only);
+    both hashes re-attach by id after the join, so the probe shuffle rows
+    stay ~20 bytes regardless of hash width."""
+    exact = d.select(
+        F.col("asset_id").alias("id_b"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(h).alias("h"), _mih_half("dhash", h).alias("key")
+                )
+                for h in range(2)
+            ])
+        ).alias("s"),
+    ).select("id_b", "s.h", "s.key")
+    probes = d.select(
+        F.col("asset_id").alias("id_a"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(h).alias("h"),
+                    key.alias("key"),
+                )
+                for h in range(2)
+                for base in [_mih_half("dhash", h)]
+                for key in [base]
+                + [base.bitwiseXOR(F.lit(1 << j)) for j in range(32)]
+            ])
+        ).alias("s"),
+    ).select("id_a", "s.h", "s.key")
+    pairs = (
+        probes.join(exact, ["h", "key"])
+        .filter(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = d.select(F.col("asset_id").alias("id_a"), F.col("dhash").alias("da"))
+    db = d.select(F.col("asset_id").alias("id_b"), F.col("dhash").alias("db"))
+    return pairs.join(da, "id_a").join(db, "id_b").select(
+        "id_a", "da", "id_b", "db"
+    )
+
+
+def dup_pairs_mih(d: DataFrame, ham: int = MIH_HAM) -> DataFrame:
+    """Exact near-dup pairs at Hamming ≤ ``ham`` (≤ MIH_HAM for
+    completeness) via multi-index candidates + exact 64-bit refine —
+    byte-identical to the banded join's result filtered to the same
+    threshold, with a ~linear candidate volume (bench.py media ladder)."""
+    if ham > MIH_HAM:
+        raise ValueError(
+            f"mih radius-1 probing is complete only for ham <= {MIH_HAM}, "
+            f"got {ham} — widen the probe radius or use banded bands"
+        )
+    cand = mih_candidates(d)
+
+    def _half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    hamming = (
+        F.bit_count(_half("da", 1).bitwiseXOR(_half("db", 1)))
+        + F.bit_count(_half("da", 9).bitwiseXOR(_half("db", 9)))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= ham)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_media_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs: dHash → 8 one-byte bands →
     (band, byte) equi-join → exact Hamming refine ≤ {DUP_HAM}.  By the
@@ -328,6 +428,37 @@ WITH img AS (
   FROM cand
 )
 SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {DUP_HAM}
+ORDER BY id_a, id_b
+"""
+
+
+def q_media_dup_pairs_mih(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs at Hamming ≤ {MIH_HAM} via multi-index
+    Hamming search — the 10^9-asset scale path (see mih_candidates): exact
+    32-bit half keys joined against radius-1 probe keys, then the exact
+    64-bit refine.  The oracle is a BRUTE-FORCE all-pairs Hamming scan on
+    the fixture, so a green row is an independent completeness proof (no
+    pair within the threshold escaped the probe scheme), not an
+    implementation echo."""
+    from changegen_spark.multimodal.assets import dhash_images
+
+    d = dhash_images(_assets(spark)).filter(F.col("ok")).select("asset_id", "dhash")
+    return dup_pairs_mih(d)
+
+
+Q_MEDIA_DUP_PAIRS_MIH_SQL = f"""
+WITH img AS (
+  SELECT asset_id, exp_dhash AS dhash FROM '{ASSETS_PATH}' WHERE kind = 'image'
+), scored AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         CAST(bit_count(xor(CAST('0x' || substr(a.dhash, 1, 8) AS BIGINT),
+                            CAST('0x' || substr(b.dhash, 1, 8) AS BIGINT)))
+            + bit_count(xor(CAST('0x' || substr(a.dhash, 9, 8) AS BIGINT),
+                            CAST('0x' || substr(b.dhash, 9, 8) AS BIGINT))) AS BIGINT)
+           AS hamming
+  FROM img a JOIN img b ON b.asset_id > a.asset_id
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {MIH_HAM}
 ORDER BY id_a, id_b
 """
 
@@ -380,6 +511,7 @@ QUERIES = {
     "q_media_video_signature": q_media_video_signature,
     "q_media_dhash": q_media_dhash,
     "q_media_dup_pairs": q_media_dup_pairs,
+    "q_media_dup_pairs_mih": q_media_dup_pairs_mih,
     "q_media_image_decode": q_media_image_decode,
     "q_media_resize": q_media_resize,
     "q_media_audio_features": q_media_audio_features,
@@ -393,6 +525,7 @@ ORACLES = {
     "q_media_video_signature": Q_MEDIA_VSIG_SQL,
     "q_media_dhash": Q_MEDIA_DHASH_SQL,
     "q_media_dup_pairs": Q_MEDIA_DUP_PAIRS_SQL,
+    "q_media_dup_pairs_mih": Q_MEDIA_DUP_PAIRS_MIH_SQL,
     "q_media_image_decode": Q_MEDIA_IMAGE_SQL,
     "q_media_resize": Q_MEDIA_RESIZE_SQL,
     "q_media_audio_features": Q_MEDIA_AUDIO_SQL,

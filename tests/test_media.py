@@ -466,6 +466,17 @@ def test_media_scale_fixture_plants_exact_hamming(spark, tmp_path):
     }
     assert got3 == {k: v for k, v in got.items() if v <= 3}
 
+    # r7 scale path: multi-index Hamming search must agree BYTE-FOR-BYTE
+    # with the banded-exact result at its threshold — completeness of the
+    # radius-1 half-probe scheme on planted dups at every distance 0..7
+    # (those at 4..7 must be excluded by the refine, those at 0..3 found)
+    from changegen_spark.queries.media import dup_pairs_mih
+
+    got_mih = {
+        (r.id_a, r.id_b): r.hamming for r in dup_pairs_mih(d).collect()
+    }
+    assert got_mih == got3
+
 
 def test_banded_completeness_guard():
     """Requesting a threshold the banding cannot cover must raise."""

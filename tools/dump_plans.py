@@ -43,6 +43,7 @@ ANNOTATED = {
     "q_url_canonical": "canonicalization is pure expression work fused into the scan's codegen span — no Exchange, no Python eval before the presentation sort",
     "q_mv_delete_repair": "affected-group filter is a broadcast LeftSemi on the group-id frame; untouched groups served from the MV via the anti-join branch — the base table is never shuffled for the filter",
     "q17_small_quantity": "per-part stats aggregate consumes the LeftSemi-pruned lineitem (Brand#9 keys broadcast) — the stats exchange carries ~1/25 of the partkeys, not all of them (r7 fix, verdict #7)",
+    "q_media_dup_pairs_mih": "multi-index Hamming: radius-1 probe keys equi-joined against exact 32-bit half keys (ids only through the shuffle), hashes re-attached by id, exact 64-bit refine — no cartesian/nested-loop; candidate volume ~linear (r7, verdict #1)",
 }
 
 # Static audit note prepended to the generated file (r4 verdict #5).
