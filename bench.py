@@ -91,6 +91,10 @@ BUDGETS = {
     "q_bpe_encode_stats": 2.0,
     "q_wordpiece_encode_stats": 1.8,
     "q_unigram_encode_stats": 5.0,
+    # r7: LSH-pooled MMR (measured warm min-of-3 at sf0.1 idle: 5.75 s —
+    # ~1.1M collided candidates exactly scored + 3 checkpointed greedy
+    # rounds; the exact pool scores 3.7M)
+    "q_mmr_topk_lsh": 7.5,
 }
 
 HEADLINE = [
@@ -154,6 +158,9 @@ HEADLINE = [
     "q_bpe_encode_stats",
     "q_wordpiece_encode_stats",
     "q_unigram_encode_stats",
+    # r7 (r6 verdict #3): MMR over the LSH-retrieved pool — the scale
+    # path's measured row (the exact crossJoin pool stays a contract query)
+    "q_mmr_topk_lsh",
 ]
 
 

@@ -264,6 +264,7 @@ KINDS = {
     "q_sq8_recall": {"query_id": "num", "n_overlap": "num", "recall_e6": "num"},
     # r6: MMR diversified rerank (out-of-window from birth)
     "q_mmr_topk": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
+    "q_mmr_topk_lsh": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)

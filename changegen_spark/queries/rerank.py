@@ -54,27 +54,44 @@ def _dot(a, b):
     )
 
 
-def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``MMR_K`` diversified results per query.  ``rel_dot`` is the
-    exact integer relevance; ``mmr_score`` is the objective value at the
-    moment of selection (= rel_dot for rank 1)."""
-    v = _vecs_e6(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % MMR_QMOD == 0).select(
+def _queries_frame(v: DataFrame) -> DataFrame:
+    return v.filter(F.col("vec_id") % MMR_QMOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "v", _dot("qv", "v").alias("rel"))
-    )
+
+
+def _top_pool(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
-    pool = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
         .localCheckpoint(eager=True)
     )
 
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``MMR_K`` diversified results per query.  ``rel_dot`` is the
+    exact integer relevance; ``mmr_score`` is the objective value at the
+    moment of selection (= rel_dot for rank 1).  The pool here is the
+    EXACT brute-force top-``MMR_POOL`` (corpus×queries) — the small-sf
+    baseline; ``q_mmr_topk_lsh`` is the scale path."""
+    v = _vecs_e6(spark, sf_dir)
+    q = _queries_frame(v)
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", _dot("qv", "v").alias("rel"))
+    )
+    pool = _top_pool(scored)
+    return _greedy_rerank(pool)
+
+
+def _greedy_rerank(pool: DataFrame) -> DataFrame:
+    """MMR_K greedy rounds over a (query_id, vec_id, v, rel) pool — shared
+    by the exact and the LSH-fed pools; per-query constant work, each
+    round one broadcast-sized join, selected set checkpointed."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
     sel = (
         pool.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -125,7 +142,76 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _mmr_sql() -> str:
+# --- LSH-fed pool (r7: the retrieval-fed scale path, r6 verdict #3) ---------
+#
+# The exact form's pool build scores every corpus vector against every
+# query (crossJoin → BroadcastNestedLoopJoin): O(n·q) dot products.  The
+# scale path draws candidates from OR-amplified sign-LSH band collisions —
+# the same banded plan shape as q_hard_negatives_lsh / q_embedding_dedup_lsh
+# — so only collided candidates are scored; the greedy rerank is byte-for-
+# byte the shared _greedy_rerank.  Band geometry is the measured
+# hard-negatives operating point (queries/vectors.py LSH_BANDS, 8 bands ×
+# 4 bits): this fixture's top-relevance pairs sit at cos ≲ 0.5 where sign
+# planes agree only ~65%/bit, so recall is bought with bands, not bits —
+# the 4×8-bit dedup config collides near-NOTHING here (measured recall 0).
+# Buckets are computed from the e6-QUANTIZED integers (sign of v[d]) so
+# engine and oracle replay the exact same pool; pool recall vs the exact
+# pool is pytest-pinned (tests/test_rerank.py).
+from changegen_spark.queries.vectors import LSH_BANDS as MMR_BANDS
+
+
+def _int_bucket(col, dims: list[int]):
+    b = F.lit(0)
+    for j, d in enumerate(dims):
+        b = b + F.when(F.element_at(F.col(col), d + 1) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return b.cast("int")
+
+
+def _lsh_pool(v: DataFrame, q: DataFrame) -> DataFrame:
+    """Top-``MMR_POOL`` per query from sign-LSH band collisions: per band,
+    a bucket equi-join with the query side broadcast carrying ids only;
+    candidates deduped, vectors re-attached by id, scored exactly."""
+    cands = None
+    for bdims in MMR_BANDS:
+        vb = v.select("vec_id", _int_bucket("v", bdims).alias("bucket"))
+        qb = q.select("query_id", _int_bucket("qv", bdims).alias("bucket"))
+        pairs = vb.join(F.broadcast(qb), "bucket").select("query_id", "vec_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.filter(F.col("vec_id") != F.col("query_id")).distinct()
+    scored = (
+        cands.join(v, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", "v", _dot("qv", "v").alias("rel"))
+    )
+    return _top_pool(scored)
+
+
+def q_mmr_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over an LSH-retrieved pool: candidates collide with the query
+    in ≥1 of the 8 4-bit sign bands (bucket equi-joins with the query
+    side broadcast, ids only), are scored exactly, pooled
+    top-``MMR_POOL``, then greedily reranked exactly like ``q_mmr_topk``.
+    Corpus-side work is O(n·bands) map + O(collisions) — no
+    BroadcastNestedLoopJoin over the corpus (plan-pinned)."""
+    v = _vecs_e6(spark, sf_dir).localCheckpoint(eager=True)
+    q = _queries_frame(v)
+    return _greedy_rerank(_lsh_pool(v, q))
+
+
+def _bucket_sql(col: str, dims: list[int]) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_extract({col}, {d + 1}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, d in enumerate(dims)
+        )
+        + ")"
+    )
+
+
+def _mmr_sql(lsh_pool: bool = False) -> str:
     vq = (
         "list_transform(embedding,"
         " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
@@ -137,10 +223,34 @@ def _mmr_sql() -> str:
             " z -> z[1]*z[2])) AS BIGINT)"
         )
 
+    if lsh_pool:
+        sig = "\n  UNION ALL ".join(
+            f"SELECT vec_id, {i} AS band, {_bucket_sql('v', bd)} AS bucket FROM v"
+            for i, bd in enumerate(MMR_BANDS)
+        )
+        qsig = "\n  UNION ALL ".join(
+            f"SELECT query_id, {i} AS band, {_bucket_sql('qv', bd)} AS bucket FROM q"
+            for i, bd in enumerate(MMR_BANDS)
+        )
+        pool_ctes = f"""sig AS (
+  {sig}
+), qsig AS (
+  {qsig}
+), cand AS (
+  SELECT DISTINCT p.query_id, s.vec_id
+  FROM sig s JOIN qsig p ON s.band = p.band AND s.bucket = p.bucket
+  WHERE s.vec_id <> p.query_id
+),
+rel AS (SELECT c.query_id, c.vec_id, v.v, {dot("q.qv", "v.v")} AS rel
+        FROM cand c JOIN v ON v.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id)"""
+    else:
+        pool_ctes = f"""rel AS (SELECT q.query_id, v.vec_id, v.v, {dot("q.qv", "v.v")} AS rel
+        FROM q JOIN v ON v.vec_id <> q.query_id)"""
+
     sql = f"""WITH v AS (SELECT vec_id, {vq} AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % {MMR_QMOD} = 0),
-rel AS (SELECT q.query_id, v.vec_id, v.v, {dot("q.qv", "v.v")} AS rel
-        FROM q JOIN v ON v.vec_id <> q.query_id),
+{pool_ctes},
 pool AS (SELECT query_id, vec_id, v, rel FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
            FROM rel) WHERE rn <= {MMR_POOL}),
@@ -167,5 +277,8 @@ FROM {prev} ORDER BY query_id, rank"""
     return sql
 
 
-QUERIES = {"q_mmr_topk": q_mmr_topk}
-ORACLES = {"q_mmr_topk": _mmr_sql()}
+QUERIES = {"q_mmr_topk": q_mmr_topk, "q_mmr_topk_lsh": q_mmr_topk_lsh}
+ORACLES = {
+    "q_mmr_topk": _mmr_sql(),
+    "q_mmr_topk_lsh": _mmr_sql(lsh_pool=True),
+}
