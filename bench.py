@@ -55,7 +55,14 @@ BUDGETS = {
     # r3 late additions (measured warm min-of-3 at sf0.1: 0.73 / 0.74 / 0.39)
     "q_resample": 1.1,
     "q_hybrid_search": 1.1,
-    "q_interval_overlap": 0.6,
+    # r7 re-budget with measurement (r6 verdict #5): code untouched since
+    # r3 and the plan is still the pinned bucket equi-join (3 exchanges,
+    # no nested-loop), but the 0.39 s r3 reading is unreproducible at any
+    # load: r6 judge idle-normalized 0.685, r7 idle bench-context 0.59-0.63,
+    # r7 FRESH-session min-of-3 0.9-1.1 — on a ~0.5 s query the moving part
+    # is JVM/code-cache state from the 40-query suite around it, not the
+    # operator.  Budgeted at the measured bench-context ceiling + headroom.
+    "q_interval_overlap": 0.8,
     # late-r3 dedup granularities (measured warm min-of-3: 1.84 / 2.22)
     "q_winnow_pairs": 2.4,
     "q_cdc_chunks": 2.9,
@@ -83,7 +90,14 @@ BUDGETS = {
     # sf0.1: 1.25 / 1.90) — first-occurrence n-gram novelty (two hash
     # shuffles) and CCNet perplexity terciles (composes the bigram LM)
     "q_ngram_novelty": 1.7,
-    "q_ccnet_buckets": 2.5,
+    # r7 re-budget with measurement (r6 verdict #5): the r6 de-skew
+    # (range-partitioned ranks + broadcast stitch) deliberately costs an
+    # exchange over the r5 ntile form; the r7 shave merged the offs/totals
+    # aggregates into one window-derived meta frame (raw 3.29 → 2.76 at
+    # equal calib) but the range-partition window sort dominates.
+    # Measured: r6 judge idle-normalized 2.72, r7 idle raw 2.76-3.29 at
+    # calib 0.30-0.37 (normalized 2.9-3.05).
+    "q_ccnet_buckets": 3.2,
     # r6 (r5 verdict #7): the three tokenizer encode stages — train on
     # the dir's own docs (one word-count shuffle + bounded driver loop)
     # then Arrow-batched encode.  Measured warm min-of-3 at sf0.1:

@@ -151,23 +151,22 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_w = Window.partitionBy("__part", "lang").orderBy("nll", "doc_id")
     tagged = tagged.withColumn("__rn", F.row_number().over(local_w).cast("long"))
 
-    # (partitions × languages) rows — KB-sized, broadcastable
+    # (partitions × languages) rows — KB-sized, broadcastable.  Prefix
+    # offsets AND per-language totals come out of the SAME aggregate via
+    # two windows over it (r6 verdict #5 shave: the old offs/totals pair
+    # re-traversed counts and cost the main path a second broadcast join).
     counts = tagged.groupBy("__part", "lang").agg(F.count("*").alias("__cnt"))
     prefix = Window.partitionBy("lang").orderBy("__part").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offs = counts.select(
+    meta = counts.select(
         "__part",
         "lang",
         F.coalesce(F.sum("__cnt").over(prefix), F.lit(0)).cast("long").alias("__off"),
-    )
-    totals = counts.groupBy("lang").agg(
-        F.sum("__cnt").cast("long").alias("__n")
+        F.sum("__cnt").over(Window.partitionBy("lang")).cast("long").alias("__n"),
     )
 
-    ranked = tagged.join(F.broadcast(offs), ["__part", "lang"]).join(
-        F.broadcast(totals), "lang"
-    )
+    ranked = tagged.join(F.broadcast(meta), ["__part", "lang"])
     rank = F.col("__rn") + F.col("__off")
     base = F.floor(F.col("__n") / 3).cast("long")
     rem = F.col("__n") % 3
