@@ -425,6 +425,26 @@ def main() -> None:
                     n_pairs = pairs.count()
                     best = min(best, time.time() - t0)
                 row[scheme] = {"pairs": n_pairs, "wall_s": round(best, 3)}
+            # r7 (r6 verdict #8): the cluster stage — checkpointed
+            # connected components over the with_city pairs, recording
+            # rounds-to-fixpoint like text dedup's (rounds track data
+            # DIAMETER, not size: the number that must stay flat for 10×)
+            from changegen_spark.functions.clustering import (
+                connected_components,
+            )
+
+            cpairs = er_pairs_for(ppl, ("city",))
+            connected_components(cpairs, src="rec_a", dst="rec_b").count()
+            st = {}
+            t0 = time.time()
+            n_rec = connected_components(
+                cpairs, src="rec_a", dst="rec_b", stats=st
+            ).count()
+            row["clusters"] = {
+                "records": n_rec,
+                "cc_rounds": st.get("rounds"),
+                "wall_s": round(time.time() - t0, 3),
+            }
             er["n"][str(n_ent)] = row
         for scheme in ("name_only", "with_city"):
             er[f"growth_wall_10x_{scheme}"] = round(
@@ -432,6 +452,11 @@ def main() -> None:
                 / er["n"]["10000"][scheme]["wall_s"],
                 2,
             )
+        er["growth_wall_10x_clusters"] = round(
+            er["n"]["100000"]["clusters"]["wall_s"]
+            / er["n"]["10000"]["clusters"]["wall_s"],
+            2,
+        )
 
     # web ladder (r6): URL canonicalization + dedup throughput at 100k
     # and 1M synthesized crawl rows (sources/scaleup.build_web_urls —
