@@ -140,67 +140,66 @@ STANDING = (
     "q_pbf_extract_stats",
 )
 
-# r6 window rotation (r5 verdict #2): 38 new names vs the r5 window.
-# Priorities, in order: (a) q_kmv_jaccard + q_countmin_topk STAY to prove
-# the HUGEINT-cast fix directly (they were r5's red rows); (b) the six
-# latent-HUGEINT oracles the judge found get direct verification in the
-# same round their casts land; (c) never-direct families — TPC-H tail,
-# c4, curation, media, wordpiece/unigram, k-means, funnels, timeseries.
-# The entries they displace (the r5 rotated set + the vector/ANN family)
-# fall into the digest-covered set — queries/digest.KINDS carries their
+# r7 window rotation (r6 verdict #2): all 40 rotating slots are new vs
+# the r6 window.  Priorities, in order: (a) the two r7-new scale-path
+# queries get direct verification the round they land; (b) the
+# never-direct names the r6 judge called out explicitly (asof/cube/
+# grouping-sets/gini/bfs/dq-audit/assoc-rules + the graph and media
+# tails); (c) the rest of the never-direct r3–r4 tail, favoring families
+# the judge did NOT already hand-verify in r6 (the judge covered ER, DP,
+# web, JSON, OLS, MV, chunking, MMR, SQ8 personally — those stay
+# digest-green and queue behind these).  The displaced r6 set falls back
+# into the digest-covered set; queries/digest.KINDS carries their
 # schemas (tests/test_digest.py pins the map against live schemas), so
 # transitive verification stays total.  Dict insertion order makes this
 # stable: rotated names are inserted right after the standing slots and
 # keep that position when the module sweep re-updates them.
 ROTATED_IN = (
-    # (a) r5 red rows — casts landed, prove them green directly
-    "q_kmv_jaccard",
-    "q_countmin_topk",
-    # (b) latent-HUGEINT oracles, casts landed this round
-    "q_nb_classifier",
-    "q_new_vs_returning",
-    "q_ab_test",
-    "q_hopping_windows",
-    "q_source_drift",
-    "q_mixture_temperature",
-    # (c) never-direct: TPC-H tail
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_dominant_suppliers",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    # (c) never-direct: C4 cleaning
-    "q_c4_line_filter",
-    "q_c4_span_dedup",
-    # (c) never-direct: curation
-    "q_gopher_rules",
-    "q_ccnet_buckets",
-    "q_mixture_sample",
-    "q_compression_ratio",
-    "q_ngram_novelty",
-    # (c) never-direct: media
-    "q_media_dhash",
-    "q_media_dup_pairs",
-    "q_media_image_decode",
-    # (c) never-direct: tokenizers
-    "q_wordpiece_merges",
-    "q_wordpiece_encode_stats",
-    "q_unigram_vocab",
-    "q_unigram_encode_stats",
-    # (c) never-direct: k-means, funnels, timeseries
-    "q_kmeans",
-    "q_funnel",
-    "q_retention",
-    "q_moving_avg",
+    # (a) new this round — the media MIH scale path and the LSH-fed MMR
+    "q_media_dup_pairs_mih",
+    "q_mmr_topk_lsh",
+    # (b) judge-named never-direct
+    "q_asof_forward",
+    "q_cube",
+    "q_grouping_sets",
+    "q_gini",
+    "q_bfs_hops",
+    "q_dq_audit",
+    "q_assoc_rules",
+    # (b) graph tails
+    "q_pagerank_weighted",
+    "q_triangle_counts",
+    "q_degree_hist",
+    # (b) media tails (audio/video/resize/mel/frames/motion)
+    "q_media_audio_fingerprint",
+    "q_media_video_signature",
+    "q_media_resize",
+    "q_media_audio_features",
+    "q_media_mel",
+    "q_media_frame_stats",
+    "q_media_motion",
+    # (c) never-direct r3–r4 tail
+    "q_markov_transitions",
+    "q_time_range_window",
+    "q_hybrid_search",
+    "q_phrase_search",
+    "q_setsim_diverse",
+    "q_typo_pairs",
+    "q_k_anonymity",
+    "q_winnow_fingerprints",
+    "q_cdc_chunks",
+    "q_suffix_ranks",
+    "q_longest_repeats",
+    "q_convex_hulls",
+    "q_simplify_trajectories",
+    "q_regex_tokens",
+    "q_profile",
+    "q_percentile_binned",
+    "q_mad_outliers",
+    "q_null_semantics",
+    "q_feature_hash",
+    "q_pmi_pairs",
+    "q_skipgram_pairs",
 )
 
 

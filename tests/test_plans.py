@@ -128,32 +128,34 @@ def test_correctness_window_all_oracle_backed():
     assert len(names) >= 50
     missing = [n for n in names[:50] if n not in oracles]
     assert missing == []
-    # r6 window contract: the STANDING set (changegen parity core) never
-    # rotates out, and the r5 red rows + the six latent-HUGEINT oracles
-    # must be directly verified the round their casts land (r5 verdict
-    # #1/#2/#6).  Displaced families stay transitively green via the
-    # digest shards.
-    from changegen_spark.queries import STANDING
+    # r7 window contract: the STANDING set (changegen parity core) never
+    # rotates out, the two r7-new scale-path queries are directly
+    # verified the round they land, and every rotating slot is new vs
+    # the r6 window (≥25 required; we rotate all 40).  Displaced families
+    # stay transitively green via the digest shards.
+    from changegen_spark.queries import ROTATED_IN, STANDING
 
     window = set(names[:50])
     for must in list(STANDING) + [
-        "q_kmv_jaccard",
-        "q_countmin_topk",
-        "q_nb_classifier",
-        "q_new_vs_returning",
-        "q_ab_test",
-        "q_hopping_windows",
-        "q_source_drift",
-        "q_mixture_temperature",
+        "q_media_dup_pairs_mih",
+        "q_mmr_topk_lsh",
     ]:
         assert must in window, must
-    # the rotation itself: ≥25 entries new to the window vs the r5 gate
+    # the rotation itself: ≥25 entries new to the window vs the r6 gate,
+    # and no rotated name was in any PRIOR window (never-direct priority)
+    import glob
     import json
     import os
 
-    r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
-    r5 = set(json.load(open(r5_path)))
-    assert len(window - r5) >= 25, sorted(window - r5)
+    here = os.path.dirname(__file__)
+    r6_path = os.path.join(here, "..", "CORRECTNESS_r06.json")
+    r6 = set(json.load(open(r6_path)))
+    assert len(window - r6) >= 25, sorted(window - r6)
+    prior = set()
+    for p in glob.glob(os.path.join(here, "..", "CORRECTNESS_r0*.json")):
+        prior |= set(json.load(open(p)))
+    stale = [n for n in ROTATED_IN if n in prior]
+    assert stale == [], stale
 
 
 def test_lm_score_joins_aggregated_frame(spark, sf_dir):
