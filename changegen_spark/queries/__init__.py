@@ -27,6 +27,7 @@ from changegen_spark.queries import media as _media
 from changegen_spark.queries import misc as _misc
 from changegen_spark.queries import mlprep as _mlprep
 from changegen_spark.queries import mv as _mv
+from changegen_spark.queries import ordering as _ordering
 from changegen_spark.queries import privacy as _privacy
 from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
@@ -47,6 +48,7 @@ from changegen_spark.queries import wordpiece as _wordpiece
 from changegen_spark.queries import c4 as _c4
 from changegen_spark.queries import chunking as _chunking
 from changegen_spark.queries import cluster as _cluster
+from changegen_spark.queries import corpstats as _corpstats
 from changegen_spark.queries import cdc as _cdc
 from changegen_spark.queries import curation as _curation
 from changegen_spark.queries import er as _er
@@ -101,6 +103,8 @@ MODULES = (
     _mv,  # incremental materialized-view maintenance (r6)
     _linmodel,  # one-pass OLS sufficient stats + GBDT histogram split (r6)
     _jsonops,  # semi-structured JSON ingestion: drift-safe extract/VARIANT (r6)
+    _corpstats,  # Zipf slope + Heaps curve corpus laws (r7)
+    _ordering,  # Feistel epoch shuffling: sort-free reproducible orders (r7)
     _relational,
     _tpch_extra,
     _tpch_full,

@@ -265,6 +265,10 @@ KINDS = {
     # r6: MMR diversified rerank (out-of-window from birth)
     "q_mmr_topk": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
     "q_mmr_topk_lsh": {"query_id": "num", "rank": "num", "vec_id": "num", "rel_dot": "num", "mmr_score": "num"},
+    "q_zipf_fit": {"n_points": "num", "total_tokens": "num", "vocab_size": "num", "slope_e6": "num", "intercept_e6": "num"},
+    "q_heaps_curve": {"bucket": "num", "docs_cum": "num", "tokens_cum": "num", "vocab_cum": "num"},
+    "q_feistel_shuffle": {"doc_id": "num", "epoch": "num", "pos": "num"},
+    "q_shuffle_shards": {"epoch": "num", "shard": "num", "n_docs": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)

@@ -103,6 +103,11 @@ CASES = [
     ("q_join_size_est", lambda n: n >= 0),
     ("q_mv_refresh", lambda n: n == 0),
     ("q_mv_delete_repair", lambda n: n == 0),
+    ("q_zipf_fit", lambda n: n <= 1),  # fit row may be null-ish on empty
+    ("q_heaps_curve", lambda n: n == 0),
+    ("q_feistel_shuffle", lambda n: n == 0),
+    ("q_shuffle_shards", lambda n: n == 0),
+    ("q_mmr_topk_lsh", lambda n: n == 0),
 ]
 
 
