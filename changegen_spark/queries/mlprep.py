@@ -132,6 +132,111 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- fuzzy (MinHash) eval-set decontamination (r7) ---------------------------
+#
+# Exact n-gram decontamination misses PARAPHRASED leakage: an eval item
+# lightly rewritten into the training set shares few exact 5-grams but a
+# large shingle-set Jaccard.  The fuzzy pass estimates per-(train, eval)
+# document Jaccard from FUZZY_K independent minhashes (P[minhash match] =
+# J) and reports pairs with ≥ FUZZY_MIN_MATCHES agreeing hashes.  Scale
+# shape: signatures are one groupBy (doc, k) min over the K-exploded
+# distinct-shingle rows (map-side combine); candidates come from an
+# equi-join on (k, minhash-value) with the KB-sized eval side broadcast —
+# the corpus is never compared doc×doc, and a train doc sharing no
+# minhash with any eval item never leaves its map task.
+
+FUZZY_K = 12
+FUZZY_MIN_MATCHES = 2  # ≥2 of 12 agreeing hashes ≈ est. Jaccard ≥ 0.17
+
+
+def fuzzy_minhash_sigs(grams: DataFrame) -> DataFrame:
+    """(doc_id, k, mh): the k-th 60-bit minhash of each doc's distinct
+    n-gram set, k < FUZZY_K."""
+    from changegen_spark.queries.sketches import h60
+
+    return (
+        grams.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        h60(F.concat(F.lit(f"{k}:"), F.col("ng"))).alias("h"),
+                    )
+                    for k in range(FUZZY_K)
+                ])
+            ).alias("s"),
+        )
+        .groupBy("doc_id", "s.k")
+        .agg(F.min("s.h").alias("mh"))
+    )
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train_doc_id, eval_doc_id, matches, est_jaccard_e6) for every
+    train/eval pair whose minhash signatures agree on ≥ FUZZY_MIN_MATCHES
+    of FUZZY_K positions — the paraphrase-tolerant contamination check
+    layered over the same eval split as ``q_decontaminate``."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(distinct_ngrams_pandas(DECON_N)(F.col("text"))).alias("ng"),
+    ).distinct()
+    sigs = fuzzy_minhash_sigs(grams)
+    is_eval = F.col("doc_id") % 19 == 3
+    ev = sigs.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "k", "mh"
+    )
+    tr = sigs.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc_id"), "k", "mh"
+    )
+    pairs = (
+        tr.join(F.broadcast(ev), ["k", "mh"])
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").cast("long").alias("matches"))
+        .filter(F.col("matches") >= FUZZY_MIN_MATCHES)
+    )
+    return pairs.select(
+        "train_doc_id",
+        "eval_doc_id",
+        "matches",
+        F.round(F.col("matches") * 1e6 / FUZZY_K).cast("long").alias(
+            "est_jaccard_e6"
+        ),
+    ).orderBy("train_doc_id", "eval_doc_id")
+
+
+_GRAMS_SQL_BODY = f"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {DECON_N - 1})) AS i
+  FROM toks WHERE len(t) >= {DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {DECON_N - 1} AS INT)], ' ') AS ng
+  FROM pos
+)"""
+
+Q_FUZZY_DECONTAMINATE_SQL = f"""
+WITH {_GRAMS_SQL_BODY}, sigs AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS k,
+         min(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':' || ng), 1, 15)) AS BIGINT)) AS mh
+  FROM grams CROSS JOIN (SELECT unnest(generate_series(0, {FUZZY_K - 1})) AS k)
+  GROUP BY doc_id, k
+), pairs AS (
+  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+         CAST(count(*) AS BIGINT) AS matches
+  FROM sigs t JOIN sigs e ON t.k = e.k AND t.mh = e.mh
+  WHERE t.doc_id % 19 <> 3 AND e.doc_id % 19 = 3
+  GROUP BY 1, 2
+  HAVING count(*) >= {FUZZY_MIN_MATCHES}
+)
+SELECT train_doc_id, eval_doc_id, matches,
+       CAST(round(matches * 1e6 / {FUZZY_K}) AS BIGINT) AS est_jaccard_e6
+FROM pairs ORDER BY train_doc_id, eval_doc_id
+"""
+
+
 Q_DECONTAMINATE_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -1218,6 +1323,7 @@ ORDER BY w.doc_id
 QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_decontaminate": q_decontaminate,
+    "q_fuzzy_decontaminate": q_fuzzy_decontaminate,
     "q_weighted_sample": q_weighted_sample,
     "q_external_decontaminate": q_external_decontaminate,
     "q_corpus_pipeline": q_corpus_pipeline,
@@ -1235,6 +1341,7 @@ QUERIES = {
 ORACLES = {
     "q_dsir_weights": Q_DSIR_WEIGHTS_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_fuzzy_decontaminate": Q_FUZZY_DECONTAMINATE_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_external_decontaminate": Q_EXTERNAL_DECONTAMINATE_SQL,
     "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,

@@ -330,3 +330,74 @@ def test_reservoir_sample_plan_is_takeordered(spark, sf_dir):
     plan = q_reservoir_sample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan and "HashAggregate" not in plan
+
+
+def test_fuzzy_decontaminate_matches_independent_minhash(spark, sf_dir):
+    """r7 fuzzy decon: an INDEPENDENT plain-Python minhash (hashlib md5,
+    loop-built shingles — no shared helpers) over every train/eval doc
+    pair reproduces the flagged pairs and their match counts exactly."""
+    import hashlib
+
+    from changegen_spark.queries.mlprep import (
+        DECON_N,
+        FUZZY_K,
+        FUZZY_MIN_MATCHES,
+        q_fuzzy_decontaminate,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def mh(toks):
+        grams = {
+            " ".join(toks[i : i + DECON_N])
+            for i in range(len(toks) - DECON_N + 1)
+        }
+        if not grams:
+            return None
+        return [
+            min(
+                int(hashlib.md5(f"{k}:{g}".encode()).hexdigest()[:15], 16)
+                for g in grams
+            )
+            for k in range(FUZZY_K)
+        ]
+
+    sigs = {d: mh(t) for d, t in docs.items()}
+    want = {}
+    for td, ts in sigs.items():
+        if td % 19 == 3 or ts is None:
+            continue
+        for ed, es in sigs.items():
+            if ed % 19 != 3 or es is None:
+                continue
+            m = sum(a == b for a, b in zip(ts, es))
+            if m >= FUZZY_MIN_MATCHES:
+                want[(td, ed)] = m
+
+    got = {
+        (r.train_doc_id, r.eval_doc_id): r.matches
+        for r in q_fuzzy_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the planted cross-boundary near-dups are the reason this is non-empty
+    assert got, "fixture should contain cross-split near-dup leakage"
+
+
+def test_fuzzy_decontaminate_plan_broadcasts_eval_side(spark, sf_dir):
+    """The candidate join must be an equi-join on (k, mh) with the eval
+    side broadcast — never a doc x doc comparison."""
+    from changegen_spark.queries.mlprep import q_fuzzy_decontaminate
+
+    plan = (
+        q_fuzzy_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
