@@ -165,5 +165,100 @@ SELECT vec_id, cluster, d2 AS dist2_e12 FROM fin WHERE rk = 1 ORDER BY vec_id"""
     return sql
 
 
-QUERIES = {"q_kmeans": q_kmeans}
-ORACLES = {"q_kmeans": _kmeans_sql()}
+# --- greedy k-center coreset (r7) --------------------------------------------
+#
+# Data-pruning pipelines select a small DIVERSE subset (a coreset) to
+# represent the corpus — the classic 2-approximation is Gonzalez's greedy
+# k-center: start from a fixed seed, repeatedly add the point FARTHEST
+# from the selected set.  The max-min distance at each pick is the
+# coverage radius — the quantity a pruning run budgets against.  Fully
+# deterministic here: exact integer squared distances on the e6-quantized
+# vectors, ties to the smaller vec_id, fixed unroll depth — the same
+# contract that lets k-means/MMR carry full SQL oracles.
+#
+# 100 TB shape: each round is one broadcast of the ≤KC_K selected vectors
+# against the corpus (map-only distance + min), one hash aggregate, one
+# top-1 TakeOrdered — nothing quadratic, no corpus-side state between
+# rounds beyond the persisted scan.
+
+KC_K = 6
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, vec_id, radius_d2): the KC_K greedy k-center picks in order;
+    ``radius_d2`` is the exact integer max-min squared distance at the
+    moment of selection (0 for the seed), non-increasing by construction."""
+    v = _vecs_e6(spark, sf_dir).localCheckpoint(eager=True)
+    sel = (
+        v.orderBy("vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "v",
+            F.lit(1).cast("long").alias("rank"),
+            F.lit(0).cast("long").alias("radius_d2"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for t in range(2, KC_K + 1):
+        mind = (
+            v.crossJoin(F.broadcast(sel.select(F.col("v").alias("c"))))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind"))
+        )
+        pick = (
+            mind.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+        )
+        pick = pick.join(v, "vec_id").select(
+            "vec_id",
+            "v",
+            F.lit(t).cast("long").alias("rank"),
+            F.col("mind").alias("radius_d2"),
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("rank", "vec_id", "radius_d2").orderBy("rank")
+
+
+def _kcenter_sql() -> str:
+    vq = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(a.v, s.v),"
+        " z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+    )
+    sql = f"""WITH v AS (SELECT vec_id, {vq} AS v FROM embeddings),
+s1 AS (SELECT vec_id, v, CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS radius_d2
+       FROM v ORDER BY vec_id LIMIT 1)"""
+    prev = "s1"
+    for t in range(2, KC_K + 1):
+        sql += f""",
+c{t} AS (SELECT a.vec_id, min({dist}) AS mind
+         FROM v a CROSS JOIN {prev} s
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM {prev})
+         GROUP BY a.vec_id),
+p{t} AS (SELECT vec_id, CAST(mind AS BIGINT) AS mind
+         FROM c{t} ORDER BY mind DESC, vec_id LIMIT 1),
+s{t} AS (SELECT * FROM {prev}
+         UNION ALL
+         SELECT v.vec_id, v.v, CAST({t} AS BIGINT), p.mind
+         FROM p{t} p JOIN v ON v.vec_id = p.vec_id)"""
+        prev = f"s{t}"
+    sql += f"""
+SELECT rank, vec_id, radius_d2 FROM {prev} ORDER BY rank"""
+    return sql
+
+
+QUERIES = {"q_kmeans": q_kmeans, "q_kcenter_coreset": q_kcenter_coreset}
+ORACLES = {
+    "q_kmeans": _kmeans_sql(),
+    "q_kcenter_coreset": _kcenter_sql(),
+}

@@ -270,6 +270,7 @@ KINDS = {
     "q_feistel_shuffle": {"doc_id": "num", "epoch": "num", "pos": "num"},
     "q_shuffle_shards": {"epoch": "num", "shard": "num", "n_docs": "num"},
     "q_fuzzy_decontaminate": {"train_doc_id": "num", "eval_doc_id": "num", "matches": "num", "est_jaccard_e6": "num"},
+    "q_kcenter_coreset": {"rank": "num", "vec_id": "num", "radius_d2": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)

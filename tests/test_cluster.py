@@ -107,3 +107,43 @@ def test_k_anonymity_decisions(spark, tmp_path):
     c = got[(3, "SEG_C")]
     assert (c.n, c.suppressed, c.n_released) == (K_ANON, 0, K_ANON)
     assert c.bal_band == 0  # -50000 cents div 100000 truncates to 0
+
+
+def test_kcenter_matches_independent_greedy(spark, sf_dir):
+    """r7 coreset: a from-scratch O(n*k) Python Gonzalez greedy (list
+    arithmetic, no shared helpers) reproduces picks AND radii exactly;
+    the radius sequence is non-increasing by construction."""
+    from changegen_spark.queries.cluster import KC_K, q_kcenter_coreset
+    from changegen_spark.sources.tables import load_table
+
+    vecs = {
+        r.vec_id: [round(float(x) * 1e6) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    seed = min(vecs)
+    sel = [(1, seed, 0)]
+    chosen = {seed}
+    mind = {i: d2(v, vecs[seed]) for i, v in vecs.items()}
+    for t in range(2, KC_K + 1):
+        best = max(
+            (m, -i) for i, m in mind.items() if i not in chosen
+        )
+        pick = -best[1]
+        sel.append((t, pick, best[0]))
+        chosen.add(pick)
+        for i, v in vecs.items():
+            m = d2(v, vecs[pick])
+            if m < mind[i]:
+                mind[i] = m
+
+    got = [
+        (r.rank, r.vec_id, r.radius_d2)
+        for r in q_kcenter_coreset(spark, sf_dir).collect()
+    ]
+    assert got == sel
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
