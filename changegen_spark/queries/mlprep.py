@@ -748,6 +748,108 @@ FROM pos ORDER BY doc_id
 """
 
 
+# --- padding-waste audit (r7) -------------------------------------------------
+#
+# Padded (non-packed) fine-tuning batches waste FLOPs on pad tokens; the
+# standard mitigation is length-bucketed batching.  This audit quantifies
+# the win on the actual corpus: batches of PAD_B docs padded to their own
+# max length, under (a) arrival order (batch = doc_id div B) and
+# (b) length-bucketed order (length bucket, then (n_tokens, doc_id) rank
+# within the bucket).  waste_e6 = padded-but-unused slot fraction.
+#
+# Scale: (a) is map-side arithmetic; (b) ranks within LENGTH BUCKETS —
+# bounded, ~uniform groups (the bucket count grows with max doc length,
+# not corpus size; a skew-heavy corpus would swap in the ccnet
+# range-partition rank stitch, queries/curation.py).
+
+PAD_B = 8  # docs per batch
+PAD_BUCKET = 16  # length-bucket width in tokens
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rows (policy, n_batches, slots, used_tokens, waste_e6):
+    dynamic-padding waste under arrival-order vs length-bucketed
+    batching — the measured case for bucketed batching on this corpus."""
+    from changegen_spark.functions.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    arrival = d.withColumn(
+        "bkey", F.floor(F.col("doc_id") / PAD_B).cast("long")
+    )
+    wb = Window.partitionBy("lb").orderBy("n_tokens", "doc_id")
+    bucketed = (
+        d.withColumn("lb", F.floor(F.col("n_tokens") / PAD_BUCKET))
+        .withColumn(
+            "bkey",
+            F.col("lb") * 1_000_000_000
+            + F.floor((F.row_number().over(wb) - 1) / PAD_B).cast("long"),
+        )
+    )
+
+    def audit(frame: DataFrame, policy: str) -> DataFrame:
+        batches = frame.groupBy("bkey").agg(
+            F.count("*").alias("n"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("used"),
+        )
+        return batches.agg(
+            F.lit(policy).alias("policy"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum(F.col("n") * F.col("mx")).cast("long").alias("slots"),
+            F.sum("used").cast("long").alias("used_tokens"),
+        ).select(
+            "policy",
+            "n_batches",
+            "slots",
+            "used_tokens",
+            F.round((F.col("slots") - F.col("used_tokens")) * 1e6 / F.col("slots"))
+            .cast("long")
+            .alias("waste_e6"),
+        )
+
+    return (
+        audit(arrival, "arrival")
+        .unionByName(audit(bucketed.select("doc_id", "n_tokens", "bkey"), "bucketed"))
+        .orderBy("policy")
+    )
+
+
+Q_PADDING_WASTE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+), arrival AS (
+  SELECT doc_id, n_tokens, CAST(doc_id // {PAD_B} AS BIGINT) AS bkey FROM toks
+), ranked AS (
+  SELECT doc_id, n_tokens, n_tokens // {PAD_BUCKET} AS lb,
+         row_number() OVER (PARTITION BY n_tokens // {PAD_BUCKET}
+                            ORDER BY n_tokens, doc_id) AS rn
+  FROM toks
+), bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(lb * 1000000000 + (rn - 1) // {PAD_B} AS BIGINT) AS bkey
+  FROM ranked
+), audits AS (
+  SELECT 'arrival' AS policy, bkey, count(*) AS n, max(n_tokens) AS mx,
+         sum(n_tokens) AS used
+  FROM arrival GROUP BY bkey
+  UNION ALL
+  SELECT 'bucketed', bkey, count(*), max(n_tokens), sum(n_tokens)
+  FROM bucketed GROUP BY bkey
+)
+SELECT policy, CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n * mx) AS BIGINT) AS slots,
+       CAST(sum(used) AS BIGINT) AS used_tokens,
+       CAST(round((sum(n * mx) - sum(used)) * 1e6 / sum(n * mx)) AS BIGINT) AS waste_e6
+FROM audits GROUP BY policy ORDER BY policy
+"""
+
+
 # --- end-to-end corpus pipeline ----------------------------------------------
 
 
@@ -1324,6 +1426,7 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_decontaminate": q_decontaminate,
     "q_fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "q_padding_waste": q_padding_waste,
     "q_weighted_sample": q_weighted_sample,
     "q_external_decontaminate": q_external_decontaminate,
     "q_corpus_pipeline": q_corpus_pipeline,
@@ -1342,6 +1445,7 @@ ORACLES = {
     "q_dsir_weights": Q_DSIR_WEIGHTS_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_fuzzy_decontaminate": Q_FUZZY_DECONTAMINATE_SQL,
+    "q_padding_waste": Q_PADDING_WASTE_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_external_decontaminate": Q_EXTERNAL_DECONTAMINATE_SQL,
     "q_corpus_pipeline": Q_CORPUS_PIPELINE_SQL,

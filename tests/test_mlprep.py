@@ -401,3 +401,51 @@ def test_fuzzy_decontaminate_plan_broadcasts_eval_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_padding_waste_matches_independent_batching(spark, sf_dir):
+    """r7 padding audit: a sequential Python batcher reproduces both
+    policies exactly, and length-bucketed batching strictly reduces the
+    padded-slot waste on this corpus (the metric's reason to exist)."""
+    from changegen_spark.queries.mlprep import (
+        PAD_B,
+        PAD_BUCKET,
+        q_padding_waste,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    lens = {
+        r.doc_id: (len(r.text.strip().split()) if r.text.strip() else 0)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def audit(batches):
+        slots = sum(len(b) * max(b) for b in batches if b)
+        used = sum(sum(b) for b in batches)
+        return (
+            len([b for b in batches if b]),
+            slots,
+            used,
+            round((slots - used) * 1e6 / slots),
+        )
+
+    arrival = {}
+    for d, n in lens.items():
+        arrival.setdefault(d // PAD_B, []).append(n)
+    by_bucket = {}
+    for d, n in sorted(lens.items(), key=lambda kv: (kv[1], kv[0])):
+        by_bucket.setdefault(n // PAD_BUCKET, []).append(n)
+    bucketed = []
+    for _, ns in by_bucket.items():
+        bucketed += [ns[i : i + PAD_B] for i in range(0, len(ns), PAD_B)]
+
+    want = {
+        "arrival": audit(list(arrival.values())),
+        "bucketed": audit(bucketed),
+    }
+    got = {
+        r.policy: (r.n_batches, r.slots, r.used_tokens, r.waste_e6)
+        for r in q_padding_waste(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got["bucketed"][3] < got["arrival"][3]
