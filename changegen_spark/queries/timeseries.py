@@ -451,6 +451,93 @@ ORDER BY 1, 2
 """
 
 
+# --- classical additive seasonal decomposition (r7) ---------------------------
+#
+# count(hour) = trend + seasonal(hour-of-day) + residual — the moving-
+# average decomposition every ops/metrics pipeline runs before alerting
+# (a raw z-score fires every midnight; a residual z-score doesn't).
+# Exactness: trend is a centered (2·SEAS_HALF+1)-hour mean computed as
+# round(sum·1e6 / width) from integer sums; the seasonal component is the
+# per-hour-of-day mean of the integer detrended series.  Every division
+# runs on bit-identical integer inputs in both engines.
+#
+# 100 TB shape: ONE groupBy(hour) over the events (map-side combine); all
+# windows run over the aggregated hourly frame, whose size is the time
+# span (~10^5 rows for a decade of hours), not the event count.
+
+SEAS_HALF = 12  # centered window: ±12 hours → width 25
+SEAS_PERIOD = 24  # hour-of-day seasonality
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour, hod, c, trend_e6, seasonal_e6, residual_e6) for every hour
+    with a FULL centered window (edges are dropped, not padded)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(_hour().alias("hour")).agg(
+        F.count("*").alias("c")
+    )
+    width = 2 * SEAS_HALF + 1
+    w = Window.orderBy("hour").rowsBetween(-SEAS_HALF, SEAS_HALF)
+    trended = (
+        hourly.withColumn("n_win", F.count("*").over(w))
+        .withColumn(
+            "trend_e6",
+            F.round(F.sum("c").over(w) * 1e6 / width).cast("long"),
+        )
+        .filter(F.col("n_win") == width)
+        .withColumn(
+            "detrended_e6", F.col("c") * 1_000_000 - F.col("trend_e6")
+        )
+        .withColumn("hod", F.pmod(F.col("hour"), F.lit(SEAS_PERIOD)).cast("long"))
+    )
+    seas = trended.groupBy("hod").agg(
+        F.round(F.sum("detrended_e6") * 1.0 / F.count("*"))
+        .cast("long")
+        .alias("seasonal_e6")
+    )
+    return (
+        trended.join(F.broadcast(seas), "hod")
+        .select(
+            "hour",
+            "hod",
+            F.col("c").cast("long").alias("c"),
+            "trend_e6",
+            "seasonal_e6",
+            (F.col("detrended_e6") - F.col("seasonal_e6"))
+            .cast("long")
+            .alias("residual_e6"),
+        )
+        .orderBy("hour")
+    )
+
+
+Q_SEASONAL_DECOMPOSE_SQL = f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+         count(*) AS c
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT hour, c,
+         count(*) OVER w AS n_win,
+         CAST(round(sum(c) OVER w * 1e6 / {2 * SEAS_HALF + 1}) AS BIGINT) AS trend_e6
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN {SEAS_HALF} PRECEDING AND {SEAS_HALF} FOLLOWING)
+), full_win AS (
+  SELECT hour, c, trend_e6, c * 1000000 - trend_e6 AS detrended_e6,
+         CAST(hour % {SEAS_PERIOD} AS BIGINT) AS hod
+  FROM trended WHERE n_win = {2 * SEAS_HALF + 1}
+), seas AS (
+  SELECT hod,
+         CAST(round(CAST(sum(detrended_e6) AS BIGINT) * 1.0 / count(*)) AS BIGINT) AS seasonal_e6
+  FROM full_win GROUP BY hod
+)
+SELECT f.hour, f.hod, CAST(f.c AS BIGINT) AS c, f.trend_e6, s.seasonal_e6,
+       CAST(f.detrended_e6 - s.seasonal_e6 AS BIGINT) AS residual_e6
+FROM full_win f JOIN seas s ON f.hod = s.hod
+ORDER BY f.hour
+"""
+
+
 QUERIES = {
     "q_resample": q_resample,
     "q_asof_forward": q_asof_forward,
@@ -458,6 +545,7 @@ QUERIES = {
     "q_moving_avg": q_moving_avg,
     "q_markov_transitions": q_markov_transitions,
     "q_time_range_window": q_time_range_window,
+    "q_seasonal_decompose": q_seasonal_decompose,
 }
 
 ORACLES = {
@@ -467,4 +555,5 @@ ORACLES = {
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_markov_transitions": Q_MARKOV_SQL,
     "q_time_range_window": Q_TIME_RANGE_WINDOW_SQL,
+    "q_seasonal_decompose": Q_SEASONAL_DECOMPOSE_SQL,
 }

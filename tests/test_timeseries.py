@@ -93,3 +93,47 @@ def test_markov_orders_by_ts_then_event_id(spark):
     # P(next | prev="a") splits the two exact counts
     assert got[("a", "b")]["p"] == 0.5
     assert got[("b", "b")]["p"] == 1.0
+
+
+def test_seasonal_decompose_matches_independent_impl(spark, sf_dir):
+    """r7 decomposition: a sequential Python reimplementation (dict of
+    hourly counts, explicit centered-window loop) reproduces trend,
+    seasonal, and residual exactly, and the components reconcile:
+    c*1e6 == trend + seasonal + residual for every row."""
+    from collections import Counter
+
+    from changegen_spark.queries.timeseries import (
+        SEAS_HALF,
+        SEAS_PERIOD,
+        q_seasonal_decompose,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    hours = Counter(int(r.ts.timestamp() // 3600) for r in ev)
+    hs = sorted(hours)
+    width = 2 * SEAS_HALF + 1
+    rows = {}
+    for i, h in enumerate(hs):
+        lo, hi = i - SEAS_HALF, i + SEAS_HALF
+        if lo < 0 or hi >= len(hs):
+            continue
+        win = hs[lo : hi + 1]
+        # full-window means CONSECUTIVE rows of the hourly frame (the
+        # window is row-based, matching the engine)
+        trend = round(sum(hours[x] for x in win) * 1e6 / width)
+        rows[h] = [hours[h], trend, hours[h] * 1_000_000 - trend]
+    seas_acc = {}
+    for h, (_, _, det) in rows.items():
+        seas_acc.setdefault(h % SEAS_PERIOD, []).append(det)
+    seas = {k: round(sum(v) * 1.0 / len(v)) for k, v in seas_acc.items()}
+
+    got = q_seasonal_decompose(spark, sf_dir).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        c, trend, det = rows[r.hour]
+        assert r.c == c
+        assert r.trend_e6 == trend
+        assert r.seasonal_e6 == seas[r.hour % SEAS_PERIOD]
+        assert r.residual_e6 == det - seas[r.hour % SEAS_PERIOD]
+        assert r.c * 1_000_000 == r.trend_e6 + r.seasonal_e6 + r.residual_e6
