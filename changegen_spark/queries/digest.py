@@ -273,6 +273,7 @@ KINDS = {
     "q_kcenter_coreset": {"rank": "num", "vec_id": "num", "radius_d2": "num"},
     "q_padding_waste": {"policy": "str", "n_batches": "num", "slots": "num", "used_tokens": "num", "waste_e6": "num"},
     "q_seasonal_decompose": {"hour": "num", "hod": "num", "c": "num", "trend_e6": "num", "seasonal_e6": "num", "residual_e6": "num"},
+    "q_url_blocklist": {"host": "str", "n_urls": "num", "matched_rule": "str", "blocked": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)

@@ -379,12 +379,65 @@ ORDER BY n_urls DESC, param_key
 """
 
 
+# --- domain blocklist filtering (r7) -------------------------------------------
+#
+# Crawl pipelines drop entire domains (spam/adult/malware lists) BEFORE
+# any content processing; the standard rule is registrable-suffix match:
+# a host is blocked if it equals a rule or ends with "." + rule, first
+# matching rule wins.  Pure expression work (one CASE chain per host —
+# LIKE has identical semantics in Spark SQL and DuckDB, and the rules
+# contain no wildcards), evaluated once per DISTINCT host after the
+# per-host aggregate, so at crawl scale the CASE runs on the KB-sized
+# host inventory, not per URL.
+
+BLOCKLIST = ("acme.com", "example.co.uk", "beta.net", "spam.example")
+
+
+def _block_rule_sql(host: str) -> str:
+    whens = " ".join(
+        f"WHEN {host} = '{r}' OR {host} LIKE '%.{r}' THEN '{r}'"
+        for r in BLOCKLIST
+    )
+    return f"(CASE {whens} ELSE '' END)"
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host blocklist verdicts: (host, n_urls, matched_rule, blocked)
+    — matched_rule is '' for allowed hosts; subdomains of a blocked
+    registrable domain are blocked with it (suffix rule)."""
+    c = _crawl(spark)
+    host = _parts_sql("url", duck=False)["host"]
+    g = c.groupBy(F.expr(host).alias("host")).agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    rule = F.expr(_block_rule_sql("host"))
+    return g.select(
+        "host",
+        "n_urls",
+        rule.alias("matched_rule"),
+        (rule != "").cast("long").alias("blocked"),
+    ).orderBy("host")
+
+
+Q_URL_BLOCKLIST_SQL = f"""
+WITH hs AS (
+  SELECT {_parts_sql("url", duck=True)["host"]} AS host, count(*) AS n_urls
+  FROM '{WEB_PATH}' GROUP BY 1
+)
+SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+       {_block_rule_sql("host")} AS matched_rule,
+       CAST({_block_rule_sql("host")} <> '' AS BIGINT) AS blocked
+FROM hs ORDER BY host
+"""
+
+
 QUERIES = {
     "q_url_canonical": q_url_canonical,
     "q_host_stats": q_host_stats,
     "q_url_dedup": q_url_dedup,
     "q_url_dedup_eval": q_url_dedup_eval,
     "q_url_params": q_url_params,
+    "q_url_blocklist": q_url_blocklist,
 }
 
 ORACLES = {
@@ -393,4 +446,5 @@ ORACLES = {
     "q_url_dedup": Q_URL_DEDUP_SQL,
     "q_url_dedup_eval": Q_URL_DEDUP_EVAL_SQL,
     "q_url_params": _q_url_params_sql(),
+    "q_url_blocklist": Q_URL_BLOCKLIST_SQL,
 }

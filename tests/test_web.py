@@ -174,3 +174,31 @@ def test_scaleup_web_builder_variants_all_canonicalize_to_base(spark):
     )
     assert dedup.filter("n_urls <> 2 OR n_docs <> 1").count() == 0
     assert dedup.count() == 1_000
+
+
+def test_url_blocklist_suffix_semantics(spark, sf_dir):
+    """r7 blocklist: exact-or-dot-suffix match, first rule wins; an
+    independent Python matcher over the fixture host inventory is the
+    expectation, plus planted pins (subdomain blocked with its domain,
+    'zeta.com' NOT caught by 'beta.net' — suffix needs the dot)."""
+    from changegen_spark.queries.web import BLOCKLIST, q_url_blocklist
+
+    rows = q_url_blocklist(spark, sf_dir).collect()
+    assert rows
+
+    def expect(host):
+        for r in BLOCKLIST:
+            if host == r or host.endswith("." + r):
+                return r
+        return ""
+
+    for r in rows:
+        want = expect(r.host)
+        assert r.matched_rule == want, r.host
+        assert r.blocked == (1 if want else 0)
+    by_host = {r.host: r for r in rows}
+    assert by_host["www.blog.acme.com"].matched_rule == "acme.com"
+    assert by_host["cdn.beta.net"].blocked == 1
+    assert by_host["zeta.com"].blocked == 0  # no accidental substring match
+    assert by_host["www.zeta.com"].blocked == 0
+    assert all(r.matched_rule != "spam.example" for r in rows)  # dead rule
