@@ -33,6 +33,7 @@ from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import quantize as _quantize
 from changegen_spark.queries import rerank as _rerank
+from changegen_spark.queries import relatedness as _relatedness
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
 from changegen_spark.queries import search as _search
@@ -105,6 +106,7 @@ MODULES = (
     _jsonops,  # semi-structured JSON ingestion: drift-safe extract/VARIANT (r6)
     _corpstats,  # Zipf slope + Heaps curve corpus laws (r7)
     _ordering,  # Feistel epoch shuffling: sort-free reproducible orders (r7)
+    _relatedness,  # DF-pruned TF-IDF doc-doc similarity (r7)
     _relational,
     _tpch_extra,
     _tpch_full,

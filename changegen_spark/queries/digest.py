@@ -274,6 +274,8 @@ KINDS = {
     "q_padding_waste": {"policy": "str", "n_batches": "num", "slots": "num", "used_tokens": "num", "waste_e6": "num"},
     "q_seasonal_decompose": {"hour": "num", "hod": "num", "c": "num", "trend_e6": "num", "seasonal_e6": "num", "residual_e6": "num"},
     "q_url_blocklist": {"host": "str", "n_urls": "num", "matched_rule": "str", "blocked": "num"},
+    "q_related_docs": {"doc_id": "num", "rank": "num", "rel_doc_id": "num", "cos_e6": "num"},
+    "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},
     # r6: join-key skew diagnostics (out-of-window from birth)

@@ -1,0 +1,222 @@
+"""Sparse document-to-document similarity via a DF-pruned inverted index
+(r7 new family) — the "related documents" / near-neighbor-by-content
+operator that search and recommendation pipelines run corpus-wide.
+
+Unlike the MinHash/SimHash family (binary near-DUP detection) this ranks
+GRADED similarity: TF-IDF-weighted cosine between shingle profiles, top
+``REL_TOPK`` neighbors per document.  The scale problem is the candidate
+join: pairing documents through shared terms costs Σ_t df(t)² pairs, and
+a corpus-frequent term alone makes that quadratic.  The standard fix is
+DF pruning — terms with df > n/20 carry ~no IDF weight anyway, so they
+are dropped from the INDEX (not from the norms) before the self-join,
+capping the candidate volume at Σ_{kept} df² with df ≤ n/20.  The same
+dial ER blocking audits with Σ block² (queries/er.py).
+
+Determinism contract: tf and df are exact integers; idf is e3-quantized
+BEFORE weighting (w = tf·idf_e3, BIGINT), so dots and norms are exact
+integer sums; the one closing division + sqrt runs on bit-identical
+integers in both engines.  Terms are word trigrams (the corpus
+vocabulary is small, so unigram df ≈ n and everything would prune).
+
+100 TB shape: one (doc, term, tf) aggregate, a KB-per-term df frame, an
+equi-join on term whose volume is the AUDITED Σ df², one (a, b) hash
+aggregate, and a per-doc top-k window over candidate neighbors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from changegen_spark.sources.tables import load_table
+
+REL_N = 3  # word n-gram terms
+REL_TOPK = 3
+REL_DF_DIV = 20  # keep terms with df <= n_docs / REL_DF_DIV (and df >= 2)
+REL_MIN_COS_E6 = 10_000  # drop noise pairs below cosine 0.01
+
+
+def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from changegen_spark.queries.mlprep import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select(
+            "doc_id", F.explode(word_ngrams(toks, REL_N)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank, rel_doc_id, cos_e6): top-{REL_TOPK} most similar
+    documents per document by DF-pruned TF-IDF cosine over word
+    trigrams; ties break on the smaller neighbor id."""
+    tfs = _term_freqs(spark, sf_dir)
+    n_docs = tfs.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    df = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    kept = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.floor(F.col("n_docs") / REL_DF_DIV))
+        )
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1e3)
+            .cast("long")
+            .alias("idf_e3"),
+        )
+    )
+    w = tfs.join(kept, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_e3")).alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("da"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("db"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("db") != F.col("da"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("dot")
+                * 1e6
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= REL_MIN_COS_E6)
+    )
+    wnd = Window.partitionBy("da").orderBy(F.desc("cos_e6"), "db")
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rank") <= REL_TOPK)
+        .select(
+            F.col("da").alias("doc_id"),
+            "rank",
+            F.col("db").alias("rel_doc_id"),
+            "cos_e6",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q_RELATED_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {REL_N - 1} AS INT)], ' ') AS term
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {REL_N - 1})) AS i
+        FROM toks WHERE len(t) >= {REL_N})
+), tfs AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM grams GROUP BY doc_id, term
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfs),
+kept AS (
+  SELECT term,
+         CAST(round(ln(n_docs / (1.0 * df)) * 1e3) AS BIGINT) AS idf_e3
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY term)
+  CROSS JOIN nd
+  WHERE df >= 2 AND df <= n_docs // {REL_DF_DIV}
+), w AS (
+  SELECT doc_id, tfs.term, CAST(tf * idf_e3 AS BIGINT) AS w
+  FROM tfs JOIN kept ON tfs.term = kept.term
+), norms AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT da, db,
+         CAST(round(dot * 1e6 / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cos_e6
+  FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+), ranked AS (
+  SELECT da, db, cos_e6,
+         row_number() OVER (PARTITION BY da ORDER BY cos_e6 DESC, db) AS rank
+  FROM scored WHERE cos_e6 >= {REL_MIN_COS_E6}
+)
+SELECT da AS doc_id, CAST(rank AS BIGINT) AS rank, db AS rel_doc_id, cos_e6
+FROM ranked WHERE rank <= {REL_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+def q_df_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the candidate-volume audit the similarity join is sized
+    by — Σ df² over KEPT terms vs over ALL terms (the pruning win), plus
+    term counts.  The same role q_er_blocks plays for ER blocking."""
+    tfs = _term_freqs(spark, sf_dir)
+    n_docs = tfs.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    df = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    flagged = df.crossJoin(F.broadcast(n_docs)).select(
+        "df",
+        (
+            (F.col("df") >= 2)
+            & (F.col("df") <= F.floor(F.col("n_docs") / REL_DF_DIV))
+        ).alias("kept"),
+    )
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.col("df") * F.col("df")).cast("long").alias("sum_df2_all"),
+        F.sum(
+            F.when(F.col("kept"), F.col("df") * F.col("df")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_df2_kept"),
+    )
+
+
+Q_DF_PRUNE_AUDIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + {REL_N - 1} AS INT)], ' ') AS term
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {REL_N - 1})) AS i
+        FROM toks WHERE len(t) >= {REL_N})
+), tfs AS (
+  SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY doc_id, term
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfs),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         (count(*) >= 2 AND count(*) <= (SELECT n_docs FROM nd) // {REL_DF_DIV}) AS kept
+  FROM tfs GROUP BY term
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       CAST(sum(df * df) AS BIGINT) AS sum_df2_all,
+       CAST(sum(CASE WHEN kept THEN df * df ELSE 0 END) AS BIGINT) AS sum_df2_kept
+FROM dfs
+"""
+
+
+QUERIES = {
+    "q_related_docs": q_related_docs,
+    "q_df_prune_audit": q_df_prune_audit,
+}
+ORACLES = {
+    "q_related_docs": Q_RELATED_DOCS_SQL,
+    "q_df_prune_audit": Q_DF_PRUNE_AUDIT_SQL,
+}

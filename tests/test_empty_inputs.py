@@ -108,6 +108,12 @@ CASES = [
     ("q_feistel_shuffle", lambda n: n == 0),
     ("q_shuffle_shards", lambda n: n == 0),
     ("q_mmr_topk_lsh", lambda n: n == 0),
+    ("q_related_docs", lambda n: n == 0),
+    ("q_seasonal_decompose", lambda n: n == 0),
+    ("q_padding_waste", lambda n: n <= 2),
+    ("q_fuzzy_decontaminate", lambda n: n == 0),
+    ("q_kcenter_coreset", lambda n: n <= 1),
+    ("q_url_blocklist", lambda n: n >= 0),  # fixture-based, sf-independent
 ]
 
 
