@@ -105,10 +105,11 @@ BUDGETS = {
     "q_bpe_encode_stats": 2.0,
     "q_wordpiece_encode_stats": 1.8,
     "q_unigram_encode_stats": 5.0,
-    # r7: LSH-pooled MMR (measured warm min-of-3 at sf0.1 idle: 5.75 s —
-    # ~1.1M collided candidates exactly scored + 3 checkpointed greedy
-    # rounds; the exact pool scores 3.7M)
-    "q_mmr_topk_lsh": 7.5,
+    # r7: LSH-pooled MMR — ~1.1M collided candidates exactly scored + 3
+    # checkpointed greedy rounds (the exact pool scores 3.7M).  Measured
+    # 2.73 / 3.47 bench-context and 5.75 fresh-session; budgeted on the
+    # bench-context ceiling + headroom.
+    "q_mmr_topk_lsh": 5.0,
 }
 
 HEADLINE = [
@@ -214,13 +215,22 @@ def _calibration_s() -> float:
     benchmarks, a concurrent pytest) inflates it roughly in proportion to
     how much it inflates every query below, which makes cross-round BENCH
     deltas attributable (r4 verdict: 27 of 30 untouched queries drifted
-    +8-25% with no code change — unjudgeable without a canary)."""
-    t0 = time.perf_counter()
-    s = 0
-    for i in range(5_000_000):
-        s += i * i
-    assert s > 0
-    return round(time.perf_counter() - t0, 3)
+    +8-25% with no code change — unjudgeable without a canary).
+
+    min-of-3 (r7): single samples wobbled 0.29-0.41 s on a verified-idle
+    box — scheduler jitter on a 0.3 s probe is ±20%, which the ratio
+    normalization would inject straight into every query.  The minimum is
+    the undisturbed reading by construction."""
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        assert s > 0
+        return time.perf_counter() - t0
+
+    return round(min(one() for _ in range(3)), 3)
 
 
 def main() -> None:
