@@ -206,7 +206,8 @@ SF1_WARM_RUNS = 2
 # Idle-machine value of _calibration_s() on this box, measured across r4/r5
 # idle closes (~0.29-0.35 s; GAPS.md).  calib_ratio = measured/IDLE is the
 # ambient-load multiplier the whole run is subject to.
-IDLE_CALIB_S = 0.33
+IDLE_CALIB_S = 0.30  # r7: min-of-3 sampling reads ~0.29-0.31 idle (the
+# old 0.33 was a single-sample figure that included scheduler jitter)
 
 
 def _calibration_s() -> float:
