@@ -307,6 +307,29 @@ def main() -> None:
         for n in HEADLINE
         if n in BUDGETS and timings_norm[n] > BUDGETS[n]
     }
+    # r7 verdict #5: the committed artifact must adjudicate its own
+    # transients.  r7 shipped q03 at 1.774 s (over its 1.6 budget); the
+    # judge's idle re-measure read 1.121 s — a one-sample trip from
+    # intermittent background load.  So every over-budget entry is
+    # re-measured AFTER the sweep (fresh min-of-3 with its own
+    # calibration sample); both readings land in the artifact, and
+    # ``confirmed`` records whether the exceedance reproduced.
+    for n, entry in over_budget.items():
+        recal = max(1.0, round(_calibration_s() / IDLE_CALIB_S, 3))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            queries[n](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        renorm = round(best / recal, 3)
+        entry["recheck"] = {
+            "sec": round(best, 3),
+            "sec_norm": renorm,
+            "calib_ratio": recal,
+            "confirmed": renorm > BUDGETS[n],
+        }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -522,6 +545,98 @@ def main() -> None:
             web["n"]["1000000"]["wall_s"] / web["n"]["100000"]["wall_s"], 2
         )
 
+    # corpus ladder (r8, r7 verdict #2/#6): relatedness + fuzzy-decon
+    # candidate volumes at 5k and 50k documents on a purpose-built corpus
+    # (sources/scaleup.build_corpus_docs — NEW docs per rung, same
+    # boilerplate share and dup rate; build_scaled_dir replication would
+    # multiply every term's df by the copy count and measure the wrong
+    # regime).  Decisive columns: Σ df²_kept under the absolute
+    # REL_DF_CAP (must grow ~linearly) vs under the RETIRED fractional
+    # n/20 cap (the measured negative — it keeps the df≈256 phrase pool
+    # once n > 5120), and the fuzzy (k,mh) bucket-join candidates with vs
+    # without FUZZY_BUCKET_CAP (the boilerplate hot-bucket hazard).
+    corpus = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from pyspark.sql import functions as _F
+
+        from changegen_spark.queries.mlprep import (
+            fuzzy_decon_candidates,
+            q_fuzzy_decontaminate,
+        )
+        from changegen_spark.queries.relatedness import (
+            REL_DF_CAP,
+            _term_freqs,
+            q_related_docs,
+        )
+        from changegen_spark.sources.scaleup import build_corpus_docs
+
+        corpus_dir = os.environ.get(
+            "SPARK_GRAFT_CORPUS_DIR", "/tmp/changegen_spark_corpus"
+        )
+        corpus = {"n": {}}
+        for n_docs in (5_000, 50_000):
+            path = build_corpus_docs(spark, corpus_dir, n_docs)
+            st = {}
+            # absolute-cap audit + the fractional-cap counterfactual
+            tfs = _term_freqs(spark, path)
+            nd = tfs.select("doc_id").distinct().count()
+            dfr = tfs.groupBy("term").agg(_F.count("*").alias("df"))
+            row = dfr.agg(
+                _F.sum(
+                    _F.when(
+                        (_F.col("df") >= 2) & (_F.col("df") <= REL_DF_CAP),
+                        _F.col("df") * _F.col("df"),
+                    ).otherwise(0)
+                ).alias("kept_abs"),
+                _F.sum(
+                    _F.when(
+                        (_F.col("df") >= 2) & (_F.col("df") <= nd // 20),
+                        _F.col("df") * _F.col("df"),
+                    ).otherwise(0)
+                ).alias("kept_frac"),
+            ).collect()[0]
+            st["sum_df2_abs_cap"] = int(row.kept_abs or 0)
+            st["sum_df2_frac_n20"] = int(row.kept_frac or 0)
+            best = float("inf")
+            for i in range(1 + SF1_WARM_RUNS):
+                t0 = time.time()
+                q_related_docs(spark, path).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                if i > 0:
+                    best = min(best, time.time() - t0)
+            st["related_wall_s"] = round(best, 3)
+            st.update(fuzzy_decon_candidates(spark, path))
+            best = float("inf")
+            for i in range(1 + SF1_WARM_RUNS):
+                t0 = time.time()
+                q_fuzzy_decontaminate(spark, path).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                if i > 0:
+                    best = min(best, time.time() - t0)
+            st["fuzzy_wall_s"] = round(best, 3)
+            corpus["n"][str(n_docs)] = st
+        small, big = corpus["n"]["5000"], corpus["n"]["50000"]
+        corpus["growth_df2_abs_10x"] = round(
+            big["sum_df2_abs_cap"] / max(small["sum_df2_abs_cap"], 1), 2
+        )
+        corpus["growth_df2_frac_10x"] = round(
+            big["sum_df2_frac_n20"] / max(small["sum_df2_frac_n20"], 1), 2
+        )
+        corpus["growth_fuzzy_cand_10x"] = round(
+            big["cand_capped"] / max(small["cand_capped"], 1), 2
+        )
+        corpus["growth_fuzzy_cand_uncapped_10x"] = round(
+            big["cand_uncapped"] / max(small["cand_uncapped"], 1), 2
+        )
+        corpus["growth_related_wall_10x"] = round(
+            big["related_wall_s"] / small["related_wall_s"], 2
+        )
+        corpus["growth_fuzzy_wall_10x"] = round(
+            big["fuzzy_wall_s"] / small["fuzzy_wall_s"], 2
+        )
+
     # layout ladder (r6): the optimization no query plan shows — range-
     # clustered vs scattered parquet layout of the SAME sf0.1 lineitem
     # rows, a ~1/80-selectivity date predicate on both.  The decisive
@@ -624,6 +739,8 @@ def main() -> None:
         out["layout_ladder"] = layout
     if web is not None:
         out["web_ladder"] = web
+    if corpus is not None:
+        out["corpus_ladder"] = corpus
     # r6 verdict #6: the driver captures only a 2000-char stdout tail, so
     # the artifact must not depend on stdout — write the full JSON to a
     # file next to the repo root as well (committed per round).
@@ -635,6 +752,20 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout line still carries the result
     print(json.dumps(out))
+    # r7 verdict #8: the driver captures a bounded stdout TAIL and its
+    # parse of the full line has been null/truncated two rounds running.
+    # The LAST line is therefore a compact driver-contract summary
+    # (metric/value/unit/queries/sf + the artifact path) sized to survive
+    # a 2000-char tail; the full artifact lives in bench_out.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": out["sf"],
+        "artifact": "bench_out.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

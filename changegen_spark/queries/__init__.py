@@ -146,66 +146,82 @@ STANDING = (
     "q_pbf_extract_stats",
 )
 
-# r7 window rotation (r6 verdict #2): all 40 rotating slots are new vs
-# the r6 window.  Priorities, in order: (a) the two r7-new scale-path
-# queries get direct verification the round they land; (b) the
-# never-direct names the r6 judge called out explicitly (asof/cube/
-# grouping-sets/gini/bfs/dq-audit/assoc-rules + the graph and media
-# tails); (c) the rest of the never-direct r3–r4 tail, favoring families
-# the judge did NOT already hand-verify in r6 (the judge covered ER, DP,
-# web, JSON, OLS, MV, chunking, MMR, SQ8 personally — those stay
-# digest-green and queue behind these).  The displaced r6 set falls back
-# into the digest-covered set; queries/digest.KINDS carries their
-# schemas (tests/test_digest.py pins the map against live schemas), so
+# The round this rotation ships in.  The rotation pin
+# (tests/test_plans.py) asserts no ROTATED_IN name appears in any
+# CORRECTNESS artifact from a round STRICTLY BEFORE this one — the
+# driver's own artifact for the current round necessarily contains the
+# current window, so including it would make the pin self-breaking (the
+# r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
+# landed).  Bump this constant WITH every rotation.
+ROTATION_ROUND = 8
+
+# r8 window rotation (r7 verdict #3): all 40 rotating slots are names
+# that have never appeared in ANY driver window (rounds 1-7).
+# Priorities, in order: (a) the r7-new families, whose only direct
+# verification so far is the builder's/judge's local oracle-gate runs —
+# q_related_docs and q_df_prune_audit in particular must be
+# driver-verified WITH this round's absolute-df-cap rework (r7 verdict
+# #2); (b) the six families the r6 judge hand-verified but the driver
+# never has (ER, web/URL, JSON, MV, OLS/GBDT, DP, chunking); (c) tails
+# the r7 verdict named (q_lm_score, q_scd2_intervals, q_zorder_cells,
+# q_group_topk).  16 never-direct names remain for the r9 rotation
+# (BPE/text-normalization/CUPED/bloom/hrw/ivm/dup-spans/kn-bigram/
+# mmr-exact/sq8 tails).  The displaced r7 set falls back into the
+# digest-covered set; queries/digest.KINDS carries their schemas
+# (tests/test_digest.py pins the map against live schemas), so
 # transitive verification stays total.  Dict insertion order makes this
 # stable: rotated names are inserted right after the standing slots and
 # keep that position when the module sweep re-updates them.
 ROTATED_IN = (
-    # (a) new this round — the media MIH scale path and the LSH-fed MMR
-    "q_media_dup_pairs_mih",
-    "q_mmr_topk_lsh",
-    # (b) judge-named never-direct
-    "q_asof_forward",
-    "q_cube",
-    "q_grouping_sets",
-    "q_gini",
-    "q_bfs_hops",
-    "q_dq_audit",
-    "q_assoc_rules",
-    # (b) graph tails
-    "q_pagerank_weighted",
-    "q_triangle_counts",
-    "q_degree_hist",
-    # (b) media tails (audio/video/resize/mel/frames/motion)
-    "q_media_audio_fingerprint",
-    "q_media_video_signature",
-    "q_media_resize",
-    "q_media_audio_features",
-    "q_media_mel",
-    "q_media_frame_stats",
-    "q_media_motion",
-    # (c) never-direct r3–r4 tail
-    "q_markov_transitions",
-    "q_time_range_window",
-    "q_hybrid_search",
-    "q_phrase_search",
-    "q_setsim_diverse",
-    "q_typo_pairs",
-    "q_k_anonymity",
-    "q_winnow_fingerprints",
-    "q_cdc_chunks",
-    "q_suffix_ranks",
-    "q_longest_repeats",
-    "q_convex_hulls",
-    "q_simplify_trajectories",
-    "q_regex_tokens",
-    "q_profile",
-    "q_percentile_binned",
-    "q_mad_outliers",
-    "q_null_semantics",
-    "q_feature_hash",
-    "q_pmi_pairs",
-    "q_skipgram_pairs",
+    # (a) r7-new families — first driver-direct verification
+    "q_related_docs",
+    "q_df_prune_audit",
+    "q_fuzzy_decontaminate",
+    "q_padding_waste",
+    "q_seasonal_decompose",
+    "q_kcenter_coreset",
+    "q_zipf_fit",
+    "q_heaps_curve",
+    "q_feistel_shuffle",
+    "q_shuffle_shards",
+    # (b) entity resolution
+    "q_er_blocks",
+    "q_er_pairs",
+    "q_er_clusters",
+    "q_er_eval",
+    "q_er_pairs_multi",
+    "q_er_eval_multi",
+    # (b) web/URL
+    "q_url_canonical",
+    "q_host_stats",
+    "q_url_dedup",
+    "q_url_dedup_eval",
+    "q_url_params",
+    "q_url_blocklist",
+    # (b) JSON / semi-structured
+    "q_json_valid",
+    "q_json_extract",
+    "q_json_flatten",
+    "q_json_schema_profile",
+    # (b) materialized views
+    "q_mv_refresh",
+    "q_mv_delete_repair",
+    # (b) OLS / GBDT
+    "q_ols_fit",
+    "q_ols_quality",
+    "q_stump_split",
+    # (b) differential privacy
+    "q_dp_counts",
+    "q_dp_sum_clipped",
+    "q_rr_estimate",
+    # (b) chunking
+    "q_chunk_fixed",
+    "q_chunk_sentences",
+    # (c) judge-named tails
+    "q_lm_score",
+    "q_scd2_intervals",
+    "q_zorder_cells",
+    "q_group_topk",
 )
 
 

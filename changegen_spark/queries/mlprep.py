@@ -147,6 +147,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_K = 12
 FUZZY_MIN_MATCHES = 2  # ≥2 of 12 agreeing hashes ≈ est. Jaccard ≥ 0.17
+# Hot-bucket guard (r8): a (k, mh) bucket is the unit of candidate
+# generation, and a corpus-wide shared n-gram (boilerplate headers,
+# license blurbs) can become the slot-minimum for a CONSTANT FRACTION of
+# documents — bucket size Θ(n), candidate join Θ(n²/19).  Buckets that
+# hot carry no discrimination signal (they assert "shares the corpus
+# boilerplate"), so they are dropped from candidate generation when the
+# TRAIN side exceeds this cap — the same dial LSH dedup applies to hot
+# bands.  Measured: gate-sf max bucket is 4, so gate results are
+# byte-identical; the bench corpus ladder measures the capped vs
+# uncapped candidate volume on a boilerplate-heavy corpus.
+FUZZY_BUCKET_CAP = 128
 
 
 def fuzzy_minhash_sigs(grams: DataFrame) -> DataFrame:
@@ -190,6 +201,12 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = sigs.filter(~is_eval).select(
         F.col("doc_id").alias("train_doc_id"), "k", "mh"
     )
+    bucket = Window.partitionBy("k", "mh")
+    tr = (
+        tr.withColumn("bc", F.count("*").over(bucket))
+        .filter(F.col("bc") <= FUZZY_BUCKET_CAP)
+        .drop("bc")
+    )
     pairs = (
         tr.join(F.broadcast(ev), ["k", "mh"])
         .groupBy("train_doc_id", "eval_doc_id")
@@ -204,6 +221,44 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard_e6"
         ),
     ).orderBy("train_doc_id", "eval_doc_id")
+
+
+def fuzzy_decon_candidates(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate-volume audit for the fuzzy-decontamination join (bench
+    corpus ladder): the (k, mh) bucket join's row count WITH the
+    hot-bucket cap vs WITHOUT it, plus the max train bucket.  The
+    candidate count is Σ over buckets of train_ct × eval_ct — the
+    eval-side factor is bounded by the eval split (~n/19 docs × FUZZY_K
+    slots), so the train-side bucket cap is what keeps the product
+    linear on boilerplate-heavy corpora."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(distinct_ngrams_pandas(DECON_N)(F.col("text"))).alias("ng"),
+    ).distinct()
+    sigs = fuzzy_minhash_sigs(grams).localCheckpoint()
+    is_eval = F.col("doc_id") % 19 == 3
+    ev = sigs.filter(is_eval).groupBy("k", "mh").agg(
+        F.count("*").alias("ec")
+    )
+    tr = sigs.filter(~is_eval).groupBy("k", "mh").agg(
+        F.count("*").alias("tc")
+    )
+    joined = tr.join(ev, ["k", "mh"])
+    row = joined.agg(
+        F.sum(F.col("tc") * F.col("ec")).alias("cand_uncapped"),
+        F.sum(
+            F.when(
+                F.col("tc") <= FUZZY_BUCKET_CAP, F.col("tc") * F.col("ec")
+            ).otherwise(0)
+        ).alias("cand_capped"),
+        F.max("tc").alias("max_train_bucket"),
+    ).collect()[0]
+    return {
+        "cand_capped": int(row.cand_capped or 0),
+        "cand_uncapped": int(row.cand_uncapped or 0),
+        "max_train_bucket": int(row.max_train_bucket or 0),
+    }
 
 
 _GRAMS_SQL_BODY = f"""toks AS (
@@ -223,11 +278,14 @@ WITH {_GRAMS_SQL_BODY}, sigs AS (
          min(CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || ':' || ng), 1, 15)) AS BIGINT)) AS mh
   FROM grams CROSS JOIN (SELECT unnest(generate_series(0, {FUZZY_K - 1})) AS k)
   GROUP BY doc_id, k
+), tr AS (
+  SELECT doc_id, k, mh, count(*) OVER (PARTITION BY k, mh) AS bc
+  FROM sigs WHERE doc_id % 19 <> 3
 ), pairs AS (
   SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
          CAST(count(*) AS BIGINT) AS matches
-  FROM sigs t JOIN sigs e ON t.k = e.k AND t.mh = e.mh
-  WHERE t.doc_id % 19 <> 3 AND e.doc_id % 19 = 3
+  FROM tr t JOIN sigs e ON t.k = e.k AND t.mh = e.mh
+  WHERE t.bc <= {FUZZY_BUCKET_CAP} AND e.doc_id % 19 = 3
   GROUP BY 1, 2
   HAVING count(*) >= {FUZZY_MIN_MATCHES}
 )

@@ -6,10 +6,18 @@ Unlike the MinHash/SimHash family (binary near-DUP detection) this ranks
 GRADED similarity: TF-IDF-weighted cosine between shingle profiles, top
 ``REL_TOPK`` neighbors per document.  The scale problem is the candidate
 join: pairing documents through shared terms costs Σ_t df(t)² pairs, and
-a corpus-frequent term alone makes that quadratic.  The standard fix is
-DF pruning — terms with df > n/20 carry ~no IDF weight anyway, so they
-are dropped from the INDEX (not from the norms) before the self-join,
-capping the candidate volume at Σ_{kept} df² with df ≤ n/20.  The same
+a corpus-frequent term alone makes that quadratic.  The fix is DF
+pruning with an ABSOLUTE cap (r7 verdict #2): terms with df >
+``REL_DF_CAP`` are dropped from the INDEX before the self-join.  The r7
+version used a FRACTIONAL cap (df ≤ n/20), which leaves the candidate
+bound Θ(n²/400) — the same shape class the media family's 8-bit banding
+was retired for.  With the absolute cap the bound is linear in corpus
+size: Σ_{kept} df² ≤ REL_DF_CAP · Σ_{kept} df ≤ REL_DF_CAP · |postings|,
+i.e. 10× docs → ≤10× candidates, no matter the term distribution (the
+bench relatedness ladder measures exactly this).  Dropped terms are
+corpus-frequent, so they carry near-zero IDF weight anyway; planted
+near-dups pair through their RARE shared trigrams, which the cap keeps
+(pinned by tests/test_relatedness.py's planted-quality test).  The same
 dial ER blocking audits with Σ block² (queries/er.py).
 
 Determinism contract: tf and df are exact integers; idf is e3-quantized
@@ -32,7 +40,13 @@ from changegen_spark.sources.tables import load_table
 
 REL_N = 3  # word n-gram terms
 REL_TOPK = 3
-REL_DF_DIV = 20  # keep terms with df <= n_docs / REL_DF_DIV (and df >= 2)
+# Absolute index-inclusion cap: keep terms with 2 <= df <= REL_DF_CAP.
+# Candidate volume is then ≤ REL_DF_CAP · |postings| — linear in corpus
+# size (r7 verdict #2 replaced the fractional n/20 cap, whose worst case
+# was Θ(n²/400)).  64 binds well below the sf0.1 corpus' n/20 (~300), so
+# the ladder's 10× rung exercises the cap, while rare shared trigrams
+# (df of a planted near-dup pair ≈ 2) sit far under it.
+REL_DF_CAP = 64
 REL_MIN_COS_E6 = 10_000  # drop noise pairs below cosine 0.01
 
 
@@ -61,10 +75,7 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     kept = (
         df.crossJoin(F.broadcast(n_docs))
-        .filter(
-            (F.col("df") >= 2)
-            & (F.col("df") <= F.floor(F.col("n_docs") / REL_DF_DIV))
-        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= REL_DF_CAP))
         .select(
             "term",
             F.round(F.log(F.col("n_docs") / F.col("df")) * 1e3)
@@ -135,7 +146,7 @@ kept AS (
          CAST(round(ln(n_docs / (1.0 * df)) * 1e3) AS BIGINT) AS idf_e3
   FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY term)
   CROSS JOIN nd
-  WHERE df >= 2 AND df <= n_docs // {REL_DF_DIV}
+  WHERE df >= 2 AND df <= {REL_DF_CAP}
 ), w AS (
   SELECT doc_id, tfs.term, CAST(tf * idf_e3 AS BIGINT) AS w
   FROM tfs JOIN kept ON tfs.term = kept.term
@@ -162,19 +173,14 @@ ORDER BY doc_id, rank
 
 def q_df_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: the candidate-volume audit the similarity join is sized
-    by — Σ df² over KEPT terms vs over ALL terms (the pruning win), plus
-    term counts.  The same role q_er_blocks plays for ER blocking."""
+    by — Σ df² over KEPT terms (≤ REL_DF_CAP · |postings| by
+    construction) vs over ALL terms (the pruning win), plus term counts.
+    The same role q_er_blocks plays for ER blocking."""
     tfs = _term_freqs(spark, sf_dir)
-    n_docs = tfs.select("doc_id").distinct().agg(
-        F.count("*").cast("long").alias("n_docs")
-    )
     df = tfs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    flagged = df.crossJoin(F.broadcast(n_docs)).select(
+    flagged = df.select(
         "df",
-        (
-            (F.col("df") >= 2)
-            & (F.col("df") <= F.floor(F.col("n_docs") / REL_DF_DIV))
-        ).alias("kept"),
+        ((F.col("df") >= 2) & (F.col("df") <= REL_DF_CAP)).alias("kept"),
     )
     return flagged.agg(
         F.count("*").cast("long").alias("n_terms"),
@@ -198,10 +204,9 @@ WITH toks AS (
         FROM toks WHERE len(t) >= {REL_N})
 ), tfs AS (
   SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY doc_id, term
-), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tfs),
-dfs AS (
+), dfs AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df,
-         (count(*) >= 2 AND count(*) <= (SELECT n_docs FROM nd) // {REL_DF_DIV}) AS kept
+         (count(*) >= 2 AND count(*) <= {REL_DF_CAP}) AS kept
   FROM tfs GROUP BY term
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,

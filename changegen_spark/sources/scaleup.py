@@ -384,3 +384,72 @@ def build_web_urls(spark, out: str, n_urls: int, parts: int = 32) -> str:
         .parquet(path)
     )
     return path
+
+
+# --- document-corpus scale fixture (r8: relatedness + fuzzy-decon ladders) ---
+#
+# build_scaled_dir replication is the WRONG axis for term-statistics
+# queries: copying every document 10× multiplies every term's df by the
+# copy count, so Σ df² audits measure a 90%-duplicate regime rather than
+# data growth.  This builder makes 10× docs mean NEW documents with new
+# vocabulary at the SAME boilerplate share, phrase-pool frequency profile,
+# and planted-dup rate — the "10× more data at the same dup rate" contract
+# the media/ER fixtures already follow.
+
+CORPUS_DUP_OFFSET = 100_000_000
+CORPUS_BOILER = (
+    "terms of service apply to all content on this site"  # 9 words
+)
+
+
+def build_corpus_docs(
+    spark, out: str, n_docs: int, dup_every: int = 10, parts: int = 32
+) -> str:
+    """Materialize a documents.parquet of ``n_docs`` base docs (+ twins).
+
+    Per-doc composition (word counts chosen so trigram/5-gram families
+    land in distinct df regimes):
+
+    * a 9-word boilerplate head shared by ALL docs — its trigrams have
+      df = n (over every index cap) and its 5-grams' minhashes are the
+      hot-bucket hazard ``FUZZY_BUCKET_CAP`` exists for;
+    * a 4-word phrase from a pool of n/16 → trigram df ≈ 16: kept by the
+      absolute REL_DF_CAP at every scale (the candidate signal);
+    * a 4-word phrase from a pool of n/256 → trigram df ≈ 256: pruned by
+      REL_DF_CAP=64, but the retired fractional n/20 cap KEEPS these
+      once n > 5120 — the ladder's measured negative;
+    * a 12-word unique body (df = 1, under the df ≥ 2 floor).
+
+    Every ``dup_every``-th doc gets a near-duplicate twin (doc_id +
+    CORPUS_DUP_OFFSET) sharing its phrases and body plus a 2-word tail.
+    Distributed, expression-only, idempotent per (n_docs)."""
+    import os
+
+    path = os.path.join(out, f"corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "documents.parquet")):
+        return path
+    pool_mid = max(1, n_docs // 16)
+    pool_hi = max(1, n_docs // 256)
+    text = f"""
+      concat_ws(' ',
+        '{CORPUS_BOILER}',
+        concat('mida', pmod(id, {pool_mid})), concat('midb', pmod(id, {pool_mid})),
+        concat('midc', pmod(id, {pool_mid})), concat('midd', pmod(id, {pool_mid})),
+        concat('hia', pmod(id, {pool_hi})), concat('hib', pmod(id, {pool_hi})),
+        concat('hic', pmod(id, {pool_hi})), concat('hid', pmod(id, {pool_hi})),
+        concat_ws(' ', transform(sequence(1, 12), j -> concat('w', id, 'x', j))))
+    """
+    base = spark.range(n_docs, numPartitions=parts).selectExpr(
+        "id AS doc_id", f"{text} AS text"
+    )
+    twins = (
+        spark.range(0, n_docs, dup_every, numPartitions=parts)
+        .selectExpr(
+            f"id + {CORPUS_DUP_OFFSET} AS doc_id",
+            f"concat({text}, ' trailing extra') AS text",
+        )
+    )
+    base.unionByName(twins).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    return path

@@ -31,6 +31,28 @@ def test_q05_joins_broadcast_dimensions(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q03_filters_orders_before_lineitem_join(spark, sf_dir):
+    """The broadcast BUILDING-customer join must execute BELOW the
+    lineitem⋈orders join (r7 verdict #4): the big shuffle probe then
+    carries only the ~1/5 of orders in the segment.  In the printed plan
+    tree, deeper operators appear later — so the o_custkey join line must
+    come after the l_orderkey join line."""
+    from changegen_spark.queries.relational import q03_top_orders
+
+    plan = _plan(q03_top_orders(spark, sf_dir))
+    lines = plan.splitlines()
+    orderkey_join = next(
+        i for i, l in enumerate(lines) if "Join" in l and "o_orderkey" in l
+    )
+    custkey_join = next(
+        i for i, l in enumerate(lines) if "Join" in l and "c_custkey" in l
+    )
+    assert custkey_join > orderkey_join, (
+        "customer filter join must sit below the lineitem join"
+    )
+    assert "BroadcastHashJoin" in lines[custkey_join]
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     from changegen_spark.queries.relational import q_semi_join
 
@@ -128,34 +150,82 @@ def test_correctness_window_all_oracle_backed():
     assert len(names) >= 50
     missing = [n for n in names[:50] if n not in oracles]
     assert missing == []
-    # r7 window contract: the STANDING set (changegen parity core) never
-    # rotates out, the two r7-new scale-path queries are directly
-    # verified the round they land, and every rotating slot is new vs
-    # the r6 window (≥25 required; we rotate all 40).  Displaced families
-    # stay transitively green via the digest shards.
-    from changegen_spark.queries import ROTATED_IN, STANDING
+    # r8 window contract: the STANDING set (changegen parity core) never
+    # rotates out, the r7-new relatedness pair is directly verified WITH
+    # this round's absolute-df-cap rework, and every rotating slot is
+    # new vs the r7 window (≥25 required; we rotate all 40).  Displaced
+    # families stay transitively green via the digest shards.
+    from changegen_spark.queries import ROTATED_IN, ROTATION_ROUND, STANDING
 
     window = set(names[:50])
     for must in list(STANDING) + [
-        "q_media_dup_pairs_mih",
-        "q_mmr_topk_lsh",
+        "q_related_docs",
+        "q_df_prune_audit",
     ]:
         assert must in window, must
-    # the rotation itself: ≥25 entries new to the window vs the r6 gate,
-    # and no rotated name was in any PRIOR window (never-direct priority)
+    # the rotation itself: ≥25 entries new to the window vs the r7 gate,
+    # and no rotated name was in any PRIOR-round window (never-direct
+    # priority).  "Prior" means rounds strictly before ROTATION_ROUND:
+    # the driver's artifact for the CURRENT round contains the current
+    # window by definition, so globbing it would make this pin
+    # self-breaking the moment each round's artifact lands (the r7
+    # postmortem — the suite was red at judging time).
     import glob
     import json
     import os
 
     here = os.path.dirname(__file__)
-    r6_path = os.path.join(here, "..", "CORRECTNESS_r06.json")
-    r6 = set(json.load(open(r6_path)))
-    assert len(window - r6) >= 25, sorted(window - r6)
-    prior = set()
-    for p in glob.glob(os.path.join(here, "..", "CORRECTNESS_r0*.json")):
-        prior |= set(json.load(open(p)))
-    stale = [n for n in ROTATED_IN if n in prior]
+    r7_path = os.path.join(here, "..", "CORRECTNESS_r07.json")
+    r7 = set(json.load(open(r7_path)))
+    assert len(window - r7) >= 25, sorted(window - r7)
+    artifacts = glob.glob(os.path.join(here, "..", "CORRECTNESS_r*.json"))
+    stale = _rotation_pin_violations(artifacts, ROTATION_ROUND, ROTATED_IN)
     assert stale == [], stale
+
+
+def _artifact_round(path) -> int:
+    """Round number encoded in a CORRECTNESS_r{NN}.json filename."""
+    import os
+    import re
+
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _rotation_pin_violations(artifact_paths, rotation_round, rotated_in):
+    """Names from ``rotated_in`` that already appeared in a driver window
+    from a round STRICTLY BEFORE ``rotation_round``.  Artifacts from the
+    current round (or later) are excluded: they contain the live window
+    by definition and must not fail the pin that shipped it."""
+    import json
+
+    prior = set()
+    for p in artifact_paths:
+        if 0 <= _artifact_round(p) < rotation_round:
+            prior |= set(json.load(open(p)))
+    return [n for n in rotated_in if n in prior]
+
+
+def test_rotation_pin_survives_current_round_artifact(tmp_path):
+    """Meta-test for the r7 postmortem: when the driver drops THIS
+    round's CORRECTNESS artifact (which contains the live window), the
+    rotation pin must stay green — and a genuinely stale rotation (name
+    present in a prior round's artifact) must still be caught."""
+    import json
+
+    from changegen_spark.queries import ROTATED_IN, ROTATION_ROUND
+
+    cur = tmp_path / f"CORRECTNESS_r{ROTATION_ROUND:02d}.json"
+    cur.write_text(json.dumps({n: {"ok": True} for n in ROTATED_IN}))
+    assert (
+        _rotation_pin_violations([str(cur)], ROTATION_ROUND, ROTATED_IN) == []
+    ), "pin must ignore the current round's own artifact"
+
+    prev = tmp_path / f"CORRECTNESS_r{ROTATION_ROUND - 1:02d}.json"
+    prev.write_text(json.dumps({ROTATED_IN[0]: {"ok": True}}))
+    assert _rotation_pin_violations(
+        [str(cur), str(prev)], ROTATION_ROUND, ROTATED_IN
+    ) == [ROTATED_IN[0]], "a genuinely stale rotation must still fail"
 
 
 def test_lm_score_joins_aggregated_frame(spark, sf_dir):
