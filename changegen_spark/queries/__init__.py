@@ -33,6 +33,7 @@ from changegen_spark.queries import quality as _quality
 from changegen_spark.queries import refparity as _refparity
 from changegen_spark.queries import quantize as _quantize
 from changegen_spark.queries import rerank as _rerank
+from changegen_spark.queries import prefs as _prefs
 from changegen_spark.queries import relatedness as _relatedness
 from changegen_spark.queries import relational as _relational
 from changegen_spark.queries import scale as _scale
@@ -107,6 +108,7 @@ MODULES = (
     _corpstats,  # Zipf slope + Heaps curve corpus laws (r7)
     _ordering,  # Feistel epoch shuffling: sort-free reproducible orders (r7)
     _relatedness,  # DF-pruned TF-IDF doc-doc similarity (r7)
+    _prefs,  # pairwise-preference aggregation: win matrix + Bradley-Terry (r8)
     _relational,
     _tpch_extra,
     _tpch_full,
@@ -163,16 +165,19 @@ ROTATION_ROUND = 8
 # driver-verified WITH this round's absolute-df-cap rework (r7 verdict
 # #2); (b) the six families the r6 judge hand-verified but the driver
 # never has (ER, web/URL, JSON, MV, OLS/GBDT, DP, chunking); (c) tails
-# the r7 verdict named (q_lm_score, q_scd2_intervals, q_zorder_cells,
-# q_group_topk).  16 never-direct names remain for the r9 rotation
+# the r7 verdict named (q_lm_score, q_scd2_intervals), plus the r8-new
+# preference pair.  18 never-direct names remain for the r9 rotation
 # (BPE/text-normalization/CUPED/bloom/hrw/ivm/dup-spans/kn-bigram/
-# mmr-exact/sq8 tails).  The displaced r7 set falls back into the
+# mmr-exact/sq8/zorder/group-topk tails).  The displaced r7 set falls back into the
 # digest-covered set; queries/digest.KINDS carries their schemas
 # (tests/test_digest.py pins the map against live schemas), so
 # transitive verification stays total.  Dict insertion order makes this
 # stable: rotated names are inserted right after the standing slots and
 # keep that position when the module sweep re-updates them.
 ROTATED_IN = (
+    # (a) r8-new family — direct verification the round it lands
+    "q_win_matrix",
+    "q_bt_scores",
     # (a) r7-new families — first driver-direct verification
     "q_related_docs",
     "q_df_prune_audit",
@@ -220,8 +225,6 @@ ROTATED_IN = (
     # (c) judge-named tails
     "q_lm_score",
     "q_scd2_intervals",
-    "q_zorder_cells",
-    "q_group_topk",
 )
 
 

@@ -275,6 +275,8 @@ KINDS = {
     "q_seasonal_decompose": {"hour": "num", "hod": "num", "c": "num", "trend_e6": "num", "seasonal_e6": "num", "residual_e6": "num"},
     "q_url_blocklist": {"host": "str", "n_urls": "num", "matched_rule": "str", "blocked": "num"},
     "q_related_docs": {"doc_id": "num", "rank": "num", "rel_doc_id": "num", "cos_e6": "num"},
+    "q_win_matrix": {"item_a": "num", "item_b": "num", "n_games": "num", "wins_a": "num", "winrate_e6": "num"},
+    "q_bt_scores": {"item": "num", "n_games": "num", "n_wins": "num", "bt_e6": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},

@@ -1,0 +1,229 @@
+"""Pairwise-preference aggregation (r8 new family) — the RLHF-style
+preference-data operators a training pipeline runs over human or model
+judgments: the win matrix between items and Bradley-Terry strength
+scores fitted by the standard minorization-maximization recurrence.
+
+The comparison log is derived deterministically from the events table
+(each event is one judgment between two of ``N_ITEMS`` items, winner
+drawn by the 60-bit hash against the planted strengths s_i = i + 1), so
+the fixture has a KNOWN ground-truth ordering the fit must recover —
+tests/test_prefs.py pins monotonicity; the oracle pins every integer.
+
+Determinism contract (the pagerank precedent, queries/graph.py): all
+iteration arithmetic is integer — e6-scaled weights, e12-scaled
+numerators, floor division, an explicit integer sum-gauge normalization
+per iteration — so ``BT_ITERS`` unrolled CTEs in DuckDB reproduce the
+Spark result bit-for-bit.  Bounds: n_ij·e12 ≤ ~1e16 and W_i·e12 ≤ ~1e16,
+both far inside int64.
+
+100 TB shape: the comparison log aggregates ONCE into (i, j, n) and
+(i, wins) — e.g. 12 items → ≤132 + 12 rows — and every MM iteration is
+joins over that aggregate (broadcast-sized for any realistic item
+count); the raw log is never re-read.  For million-item regimes
+(per-prompt rankings) the same recurrence shards by connected component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.queries.sketches import _H60_SQL, h60
+from changegen_spark.sources.tables import load_table
+
+N_ITEMS = 12
+BT_ITERS = 3
+E6 = 1_000_000
+E12 = E6 * E6
+
+
+def _comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ia, ib, a_wins) — one deterministic judgment per event with
+    distinct items.  h60 is non-negative, so ``%`` and ``pmod`` agree."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
+    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
+    d = ev.select(
+        ia.alias("ia"), ib.alias("ib"), F.col("event_id")
+    ).filter(F.col("ia") != F.col("ib"))
+    tot = F.col("ia") + F.col("ib") + 2  # s_a + s_b with s_i = i + 1
+    a_wins = F.pmod(
+        h60(F.concat(eid, F.lit(":pw"))), tot
+    ) < F.col("ia") + 1
+    return d.select("ia", "ib", a_wins.alias("a_wins"))
+
+
+_COMPS_SQL = f"""
+  SELECT ia, ib,
+         ({_H60_SQL.format(x="event_id || ':pw'")} % (ia + ib + 2)) < ia + 1
+           AS a_wins
+  FROM (
+    SELECT {_H60_SQL.format(x="event_id || ':pa'")} % {N_ITEMS} AS ia,
+           {_H60_SQL.format(x="event_id || ':pb'")} % {N_ITEMS} AS ib,
+           event_id
+    FROM events) t
+  WHERE ia <> ib
+"""
+
+
+def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_a, item_b, n_games, wins_a, winrate_e6) for item_a <
+    item_b: the canonical pairwise win matrix.  Two map-side-combinable
+    aggregations over the judgment log — no join, no skew."""
+    c = _comps(spark, sf_dir)
+    lo_wins = F.when(
+        F.col("ia") < F.col("ib"), F.col("a_wins")
+    ).otherwise(~F.col("a_wins"))
+    return (
+        c.select(
+            F.least("ia", "ib").alias("item_a"),
+            F.greatest("ia", "ib").alias("item_b"),
+            lo_wins.cast("long").alias("w"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n_games"),
+            F.sum("w").cast("long").alias("wins_a"),
+        )
+        .withColumn(
+            "winrate_e6",
+            F.expr(f"wins_a * cast({E6} as bigint) div n_games"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+Q_WIN_MATRIX_SQL = f"""
+WITH comps AS ({_COMPS_SQL})
+SELECT least(ia, ib) AS item_a, greatest(ia, ib) AS item_b,
+       CAST(count(*) AS BIGINT) AS n_games,
+       CAST(sum(CASE WHEN (ia < ib) = a_wins THEN 1 ELSE 0 END) AS BIGINT)
+         AS wins_a,
+       CAST(sum(CASE WHEN (ia < ib) = a_wins THEN 1 ELSE 0 END)
+            * {E6} // count(*) AS BIGINT) AS winrate_e6
+FROM comps GROUP BY 1, 2 ORDER BY item_a, item_b
+"""
+
+
+def _games_and_wins(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """games: symmetric (i, j, n) comparison counts; wins: (i, w)."""
+    directed = c.select(F.col("ia").alias("i"), F.col("ib").alias("j")).unionAll(
+        c.select(F.col("ib").alias("i"), F.col("ia").alias("j"))
+    )
+    games = directed.groupBy("i", "j").agg(F.count("*").cast("long").alias("n"))
+    wins = (
+        c.select(
+            F.when(F.col("a_wins"), F.col("ia")).otherwise(F.col("ib")).alias("i")
+        )
+        .groupBy("i")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return games, wins
+
+
+def q_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item, n_games, n_wins, bt_e6): Bradley-Terry strengths after
+    BT_ITERS integer-exact MM iterations —
+    w_i ← (W_i · e12) div Σ_j (n_ij · e12 div (w_i + w_j)),
+    then sum-gauge renormalized to N_ITEMS · e6 per iteration."""
+    c = _comps(spark, sf_dir)
+    games, wins = _games_and_wins(c)
+    games = games.localCheckpoint(eager=False)
+    wins = wins.localCheckpoint(eager=False)
+    w = games.select("i").distinct().select(
+        F.col("i").alias("item"), F.lit(E6).cast("long").alias("bt")
+    )
+    for _ in range(BT_ITERS):
+        wi = w.select(F.col("item").alias("i"), F.col("bt").alias("bt_i"))
+        wj = w.select(F.col("item").alias("j"), F.col("bt").alias("bt_j"))
+        raw = (
+            games.join(F.broadcast(wi), "i")
+            .join(F.broadcast(wj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr(f"n * cast({E12} as bigint) div (bt_i + bt_j)")
+                ).alias("den")
+            )
+            .join(F.broadcast(wins), "i", "left")
+            .select(
+                F.col("i").alias("item"),
+                F.expr(f"coalesce(w, 0) * cast({E12} as bigint) div den").alias(
+                    "raw"
+                ),
+            )
+        )
+        tot = raw.agg(F.sum("raw").alias("t"))
+        w = raw.crossJoin(F.broadcast(tot)).select(
+            "item",
+            F.expr(f"raw * cast({N_ITEMS * E6} as bigint) div t")
+            .cast("long")
+            .alias("bt"),
+        )
+    totals = games.groupBy("i").agg(F.sum("n").alias("n_games"))
+    return (
+        w.join(totals.withColumnRenamed("i", "item"), "item")
+        .join(F.broadcast(wins.withColumnRenamed("i", "item")), "item", "left")
+        .select(
+            "item",
+            F.col("n_games").cast("long"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("n_wins"),
+            F.col("bt").alias("bt_e6"),
+        )
+        .orderBy("item")
+    )
+
+
+def _bt_it_sql(prev: str) -> str:
+    return f"""
+  SELECT r.item, r.raw * {N_ITEMS * E6} // (SELECT sum(raw) FROM raw_{prev}) AS bt
+  FROM raw_{prev} r"""
+
+
+def _bt_raw_sql(prev: str, out: str) -> str:
+    return f"""raw_{out} AS (
+  SELECT g.i AS item,
+         COALESCE(max(wn.w), 0) * {E12}
+           // sum(g.n * {E12} // (wi.bt + wj.bt)) AS raw
+  FROM games g
+  JOIN {prev} wi ON wi.item = g.i
+  JOIN {prev} wj ON wj.item = g.j
+  LEFT JOIN wins wn ON wn.i = g.i
+  GROUP BY g.i
+), {out} AS ({_bt_it_sql(out)}
+)"""
+
+
+Q_BT_SCORES_SQL = f"""
+WITH comps AS ({_COMPS_SQL}),
+directed AS (
+  SELECT ia AS i, ib AS j FROM comps
+  UNION ALL SELECT ib, ia FROM comps
+), games AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM directed GROUP BY i, j
+), wins AS (
+  SELECT CASE WHEN a_wins THEN ia ELSE ib END AS i,
+         CAST(count(*) AS BIGINT) AS w
+  FROM comps GROUP BY 1
+), w0 AS (
+  SELECT DISTINCT i AS item, CAST({E6} AS BIGINT) AS bt FROM games
+), {_bt_raw_sql('w0', 'w1')}, {_bt_raw_sql('w1', 'w2')}, {_bt_raw_sql('w2', 'w3')}
+SELECT t.item, CAST(t.n_games AS BIGINT) AS n_games,
+       CAST(COALESCE(wn.w, 0) AS BIGINT) AS n_wins,
+       CAST(w3.bt AS BIGINT) AS bt_e6
+FROM (SELECT i AS item, sum(n) AS n_games FROM games GROUP BY i) t
+JOIN w3 ON w3.item = t.item
+LEFT JOIN wins wn ON wn.i = t.item
+ORDER BY t.item
+"""
+
+
+QUERIES = {
+    "q_win_matrix": q_win_matrix,
+    "q_bt_scores": q_bt_scores,
+}
+ORACLES = {
+    "q_win_matrix": Q_WIN_MATRIX_SQL,
+    "q_bt_scores": Q_BT_SCORES_SQL,
+}

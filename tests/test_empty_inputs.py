@@ -114,6 +114,8 @@ CASES = [
     ("q_fuzzy_decontaminate", lambda n: n == 0),
     ("q_kcenter_coreset", lambda n: n <= 1),
     ("q_url_blocklist", lambda n: n >= 0),  # fixture-based, sf-independent
+    ("q_win_matrix", lambda n: n == 0),
+    ("q_bt_scores", lambda n: n == 0),
 ]
 
 
