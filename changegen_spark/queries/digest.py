@@ -277,6 +277,7 @@ KINDS = {
     "q_related_docs": {"doc_id": "num", "rank": "num", "rel_doc_id": "num", "cos_e6": "num"},
     "q_win_matrix": {"item_a": "num", "item_b": "num", "n_games": "num", "wins_a": "num", "winrate_e6": "num"},
     "q_bt_scores": {"item": "num", "n_games": "num", "n_wins": "num", "bt_e6": "num"},
+    "q_rater_agreement": {"rater_a": "num", "rater_b": "num", "n": "num", "agree": "num", "kappa_e6": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},

@@ -219,11 +219,140 @@ ORDER BY t.item
 """
 
 
+# --- inter-rater agreement (labeling QC) -------------------------------------
+
+N_RATERS = 3
+FLIP_PCT = (5, 15, 30)  # rater r flips the true judgment this % of the time
+
+
+def _rater_label(eid, a_wins, r: int):
+    """Rater ``r``'s label: the true ``a_wins`` flipped with probability
+    FLIP_PCT[r]% — hash-deterministic, so both engines agree."""
+    flip = (
+        F.pmod(h60(F.concat(eid, F.lit(f":r{r}"))), F.lit(100))
+        < FLIP_PCT[r]
+    )
+    return F.when(flip, ~a_wins).otherwise(a_wins)
+
+
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rater_a, rater_b, n, agree, kappa_e6): pairwise Cohen's kappa
+    between the synthetic raters — the label-quality gate an annotation
+    pipeline runs before trusting preference data.
+
+    Kappa is computed as one INTEGER fraction — with A = agreements,
+    Pa/Pb = per-rater positive counts, Na/Nb = negatives:
+    kappa = (N·A − (Pa·Pb + Na·Nb)) / (N² − (Pa·Pb + Na·Nb)),
+    so the e6 result is floor-division-exact on both engines.  One
+    map-side pass over per-event label columns; no join, no explode."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
+    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
+    truth = F.pmod(h60(F.concat(eid, F.lit(":pw"))), ia + ib + 2) < ia + 1
+    labeled = ev.filter(ia != ib).select(
+        *[
+            _rater_label(eid, truth, r).cast("long").alias(f"l{r}")
+            for r in range(N_RATERS)
+        ]
+    )
+    sums = labeled.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"l{r}").alias(f"p{r}") for r in range(N_RATERS)],
+        *[
+            F.sum(
+                (F.col(f"l{a}") == F.col(f"l{b}")).cast("long")
+            ).alias(f"agree_{a}_{b}")
+            for a in range(N_RATERS)
+            for b in range(a + 1, N_RATERS)
+        ],
+    )
+    from functools import reduce
+
+    parts = []
+    for a in range(N_RATERS):
+        for b in range(a + 1, N_RATERS):
+            chance = f"(p{a} * p{b} + (n - p{a}) * (n - p{b}))"
+            parts.append(
+                sums.select(
+                    F.lit(a).cast("long").alias("rater_a"),
+                    F.lit(b).cast("long").alias("rater_b"),
+                    F.col("n").cast("long"),
+                    F.col(f"agree_{a}_{b}").cast("long").alias("agree"),
+                    F.expr(
+                        f"(n * agree_{a}_{b} - {chance}) * cast({E6} as bigint)"
+                        f" div (n * n - {chance})"
+                    )
+                    .cast("long")
+                    .alias("kappa_e6"),
+                )
+            )
+    return reduce(lambda x, y: x.unionAll(y), parts).orderBy(
+        "rater_a", "rater_b"
+    )
+
+
+def _kappa_sql() -> str:
+    flips = []
+    for r in range(N_RATERS):
+        t = f"({_H60_SQL.format(x=f'''event_id || ':r{r}' ''')} % 100) < {FLIP_PCT[r]}"
+        flips.append(
+            f"CASE WHEN {t} THEN 1 - CAST(truth AS INT) ELSE CAST(truth AS INT) END AS l{r}"
+        )
+    pair_rows = []
+    for a in range(N_RATERS):
+        for b in range(a + 1, N_RATERS):
+            pair_rows.append(
+                f"""SELECT {a} AS rater_a, {b} AS rater_b, n,
+                agree_{a}_{b} AS agree,
+                CAST((n * agree_{a}_{b} - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
+                  * {E6}
+                  // (n * n - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
+                  AS BIGINT) AS kappa_e6
+                FROM sums"""
+            )
+    agg = ", ".join(
+        [f"CAST(sum(l{r}) AS BIGINT) AS p{r}" for r in range(N_RATERS)]
+        + [
+            f"CAST(sum(CASE WHEN l{a} = l{b} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS agree_{a}_{b}"
+            for a in range(N_RATERS)
+            for b in range(a + 1, N_RATERS)
+        ]
+    )
+    un = " UNION ALL ".join(pair_rows)
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         {_H60_SQL.format(x="event_id || ':pa'")} % {N_ITEMS} AS ia,
+         {_H60_SQL.format(x="event_id || ':pb'")} % {N_ITEMS} AS ib
+  FROM events
+), truths AS (
+  SELECT event_id,
+         ({_H60_SQL.format(x="event_id || ':pw'")} % (ia + ib + 2)) < ia + 1
+           AS truth
+  FROM base WHERE ia <> ib
+), labels AS (
+  SELECT {', '.join(flips)} FROM truths
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {agg} FROM labels
+)
+SELECT CAST(rater_a AS BIGINT) AS rater_a, CAST(rater_b AS BIGINT) AS rater_b,
+       n, agree, kappa_e6
+FROM ({un}) ORDER BY rater_a, rater_b
+"""
+
+
+Q_RATER_AGREEMENT_SQL = _kappa_sql()
+
+
 QUERIES = {
     "q_win_matrix": q_win_matrix,
     "q_bt_scores": q_bt_scores,
+    "q_rater_agreement": q_rater_agreement,
 }
 ORACLES = {
     "q_win_matrix": Q_WIN_MATRIX_SQL,
     "q_bt_scores": Q_BT_SCORES_SQL,
+    "q_rater_agreement": Q_RATER_AGREEMENT_SQL,
 }

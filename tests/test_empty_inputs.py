@@ -116,6 +116,7 @@ CASES = [
     ("q_url_blocklist", lambda n: n >= 0),  # fixture-based, sf-independent
     ("q_win_matrix", lambda n: n == 0),
     ("q_bt_scores", lambda n: n == 0),
+    ("q_rater_agreement", lambda n: n <= 3),  # pair rows survive, n=0
 ]
 
 

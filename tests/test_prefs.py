@@ -101,3 +101,53 @@ def test_bt_matches_independent_mm_and_recovers_order(spark, sf_dir):
     # need only land in the top tercile
     assert scores[0] == min(scores)
     assert scores.index(max(scores)) >= 2 * N_ITEMS // 3
+
+
+def test_rater_agreement_matches_independent_kappa(spark, sf_dir):
+    import os
+
+    from changegen_spark.queries.prefs import (
+        E6,
+        FLIP_PCT,
+        N_ITEMS,
+        N_RATERS,
+        q_rater_agreement,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    event_ids = [r.event_id for r in ev.select("event_id").collect()]
+    labels = []
+    for e in event_ids:
+        ia = _h60(f"{e}:pa") % N_ITEMS
+        ib = _h60(f"{e}:pb") % N_ITEMS
+        if ia == ib:
+            continue
+        truth = _h60(f"{e}:pw") % (ia + ib + 2) < ia + 1
+        labels.append(
+            [
+                (not truth) if _h60(f"{e}:r{r}") % 100 < FLIP_PCT[r] else truth
+                for r in range(N_RATERS)
+            ]
+        )
+    n = len(labels)
+    want = []
+    for a in range(N_RATERS):
+        for b in range(a + 1, N_RATERS):
+            agree = sum(1 for l in labels if l[a] == l[b])
+            pa = sum(l[a] for l in labels)
+            pb = sum(l[b] for l in labels)
+            chance = pa * pb + (n - pa) * (n - pb)
+            kappa = (n * agree - chance) * E6 // (n * n - chance)
+            want.append((a, b, n, agree, kappa))
+    got = [
+        (r.rater_a, r.rater_b, r.n, r.agree, r.kappa_e6)
+        for r in q_rater_agreement(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # reliability ordering: the most-flipping rater pair agrees least —
+    # kappa(0,1) > kappa(0,2) > kappa(1,2) would require flip(1)+flip(2)
+    # ordering; the guaranteed structure is that every kappa involving
+    # rater 2 (30% flips) is below kappa(0,1) (5%/15% flips)
+    k = {(a, b): v for a, b, _n, _g, v in got}
+    assert k[(0, 1)] > k[(0, 2)] and k[(0, 1)] > k[(1, 2)]
+    assert all(v > 0 for v in k.values())  # all raters beat chance
