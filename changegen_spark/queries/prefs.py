@@ -37,14 +37,16 @@ E6 = 1_000_000
 E12 = E6 * E6
 
 
-def _comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def comps_frame(events: DataFrame) -> DataFrame:
     """(ia, ib, a_wins) — one deterministic judgment per event with
-    distinct items.  h60 is non-negative, so ``%`` and ``pmod`` agree."""
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    distinct items.  h60 is non-negative, so ``%`` and ``pmod`` agree.
+    Pure expression work over any events frame — the streaming twin
+    (streaming/events.win_matrix_stream) applies it to an unbounded
+    source unchanged."""
     eid = F.col("event_id").cast("string")
     ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
     ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
-    d = ev.select(
+    d = events.select(
         ia.alias("ia"), ib.alias("ib"), F.col("event_id")
     ).filter(F.col("ia") != F.col("ib"))
     tot = F.col("ia") + F.col("ib") + 2  # s_a + s_b with s_i = i + 1
@@ -52,6 +54,10 @@ def _comps(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(F.concat(eid, F.lit(":pw"))), tot
     ) < F.col("ia") + 1
     return d.select("ia", "ib", a_wins.alias("a_wins"))
+
+
+def _comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return comps_frame(load_table(spark, sf_dir, "events").select("event_id"))
 
 
 _COMPS_SQL = f"""
@@ -67,16 +73,15 @@ _COMPS_SQL = f"""
 """
 
 
-def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(item_a, item_b, n_games, wins_a, winrate_e6) for item_a <
-    item_b: the canonical pairwise win matrix.  Two map-side-combinable
-    aggregations over the judgment log — no join, no skew."""
-    c = _comps(spark, sf_dir)
+def win_matrix_frame(comps: DataFrame) -> DataFrame:
+    """The win-matrix aggregation over a (ia, ib, a_wins) frame — counts
+    and sums only, so it is micro-batch merge-safe: the streaming twin
+    runs it in complete mode and must equal the batch result exactly."""
     lo_wins = F.when(
         F.col("ia") < F.col("ib"), F.col("a_wins")
     ).otherwise(~F.col("a_wins"))
     return (
-        c.select(
+        comps.select(
             F.least("ia", "ib").alias("item_a"),
             F.greatest("ia", "ib").alias("item_b"),
             lo_wins.cast("long").alias("w"),
@@ -90,7 +95,15 @@ def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winrate_e6",
             F.expr(f"wins_a * cast({E6} as bigint) div n_games"),
         )
-        .orderBy("item_a", "item_b")
+    )
+
+
+def q_win_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_a, item_b, n_games, wins_a, winrate_e6) for item_a <
+    item_b: the canonical pairwise win matrix.  Two map-side-combinable
+    aggregations over the judgment log — no join, no skew."""
+    return win_matrix_frame(_comps(spark, sf_dir)).orderBy(
+        "item_a", "item_b"
     )
 
 

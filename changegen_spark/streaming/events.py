@@ -543,3 +543,15 @@ def hll_registers_stream(
             "r",
         )
     )
+
+
+def win_matrix_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_win_matrix (queries/prefs.py): the pairwise
+    preference win matrix over an unbounded judgment stream.  Counts and
+    sums are the only state, so the complete-mode result is EXACTLY the
+    batch result however the micro-batches split — the parity test pins
+    it.  State is bounded by the item-pair lattice (≤ N_ITEMS²/2 rows),
+    not by stream length."""
+    from changegen_spark.queries.prefs import comps_frame, win_matrix_frame
+
+    return win_matrix_frame(comps_frame(events.select("event_id")))

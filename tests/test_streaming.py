@@ -391,3 +391,25 @@ def test_hll_stream_matches_batch(spark, sf_dir):
     rel_err = 3 * 1.04 / (HLL_M ** 0.5)  # 3 sigma ≈ 9.8%
     for g, n in exact.items():
         assert abs(est[g] - n) <= max(3.0, rel_err * n), (g, est[g], n)
+
+
+def test_win_matrix_stream_matches_batch(spark, sf_dir):
+    """The streaming preference win matrix equals the batch q_win_matrix
+    exactly: count/sum state is merge-safe, so micro-batch splits cannot
+    move a cell; state is the ≤N²/2 item-pair lattice, not the stream."""
+    from changegen_spark.queries.prefs import q_win_matrix
+    from changegen_spark.streaming.events import (
+        run_to_memory_sink,
+        stream_events,
+        win_matrix_stream,
+    )
+
+    got = run_to_memory_sink(
+        win_matrix_stream(stream_events(spark, sf_dir)),
+        "t_win_matrix",
+        mode="complete",
+    ).orderBy("item_a", "item_b")
+    expected = q_win_matrix(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in expected.collect()
+    ]
