@@ -110,6 +110,9 @@ BUDGETS = {
     # 2.73 / 3.47 bench-context and 5.75 fresh-session; budgeted on the
     # bench-context ceiling + headroom.
     "q_mmr_topk_lsh": 5.0,
+    # r8 (measured warm min-of-3 idle: 6.6 / 2.0 s)
+    "q_related_docs": 9.0,
+    "q_bt_scores": 3.0,
 }
 
 HEADLINE = [
@@ -176,6 +179,11 @@ HEADLINE = [
     # r7 (r6 verdict #3): MMR over the LSH-retrieved pool — the scale
     # path's measured row (the exact crossJoin pool stays a contract query)
     "q_mmr_topk_lsh",
+    # r8: one per new family — DF-capped TF-IDF relatedness (the corpus
+    # ladder measures its candidate scaling; this is its sf0.1 wall) and
+    # Bradley-Terry preference aggregation (one log pass + driver MM)
+    "q_related_docs",
+    "q_bt_scores",
 ]
 
 

@@ -16,10 +16,10 @@ per iteration — so ``BT_ITERS`` unrolled CTEs in DuckDB reproduce the
 Spark result bit-for-bit.  Bounds: n_ij·e12 ≤ ~1e16 and W_i·e12 ≤ ~1e16,
 both far inside int64.
 
-100 TB shape: the comparison log aggregates ONCE into (i, j, n) and
-(i, wins) — e.g. 12 items → ≤132 + 12 rows — and every MM iteration is
-joins over that aggregate (broadcast-sized for any realistic item
-count); the raw log is never re-read.  For million-item regimes
+100 TB shape: the comparison log aggregates ONCE, distributed, into
+≤ 2·C(N,2) cells — e.g. 12 items → ≤132 rows — and the MM recurrence
+runs on that KB-sized artifact driver-side (the k-means-centroid
+pattern); the raw log is never re-read.  For million-item regimes
 (per-prompt rankings) the same recurrence shards by connected component.
 """
 
@@ -119,73 +119,52 @@ FROM comps GROUP BY 1, 2 ORDER BY item_a, item_b
 """
 
 
-def _games_and_wins(c: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """games: symmetric (i, j, n) comparison counts; wins: (i, w)."""
-    directed = c.select(F.col("ia").alias("i"), F.col("ib").alias("j")).unionAll(
-        c.select(F.col("ib").alias("i"), F.col("ia").alias("j"))
-    )
-    games = directed.groupBy("i", "j").agg(F.count("*").cast("long").alias("n"))
-    wins = (
-        c.select(
-            F.when(F.col("a_wins"), F.col("ia")).otherwise(F.col("ib")).alias("i")
-        )
-        .groupBy("i")
-        .agg(F.count("*").cast("long").alias("w"))
-    )
-    return games, wins
-
-
 def q_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(item, n_games, n_wins, bt_e6): Bradley-Terry strengths after
     BT_ITERS integer-exact MM iterations —
     w_i ← (W_i · e12) div Σ_j (n_ij · e12 div (w_i + w_j)),
-    then sum-gauge renormalized to N_ITEMS · e6 per iteration."""
+    then sum-gauge renormalized to N_ITEMS · e6 per iteration.
+
+    Shape: the judgment log (the data-scale input) aggregates ONCE,
+    distributed, into (i, j, n) and (i, wins) — at most N² + N rows.
+    The MM recurrence then runs on that KB-sized artifact DRIVER-SIDE
+    (the k-means-centroid / k-center pattern: iterating tiny broadcast
+    joins through Catalyst costs ~1 s of plan overhead per round for
+    zero parallelism gain on a 132-row frame).  Integer math is
+    identical either way; the unrolled SQL oracle pins it."""
     c = _comps(spark, sf_dir)
-    games, wins = _games_and_wins(c)
-    games = games.localCheckpoint(eager=False)
-    wins = wins.localCheckpoint(eager=False)
-    w = games.select("i").distinct().select(
-        F.col("i").alias("item"), F.lit(E6).cast("long").alias("bt")
-    )
+    # ONE distributed pass: the log collapses to ≤ 2·C(N,2) cells of
+    # (ia, ib, a_wins) → count; everything else derives from those.
+    cells = c.groupBy("ia", "ib", "a_wins").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).collect()
+    n = {}
+    w_cnt = {}
+    totals = {}
+    for r in cells:
+        for i, j in ((r.ia, r.ib), (r.ib, r.ia)):
+            n[(i, j)] = n.get((i, j), 0) + int(r.cnt)
+            totals[i] = totals.get(i, 0) + int(r.cnt)
+        winner = r.ia if r.a_wins else r.ib
+        w_cnt[winner] = w_cnt.get(winner, 0) + int(r.cnt)
+    w_cnt = {i: w_cnt.get(i, 0) for i in totals}
+    items = sorted(totals)
+    bt = {i: E6 for i in items}
     for _ in range(BT_ITERS):
-        wi = w.select(F.col("item").alias("i"), F.col("bt").alias("bt_i"))
-        wj = w.select(F.col("item").alias("j"), F.col("bt").alias("bt_j"))
-        raw = (
-            games.join(F.broadcast(wi), "i")
-            .join(F.broadcast(wj), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.expr(f"n * cast({E12} as bigint) div (bt_i + bt_j)")
-                ).alias("den")
+        raw = {}
+        for i in items:
+            den = sum(
+                n[(i, j)] * E12 // (bt[i] + bt[j])
+                for j in items
+                if (i, j) in n
             )
-            .join(F.broadcast(wins), "i", "left")
-            .select(
-                F.col("i").alias("item"),
-                F.expr(f"coalesce(w, 0) * cast({E12} as bigint) div den").alias(
-                    "raw"
-                ),
-            )
-        )
-        tot = raw.agg(F.sum("raw").alias("t"))
-        w = raw.crossJoin(F.broadcast(tot)).select(
-            "item",
-            F.expr(f"raw * cast({N_ITEMS * E6} as bigint) div t")
-            .cast("long")
-            .alias("bt"),
-        )
-    totals = games.groupBy("i").agg(F.sum("n").alias("n_games"))
-    return (
-        w.join(totals.withColumnRenamed("i", "item"), "item")
-        .join(F.broadcast(wins.withColumnRenamed("i", "item")), "item", "left")
-        .select(
-            "item",
-            F.col("n_games").cast("long"),
-            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("n_wins"),
-            F.col("bt").alias("bt_e6"),
-        )
-        .orderBy("item")
-    )
+            raw[i] = w_cnt[i] * E12 // den
+        tot = sum(raw.values())
+        bt = {i: raw[i] * (N_ITEMS * E6) // tot for i in items}
+    rows = [(i, totals[i], w_cnt[i], bt[i]) for i in items]
+    return spark.createDataFrame(
+        rows, "item long, n_games long, n_wins long, bt_e6 long"
+    ).orderBy("item")
 
 
 def _bt_it_sql(prev: str) -> str:
