@@ -110,8 +110,9 @@ BUDGETS = {
     # 2.73 / 3.47 bench-context and 5.75 fresh-session; budgeted on the
     # bench-context ceiling + headroom.
     "q_mmr_topk_lsh": 5.0,
-    # r8 (measured warm min-of-3 idle: 6.6 / 2.0 s)
-    "q_related_docs": 9.0,
+    # r8 (measured warm min-of-3 idle: 4.8 / 2.0 s — related_docs after
+    # the Arrow tf pre-count + tfs/w fences; 6.6 s before)
+    "q_related_docs": 7.0,
     "q_bt_scores": 3.0,
 }
 

@@ -50,17 +50,43 @@ REL_DF_CAP = 64
 REL_MIN_COS_E6 = 10_000  # drop noise pairs below cosine 0.01
 
 
-def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from changegen_spark.queries.mlprep import word_ngrams
+def trigram_tf_pandas():
+    """Arrow-batched per-document term frequencies: text →
+    array<struct<term,tf>> with one entry per DISTINCT word trigram.
 
+    Same two-jobs-in-one-pass justification as ``lm.bigram_counts_pandas``
+    (the r2 minhash lesson): Catalyst's interpreted transform/slice
+    n-gram build is the expensive part of this query, and pre-counting
+    inside the executor batch removes the (doc_id, term) aggregation
+    exchange entirely — the first shuffle left is the per-term df
+    aggregate.  Python's argless split() equals split(trim(text), '\\s+')
+    on every input (no empty tokens, all-whitespace → no grams)."""
+    import collections
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<term:string,tf:long>>")
+    def tf_counts(texts):
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            cnt = collections.Counter(
+                " ".join(toks[i : i + REL_N])
+                for i in range(len(toks) - REL_N + 1)
+            )
+            out.append(list(cnt.items()))
+        return pd.Series(out)
+
+    return tf_counts
+
+
+def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return (
-        d.select(
-            "doc_id", F.explode(word_ngrams(toks, REL_N)).alias("term")
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+    return d.select(
+        "doc_id", F.explode(trigram_tf_pandas()(F.col("text"))).alias("s")
+    ).select(
+        "doc_id", F.col("s.term").alias("term"), F.col("s.tf").alias("tf")
     )
 
 
@@ -68,7 +94,11 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, rank, rel_doc_id, cos_e6): top-{REL_TOPK} most similar
     documents per document by DF-pruned TF-IDF cosine over word
     trigrams; ties break on the smaller neighbor id."""
-    tfs = _term_freqs(spark, sf_dir)
+    # Fence: tfs feeds three distinct consumers (n_docs, df, w) and w
+    # feeds three more (norms and both self-join sides) — without the
+    # fences each consumer re-runs the Arrow tf UDF / the kept join
+    # (the setsim lesson: fence exactly when consumers DIFFER).
+    tfs = _term_freqs(spark, sf_dir).localCheckpoint(eager=False)
     n_docs = tfs.select("doc_id").distinct().agg(
         F.count("*").cast("long").alias("n_docs")
     )
@@ -85,7 +115,7 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = tfs.join(kept, "term").select(
         "doc_id", "term", (F.col("tf") * F.col("idf_e3")).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
