@@ -478,6 +478,24 @@ def main() -> None:
                     n_pairs = pairs.count()
                     best = min(best, time.time() - t0)
                 row[scheme] = {"pairs": n_pairs, "wall_s": round(best, 3)}
+            # r8: sorted-neighborhood — the quadratic-proof scheme whose
+            # candidate budget is n·(window-1) at ANY key distribution
+            # (the 1M rung showed with_city's city blocks are Θ(n)
+            # asymptotically; SN is the prescribed replacement there)
+            from changegen_spark.queries.er import er_pairs_sn
+
+            sn = er_pairs_sn(ppl)
+            sn.count()  # warm
+            best = float("inf")
+            n_pairs = 0
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                n_pairs = sn.count()
+                best = min(best, time.time() - t0)
+            row["sorted_neighborhood"] = {
+                "pairs": n_pairs,
+                "wall_s": round(best, 3),
+            }
             # r7 (r6 verdict #8): the cluster stage — checkpointed
             # connected components over the with_city pairs, recording
             # rounds-to-fixpoint like text dedup's (rounds track data

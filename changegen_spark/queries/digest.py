@@ -278,6 +278,8 @@ KINDS = {
     "q_win_matrix": {"item_a": "num", "item_b": "num", "n_games": "num", "wins_a": "num", "winrate_e6": "num"},
     "q_bt_scores": {"item": "num", "n_games": "num", "n_wins": "num", "bt_e6": "num"},
     "q_rater_agreement": {"rater_a": "num", "rater_b": "num", "n": "num", "agree": "num", "kappa_e6": "num"},
+    "q_er_pairs_sn": {"rec_a": "num", "rec_b": "num", "lev": "num"},
+    "q_er_eval_sn": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},

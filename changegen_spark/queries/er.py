@@ -459,6 +459,176 @@ FROM counts
 """
 
 
+# --- sorted-neighborhood blocking (r8) ---------------------------------------
+
+SN_WINDOW = 4  # each record compares against the next w-1 in sort order
+
+
+def _sn_keyed(people: DataFrame) -> DataFrame:
+    """(rec_id, nname, skey): the sorted-neighborhood sort key — blocking
+    key, then normalized name, then a zero-padded rec_id so the total
+    order is unambiguous and identical in both engines (string order on
+    the raw numeric id would diverge)."""
+    return with_block(people).select(
+        "rec_id",
+        "nname",
+        F.concat_ws(
+            "|",
+            "block_key",
+            "nname",
+            F.lpad(F.col("rec_id").cast("string"), 12, "0"),
+        ).alias("skey"),
+    )
+
+
+def _sn_ranked(people: DataFrame) -> DataFrame:
+    """Global dense rank in skey order WITHOUT a single-partition window:
+    repartitionByRange on the key (range partitions concatenate to the
+    global order) + the ids.py distributed two-phase prefix sum."""
+    from changegen_spark.operators.ids import assign_sequential_ids
+
+    k = _sn_keyed(people).repartitionByRange(32, "skey")
+    return assign_sequential_ids(
+        k, order_by=["skey"], out_col="rank", mode="distributed"
+    ).select("rec_id", "nname", "rank")
+
+
+def er_pairs_sn(people: DataFrame, window: int = SN_WINDOW) -> DataFrame:
+    """(rec_a, rec_b, lev): sorted-neighborhood candidate generation
+    (Hernández & Stolfo 1995) + the same Levenshtein refine as the
+    blocked schemes.  Candidates are EXACTLY Σ min(window-1, n-rank) <
+    n·(window-1) — linear by construction at ANY block-size
+    distribution.  This is the fix the ER ladder's 1M rung prescribes:
+    key-based blocking's block sizes are Θ(n) once the key vocabulary
+    saturates (city at the third decade), while SN's candidate budget
+    never depends on the key distribution — only its RECALL does (a
+    true pair further than window-1 apart in sort order is lost; the
+    eval decomposes exactly that).
+
+    Scale shape: one range shuffle for the global order, a broadcast of
+    per-partition counts, and a rank+d equi-join — no range/theta join,
+    no single-partition stage."""
+    ranked = _sn_ranked(people).localCheckpoint(eager=False)
+    probes = ranked.select(
+        F.col("rec_id").alias("id_a"),
+        F.col("nname").alias("na"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
+        ).alias("r2"),
+    )
+    b = ranked.select(
+        F.col("rank").alias("r2"),
+        F.col("rec_id").alias("id_b"),
+        F.col("nname").alias("nb"),
+    )
+    return (
+        probes.join(b, "r2")
+        .select(
+            F.least("id_a", "id_b").alias("rec_a"),
+            F.greatest("id_a", "id_b").alias("rec_b"),
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+
+
+def q_er_pairs_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return er_pairs_sn(_people(spark)).orderBy("rec_a", "rec_b")
+
+
+_SN_SQL_BODY = f"""
+snkeyed AS (
+  SELECT rec_id, lower(name) AS nname,
+         {block_key_sql(duck=True)} || '|' || lower(name) || '|' ||
+           lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked AS (
+  SELECT rec_id, nname, row_number() OVER (ORDER BY skey) AS r FROM snkeyed
+), sn_pairs AS (
+  SELECT least(a.rec_id, b.rec_id) AS rec_a,
+         greatest(a.rec_id, b.rec_id) AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM snranked a JOIN snranked b
+    ON b.r > a.r AND b.r <= a.r + {SN_WINDOW - 1}
+  WHERE levenshtein(a.nname, b.nname) <= {LEV_MAX}
+)
+"""
+
+Q_ER_PAIRS_SN_SQL = f"""
+WITH {_SN_SQL_BODY}
+SELECT rec_a, rec_b, lev FROM sn_pairs ORDER BY rec_a, rec_b
+"""
+
+
+def q_er_eval_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SN linkage quality vs the planted truth, with the recall ceiling
+    decomposed the same way q_er_eval does for blocking:
+    ``window_recall_e6`` = true pairs within window-1 positions in sort
+    order — recall lost to the WINDOW vs lost to the refine threshold."""
+    pred = er_pairs_sn(_people(spark)).select("rec_a", "rec_b")
+    ranked = _sn_ranked(_people(spark))
+    ppl = ranked.join(_people(spark).select("rec_id", "entity_id"), "rec_id")
+    a = ppl.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("entity_id").alias("ea"),
+        F.col("rank").alias("ra"),
+    )
+    b = ppl.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("entity_id").alias("eb"),
+        F.col("rank").alias("rb"),
+    )
+    true_pairs = a.join(b, [a.ea == b.eb, a.rec_a < b.rec_b]).select(
+        "rec_a",
+        "rec_b",
+        (F.abs(F.col("ra") - F.col("rb")) <= SN_WINDOW - 1).alias("in_window"),
+    )
+    n_pred = pred.count()
+    n_true = true_pairs.count()
+    n_reach = true_pairs.filter("in_window").count()
+    n_tp = pred.join(true_pairs, ["rec_a", "rec_b"]).count()
+    e6 = lambda num, den: int(round(1e6 * num / den)) if den else 0  # noqa: E731
+    return spark.createDataFrame(
+        [
+            (
+                n_pred,
+                n_true,
+                n_tp,
+                e6(n_tp, n_pred),
+                e6(n_tp, n_true),
+                e6(n_reach, n_true),
+            )
+        ],
+        "n_pred long, n_true long, n_tp long, precision_e6 long, "
+        "recall_e6 long, window_recall_e6 long",
+    )
+
+
+Q_ER_EVAL_SN_SQL = f"""
+WITH {_SN_SQL_BODY}
+, truth AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         abs(ra.r - rb.r) <= {SN_WINDOW - 1} AS in_window
+  FROM '{ER_PATH}' a JOIN '{ER_PATH}' b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  JOIN snranked ra ON ra.rec_id = a.rec_id
+  JOIN snranked rb ON rb.rec_id = b.rec_id
+), counts AS (
+  SELECT (SELECT count(*) FROM sn_pairs) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth WHERE in_window) AS n_reach,
+         (SELECT count(*) FROM sn_pairs p JOIN truth t
+            ON p.rec_a = t.rec_a AND p.rec_b = t.rec_b) AS n_tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_reach / n_true) AS BIGINT) ELSE 0 END AS window_recall_e6
+FROM counts
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -466,6 +636,8 @@ QUERIES = {
     "q_er_eval": q_er_eval,
     "q_er_pairs_multi": q_er_pairs_multi,
     "q_er_eval_multi": q_er_eval_multi,
+    "q_er_pairs_sn": q_er_pairs_sn,
+    "q_er_eval_sn": q_er_eval_sn,
 }
 
 ORACLES = {
@@ -475,4 +647,6 @@ ORACLES = {
     "q_er_eval": Q_ER_EVAL_SQL,
     "q_er_pairs_multi": Q_ER_PAIRS_MULTI_SQL,
     "q_er_eval_multi": Q_ER_EVAL_MULTI_SQL,
+    "q_er_pairs_sn": Q_ER_PAIRS_SN_SQL,
+    "q_er_eval_sn": Q_ER_EVAL_SN_SQL,
 }

@@ -186,3 +186,79 @@ def test_multikey_pairs_superset_of_single_key(spark, sf_dir):
     single = {(r.rec_a, r.rec_b) for r in q_er_pairs(spark, sf_dir).collect()}
     multi = {(r.rec_a, r.rec_b) for r in q_er_pairs_multi(spark, sf_dir).collect()}
     assert single < multi
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sn_pairs_match_independent_scan(spark):
+    """Sorted-neighborhood pairs (r8): an independent Python sort + window
+    scan is the expectation — this also proves the distributed rank
+    (repartitionByRange + two-phase prefix sum) equals the global order."""
+    from changegen_spark.queries.er import (
+        LEV_MAX,
+        SN_WINDOW,
+        block_key_sql,
+        q_er_pairs_sn,
+    )
+
+    ppl = spark.read.parquet(
+        __import__("changegen_spark.queries.er", fromlist=["ER_PATH"]).ER_PATH
+    )
+    keyed = ppl.selectExpr(
+        "rec_id",
+        "lower(name) AS nname",
+        f"{block_key_sql(duck=False)} AS bk",
+    ).collect()
+    rows = sorted(
+        (f"{r.bk}|{r.nname}|{str(r.rec_id).zfill(12)}", r.rec_id, r.nname)
+        for r in keyed
+    )
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + SN_WINDOW, len(rows))):
+            la, lb = rows[i], rows[j]
+            d = _lev(la[2], lb[2])
+            if d <= LEV_MAX:
+                a, b = sorted((la[1], lb[1]))
+                want.add((a, b, d))
+    got = {
+        (r.rec_a, r.rec_b, r.lev) for r in q_er_pairs_sn(spark, "").collect()
+    }
+    assert got == want and want
+
+
+def test_sn_candidate_budget_is_linear_and_eval_decomposes(spark):
+    """The SN scheme's defining property: candidates never exceed
+    n·(window-1) REGARDLESS of the key distribution (the quadratic-proof
+    budget the 1M ER rung's city-block drift motivates), and the eval
+    row's window ceiling decomposes recall exactly like block_recall
+    does for key blocking."""
+    from changegen_spark.queries.er import (
+        SN_WINDOW,
+        _people,
+        _sn_ranked,
+        q_er_eval_sn,
+    )
+
+    n = _people(spark).count()
+    row = q_er_eval_sn(spark, "").collect()[0]
+    assert row.n_pred <= n * (SN_WINDOW - 1)
+    # recall is bounded by the window ceiling, and the refine loses
+    # nothing beyond it on this fixture (typos are lev<=2 by design)
+    assert row.recall_e6 <= row.window_recall_e6
+    assert row.window_recall_e6 >= 600_000  # most planted dups adjacent
+    # ranks are a permutation of 1..n (two-phase prefix sum is dense)
+    ranks = [r.rank for r in _sn_ranked(_people(spark)).collect()]
+    assert sorted(ranks) == list(range(1, n + 1))
