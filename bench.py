@@ -496,6 +496,22 @@ def main() -> None:
                 "pairs": n_pairs,
                 "wall_s": round(best, 3),
             }
+            # ...and with the city check moved to the REFINE stage (the
+            # discrimination lever the SN addendum in SCALE.md names:
+            # attributes in the refine cut false matches without being
+            # able to reintroduce quadratic candidates)
+            snc = er_pairs_sn(ppl, refine_cols=("city",))
+            snc.count()  # warm
+            best = float("inf")
+            n_pairs = 0
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                n_pairs = snc.count()
+                best = min(best, time.time() - t0)
+            row["sn_city_refine"] = {
+                "pairs": n_pairs,
+                "wall_s": round(best, 3),
+            }
             # r7 (r6 verdict #8): the cluster stage — checkpointed
             # connected components over the with_city pairs, recording
             # rounds-to-fixpoint like text dedup's (rounds track data

@@ -493,7 +493,9 @@ def _sn_ranked(people: DataFrame) -> DataFrame:
     ).select("rec_id", "nname", "rank")
 
 
-def er_pairs_sn(people: DataFrame, window: int = SN_WINDOW) -> DataFrame:
+def er_pairs_sn(
+    people: DataFrame, window: int = SN_WINDOW, refine_cols=()
+) -> DataFrame:
     """(rec_a, rec_b, lev): sorted-neighborhood candidate generation
     (Hernández & Stolfo 1995) + the same Levenshtein refine as the
     blocked schemes.  Candidates are EXACTLY Σ min(window-1, n-rank) <
@@ -507,11 +509,26 @@ def er_pairs_sn(people: DataFrame, window: int = SN_WINDOW) -> DataFrame:
 
     Scale shape: one range shuffle for the global order, a broadcast of
     per-partition counts, and a rank+d equi-join — no range/theta join,
-    no single-partition stage."""
-    ranked = _sn_ranked(people).localCheckpoint(eager=False)
+    no single-partition stage.
+
+    ``refine_cols``: extra exact-equality attributes checked in the
+    REFINE (not the sort key) — they cut false matches (2.94M → 8.4k
+    pairs at the 1M rung) and cannot reintroduce quadratic candidates
+    (the window already bounded them).  They do NOT fix the density
+    recall limit: at name saturation a true duplicate sits beyond the
+    window behind same-name strangers (measured recall 0.016 vs key+
+    city blocking's 0.634 at 1M — SCALE.md's regime rule); SN is the
+    right scheme only while sort-adjacency still implies same-entity,
+    which q_er_eval_sn's window ceiling measures."""
+    refine = list(refine_cols)
+    ranked = _sn_ranked(people)
+    if refine:
+        ranked = ranked.join(people.select("rec_id", *refine), "rec_id")
+    ranked = ranked.localCheckpoint(eager=False)
     probes = ranked.select(
         F.col("rec_id").alias("id_a"),
         F.col("nname").alias("na"),
+        *[F.col(c).alias(f"{c}_a") for c in refine],
         F.explode(
             F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
         ).alias("r2"),
@@ -520,10 +537,13 @@ def er_pairs_sn(people: DataFrame, window: int = SN_WINDOW) -> DataFrame:
         F.col("rank").alias("r2"),
         F.col("rec_id").alias("id_b"),
         F.col("nname").alias("nb"),
+        *[F.col(c).alias(f"{c}_b") for c in refine],
     )
+    joined = probes.join(b, "r2")
+    for c in refine:
+        joined = joined.filter(F.col(f"{c}_a") == F.col(f"{c}_b"))
     return (
-        probes.join(b, "r2")
-        .select(
+        joined.select(
             F.least("id_a", "id_b").alias("rec_a"),
             F.greatest("id_a", "id_b").alias("rec_b"),
             F.levenshtein("na", "nb").cast("long").alias("lev"),
