@@ -556,6 +556,66 @@ def q_er_pairs_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return er_pairs_sn(_people(spark)).orderBy("rec_a", "rec_b")
 
 
+def er_pairs_sn_multi(
+    people: DataFrame, window: int = SN_WINDOW
+) -> DataFrame:
+    """Multi-pass sorted neighborhood (the classical density fix): a
+    second pass sorts CITY-FIRST (city | block_key | name | id), so a
+    true duplicate hidden behind same-name strangers in the global name
+    order becomes adjacent within its city's much smaller name
+    neighborhood.  Union of both passes, distinct — candidates still ≤
+    2·n·(w−1), linear.  Measured at the 1M rung: recall 0.016 (single
+    pass) → see SCALE.md after the multi-pass row."""
+    p1 = er_pairs_sn(people, window)
+    keyed2 = with_block(people).join(
+        people.select("rec_id", "city"), "rec_id"
+    ).select(
+        "rec_id",
+        "nname",
+        F.concat_ws(
+            "|",
+            "city",
+            "block_key",
+            "nname",
+            F.lpad(F.col("rec_id").cast("string"), 12, "0"),
+        ).alias("skey"),
+    )
+    from changegen_spark.operators.ids import assign_sequential_ids
+
+    ranked2 = assign_sequential_ids(
+        keyed2.repartitionByRange(32, "skey"),
+        order_by=["skey"],
+        out_col="rank",
+        mode="distributed",
+    ).select("rec_id", "nname", "rank").localCheckpoint(eager=False)
+    probes = ranked2.select(
+        F.col("rec_id").alias("id_a"),
+        F.col("nname").alias("na"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
+        ).alias("r2"),
+    )
+    b = ranked2.select(
+        F.col("rank").alias("r2"),
+        F.col("rec_id").alias("id_b"),
+        F.col("nname").alias("nb"),
+    )
+    p2 = (
+        probes.join(b, "r2")
+        .select(
+            F.least("id_a", "id_b").alias("rec_a"),
+            F.greatest("id_a", "id_b").alias("rec_b"),
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+    return p1.unionByName(p2).distinct()
+
+
+def q_er_pairs_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return er_pairs_sn_multi(_people(spark)).orderBy("rec_a", "rec_b")
+
+
 _SN_SQL_BODY = f"""
 snkeyed AS (
   SELECT rec_id, lower(name) AS nname,
@@ -577,6 +637,28 @@ snkeyed AS (
 Q_ER_PAIRS_SN_SQL = f"""
 WITH {_SN_SQL_BODY}
 SELECT rec_a, rec_b, lev FROM sn_pairs ORDER BY rec_a, rec_b
+"""
+
+Q_ER_PAIRS_SN_MULTI_SQL = f"""
+WITH {_SN_SQL_BODY}
+, snkeyed2 AS (
+  SELECT rec_id, lower(name) AS nname,
+         city || '|' || {block_key_sql(duck=True)} || '|' || lower(name)
+           || '|' || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked2 AS (
+  SELECT rec_id, nname, row_number() OVER (ORDER BY skey) AS r FROM snkeyed2
+), sn_pairs2 AS (
+  SELECT least(a.rec_id, b.rec_id) AS rec_a,
+         greatest(a.rec_id, b.rec_id) AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM snranked2 a JOIN snranked2 b
+    ON b.r > a.r AND b.r <= a.r + {SN_WINDOW - 1}
+  WHERE levenshtein(a.nname, b.nname) <= {LEV_MAX}
+)
+SELECT DISTINCT rec_a, rec_b, lev FROM (
+  SELECT * FROM sn_pairs UNION ALL SELECT * FROM sn_pairs2
+) ORDER BY rec_a, rec_b
 """
 
 
@@ -658,6 +740,7 @@ QUERIES = {
     "q_er_eval_multi": q_er_eval_multi,
     "q_er_pairs_sn": q_er_pairs_sn,
     "q_er_eval_sn": q_er_eval_sn,
+    "q_er_pairs_sn_multi": q_er_pairs_sn_multi,
 }
 
 ORACLES = {
@@ -669,4 +752,5 @@ ORACLES = {
     "q_er_eval_multi": Q_ER_EVAL_MULTI_SQL,
     "q_er_pairs_sn": Q_ER_PAIRS_SN_SQL,
     "q_er_eval_sn": Q_ER_EVAL_SN_SQL,
+    "q_er_pairs_sn_multi": Q_ER_PAIRS_SN_MULTI_SQL,
 }

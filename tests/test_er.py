@@ -262,3 +262,24 @@ def test_sn_candidate_budget_is_linear_and_eval_decomposes(spark):
     # ranks are a permutation of 1..n (two-phase prefix sum is dense)
     ranks = [r.rank for r in _sn_ranked(_people(spark)).collect()]
     assert sorted(ranks) == list(range(1, n + 1))
+
+
+def test_sn_multi_superset_and_second_pass_contributes(spark):
+    """Multi-pass SN: the union is a superset of the single pass, stays
+    within the 2·n·(w−1) candidate budget, and the city-first pass
+    contributes pairs the name-first order cannot see."""
+    from changegen_spark.queries.er import (
+        SN_WINDOW,
+        _people,
+        q_er_pairs_sn,
+        q_er_pairs_sn_multi,
+    )
+
+    one = {(r.rec_a, r.rec_b) for r in q_er_pairs_sn(spark, "").collect()}
+    multi = {
+        (r.rec_a, r.rec_b) for r in q_er_pairs_sn_multi(spark, "").collect()
+    }
+    assert one <= multi
+    assert len(multi) > len(one)  # the second sort order finds new pairs
+    n = _people(spark).count()
+    assert len(multi) <= 2 * n * (SN_WINDOW - 1)
