@@ -280,6 +280,7 @@ KINDS = {
     "q_rater_agreement": {"rater_a": "num", "rater_b": "num", "n": "num", "agree": "num", "kappa_e6": "num"},
     "q_er_pairs_sn": {"rec_a": "num", "rec_b": "num", "lev": "num"},
     "q_er_pairs_sn_multi": {"rec_a": "num", "rec_b": "num", "lev": "num"},
+    "q_er_eval_sn_multi": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
     "q_er_eval_sn": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)

@@ -556,17 +556,11 @@ def q_er_pairs_sn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return er_pairs_sn(_people(spark)).orderBy("rec_a", "rec_b")
 
 
-def er_pairs_sn_multi(
-    people: DataFrame, window: int = SN_WINDOW
-) -> DataFrame:
-    """Multi-pass sorted neighborhood (the classical density fix): a
-    second pass sorts CITY-FIRST (city | block_key | name | id), so a
-    true duplicate hidden behind same-name strangers in the global name
-    order becomes adjacent within its city's much smaller name
-    neighborhood.  Union of both passes, distinct — candidates still ≤
-    2·n·(w−1), linear.  Measured at the 1M rung: recall 0.016 (single
-    pass) → see SCALE.md after the multi-pass row."""
-    p1 = er_pairs_sn(people, window)
+def _sn_ranked2(people: DataFrame) -> DataFrame:
+    """Second-pass global rank: CITY-FIRST sort key (city | block_key |
+    name | id), same distributed two-phase machinery as _sn_ranked."""
+    from changegen_spark.operators.ids import assign_sequential_ids
+
     keyed2 = with_block(people).join(
         people.select("rec_id", "city"), "rec_id"
     ).select(
@@ -580,14 +574,26 @@ def er_pairs_sn_multi(
             F.lpad(F.col("rec_id").cast("string"), 12, "0"),
         ).alias("skey"),
     )
-    from changegen_spark.operators.ids import assign_sequential_ids
-
-    ranked2 = assign_sequential_ids(
+    return assign_sequential_ids(
         keyed2.repartitionByRange(32, "skey"),
         order_by=["skey"],
         out_col="rank",
         mode="distributed",
-    ).select("rec_id", "nname", "rank").localCheckpoint(eager=False)
+    ).select("rec_id", "nname", "rank")
+
+
+def er_pairs_sn_multi(
+    people: DataFrame, window: int = SN_WINDOW
+) -> DataFrame:
+    """Multi-pass sorted neighborhood (the classical density fix): a
+    second pass sorts CITY-FIRST (city | block_key | name | id), so a
+    true duplicate hidden behind same-name strangers in the global name
+    order becomes adjacent within its city's much smaller name
+    neighborhood.  Union of both passes, distinct — candidates still ≤
+    2·n·(w−1), linear.  Measured at the 1M rung: recall 0.016 (single
+    pass) → see SCALE.md after the multi-pass row."""
+    p1 = er_pairs_sn(people, window)
+    ranked2 = _sn_ranked2(people).localCheckpoint(eager=False)
     probes = ranked2.select(
         F.col("rec_id").alias("id_a"),
         F.col("nname").alias("na"),
@@ -614,6 +620,63 @@ def er_pairs_sn_multi(
 
 def q_er_pairs_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return er_pairs_sn_multi(_people(spark)).orderBy("rec_a", "rec_b")
+
+
+def q_er_eval_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass SN linkage quality vs the planted truth: the window
+    ceiling is now the UNION of the two sort orders (a true pair is
+    reachable if it sits within window-1 positions in EITHER) — the
+    ceiling the city-first pass exists to raise."""
+    pred = er_pairs_sn_multi(_people(spark)).select("rec_a", "rec_b")
+    r1 = _sn_ranked(_people(spark)).select("rec_id", F.col("rank").alias("r1"))
+    r2 = _sn_ranked2(_people(spark)).select(
+        "rec_id", F.col("rank").alias("r2")
+    )
+    ppl = (
+        _people(spark)
+        .select("rec_id", "entity_id")
+        .join(r1, "rec_id")
+        .join(r2, "rec_id")
+    )
+    a = ppl.select(
+        F.col("rec_id").alias("rec_a"),
+        F.col("entity_id").alias("ea"),
+        F.col("r1").alias("ra1"),
+        F.col("r2").alias("ra2"),
+    )
+    b = ppl.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("entity_id").alias("eb"),
+        F.col("r1").alias("rb1"),
+        F.col("r2").alias("rb2"),
+    )
+    true_pairs = a.join(b, [a.ea == b.eb, a.rec_a < b.rec_b]).select(
+        "rec_a",
+        "rec_b",
+        (
+            (F.abs(F.col("ra1") - F.col("rb1")) <= SN_WINDOW - 1)
+            | (F.abs(F.col("ra2") - F.col("rb2")) <= SN_WINDOW - 1)
+        ).alias("in_window"),
+    )
+    n_pred = pred.count()
+    n_true = true_pairs.count()
+    n_reach = true_pairs.filter("in_window").count()
+    n_tp = pred.join(true_pairs, ["rec_a", "rec_b"]).count()
+    e6 = lambda num, den: int(round(1e6 * num / den)) if den else 0  # noqa: E731
+    return spark.createDataFrame(
+        [
+            (
+                n_pred,
+                n_true,
+                n_tp,
+                e6(n_tp, n_pred),
+                e6(n_tp, n_true),
+                e6(n_reach, n_true),
+            )
+        ],
+        "n_pred long, n_true long, n_tp long, precision_e6 long, "
+        "recall_e6 long, window_recall_e6 long",
+    )
 
 
 _SN_SQL_BODY = f"""
@@ -731,6 +794,52 @@ FROM counts
 """
 
 
+
+Q_ER_EVAL_SN_MULTI_SQL = f"""
+WITH {_SN_SQL_BODY}
+, snkeyed2 AS (
+  SELECT rec_id, lower(name) AS nname,
+         city || '|' || {block_key_sql(duck=True)} || '|' || lower(name)
+           || '|' || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked2 AS (
+  SELECT rec_id, nname, row_number() OVER (ORDER BY skey) AS r FROM snkeyed2
+), sn_pairs2 AS (
+  SELECT least(a.rec_id, b.rec_id) AS rec_a,
+         greatest(a.rec_id, b.rec_id) AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM snranked2 a JOIN snranked2 b
+    ON b.r > a.r AND b.r <= a.r + {SN_WINDOW - 1}
+  WHERE levenshtein(a.nname, b.nname) <= {LEV_MAX}
+), pred AS (
+  SELECT DISTINCT rec_a, rec_b FROM (
+    SELECT rec_a, rec_b FROM sn_pairs UNION ALL SELECT rec_a, rec_b FROM sn_pairs2
+  )
+), truth AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         (abs(ra1.r - rb1.r) <= {SN_WINDOW - 1}
+          OR abs(ra2.r - rb2.r) <= {SN_WINDOW - 1}) AS in_window
+  FROM '{ER_PATH}' a JOIN '{ER_PATH}' b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  JOIN snranked ra1 ON ra1.rec_id = a.rec_id
+  JOIN snranked rb1 ON rb1.rec_id = b.rec_id
+  JOIN snranked2 ra2 ON ra2.rec_id = a.rec_id
+  JOIN snranked2 rb2 ON rb2.rec_id = b.rec_id
+), counts AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth WHERE in_window) AS n_reach,
+         (SELECT count(*) FROM pred p JOIN truth t
+            ON p.rec_a = t.rec_a AND p.rec_b = t.rec_b) AS n_tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_reach / n_true) AS BIGINT) ELSE 0 END AS window_recall_e6
+FROM counts
+"""
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -741,6 +850,7 @@ QUERIES = {
     "q_er_pairs_sn": q_er_pairs_sn,
     "q_er_eval_sn": q_er_eval_sn,
     "q_er_pairs_sn_multi": q_er_pairs_sn_multi,
+    "q_er_eval_sn_multi": q_er_eval_sn_multi,
 }
 
 ORACLES = {
@@ -753,4 +863,5 @@ ORACLES = {
     "q_er_pairs_sn": Q_ER_PAIRS_SN_SQL,
     "q_er_eval_sn": Q_ER_EVAL_SN_SQL,
     "q_er_pairs_sn_multi": Q_ER_PAIRS_SN_MULTI_SQL,
+    "q_er_eval_sn_multi": Q_ER_EVAL_SN_MULTI_SQL,
 }

@@ -283,3 +283,16 @@ def test_sn_multi_superset_and_second_pass_contributes(spark):
     assert len(multi) > len(one)  # the second sort order finds new pairs
     n = _people(spark).count()
     assert len(multi) <= 2 * n * (SN_WINDOW - 1)
+
+
+def test_sn_multi_eval_ceiling_dominates_single_pass(spark):
+    """The union window ceiling must dominate the single pass's, and
+    multi-pass recall must be at least single-pass recall (supersets)."""
+    from changegen_spark.queries.er import q_er_eval_sn, q_er_eval_sn_multi
+
+    one = q_er_eval_sn(spark, "").collect()[0]
+    multi = q_er_eval_sn_multi(spark, "").collect()[0]
+    assert multi.window_recall_e6 >= one.window_recall_e6
+    assert multi.recall_e6 >= one.recall_e6
+    assert multi.n_pred >= one.n_pred
+    assert multi.recall_e6 <= multi.window_recall_e6
