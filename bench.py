@@ -324,7 +324,11 @@ def main() -> None:
     # calibration sample); both readings land in the artifact, and
     # ``confirmed`` records whether the exceedance reproduced.
     for n, entry in over_budget.items():
-        recal = max(1.0, round(_calibration_s() / IDLE_CALIB_S, 3))
+        # r8 advice: sample calibration BEFORE AND AFTER the 3 recheck
+        # runs and average, matching the sweep's calib_ratio methodology —
+        # a lone pre-run sample taken during a transient load spike would
+        # deflate sec_norm and flip `confirmed` to false.
+        recal_before = _calibration_s()
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -332,6 +336,10 @@ def main() -> None:
                 "overwrite"
             ).save()
             best = min(best, time.time() - t0)
+        recal = max(
+            1.0,
+            round(((recal_before + _calibration_s()) / 2) / IDLE_CALIB_S, 3),
+        )
         renorm = round(best / recal, 3)
         entry["recheck"] = {
             "sec": round(best, 3),
@@ -786,10 +794,17 @@ def main() -> None:
         out["corpus_ladder"] = corpus
     # r6 verdict #6: the driver captures only a 2000-char stdout tail, so
     # the artifact must not depend on stdout — write the full JSON to a
-    # file next to the repo root as well (committed per round).
+    # file next to the repo root as well.  r8 verdict #6: the default
+    # target is the NON-committed live path (bench_out.live.json,
+    # gitignored) so a driver bench run never leaves the worktree dirty;
+    # the committed bench_out.json only updates under an explicit
+    # `python bench.py --commit` at round close.
+    artifact = (
+        "bench_out.json" if "--commit" in sys.argv else "bench_out.live.json"
+    )
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "bench_out.json"), "w") as f:
+        with open(os.path.join(here, artifact), "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
     except OSError:
@@ -806,7 +821,7 @@ def main() -> None:
         "unit": out["unit"],
         "queries": timings,
         "sf": out["sf"],
-        "artifact": "bench_out.json",
+        "artifact": artifact,
     }
     print(json.dumps(compact, separators=(",", ":")))
 

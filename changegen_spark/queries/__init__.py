@@ -149,82 +149,76 @@ STANDING = (
 )
 
 # The round this rotation ships in.  The rotation pin
-# (tests/test_plans.py) asserts no ROTATED_IN name appears in any
-# CORRECTNESS artifact from a round STRICTLY BEFORE this one — the
+# (tests/test_plans.py) enforces the least-recently-direct policy
+# against artifacts from rounds STRICTLY BEFORE this one — the
 # driver's own artifact for the current round necessarily contains the
 # current window, so including it would make the pin self-breaking (the
 # r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
 # landed).  Bump this constant WITH every rotation.
-ROTATION_ROUND = 8
+ROTATION_ROUND = 9
 
-# r8 window rotation (r7 verdict #3): all 40 rotating slots are names
-# that have never appeared in ANY driver window (rounds 1-7).
-# Priorities, in order: (a) the r7-new families, whose only direct
-# verification so far is the builder's/judge's local oracle-gate runs —
-# q_related_docs and q_df_prune_audit in particular must be
-# driver-verified WITH this round's absolute-df-cap rework (r7 verdict
-# #2); (b) the six families the r6 judge hand-verified but the driver
-# never has (ER, web/URL, JSON, MV, OLS/GBDT, DP, chunking); (c) tails
-# the r7 verdict named (q_lm_score, q_scd2_intervals), plus the r8-new
-# preference pair.  18 never-direct names remain for the r9 rotation
-# (BPE/text-normalization/CUPED/bloom/hrw/ivm/dup-spans/kn-bigram/
-# mmr-exact/sq8/zorder/group-topk tails).  The displaced r7 set falls back into the
-# digest-covered set; queries/digest.KINDS carries their schemas
-# (tests/test_digest.py pins the map against live schemas), so
-# transitive verification stays total.  Dict insertion order makes this
-# stable: rotated names are inserted right after the standing slots and
-# keep that position when the module sweep re-updates them.
+# r9 window rotation (r8 verdict #1): this rotation EMPTIES the
+# never-direct pool — all 23 oracle-backed names that had never had a
+# driver row (recomputed from the artifacts by tools/never_direct.py,
+# which replaces the hand-kept GAPS ledger: the by-hand count said 20)
+# are in the window, plus the 4 r9-new queries (direct verification the
+# round they land, the r8 precedent).  With the pool empty, the
+# POST-EXHAUSTION POLICY starts now and is pinned in
+# tests/test_plans.py: every rotating slot must be least-recently-
+# direct — its most recent driver row, across all artifacts from rounds
+# before ROTATION_ROUND, must be >= 2 rounds old (never-direct counts
+# as infinitely old).  The 13 fill slots below are the HEAD of the
+# tools/never_direct.py LRU list (all last direct in r1).  Displaced r8
+# names fall back into the digest-covered set; queries/digest.KINDS
+# carries their schemas, so transitive verification stays total.  Dict
+# insertion order makes this stable: rotated names are inserted right
+# after the standing slots and keep that position when the module
+# sweep re-updates them.
 ROTATED_IN = (
-    # (a) r8-new family — direct verification the round it lands
-    "q_win_matrix",
-    "q_bt_scores",
-    # (a) r7-new families — first driver-direct verification
-    "q_related_docs",
-    "q_df_prune_audit",
-    "q_fuzzy_decontaminate",
-    "q_padding_waste",
-    "q_seasonal_decompose",
-    "q_kcenter_coreset",
-    "q_zipf_fit",
-    "q_heaps_curve",
-    "q_feistel_shuffle",
-    "q_shuffle_shards",
-    # (b) entity resolution
-    "q_er_blocks",
-    "q_er_pairs",
-    "q_er_clusters",
-    "q_er_eval",
-    "q_er_pairs_multi",
-    "q_er_eval_multi",
-    # (b) web/URL
-    "q_url_canonical",
-    "q_host_stats",
-    "q_url_dedup",
-    "q_url_dedup_eval",
-    "q_url_params",
-    "q_url_blocklist",
-    # (b) JSON / semi-structured
-    "q_json_valid",
-    "q_json_extract",
-    "q_json_flatten",
-    "q_json_schema_profile",
-    # (b) materialized views
-    "q_mv_refresh",
-    "q_mv_delete_repair",
-    # (b) OLS / GBDT
-    "q_ols_fit",
-    "q_ols_quality",
-    "q_stump_split",
-    # (b) differential privacy
-    "q_dp_counts",
-    "q_dp_sum_clipped",
-    "q_rr_estimate",
-    # (b) chunking
-    "q_chunk_fixed",
-    "q_chunk_sentences",
-    # (c) judge-named tails
-    "q_lm_score",
-    "q_scd2_intervals",
+    # (a) r9-new — direct verification the round they land
+    "q_er_pairs_sn_refined",
+    "q_er_eval_sn_refined",
+    "q_bt_weighted",
+    "q_pbf_dsv2_stats",
+    # (b) the never-direct pool, emptied: r8-new SN/rater family …
+    "q_er_pairs_sn",
+    "q_er_eval_sn",
+    "q_er_pairs_sn_multi",
+    "q_er_eval_sn_multi",
+    "q_rater_agreement",
+    # … and the r3-r7 tails
+    "q_skew_profile",
+    "q_join_size_est",
+    "q_bloom_decontaminate",
+    "q_hrw_shards",
+    "q_incremental_dedup",
+    "q_zorder_cells",
+    "q_ivm_merge",
+    "q_dup_spans",
+    "q_kn_bigram",
+    "q_bpe_merges",
+    "q_bpe_encode_stats",
+    "q_oov_rate",
+    "q_normalize_text",
+    "q_unicode_nfc",
+    "q_cuped",
+    "q_mmr_topk",
+    "q_sq8_recall",
+    "q_group_topk",
+    # (c) least-recently-direct fill (last direct r1; LRU-list head)
+    "q_percentiles",
+    "q_array_ops",
+    "q_count_distinct",
+    "q_scalar_funcs",
+    "q_rollup",
+    "q_set_ops",
+    "q_pivot",
+    "q01_pricing_summary",
+    "q_snapshot_diff",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q_semi_join",
+    "q_anti_join",
 )
 
 

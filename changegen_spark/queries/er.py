@@ -468,14 +468,17 @@ def _sn_keyed(people: DataFrame) -> DataFrame:
     """(rec_id, nname, skey): the sorted-neighborhood sort key — blocking
     key, then normalized name, then a zero-padded rec_id so the total
     order is unambiguous and identical in both engines (string order on
-    the raw numeric id would diverge)."""
+    the raw numeric id would diverge).  Components are coalesced to ''
+    (r8 advice): concat_ws silently SKIPS a NULL while the oracle's ||
+    propagates it, so a NULL name/city would give the record a different
+    global sort position per engine and break pair parity."""
     return with_block(people).select(
         "rec_id",
         "nname",
         F.concat_ws(
             "|",
-            "block_key",
-            "nname",
+            F.coalesce("block_key", F.lit("")),
+            F.coalesce("nname", F.lit("")),
             F.lpad(F.col("rec_id").cast("string"), 12, "0"),
         ).alias("skey"),
     )
@@ -520,8 +523,16 @@ def er_pairs_sn(
     city blocking's 0.634 at 1M — SCALE.md's regime rule); SN is the
     right scheme only while sort-adjacency still implies same-entity,
     which q_er_eval_sn's window ceiling measures."""
-    refine = list(refine_cols)
-    ranked = _sn_ranked(people)
+    return _window_pairs(_sn_ranked(people), people, window, list(refine_cols))
+
+
+def _window_pairs(
+    ranked: DataFrame, people: DataFrame, window: int, refine: list
+) -> DataFrame:
+    """rank+d equi-join over one SN pass's ranked frame: each record
+    probes the next window-1 ranks, optional exact-equality ``refine``
+    attributes filter the candidates, Levenshtein refines the survivors.
+    Shared by the single-pass, multi-pass, and refined SN schemes."""
     if refine:
         ranked = ranked.join(people.select("rec_id", *refine), "rec_id")
     ranked = ranked.localCheckpoint(eager=False)
@@ -568,9 +579,9 @@ def _sn_ranked2(people: DataFrame) -> DataFrame:
         "nname",
         F.concat_ws(
             "|",
-            "city",
-            "block_key",
-            "nname",
+            F.coalesce("city", F.lit("")),
+            F.coalesce("block_key", F.lit("")),
+            F.coalesce("nname", F.lit("")),
             F.lpad(F.col("rec_id").cast("string"), 12, "0"),
         ).alias("skey"),
     )
@@ -583,7 +594,7 @@ def _sn_ranked2(people: DataFrame) -> DataFrame:
 
 
 def er_pairs_sn_multi(
-    people: DataFrame, window: int = SN_WINDOW
+    people: DataFrame, window: int = SN_WINDOW, refine_cols=()
 ) -> DataFrame:
     """Multi-pass sorted neighborhood (the classical density fix): a
     second pass sorts CITY-FIRST (city | block_key | name | id), so a
@@ -591,30 +602,19 @@ def er_pairs_sn_multi(
     order becomes adjacent within its city's much smaller name
     neighborhood.  Union of both passes, distinct — candidates still ≤
     2·n·(w−1), linear.  Measured at the 1M rung: recall 0.016 (single
-    pass) → see SCALE.md after the multi-pass row."""
-    p1 = er_pairs_sn(people, window)
-    ranked2 = _sn_ranked2(people).localCheckpoint(eager=False)
-    probes = ranked2.select(
-        F.col("rec_id").alias("id_a"),
-        F.col("nname").alias("na"),
-        F.explode(
-            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
-        ).alias("r2"),
-    )
-    b = ranked2.select(
-        F.col("rank").alias("r2"),
-        F.col("rec_id").alias("id_b"),
-        F.col("nname").alias("nb"),
-    )
-    p2 = (
-        probes.join(b, "r2")
-        .select(
-            F.least("id_a", "id_b").alias("rec_a"),
-            F.greatest("id_a", "id_b").alias("rec_b"),
-            F.levenshtein("na", "nb").cast("long").alias("lev"),
-        )
-        .filter(F.col("lev") <= LEV_MAX)
-    )
+    pass) → 0.563 (two passes); see SCALE.md.
+
+    ``refine_cols`` (r8 verdict #2) composes the two orthogonal fixes:
+    multi-pass raises RECALL (more sort orders → more reachable true
+    pairs), exact-equality refine raises PRECISION (a window candidate
+    must also agree on the refine attributes before Levenshtein).  The
+    production operating point is both — at the 1M rung city-refine
+    lifts raw precision 0.030 → ≫0.03 at the same ~0.56 recall
+    (duplicates share city by fixture construction; a real pipeline
+    picks attributes with the same property)."""
+    refine = list(refine_cols)
+    p1 = _window_pairs(_sn_ranked(people), people, window, refine)
+    p2 = _window_pairs(_sn_ranked2(people), people, window, refine)
     return p1.unionByName(p2).distinct()
 
 
@@ -628,6 +628,13 @@ def q_er_eval_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable if it sits within window-1 positions in EITHER) — the
     ceiling the city-first pass exists to raise."""
     pred = er_pairs_sn_multi(_people(spark)).select("rec_a", "rec_b")
+    return _sn_union_eval(spark, pred)
+
+
+def _sn_union_eval(spark: SparkSession, pred: DataFrame) -> DataFrame:
+    """Quality of ``pred`` against the planted truth with the two-pass
+    union window ceiling (shared by the multi and refined SN evals —
+    refine changes precision, never the reachable-pair ceiling)."""
     r1 = _sn_ranked(_people(spark)).select("rec_id", F.col("rank").alias("r1"))
     r2 = _sn_ranked2(_people(spark)).select(
         "rec_id", F.col("rank").alias("r2")
@@ -682,8 +689,9 @@ def q_er_eval_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SN_SQL_BODY = f"""
 snkeyed AS (
   SELECT rec_id, lower(name) AS nname,
-         {block_key_sql(duck=True)} || '|' || lower(name) || '|' ||
-           lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+         coalesce({block_key_sql(duck=True)}, '') || '|'
+           || coalesce(lower(name), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
   FROM '{ER_PATH}'
 ), snranked AS (
   SELECT rec_id, nname, row_number() OVER (ORDER BY skey) AS r FROM snkeyed
@@ -706,7 +714,9 @@ Q_ER_PAIRS_SN_MULTI_SQL = f"""
 WITH {_SN_SQL_BODY}
 , snkeyed2 AS (
   SELECT rec_id, lower(name) AS nname,
-         city || '|' || {block_key_sql(duck=True)} || '|' || lower(name)
+         coalesce(city, '') || '|'
+           || coalesce({block_key_sql(duck=True)}, '') || '|'
+           || coalesce(lower(name), '')
            || '|' || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
   FROM '{ER_PATH}'
 ), snranked2 AS (
@@ -799,7 +809,9 @@ Q_ER_EVAL_SN_MULTI_SQL = f"""
 WITH {_SN_SQL_BODY}
 , snkeyed2 AS (
   SELECT rec_id, lower(name) AS nname,
-         city || '|' || {block_key_sql(duck=True)} || '|' || lower(name)
+         coalesce(city, '') || '|'
+           || coalesce({block_key_sql(duck=True)}, '') || '|'
+           || coalesce(lower(name), '')
            || '|' || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
   FROM '{ER_PATH}'
 ), snranked2 AS (
@@ -840,6 +852,106 @@ SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
 FROM counts
 """
 
+# --- multi-pass SN + attribute refine (r8 verdict #2) ------------------------
+
+SN_REFINE_COLS = ("city",)
+
+
+def q_er_pairs_sn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SN operating point: BOTH classical fixes composed —
+    two sort passes for recall (a true pair adjacent in either order is
+    reachable) and exact-equality city refine for precision (a window
+    candidate must share city before Levenshtein).  Candidates stay ≤
+    2·n·(w−1) — refine filters inside the already-linear window, so it
+    cannot reintroduce quadratic cost at any key distribution."""
+    return er_pairs_sn_multi(
+        _people(spark), refine_cols=SN_REFINE_COLS
+    ).orderBy("rec_a", "rec_b")
+
+
+def q_er_eval_sn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined multi-pass SN quality vs planted truth.  window_recall_e6
+    is the same union-window ceiling as the unrefined eval (refine can
+    only drop candidates); the fixture's duplicates share city, so
+    recall_e6 must match the unrefined multi eval while precision_e6
+    rises — the measured claim SCALE.md's 1M rung re-checks at density."""
+    pred = er_pairs_sn_multi(
+        _people(spark), refine_cols=SN_REFINE_COLS
+    ).select("rec_a", "rec_b")
+    return _sn_union_eval(spark, pred)
+
+
+def _sn_refined_sql_body() -> str:
+    bk = block_key_sql(duck=True)
+    pair = """
+  SELECT least(a.rec_id, b.rec_id) AS rec_a,
+         greatest(a.rec_id, b.rec_id) AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM {r} a JOIN {r} b
+    ON b.r > a.r AND b.r <= a.r + {w} AND a.city = b.city
+  WHERE levenshtein(a.nname, b.nname) <= {lv}"""
+    return f"""
+snkeyedr AS (
+  SELECT rec_id, lower(name) AS nname, city,
+         coalesce({bk}, '') || '|'
+           || coalesce(lower(name), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snrankedr AS (
+  SELECT rec_id, nname, city, row_number() OVER (ORDER BY skey) AS r
+  FROM snkeyedr
+), snkeyed2r AS (
+  SELECT rec_id, lower(name) AS nname, city,
+         coalesce(city, '') || '|'
+           || coalesce({bk}, '') || '|'
+           || coalesce(lower(name), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked2r AS (
+  SELECT rec_id, nname, city, row_number() OVER (ORDER BY skey) AS r
+  FROM snkeyed2r
+), refined AS (
+  SELECT DISTINCT rec_a, rec_b, lev FROM (
+    {pair.format(r='snrankedr', w=SN_WINDOW - 1, lv=LEV_MAX)}
+    UNION ALL
+    {pair.format(r='snranked2r', w=SN_WINDOW - 1, lv=LEV_MAX)}
+  )
+)"""
+
+
+Q_ER_PAIRS_SN_REFINED_SQL = f"""
+WITH {_sn_refined_sql_body()}
+SELECT rec_a, rec_b, lev FROM refined ORDER BY rec_a, rec_b
+"""
+
+Q_ER_EVAL_SN_REFINED_SQL = f"""
+WITH {_sn_refined_sql_body()}
+, truth AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         (abs(ra1.r - rb1.r) <= {SN_WINDOW - 1}
+          OR abs(ra2.r - rb2.r) <= {SN_WINDOW - 1}) AS in_window
+  FROM '{ER_PATH}' a JOIN '{ER_PATH}' b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  JOIN snrankedr ra1 ON ra1.rec_id = a.rec_id
+  JOIN snrankedr rb1 ON rb1.rec_id = b.rec_id
+  JOIN snranked2r ra2 ON ra2.rec_id = a.rec_id
+  JOIN snranked2r rb2 ON rb2.rec_id = b.rec_id
+), counts AS (
+  SELECT (SELECT count(*) FROM refined) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth WHERE in_window) AS n_reach,
+         (SELECT count(*) FROM refined p JOIN truth t
+            ON p.rec_a = t.rec_a AND p.rec_b = t.rec_b) AS n_tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_reach / n_true) AS BIGINT) ELSE 0 END AS window_recall_e6
+FROM counts
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -851,6 +963,8 @@ QUERIES = {
     "q_er_eval_sn": q_er_eval_sn,
     "q_er_pairs_sn_multi": q_er_pairs_sn_multi,
     "q_er_eval_sn_multi": q_er_eval_sn_multi,
+    "q_er_pairs_sn_refined": q_er_pairs_sn_refined,
+    "q_er_eval_sn_refined": q_er_eval_sn_refined,
 }
 
 ORACLES = {
@@ -864,4 +978,6 @@ ORACLES = {
     "q_er_eval_sn": Q_ER_EVAL_SN_SQL,
     "q_er_pairs_sn_multi": Q_ER_PAIRS_SN_MULTI_SQL,
     "q_er_eval_sn_multi": Q_ER_EVAL_SN_MULTI_SQL,
+    "q_er_pairs_sn_refined": Q_ER_PAIRS_SN_REFINED_SQL,
+    "q_er_eval_sn_refined": Q_ER_EVAL_SN_REFINED_SQL,
 }

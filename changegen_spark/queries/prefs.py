@@ -149,6 +149,18 @@ def q_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_cnt[winner] = w_cnt.get(winner, 0) + int(r.cnt)
     w_cnt = {i: w_cnt.get(i, 0) for i in totals}
     items = sorted(totals)
+    bt = _mm_fit(items, n, w_cnt)
+    rows = [(i, totals[i], w_cnt[i], bt[i]) for i in items]
+    return spark.createDataFrame(
+        rows, "item long, n_games long, n_wins long, bt_e6 long"
+    ).orderBy("item")
+
+
+def _mm_fit(items: list, n: dict, w_cnt: dict) -> dict:
+    """BT_ITERS integer-exact MM iterations over pre-aggregated directed
+    game counts ``n[(i, j)]`` and win counts ``w_cnt[i]`` — the recurrence
+    shared by the unweighted and reliability-weighted fits (the weighted
+    fit only changes the counts it is fed)."""
     bt = {i: E6 for i in items}
     for _ in range(BT_ITERS):
         raw = {}
@@ -161,10 +173,7 @@ def q_bt_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw[i] = w_cnt[i] * E12 // den
         tot = sum(raw.values())
         bt = {i: raw[i] * (N_ITEMS * E6) // tot for i in items}
-    rows = [(i, totals[i], w_cnt[i], bt[i]) for i in items]
-    return spark.createDataFrame(
-        rows, "item long, n_games long, n_wins long, bt_e6 long"
-    ).orderBy("item")
+    return bt
 
 
 def _bt_it_sql(prev: str) -> str:
@@ -271,9 +280,16 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(b).cast("long").alias("rater_b"),
                     F.col("n").cast("long"),
                     F.col(f"agree_{a}_{b}").cast("long").alias("agree"),
+                    # zero-denominator guard (r8 advice): an empty events
+                    # slice or a rater pair with all-identical labels makes
+                    # n² equal the chance term; kappa is 0 by convention
+                    # there, and without the CASE Spark (non-ANSI) yields
+                    # NULL while DuckDB's // raises — the engines diverge.
                     F.expr(
-                        f"(n * agree_{a}_{b} - {chance}) * cast({E6} as bigint)"
-                        f" div (n * n - {chance})"
+                        f"CASE WHEN n * n - {chance} > 0 THEN"
+                        f" (n * agree_{a}_{b} - {chance})"
+                        f" * cast({E6} as bigint) div (n * n - {chance})"
+                        f" ELSE 0 END"
                     )
                     .cast("long")
                     .alias("kappa_e6"),
@@ -284,7 +300,10 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kappa_sql() -> str:
+def _kappa_cte_sql() -> str:
+    """The base/truths/labels/sums/kap CTE chain — shared by the kappa
+    query and the reliability-weighted BT fit (labels carry ia/ib so the
+    weighted win matrix can reuse them)."""
     flips = []
     for r in range(N_RATERS):
         t = f"({_H60_SQL.format(x=f'''event_id || ':r{r}' ''')} % 100) < {FLIP_PCT[r]}"
@@ -297,10 +316,12 @@ def _kappa_sql() -> str:
             pair_rows.append(
                 f"""SELECT {a} AS rater_a, {b} AS rater_b, n,
                 agree_{a}_{b} AS agree,
-                CAST((n * agree_{a}_{b} - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
-                  * {E6}
-                  // (n * n - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
-                  AS BIGINT) AS kappa_e6
+                CASE WHEN n * n - (p{a} * p{b} + (n - p{a}) * (n - p{b})) > 0
+                  THEN CAST((n * agree_{a}_{b} - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
+                    * {E6}
+                    // (n * n - (p{a} * p{b} + (n - p{a}) * (n - p{b})))
+                    AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS kappa_e6
                 FROM sums"""
             )
     agg = ", ".join(
@@ -313,38 +334,192 @@ def _kappa_sql() -> str:
         ]
     )
     un = " UNION ALL ".join(pair_rows)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT event_id,
          {_H60_SQL.format(x="event_id || ':pa'")} % {N_ITEMS} AS ia,
          {_H60_SQL.format(x="event_id || ':pb'")} % {N_ITEMS} AS ib
   FROM events
 ), truths AS (
-  SELECT event_id,
+  SELECT event_id, ia, ib,
          ({_H60_SQL.format(x="event_id || ':pw'")} % (ia + ib + 2)) < ia + 1
            AS truth
   FROM base WHERE ia <> ib
 ), labels AS (
-  SELECT {', '.join(flips)} FROM truths
+  SELECT ia, ib, {', '.join(flips)} FROM truths
 ), sums AS (
   SELECT CAST(count(*) AS BIGINT) AS n, {agg} FROM labels
-)
+), kap AS ({un})"""
+
+
+def _kappa_sql() -> str:
+    return f"""
+WITH {_kappa_cte_sql()}
 SELECT CAST(rater_a AS BIGINT) AS rater_a, CAST(rater_b AS BIGINT) AS rater_b,
        n, agree, kappa_e6
-FROM ({un}) ORDER BY rater_a, rater_b
+FROM kap ORDER BY rater_a, rater_b
 """
 
 
 Q_RATER_AGREEMENT_SQL = _kappa_sql()
 
 
+# --- reliability-weighted BT (r8 verdict #5) ----------------------------------
+#
+# Composes the two r8 pieces: every judgment is down-weighted by its
+# rater's MEASURED reliability — the mean of the rater's two pairwise
+# Cohen's kappas (q_rater_agreement), floored at 0 and expressed in
+# percent units (kappa_e6 // 10_000, range 0..100).  All three raters
+# label every comparison (the q_rater_agreement setup), so the weighted
+# game count per pair is n·(w0+w1+w2) while the weighted win counts
+# split by which rater said what — weighting shifts WIN MASS toward
+# reliable raters, which is exactly what de-noises the fit.
+#
+# Integer bounds: counts carry a ≤3× factor over the unweighted fit
+# after the //100 renormalization (Σw ≤ 300 percent units), so the
+# documented q_bt_scores bound n_ij·e12 ≤ ~1e16 becomes ~3e16 — still
+# 300× inside int64 at the sf0.1 fixture and safe to ~1e7 events.
+
+RATER_W_DIV = 10_000  # kappa_e6 → percent units
+
+
+def rater_weights_e2(spark: SparkSession, sf_dir: str) -> list:
+    """Per-rater reliability weight in percent units, from the measured
+    pairwise kappas.  KB-sized artifact (3 rows) — driver-side math."""
+    rows = q_rater_agreement(spark, sf_dir).collect()
+    k = {(r.rater_a, r.rater_b): int(r.kappa_e6) for r in rows}
+    ws = []
+    for r in range(N_RATERS):
+        ks = [v for (a, b), v in k.items() if r in (a, b)]
+        ws.append(max(sum(ks) // len(ks), 0) // RATER_W_DIV)
+    return ws
+
+
+def bt_weighted_fit(spark: SparkSession, sf_dir: str, ws: list) -> DataFrame:
+    """BT fit over the 3-rater labeled log with explicit per-rater
+    percent weights ``ws`` — (100, 100, 100) reproduces the unweighted
+    all-rater fit, measured kappas give q_bt_weighted.  One distributed
+    pass collapses the log to ≤ C(N,2)·2 cells of per-rater win counts;
+    the MM recurrence runs driver-side on that KB artifact."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    eid = F.col("event_id").cast("string")
+    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
+    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
+    truth = F.pmod(h60(F.concat(eid, F.lit(":pw"))), ia + ib + 2) < ia + 1
+    labeled = (
+        ev.select(ia.alias("ia"), ib.alias("ib"), F.col("event_id"))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            *[
+                _rater_label(eid, truth, r).cast("long").alias(f"l{r}")
+                for r in range(N_RATERS)
+            ],
+        )
+    )
+    cells = labeled.groupBy("ia", "ib").agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.sum(f"l{r}").alias(f"a{r}") for r in range(N_RATERS)],
+    ).collect()
+    W = sum(ws)
+    acc_n = {}
+    acc_w = {}
+    for row in cells:
+        nn = int(row.n)
+        for i, j in ((row.ia, row.ib), (row.ib, row.ia)):
+            acc_n[(i, j)] = acc_n.get((i, j), 0) + nn * W
+        wa = sum(ws[r] * int(row[f"a{r}"]) for r in range(N_RATERS))
+        wb = sum(ws[r] * (nn - int(row[f"a{r}"])) for r in range(N_RATERS))
+        acc_w[row.ia] = acc_w.get(row.ia, 0) + wa
+        acc_w[row.ib] = acc_w.get(row.ib, 0) + wb
+    # floor AFTER accumulation, once per directed pair / item, so the
+    # unrolled SQL oracle (same order of operations) is bit-identical
+    n = {k: v // 100 for k, v in acc_n.items()}
+    w_cnt = {i: acc_w.get(i, 0) // 100 for i in set(i for i, _ in acc_n)}
+    totals = {}
+    for (i, _j), v in n.items():
+        totals[i] = totals.get(i, 0) + v
+    items = sorted(totals)
+    bt = _mm_fit(items, n, w_cnt)
+    rows = [(i, totals[i], w_cnt[i], bt[i]) for i in items]
+    return spark.createDataFrame(
+        rows, "item long, n_games_w long, n_wins_w long, bt_e6 long"
+    ).orderBy("item")
+
+
+def q_bt_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item, n_games_w, n_wins_w, bt_e6): Bradley-Terry strengths with
+    each judgment weighted by its rater's measured reliability.  The
+    planted flip rates (5/15/30%) give a known ground truth:
+    tests/test_prefs.py pins that this fit lands strictly closer (L1 on
+    bt_e6) to the noise-free fit than the equal-weight fit over the
+    same noisy labels."""
+    return bt_weighted_fit(spark, sf_dir, rater_weights_e2(spark, sf_dir))
+
+
+def _bt_weighted_sql() -> str:
+    wsum = "(SELECT rw0 + rw1 + rw2 FROM wvals)"
+    return f"""
+WITH {_kappa_cte_sql()},
+wvals AS (
+  SELECT greatest((k01 + k02) // 2, 0) // {RATER_W_DIV} AS rw0,
+         greatest((k01 + k12) // 2, 0) // {RATER_W_DIV} AS rw1,
+         greatest((k02 + k12) // 2, 0) // {RATER_W_DIV} AS rw2
+  FROM (SELECT
+     max(CASE WHEN rater_a = 0 AND rater_b = 1 THEN kappa_e6 END) AS k01,
+     max(CASE WHEN rater_a = 0 AND rater_b = 2 THEN kappa_e6 END) AS k02,
+     max(CASE WHEN rater_a = 1 AND rater_b = 2 THEN kappa_e6 END) AS k12
+   FROM kap)
+), cells AS (
+  SELECT ia, ib, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l0) AS BIGINT) AS a0,
+         CAST(sum(l1) AS BIGINT) AS a1,
+         CAST(sum(l2) AS BIGINT) AS a2
+  FROM labels GROUP BY ia, ib
+), games AS (
+  SELECT i, j, CAST(sum(nw) // 100 AS BIGINT) AS n FROM (
+    SELECT ia AS i, ib AS j, n * {wsum} AS nw FROM cells
+    UNION ALL
+    SELECT ib, ia, n * {wsum} FROM cells
+  ) GROUP BY i, j
+), wins AS (
+  SELECT i, CAST(sum(x) // 100 AS BIGINT) AS w FROM (
+    SELECT ia AS i,
+           (SELECT rw0 FROM wvals) * a0 + (SELECT rw1 FROM wvals) * a1
+             + (SELECT rw2 FROM wvals) * a2 AS x
+    FROM cells
+    UNION ALL
+    SELECT ib,
+           (SELECT rw0 FROM wvals) * (n - a0)
+             + (SELECT rw1 FROM wvals) * (n - a1)
+             + (SELECT rw2 FROM wvals) * (n - a2)
+    FROM cells
+  ) GROUP BY i
+), w0 AS (
+  SELECT DISTINCT i AS item, CAST({E6} AS BIGINT) AS bt FROM games
+), {_bt_raw_sql('w0', 'w1')}, {_bt_raw_sql('w1', 'w2')}, {_bt_raw_sql('w2', 'w3')}
+SELECT t.item, CAST(t.n_games AS BIGINT) AS n_games_w,
+       CAST(COALESCE(wn.w, 0) AS BIGINT) AS n_wins_w,
+       CAST(w3.bt AS BIGINT) AS bt_e6
+FROM (SELECT i AS item, sum(n) AS n_games FROM games GROUP BY i) t
+JOIN w3 ON w3.item = t.item
+LEFT JOIN wins wn ON wn.i = t.item
+ORDER BY t.item
+"""
+
+
+Q_BT_WEIGHTED_SQL = _bt_weighted_sql()
+
+
 QUERIES = {
     "q_win_matrix": q_win_matrix,
     "q_bt_scores": q_bt_scores,
     "q_rater_agreement": q_rater_agreement,
+    "q_bt_weighted": q_bt_weighted,
 }
 ORACLES = {
     "q_win_matrix": Q_WIN_MATRIX_SQL,
     "q_bt_scores": Q_BT_SCORES_SQL,
     "q_rater_agreement": Q_RATER_AGREEMENT_SQL,
+    "q_bt_weighted": Q_BT_WEIGHTED_SQL,
 }

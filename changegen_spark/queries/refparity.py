@@ -47,6 +47,29 @@ def q_pbf_extract_stats(spark, sf_dir):
     return out.orderBy("kind")
 
 
+def q_pbf_dsv2_stats(spark, sf_dir):
+    """S7b driver row (r8 verdict #7): the SAME per-kind counts + max ids
+    as q_pbf_extract_stats, but read through the REGISTERED Python Data
+    Source — ``spark.read.format("osmpbf").load(...)`` — so the
+    DataSource V2 planning path (schema declaration, blob partition
+    enumeration, per-partition decode) is exercised end-to-end by the
+    oracle gate, not just pytest.  Oracle: the identical golden VALUES
+    table; a divergence between the two ingestion shapes shows up as one
+    row going red while its twin stays green."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.sources.pbf_datasource import register
+    from changegen_spark.sources.refdata import REF_PBF
+
+    register(spark)
+    df = spark.read.format("osmpbf").load(REF_PBF)
+    return (
+        df.groupBy("kind")
+        .agg(F.count("*").alias("n"), F.max("id").alias("max_id"))
+        .orderBy("kind")
+    )
+
+
 Q_PBF_STATS_SQL = """
 SELECT * FROM (VALUES
     ('node', CAST(81154 AS BIGINT), CAST(9127760345 AS BIGINT)),
@@ -59,10 +82,12 @@ ORDER BY kind
 QUERIES = {
     "q_reference_goldens": lambda spark, sf_dir: reference_golden_counts(spark),
     "q_pbf_extract_stats": q_pbf_extract_stats,
+    "q_pbf_dsv2_stats": q_pbf_dsv2_stats,
 }
 
 ORACLES = {
     "q_pbf_extract_stats": Q_PBF_STATS_SQL,
+    "q_pbf_dsv2_stats": Q_PBF_STATS_SQL,
     "q_reference_goldens": """
         SELECT * FROM (
             VALUES

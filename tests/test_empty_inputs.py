@@ -117,6 +117,7 @@ CASES = [
     ("q_win_matrix", lambda n: n == 0),
     ("q_bt_scores", lambda n: n == 0),
     ("q_rater_agreement", lambda n: n <= 3),  # pair rows survive, n=0
+    ("q_bt_weighted", lambda n: n == 0),  # kappa guard → 0 weights, no games
 ]
 
 

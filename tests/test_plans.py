@@ -150,34 +150,33 @@ def test_correctness_window_all_oracle_backed():
     assert len(names) >= 50
     missing = [n for n in names[:50] if n not in oracles]
     assert missing == []
-    # r8 window contract: the STANDING set (changegen parity core) never
-    # rotates out, the r7-new relatedness pair is directly verified WITH
-    # this round's absolute-df-cap rework, and every rotating slot is
-    # new vs the r7 window (≥25 required; we rotate all 40).  Displaced
-    # families stay transitively green via the digest shards.
+    # r9 window contract: the STANDING set (changegen parity core) never
+    # rotates out; every rotating slot follows the POST-EXHAUSTION
+    # least-recently-direct policy (r8 verdict #1 — the never-direct
+    # pool is empty as of this rotation): a rotated name's most recent
+    # driver row across all PRIOR rounds must be >= 2 rounds old.
+    # Displaced families stay transitively green via the digest shards.
     from changegen_spark.queries import ROTATED_IN, ROTATION_ROUND, STANDING
 
     window = set(names[:50])
-    for must in list(STANDING) + [
-        "q_related_docs",
-        "q_df_prune_audit",
-    ]:
+    for must in STANDING:
         assert must in window, must
-    # the rotation itself: ≥25 entries new to the window vs the r7 gate,
-    # and no rotated name was in any PRIOR-round window (never-direct
-    # priority).  "Prior" means rounds strictly before ROTATION_ROUND:
-    # the driver's artifact for the CURRENT round contains the current
-    # window by definition, so globbing it would make this pin
-    # self-breaking the moment each round's artifact lands (the r7
-    # postmortem — the suite was red at judging time).
+    # ≥25 entries new to the window vs the previous round's gate, and
+    # the LRU policy itself.  "Prior" means rounds strictly before
+    # ROTATION_ROUND: the driver's artifact for the CURRENT round
+    # contains the current window by definition, so globbing it would
+    # make this pin self-breaking the moment each round's artifact
+    # lands (the r7 postmortem — the suite was red at judging time).
     import glob
     import json
     import os
 
     here = os.path.dirname(__file__)
-    r7_path = os.path.join(here, "..", "CORRECTNESS_r07.json")
-    r7 = set(json.load(open(r7_path)))
-    assert len(window - r7) >= 25, sorted(window - r7)
+    prev_path = os.path.join(
+        here, "..", f"CORRECTNESS_r{ROTATION_ROUND - 1:02d}.json"
+    )
+    prev = set(json.load(open(prev_path)))
+    assert len(window - prev) >= 25, sorted(window - prev)
     artifacts = glob.glob(os.path.join(here, "..", "CORRECTNESS_r*.json"))
     stale = _rotation_pin_violations(artifacts, ROTATION_ROUND, ROTATED_IN)
     assert stale == [], stale
@@ -193,17 +192,23 @@ def _artifact_round(path) -> int:
 
 
 def _rotation_pin_violations(artifact_paths, rotation_round, rotated_in):
-    """Names from ``rotated_in`` that already appeared in a driver window
-    from a round STRICTLY BEFORE ``rotation_round``.  Artifacts from the
+    """Names from ``rotated_in`` whose most recent driver row is too
+    FRESH under the post-exhaustion least-recently-direct policy (r8
+    verdict #1): a rotated slot's last appearance in any prior round's
+    window must be >= 2 rounds old (last round <= rotation_round - 2);
+    a name with no prior row at all (never-direct, or new this round)
+    is infinitely old and always admissible.  Artifacts from the
     current round (or later) are excluded: they contain the live window
     by definition and must not fail the pin that shipped it."""
     import json
 
-    prior = set()
+    last = {}
     for p in artifact_paths:
-        if 0 <= _artifact_round(p) < rotation_round:
-            prior |= set(json.load(open(p)))
-    return [n for n in rotated_in if n in prior]
+        rnd = _artifact_round(p)
+        if 0 <= rnd < rotation_round:
+            for n in json.load(open(p)):
+                last[n] = max(last.get(n, 0), rnd)
+    return [n for n in rotated_in if last.get(n, 0) > rotation_round - 2]
 
 
 def test_rotation_pin_survives_current_round_artifact(tmp_path):
