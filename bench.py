@@ -467,84 +467,119 @@ def main() -> None:
     # ladder records both so the scale lesson is a measured table.
     er = None
     if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        from changegen_spark.queries.er import er_pairs_for
+        from pyspark.sql import functions as _F
+
+        from changegen_spark.queries.er import (
+            er_pairs_for,
+            er_pairs_sn,
+            er_pairs_sn_multi,
+        )
         from changegen_spark.sources.scaleup import build_er_records
 
         er_dir = os.environ.get("SPARK_GRAFT_ER_DIR", "/tmp/changegen_spark_er")
-        er = {"n": {}}
-        for n_ent in (10_000, 100_000):
+        # r8 verdict #3: the regime rule's headline numbers must be
+        # reproducible from the committed artifact, so the ladder now has
+        # the 1M rung — with a documented budget: at 1M, one timed run
+        # after the warm run (not min-of-3), name_only is skipped (its
+        # refine wall is 364 s — the measured one-off in SCALE.md; paying
+        # it per round buys nothing), and CC clusters are skipped (14.9 s
+        # one-off, same reasoning).  Recall rides along at every rung:
+        # each scheme's pairs are truth-joined against the planted
+        # entity_id so quality regime changes (the SN density collapse)
+        # are in the artifact, not prose.
+        er = {
+            "n": {},
+            "budget_note": (
+                "1M rung: 1 timed run, name_only + clusters skipped "
+                "(364 s / 14.9 s one-offs in SCALE.md)"
+            ),
+        }
+        for n_ent in (10_000, 100_000, 1_000_000):
+            big = n_ent >= 1_000_000
+            runs = 1 if big else SF1_WARM_RUNS
             path = build_er_records(spark, er_dir, n_entities=n_ent)
             ppl = spark.read.parquet(path)
-            row = {}
-            for scheme, extra in (("name_only", ()), ("with_city", ("city",))):
-                pairs = er_pairs_for(ppl, extra)
+            ta = ppl.select(
+                _F.col("rec_id").alias("rec_a"), _F.col("entity_id").alias("ea")
+            )
+            tb = ppl.select(
+                _F.col("rec_id").alias("rec_b"), _F.col("entity_id").alias("eb")
+            )
+            truth = (
+                ta.join(tb, [ta.ea == tb.eb, ta.rec_a < tb.rec_b])
+                .select("rec_a", "rec_b")
+                .localCheckpoint()
+            )
+            n_true = truth.count()
+            row = {"n_true_pairs": n_true}
+
+            def timed(pairs):
                 pairs.count()  # warm
                 best = float("inf")
                 n_pairs = 0
-                for _ in range(SF1_WARM_RUNS):
+                for _ in range(runs):
                     t0 = time.time()
                     n_pairs = pairs.count()
                     best = min(best, time.time() - t0)
-                row[scheme] = {"pairs": n_pairs, "wall_s": round(best, 3)}
+                tp = pairs.select("rec_a", "rec_b").join(
+                    truth, ["rec_a", "rec_b"]
+                ).count()
+                return {
+                    "pairs": n_pairs,
+                    "wall_s": round(best, 3),
+                    "tp": tp,
+                    "precision_pct": round(100 * tp / max(n_pairs, 1), 1),
+                    "recall_pct": round(100 * tp / max(n_true, 1), 1),
+                }
+
+            if not big:
+                row["name_only"] = timed(er_pairs_for(ppl, ()))
+            row["with_city"] = timed(er_pairs_for(ppl, ("city",)))
             # r8: sorted-neighborhood — the quadratic-proof scheme whose
             # candidate budget is n·(window-1) at ANY key distribution
-            # (the 1M rung showed with_city's city blocks are Θ(n)
-            # asymptotically; SN is the prescribed replacement there)
-            from changegen_spark.queries.er import er_pairs_sn
-
-            sn = er_pairs_sn(ppl)
-            sn.count()  # warm
-            best = float("inf")
-            n_pairs = 0
-            for _ in range(SF1_WARM_RUNS):
-                t0 = time.time()
-                n_pairs = sn.count()
-                best = min(best, time.time() - t0)
-            row["sorted_neighborhood"] = {
-                "pairs": n_pairs,
-                "wall_s": round(best, 3),
-            }
-            # ...and with the city check moved to the REFINE stage (the
-            # discrimination lever the SN addendum in SCALE.md names:
-            # attributes in the refine cut false matches without being
-            # able to reintroduce quadratic candidates)
-            snc = er_pairs_sn(ppl, refine_cols=("city",))
-            snc.count()  # warm
-            best = float("inf")
-            n_pairs = 0
-            for _ in range(SF1_WARM_RUNS):
-                t0 = time.time()
-                n_pairs = snc.count()
-                best = min(best, time.time() - t0)
-            row["sn_city_refine"] = {
-                "pairs": n_pairs,
-                "wall_s": round(best, 3),
-            }
-            # r7 (r6 verdict #8): the cluster stage — checkpointed
-            # connected components over the with_city pairs, recording
-            # rounds-to-fixpoint like text dedup's (rounds track data
-            # DIAMETER, not size: the number that must stay flat for 10×)
-            from changegen_spark.functions.clustering import (
-                connected_components,
+            row["sorted_neighborhood"] = timed(er_pairs_sn(ppl))
+            # ...city check in the REFINE stage (cuts false matches,
+            # cannot reintroduce quadratic candidates)
+            row["sn_city_refine"] = timed(
+                er_pairs_sn(ppl, refine_cols=("city",))
             )
+            # r9: the production SN point — two passes for recall, city
+            # refine for precision (SCALE.md's four-scheme table)
+            row["sn_multi_refine"] = timed(
+                er_pairs_sn_multi(ppl, refine_cols=("city",))
+            )
+            if not big:
+                # r7 (r6 verdict #8): the cluster stage — checkpointed
+                # connected components over the with_city pairs; rounds
+                # track component DIAMETER, the flat-for-10× number
+                from changegen_spark.functions.clustering import (
+                    connected_components,
+                )
 
-            cpairs = er_pairs_for(ppl, ("city",))
-            connected_components(cpairs, src="rec_a", dst="rec_b").count()
-            st = {}
-            t0 = time.time()
-            n_rec = connected_components(
-                cpairs, src="rec_a", dst="rec_b", stats=st
-            ).count()
-            row["clusters"] = {
-                "records": n_rec,
-                "cc_rounds": st.get("rounds"),
-                "wall_s": round(time.time() - t0, 3),
-            }
+                cpairs = er_pairs_for(ppl, ("city",))
+                connected_components(cpairs, src="rec_a", dst="rec_b").count()
+                st = {}
+                t0 = time.time()
+                n_rec = connected_components(
+                    cpairs, src="rec_a", dst="rec_b", stats=st
+                ).count()
+                row["clusters"] = {
+                    "records": n_rec,
+                    "cc_rounds": st.get("rounds"),
+                    "wall_s": round(time.time() - t0, 3),
+                }
             er["n"][str(n_ent)] = row
         for scheme in ("name_only", "with_city"):
             er[f"growth_wall_10x_{scheme}"] = round(
                 er["n"]["100000"][scheme]["wall_s"]
                 / er["n"]["10000"][scheme]["wall_s"],
+                2,
+            )
+        # top-decade growth (100k → 1M) for the schemes measured there
+        for scheme in ("with_city", "sorted_neighborhood", "sn_multi_refine"):
+            er[f"growth_wall_100k_1m_{scheme}"] = round(
+                er["n"]["1000000"][scheme]["wall_s"]
+                / er["n"]["100000"][scheme]["wall_s"],
                 2,
             )
         er["growth_wall_10x_clusters"] = round(

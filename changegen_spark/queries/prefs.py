@@ -236,6 +236,62 @@ def _rater_label(eid, a_wins, r: int):
     return F.when(flip, ~a_wins).otherwise(a_wins)
 
 
+def labeled_frame(events: DataFrame) -> DataFrame:
+    """(ia, ib, l0..l{R-1}) — every rater's (possibly flipped) judgment
+    for each distinct-item event.  Pure expression work over any events
+    frame, so the streaming twin (streaming/events.rater_agreement_stream)
+    applies it to an unbounded source unchanged."""
+    eid = F.col("event_id").cast("string")
+    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
+    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
+    truth = F.pmod(h60(F.concat(eid, F.lit(":pw"))), ia + ib + 2) < ia + 1
+    return (
+        events.select(ia.alias("ia"), ib.alias("ib"), F.col("event_id"))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            *[
+                _rater_label(eid, truth, r).cast("long").alias(f"l{r}")
+                for r in range(N_RATERS)
+            ],
+        )
+    )
+
+
+def label_sums(labeled: DataFrame) -> DataFrame:
+    """ONE aggregate row of kappa's sufficient statistics: n, per-rater
+    positives, pairwise agreement counts.  Counts and sums only —
+    micro-batch merge-safe, so the streaming twin runs it in complete
+    mode and must equal the batch result exactly."""
+    return labeled.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"l{r}").alias(f"p{r}") for r in range(N_RATERS)],
+        *[
+            F.sum(
+                (F.col(f"l{a}") == F.col(f"l{b}")).cast("long")
+            ).alias(f"agree_{a}_{b}")
+            for a in range(N_RATERS)
+            for b in range(a + 1, N_RATERS)
+        ],
+    )
+
+
+def kappa_expr(a: int, b: int):
+    """Guarded integer-exact kappa over label_sums' columns.  The
+    zero-denominator CASE (r8 advice): an empty slice or an
+    all-identical-labels pair makes n² equal the chance term; kappa is
+    0 by convention there, and without the guard Spark (non-ANSI)
+    yields NULL while DuckDB's // raises — the engines diverge."""
+    chance = f"(p{a} * p{b} + (n - p{a}) * (n - p{b}))"
+    return F.expr(
+        f"CASE WHEN n * n - {chance} > 0 THEN"
+        f" (n * agree_{a}_{b} - {chance})"
+        f" * cast({E6} as bigint) div (n * n - {chance})"
+        f" ELSE 0 END"
+    ).cast("long")
+
+
 def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(rater_a, rater_b, n, agree, kappa_e6): pairwise Cohen's kappa
     between the synthetic raters — the label-quality gate an annotation
@@ -247,52 +303,19 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the e6 result is floor-division-exact on both engines.  One
     map-side pass over per-event label columns; no join, no explode."""
     ev = load_table(spark, sf_dir, "events").select("event_id")
-    eid = F.col("event_id").cast("string")
-    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
-    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
-    truth = F.pmod(h60(F.concat(eid, F.lit(":pw"))), ia + ib + 2) < ia + 1
-    labeled = ev.filter(ia != ib).select(
-        *[
-            _rater_label(eid, truth, r).cast("long").alias(f"l{r}")
-            for r in range(N_RATERS)
-        ]
-    )
-    sums = labeled.agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"l{r}").alias(f"p{r}") for r in range(N_RATERS)],
-        *[
-            F.sum(
-                (F.col(f"l{a}") == F.col(f"l{b}")).cast("long")
-            ).alias(f"agree_{a}_{b}")
-            for a in range(N_RATERS)
-            for b in range(a + 1, N_RATERS)
-        ],
-    )
+    sums = label_sums(labeled_frame(ev))
     from functools import reduce
 
     parts = []
     for a in range(N_RATERS):
         for b in range(a + 1, N_RATERS):
-            chance = f"(p{a} * p{b} + (n - p{a}) * (n - p{b}))"
             parts.append(
                 sums.select(
                     F.lit(a).cast("long").alias("rater_a"),
                     F.lit(b).cast("long").alias("rater_b"),
                     F.col("n").cast("long"),
                     F.col(f"agree_{a}_{b}").cast("long").alias("agree"),
-                    # zero-denominator guard (r8 advice): an empty events
-                    # slice or a rater pair with all-identical labels makes
-                    # n² equal the chance term; kappa is 0 by convention
-                    # there, and without the CASE Spark (non-ANSI) yields
-                    # NULL while DuckDB's // raises — the engines diverge.
-                    F.expr(
-                        f"CASE WHEN n * n - {chance} > 0 THEN"
-                        f" (n * agree_{a}_{b} - {chance})"
-                        f" * cast({E6} as bigint) div (n * n - {chance})"
-                        f" ELSE 0 END"
-                    )
-                    .cast("long")
-                    .alias("kappa_e6"),
+                    kappa_expr(a, b).alias("kappa_e6"),
                 )
             )
     return reduce(lambda x, y: x.unionAll(y), parts).orderBy(
@@ -401,22 +424,7 @@ def bt_weighted_fit(spark: SparkSession, sf_dir: str, ws: list) -> DataFrame:
     pass collapses the log to ≤ C(N,2)·2 cells of per-rater win counts;
     the MM recurrence runs driver-side on that KB artifact."""
     ev = load_table(spark, sf_dir, "events").select("event_id")
-    eid = F.col("event_id").cast("string")
-    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
-    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
-    truth = F.pmod(h60(F.concat(eid, F.lit(":pw"))), ia + ib + 2) < ia + 1
-    labeled = (
-        ev.select(ia.alias("ia"), ib.alias("ib"), F.col("event_id"))
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            *[
-                _rater_label(eid, truth, r).cast("long").alias(f"l{r}")
-                for r in range(N_RATERS)
-            ],
-        )
-    )
+    labeled = labeled_frame(ev)
     cells = labeled.groupBy("ia", "ib").agg(
         F.count("*").cast("long").alias("n"),
         *[F.sum(f"l{r}").alias(f"a{r}") for r in range(N_RATERS)],

@@ -545,6 +545,39 @@ def hll_registers_stream(
     )
 
 
+def rater_agreement_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_rater_agreement (queries/prefs.py): a live
+    rater-reliability monitor over the unbounded judgment stream — the
+    annotation-QC dashboard a labeling operation watches to catch a
+    rater going bad WITHOUT waiting for the batch audit.
+
+    Output is the WIDE single-row form (n, agree_a_b…, kappa_a_b_e6…)
+    rather than the batch query's 3-row union: a streaming plan admits
+    only one aggregation subtree, and unioning three projections of the
+    aggregate would plan three streaming aggs (unsupported).  The
+    sufficient statistics (count, per-rater positives, pairwise
+    agreements) are sums, so complete mode is micro-batch merge-safe
+    and must equal the batch result exactly; state is ONE row of
+    counters regardless of stream length.  The kappa projection reuses
+    the batch query's guarded integer expression verbatim."""
+    from changegen_spark.queries.prefs import (
+        N_RATERS,
+        kappa_expr,
+        label_sums,
+        labeled_frame,
+    )
+
+    sums = label_sums(labeled_frame(events.select("event_id")))
+    cols = [F.col("n").cast("long").alias("n")]
+    for a in range(N_RATERS):
+        for b in range(a + 1, N_RATERS):
+            cols.append(
+                F.col(f"agree_{a}_{b}").cast("long").alias(f"agree_{a}_{b}")
+            )
+            cols.append(kappa_expr(a, b).alias(f"kappa_{a}_{b}_e6"))
+    return sums.select(*cols)
+
+
 def win_matrix_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of q_win_matrix (queries/prefs.py): the pairwise
     preference win matrix over an unbounded judgment stream.  Counts and

@@ -413,3 +413,29 @@ def test_win_matrix_stream_matches_batch(spark, sf_dir):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in expected.collect()
     ]
+
+
+def test_rater_agreement_stream_matches_batch(spark, sf_dir):
+    """The streaming rater-reliability monitor equals the batch
+    q_rater_agreement exactly (wide vs long form): the kappa sufficient
+    statistics are sums, so micro-batch splits cannot move a counter;
+    state is one row regardless of stream length."""
+    from changegen_spark.queries.prefs import q_rater_agreement
+    from changegen_spark.streaming.events import (
+        rater_agreement_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    got = run_to_memory_sink(
+        rater_agreement_stream(stream_events(spark, sf_dir)),
+        "t_rater_agreement",
+        mode="complete",
+    ).collect()
+    assert len(got) == 1
+    wide = got[0].asDict()
+    batch = q_rater_agreement(spark, sf_dir).collect()
+    for r in batch:
+        assert wide["n"] == r.n
+        assert wide[f"agree_{r.rater_a}_{r.rater_b}"] == r.agree
+        assert wide[f"kappa_{r.rater_a}_{r.rater_b}_e6"] == r.kappa_e6
