@@ -114,6 +114,10 @@ BUDGETS = {
     # the Arrow tf pre-count + tfs/w fences; 6.6 s before)
     "q_related_docs": 7.0,
     "q_bt_scores": 3.0,
+    # r9 (measured warm min-of-3 idle: 3.41 raw / 3.25 norm at calib
+    # 1.05) — two aggregation passes over the judgment log (kappa
+    # sufficient statistics + per-pair label cells) vs q_bt_scores' one
+    "q_bt_weighted": 4.5,
 }
 
 HEADLINE = [
@@ -185,6 +189,9 @@ HEADLINE = [
     # Bradley-Terry preference aggregation (one log pass + driver MM)
     "q_related_docs",
     "q_bt_scores",
+    # r9: reliability-weighted BT — the kappa pass (one global aggregate)
+    # plus the per-pair label-cells pass, MM driver-side
+    "q_bt_weighted",
 ]
 
 
