@@ -545,6 +545,92 @@ def hll_registers_stream(
     )
 
 
+ELO_K = 32
+ELO_INIT = 1000
+
+
+def elo_stream(events: DataFrame) -> DataFrame:
+    """Online Elo ratings over the judgment stream — the ORDER-DEPENDENT
+    companion to the order-free batch fit (q_bt_scores): each judgment
+    updates the two items' ratings immediately, which is what a live
+    leaderboard runs.  Zero-sum integer updates (classic Elo):
+    delta = round(K·(S_a − E_a)), r_a += delta, r_b −= delta, with
+    E_a = 1/(1+10^((r_b−r_a)/400)) — so Σratings is conserved at
+    N_ITEMS·ELO_INIT forever (the parity test pins it).
+
+    Shape: a SINGLE-KEY ``applyInPandasWithState`` whose entire state is
+    the rating vector + game count (N_ITEMS+1 integers — KB-bounded
+    regardless of stream length).  Elo is inherently sequential — that
+    is its DEFINITION, not a missed parallelization: the batch answer
+    for an order-free strength estimate is q_bt_scores (one distributed
+    pass + driver MM); Elo is what you run ON THE STREAM, and a
+    sequential fold over a KB state is exactly the right plan for it.
+    Within a micro-batch judgments fold in (ts, event_id) order; across
+    micro-batches in arrival order — standard online-rating semantics
+    (the parity test pins the single-batch case, where that equals the
+    global (ts, event_id) order).  Emits the post-batch leaderboard
+    (item, rating, n_games) each trigger."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from changegen_spark.queries.prefs import N_ITEMS
+    from changegen_spark.queries.sketches import h60
+
+    eid = F.col("event_id").cast("string")
+    ia = F.pmod(h60(F.concat(eid, F.lit(":pa"))), F.lit(N_ITEMS))
+    ib = F.pmod(h60(F.concat(eid, F.lit(":pb"))), F.lit(N_ITEMS))
+    tot = ia + ib + 2  # s_a + s_b with planted s_i = i + 1
+    a_wins = F.pmod(h60(F.concat(eid, F.lit(":pw"))), tot) < ia + 1
+    comps = (
+        events.select(
+            F.lit(0).alias("g"),
+            F.col("ts"),
+            F.col("event_id"),
+            ia.alias("ia"),
+            ib.alias("ib"),
+            a_wins.alias("a_wins"),
+        )
+        .filter(F.col("ia") != F.col("ib"))
+    )
+
+    out_schema = "item long, rating long, n_games long"
+    state_schema = "ratings array<long>, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ratings, n = state.get
+            ratings = list(ratings)
+        else:
+            ratings, n = [ELO_INIT] * N_ITEMS, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for i, j, aw in zip(batch["ia"], batch["ib"], batch["a_wins"]):
+                i, j = int(i), int(j)
+                ea = 1.0 / (1.0 + 10.0 ** ((ratings[j] - ratings[i]) / 400.0))
+                delta = round(ELO_K * ((1.0 if aw else 0.0) - ea))
+                ratings[i] += delta
+                ratings[j] -= delta
+                n += 1
+        state.update((ratings, n))
+        yield pd.DataFrame(
+            {
+                "item": list(range(N_ITEMS)),
+                "rating": ratings,
+                "n_games": [n] * N_ITEMS,
+            }
+        )
+
+    return comps.groupBy("g").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rater_agreement_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of q_rater_agreement (queries/prefs.py): a live
     rater-reliability monitor over the unbounded judgment stream — the

@@ -439,3 +439,56 @@ def test_rater_agreement_stream_matches_batch(spark, sf_dir):
         assert wide["n"] == r.n
         assert wide[f"agree_{r.rater_a}_{r.rater_b}"] == r.agree
         assert wide[f"kappa_{r.rater_a}_{r.rater_b}_e6"] == r.kappa_e6
+
+
+def test_elo_stream_matches_independent_fold(spark, sf_dir):
+    """Online Elo over the judgment stream: an independent hashlib+loop
+    reimplementation over the (ts, event_id)-ordered batch log is the
+    expectation (single-batch availableNow run, where arrival order =
+    global order).  Pins: exact rating vector, zero-sum conservation
+    (Σratings = N·INIT), and that the online ordering tracks the planted
+    strengths (strongest item rated above weakest)."""
+    import hashlib
+
+    from changegen_spark.queries.prefs import N_ITEMS
+    from changegen_spark.sources.tables import load_table
+    from changegen_spark.streaming.events import (
+        ELO_INIT,
+        ELO_K,
+        elo_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    got = run_to_memory_sink(
+        elo_stream(stream_events(spark, sf_dir)), "t_elo", mode="update"
+    )
+    # update mode emits one leaderboard per micro-batch; keep the final
+    # (availableNow over one file = one batch, but stay order-robust)
+    rows = got.orderBy(F.col("n_games").desc(), "item").collect()[:N_ITEMS]
+    final = {r.item: (r.rating, r.n_games) for r in rows}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    ratings, n = [ELO_INIT] * N_ITEMS, 0
+    for r in ev:
+        e = str(r.event_id)
+        ia, ib = h60(f"{e}:pa") % N_ITEMS, h60(f"{e}:pb") % N_ITEMS
+        if ia == ib:
+            continue
+        aw = h60(f"{e}:pw") % (ia + ib + 2) < ia + 1
+        ea = 1.0 / (1.0 + 10.0 ** ((ratings[ib] - ratings[ia]) / 400.0))
+        delta = round(ELO_K * ((1.0 if aw else 0.0) - ea))
+        ratings[ia] += delta
+        ratings[ib] -= delta
+        n += 1
+    assert final == {i: (ratings[i], n) for i in range(N_ITEMS)}
+    assert sum(r for r, _ in final.values()) == N_ITEMS * ELO_INIT
+    assert final[N_ITEMS - 1][0] > final[0][0]  # planted order recovered
