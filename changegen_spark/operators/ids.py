@@ -39,6 +39,16 @@ def assign_sequential_ids(
     row-counts, broadcast the prefix sums, add to a per-partition row index.
     Order follows current partitioning (still unique + dense, not globally
     ordered by ``order_by``).
+
+    CORRECTNESS HAZARD (r9 postmortem): distributed mode executes its
+    input TWICE — once for the per-partition counts, once as the join
+    probe.  If the input's partitioning is nondeterministic across
+    executions (``repartitionByRange`` re-samples its boundaries with a
+    fresh seed every execution), the offsets from one partitioning get
+    applied to rows of another and the ids stop being a permutation.
+    Fence such inputs with ``localCheckpoint()`` first (see
+    queries/er.py ``_sn_ranked``); deterministic inputs (a parquet scan,
+    a hash repartition) need no fence.
     """
     if mode == "dense":
         w = Window.orderBy(*[F.col(c) for c in order_by])

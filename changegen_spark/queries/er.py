@@ -487,10 +487,24 @@ def _sn_keyed(people: DataFrame) -> DataFrame:
 def _sn_ranked(people: DataFrame) -> DataFrame:
     """Global dense rank in skey order WITHOUT a single-partition window:
     repartitionByRange on the key (range partitions concatenate to the
-    global order) + the ids.py distributed two-phase prefix sum."""
+    global order) + the ids.py distributed two-phase prefix sum.
+
+    The localCheckpoint fence after the range exchange is CORRECTNESS,
+    not caching (r9 postmortem): repartitionByRange samples its
+    boundaries with a fresh random seed per execution, and the
+    distributed rank executes its input TWICE (per-partition counts,
+    then the offset join).  Unfenced, the two executions can see
+    different boundaries, so offsets from one partitioning get applied
+    to rows of another — ranks stop being a permutation and the SN pair
+    set wobbles run to run (measured at 100k: 168318/168318/168300/
+    168305 across four counts; byte-stable after the fence)."""
     from changegen_spark.operators.ids import assign_sequential_ids
 
-    k = _sn_keyed(people).repartitionByRange(32, "skey")
+    k = (
+        _sn_keyed(people)
+        .repartitionByRange(32, "skey")
+        .localCheckpoint(eager=False)
+    )
     return assign_sequential_ids(
         k, order_by=["skey"], out_col="rank", mode="distributed"
     ).select("rec_id", "nname", "rank")
@@ -585,8 +599,11 @@ def _sn_ranked2(people: DataFrame) -> DataFrame:
             F.lpad(F.col("rec_id").cast("string"), 12, "0"),
         ).alias("skey"),
     )
+    # same correctness fence as _sn_ranked: the distributed rank
+    # double-executes its input, and unfenced range boundaries are
+    # re-sampled per execution
     return assign_sequential_ids(
-        keyed2.repartitionByRange(32, "skey"),
+        keyed2.repartitionByRange(32, "skey").localCheckpoint(eager=False),
         order_by=["skey"],
         out_col="rank",
         mode="distributed",

@@ -59,11 +59,39 @@ def ledger(repo=".", max_round=None):
     return {"never_direct": never, "lru": lru, "last": last}
 
 
+def propose(led, slots, min_age_rounds, next_round):
+    """A mechanical next-rotation proposal: never-direct names first
+    (registry order), then the LRU list, skipping any name whose last
+    driver row is younger than ``min_age_rounds`` (the post-exhaustion
+    policy pinned in tests/test_plans.py).  Queries NEW this round
+    should be prepended by hand — they are never-direct by definition
+    but only exist after this listing runs."""
+    picked = list(led["never_direct"])
+    for nm in led["lru"]:
+        if len(picked) >= slots:
+            break
+        if led["last"][nm] <= next_round - min_age_rounds:
+            picked.append(nm)
+    return picked[:slots]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-round", type=int, default=None)
+    ap.add_argument(
+        "--propose",
+        type=int,
+        metavar="NEXT_ROUND",
+        help="print a mechanical ROTATED_IN proposal for round N "
+        "(never-direct first, then LRU aged >= 2 rounds)",
+    )
+    ap.add_argument("--slots", type=int, default=40)
     args = ap.parse_args()
     led = ledger(max_round=args.max_round)
+    if args.propose:
+        for nm in propose(led, args.slots, 2, args.propose):
+            print(f'    "{nm}",')
+        return
     print(f"never-direct ({len(led['never_direct'])}):")
     for nm in led["never_direct"]:
         print(f"  {nm}")
