@@ -146,7 +146,12 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = scored.join(langs, "doc_id")
 
     nparts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = joined.repartitionByRange(nparts, "lang", "nll", "doc_id")
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note):
+    # the two-phase rank executes this frame twice (counts + join) and
+    # repartitionByRange re-samples boundaries per execution
+    ranged = joined.repartitionByRange(
+        nparts, "lang", "nll", "doc_id"
+    ).localCheckpoint(eager=False)
     tagged = ranged.withColumn("__part", F.spark_partition_id())
     local_w = Window.partitionBy("__part", "lang").orderBy("nll", "doc_id")
     tagged = tagged.withColumn("__rn", F.row_number().over(local_w).cast("long"))

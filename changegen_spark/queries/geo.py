@@ -836,10 +836,15 @@ def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     lon = F.lit(-118.48) + ((F.col("event_id") * 7) % 560).cast("double") / 1000.0
     lat = F.lit(48.43) + ((F.col("event_id") * 11) % 420).cast("double") / 1000.0
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note):
+    # intra-pairs and the boundary-stitch frame double-execute pts; with
+    # re-sampled boundaries the pairs dropped at exec-A's boundaries
+    # would not match the pairs stitched from exec-B's
     pts = (
         ev.select(F.col("event_id").alias("pid"), lon.alias("lon"), lat.alias("lat"))
         .repartitionByRange(8, "pid")
         .withColumn("__part", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     wp = Window.partitionBy("__part").orderBy("pid")
     intra = (

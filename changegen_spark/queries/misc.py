@@ -654,10 +654,12 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row (n_customers, total_cents, gini_e6)."""
     o = load_table(spark, sf_dir, "orders")
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note)
     rev = (
         o.groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
         .repartitionByRange(8, "cents", "o_custkey")
+        .localCheckpoint(eager=False)
     )
     part = F.spark_partition_id()
     win = Window.partitionBy("__part").orderBy("cents", "o_custkey")

@@ -626,9 +626,12 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts are contractual."""
     d = _docs(spark, sf_dir)
     hk = F.md5(F.col("doc_id").cast("string"))
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note):
+    # counts + join double-execute this frame; unfenced range boundaries
+    # are re-sampled per execution
     rows = d.select("doc_id", "lang", hk.alias("hk")).repartitionByRange(
         8, "lang", "hk", "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     win = Window.partitionBy("__part", "lang").orderBy("hk", "doc_id")
     tagged = rows.withColumn("__part", F.spark_partition_id()).withColumn(
         "__rn", F.row_number().over(win).cast("long")
@@ -1165,10 +1168,12 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-partition pass ever touches the data; the result is
     partitioning-invariant because the prefix sum is defined by the global
     doc_id order, not by where partition boundaries fall."""
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note)
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", F.col("n_chars").cast("long").alias("w"))
         .repartitionByRange(8, "doc_id")
+        .localCheckpoint(eager=False)
     )
     part = F.spark_partition_id()
     win = Window.partitionBy("__part").orderBy("doc_id")

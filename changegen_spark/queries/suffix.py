@@ -60,7 +60,12 @@ def _two_phase_dense_rank(distinct_keys: DataFrame, cols: list[str]) -> DataFram
     """rank 1..K for the already-DISTINCT key frame, ordered by ``cols``
     ascending — range-partitioned so no single partition ever holds the
     full set (q_gini's exact two-phase rank, reused)."""
-    d = distinct_keys.repartitionByRange(8, *cols)
+    # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note):
+    # counts + join double-execute this frame; unfenced range boundaries
+    # are re-sampled per execution
+    d = distinct_keys.repartitionByRange(8, *cols).localCheckpoint(
+        eager=False
+    )
     win = Window.partitionBy("__part").orderBy(*cols)
     tagged = d.withColumn("__part", F.spark_partition_id()).withColumn(
         "__rn", F.row_number().over(win).cast("long")

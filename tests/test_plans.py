@@ -423,7 +423,16 @@ def test_stratified_split_broadcasts_frames_no_stratum_sort(spark, sf_dir):
 
     plan = _plan(q_stratified_split(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "rangepartitioning(lang" in plan.lower()
+    # r9: the (lang, hk) range exchange sits BELOW a localCheckpoint
+    # fence (correctness — the ids.py double-execution hazard), so
+    # explain shows its materialized form (existingrdd scan) instead of
+    # rangepartitioning(lang.  The plan-visible contract is therefore:
+    # the data-sized rank is the PARTITION-LOCAL window over
+    # (__part, lang) — never a stratum-global window — and nothing
+    # collapses the data to a single partition.
+    assert "windowspecdefinition(__part" in plan
+    assert "scan existingrdd" in plan.lower()
+    assert "RoundRobinPartitioning(1)" not in plan
 
 
 def test_group_topk_pushes_partial_window_limit(spark, sf_dir):
