@@ -593,3 +593,36 @@ def test_win_matrix_is_join_free(spark, sf_dir):
     plan = _plan(q_win_matrix(spark, sf_dir))
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan  # h60 judgments stay JVM-side
+
+
+def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
+    """r9 postmortem pin: every two-phase rank/prefix site must keep its
+    localCheckpoint fence (scan ExistingRDD in the plan) — without it,
+    the per-partition counts and the offset join can execute against
+    DIFFERENTLY-SAMPLED range boundaries and the ranks stop being a
+    permutation (measured: SN pair counts wobbled ~0.01% per run at
+    100k).  A fence silently removed in a refactor would pass every
+    gate-scale oracle (2k-row fixtures are fully sampled, boundaries
+    stable) and only corrupt results at scale, so the plan shape is the
+    pin."""
+    from changegen_spark.queries.curation import q_ccnet_buckets
+    from changegen_spark.queries.er import q_er_pairs_sn
+    from changegen_spark.queries.geo import q_haversine
+    from changegen_spark.queries.misc import q_gini
+    from changegen_spark.queries.mlprep import (
+        q_stratified_split,
+        q_weighted_sample,
+    )
+    from changegen_spark.queries.suffix import q_suffix_ranks
+
+    for name, fn in (
+        ("q_er_pairs_sn", q_er_pairs_sn),
+        ("q_ccnet_buckets", q_ccnet_buckets),
+        ("q_stratified_split", q_stratified_split),
+        ("q_weighted_sample", q_weighted_sample),
+        ("q_suffix_ranks", q_suffix_ranks),
+        ("q_gini", q_gini),
+        ("q_haversine", q_haversine),
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "existingrdd" in plan.lower(), f"{name}: fence missing"
