@@ -309,13 +309,200 @@ FROM m GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- ranking-quality eval (r9) ------------------------------------------------
+
+NDCG_K = 10
+# round(1e6 / log2(rank + 1)) for rank 1..10 — the graded-nDCG position
+# discounts as integer literals, identical in both engines by construction
+# (the only transcendental is evaluated ONCE, here, at module load)
+_DISC_E6 = (
+    1_000_000, 630_930, 500_000, 430_677, 386_853,
+    356_207, 333_333, 315_465, 301_030, 289_065,
+)
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the BM25 ranking — graded nDCG@10,
+    MRR and precision@10 — against coordination-grade relevance:
+    rel(doc) = number of distinct query terms present (1..3; the graded
+    qrel a lexical pipeline gets for free, and a real diagnostic: BM25
+    weights idf·tf, NOT coordination, so a doc carrying two rare terms
+    can outrank an all-terms doc — nDCG measures exactly how far the
+    ranking is from grade-ideal, MRR/P@10 how fast/densely the
+    full-coordination (grade-3) docs surface).
+
+    Integer discipline: gain = 2^rel − 1 (shiftleft, exact), position
+    discounts are the _DISC_E6 literal table, DCG/IDCG are integer
+    sums, ndcg_e6 = DCG·1e6 div IDCG (guarded), mrr3_e6 = 1e6 div
+    first-grade-3 rank.  Scale: the corpus-sized work is the same
+    filtered-explode tf pass BM25 itself runs; everything after it is
+    a ≤K-row frame (the ranked top-10, the ideal top-10) — the two
+    single-partition windows run over 10 rows, the k-means-centroid
+    bounded-artifact pattern."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(BM25_TERMS)
+    grades = (
+        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").cast("long").alias("rel"))
+    ).localCheckpoint(eager=False)  # feeds ranked-join, ideal, and mrr
+    disc = spark.createDataFrame(
+        [(i + 1, _DISC_E6[i]) for i in range(NDCG_K)],
+        "rank long, disc_e6 long",
+    )
+    # PySpark's shiftleft() helper takes only a literal bit count; the
+    # SQL form accepts a column expression in both engines
+    gain = F.expr("shiftleft(1, cast(rel as int)) - 1")
+
+    ranked = (
+        bm25_scored(spark, sf_dir, NDCG_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_e9"), "doc_id"))
+            .cast("long"),
+        )
+        .join(grades, "doc_id")
+        .join(F.broadcast(disc), "rank")
+    )
+    dcg = ranked.agg(
+        F.coalesce(F.sum(gain * F.col("disc_e6")), F.lit(0))
+        .cast("long")
+        .alias("dcg_e6"),
+        F.coalesce(
+            F.sum((F.col("rel") == 3).cast("long")), F.lit(0)
+        ).alias("n3_at_k"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 3, F.col("rank"))), F.lit(0)
+        ).cast("long").alias("first3"),
+    )
+    ideal = (
+        grades.orderBy(F.desc("rel"), "doc_id")
+        .limit(NDCG_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), "doc_id"))
+            .cast("long"),
+        )
+        .join(F.broadcast(disc), "rank")
+        .agg(
+            F.coalesce(F.sum(gain * F.col("disc_e6")), F.lit(0))
+            .cast("long")
+            .alias("idcg_e6")
+        )
+    )
+    n3 = grades.agg(
+        F.coalesce(F.sum((F.col("rel") == 3).cast("long")), F.lit(0)).alias(
+            "n_rel3"
+        )
+    )
+    return (
+        dcg.crossJoin(ideal)
+        .crossJoin(n3)
+        .select(
+            F.lit(NDCG_K).cast("long").alias("k"),
+            F.col("n_rel3").cast("long"),
+            "dcg_e6",
+            "idcg_e6",
+            F.expr(
+                "CASE WHEN idcg_e6 > 0 THEN dcg_e6 * cast(1000000 as bigint)"
+                " div idcg_e6 ELSE 0 END"
+            ).cast("long").alias("ndcg_e6"),
+            F.expr(
+                "CASE WHEN first3 > 0 THEN cast(1000000 as bigint) div first3"
+                " ELSE 0 END"
+            ).cast("long").alias("mrr3_e6"),
+            F.expr(f"n3_at_k * cast(1000000 as bigint) div {NDCG_K}")
+            .cast("long")
+            .alias("p_at_k_rel3_e6"),
+        )
+    )
+
+
+def _retrieval_eval_sql() -> str:
+    disc_rows = ", ".join(
+        f"({i + 1}, {_DISC_E6[i]})" for i in range(NDCG_K)
+    )
+    return f"""
+WITH lens AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w IN ({_TERMS_SQL})
+  GROUP BY doc_id, w
+), grades AS (
+  SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS rel FROM tf GROUP BY doc_id
+), dfr AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {BM25_K1 + 1.0})
+           / (tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl
+                                / (sum_dl * 1.0 / n_docs)))
+           * 1e9) AS BIGINT) AS s_e9
+  FROM tf
+  JOIN dfr USING (w)
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN stats
+), topk AS (
+  SELECT doc_id, CAST(sum(s_e9) AS BIGINT) AS score_e9
+  FROM scored GROUP BY doc_id
+  ORDER BY score_e9 DESC, doc_id LIMIT {NDCG_K}
+), disc(rank, disc_e6) AS (VALUES {disc_rows}
+), ranked AS (
+  SELECT t.doc_id, g.rel,
+         row_number() OVER (ORDER BY t.score_e9 DESC, t.doc_id) AS rank
+  FROM topk t JOIN grades g USING (doc_id)
+), dcg AS (
+  SELECT CAST(coalesce(sum(((1 << rel) - 1) * disc_e6), 0) AS BIGINT) AS dcg_e6,
+         CAST(coalesce(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n3_at_k,
+         CAST(coalesce(min(CASE WHEN rel = 3 THEN rank END), 0) AS BIGINT)
+           AS first3
+  FROM ranked JOIN disc USING (rank)
+), ideal_ranked AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+  FROM (SELECT doc_id, rel FROM grades ORDER BY rel DESC, doc_id LIMIT {NDCG_K})
+), idcg AS (
+  SELECT CAST(coalesce(sum(((1 << rel) - 1) * disc_e6), 0) AS BIGINT) AS idcg_e6
+  FROM ideal_ranked JOIN disc USING (rank)
+), n3 AS (
+  SELECT CAST(coalesce(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_rel3 FROM grades
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k, n_rel3, dcg_e6, idcg_e6,
+       CASE WHEN idcg_e6 > 0
+         THEN CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT) ELSE 0 END AS ndcg_e6,
+       CASE WHEN first3 > 0
+         THEN CAST(1000000 // first3 AS BIGINT) ELSE 0 END AS mrr3_e6,
+       CAST(n3_at_k * 1000000 // {NDCG_K} AS BIGINT) AS p_at_k_rel3_e6
+FROM dcg CROSS JOIN idcg CROSS JOIN n3
+"""
+
+
+Q_RETRIEVAL_EVAL_SQL = _retrieval_eval_sql()
+
+
 QUERIES = {
     "q_bm25_search": q_bm25_search,
     "q_hybrid_search": q_hybrid_search,
     "q_phrase_search": q_phrase_search,
+    "q_retrieval_eval": q_retrieval_eval,
 }
 ORACLES = {
     "q_bm25_search": Q_BM25_SQL,
     "q_hybrid_search": Q_HYBRID_SQL,
     "q_phrase_search": Q_PHRASE_SQL,
+    "q_retrieval_eval": Q_RETRIEVAL_EVAL_SQL,
 }

@@ -118,6 +118,7 @@ CASES = [
     ("q_bt_scores", lambda n: n == 0),
     ("q_rater_agreement", lambda n: n <= 3),  # pair rows survive, n=0
     ("q_bt_weighted", lambda n: n == 0),  # kappa guard → 0 weights, no games
+    ("q_retrieval_eval", lambda n: n == 1),  # guarded zeros row survives
 ]
 
 

@@ -55,3 +55,52 @@ def test_bm25_matches_reference(spark):
     order = [r["doc_id"] for r in rows]
     assert order.index(5) < order.index(3)
     assert 4 not in got
+
+
+def test_retrieval_eval_detects_coordination_miss(spark, tmp_path):
+    """nDCG/MRR must MOVE when BM25's idf·tf ranking disagrees with
+    coordination-grade relevance: a doc stuffed with the two rare terms
+    (grade 2) outscores the all-three-terms docs (grade 3), so nDCG@10
+    < 1, the first grade-3 doc sits at rank 2 (MRR 0.5), and P@10
+    counts only the grade-3 docs.  Values checked against an
+    independent python nDCG computation."""
+    import math
+    import os
+
+    from changegen_spark.queries.search import (
+        NDCG_K,
+        q_retrieval_eval,
+    )
+
+    # 'spark' appears everywhere (low idf); 'join'/'fast' are rare and
+    # doc 0 repeats them heavily -> top BM25 score at grade 2
+    rows = [(0, "join fast " * 20)]
+    rows += [(i, "spark join fast") for i in range(1, 4)]
+    rows += [(i, "spark spark filler text") for i in range(4, 40)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    got = q_retrieval_eval(spark, sf).collect()[0]
+    assert got.k == NDCG_K and got.n_rel3 == 3
+    # ranked grades: doc 0 (rel 2) first, the three rel-3 docs next,
+    # then grade-1 'spark'-only filler docs complete the top-10
+    rels = [2, 3, 3, 3] + [1] * 6
+    gains = [(1 << r) - 1 for r in rels]
+    disc = [1_000_000 // 1, 630_930, 500_000, 430_677]
+
+    def dcg(gs):
+        return sum(
+            g * round(1e6 / math.log2(i + 2)) for i, g in enumerate(gs)
+        )
+
+    want_dcg = dcg(gains)
+    want_idcg = dcg(sorted(gains, reverse=True))
+    assert got.dcg_e6 == want_dcg
+    assert got.idcg_e6 == want_idcg
+    assert got.ndcg_e6 == want_dcg * 1_000_000 // want_idcg
+    assert got.ndcg_e6 < 1_000_000  # the coordination miss is visible
+    assert got.mrr3_e6 == 500_000  # first grade-3 doc at rank 2
+    assert got.p_at_k_rel3_e6 == 3 * 1_000_000 // NDCG_K
+    assert disc[0] == 1_000_000  # literal table sanity
