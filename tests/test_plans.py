@@ -626,3 +626,31 @@ def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
     ):
         plan = _plan(fn(spark, sf_dir))
         assert "existingrdd" in plan.lower(), f"{name}: fence missing"
+
+
+def test_never_direct_propose_respects_lru_policy():
+    """The mechanical rotation proposal (tools/never_direct.py --propose)
+    must only pick names the window pin would accept: never-direct
+    first, then LRU names whose last driver row is >= 2 rounds old."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from never_direct import ledger, propose
+
+    from changegen_spark.queries import ROTATION_ROUND
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    led = ledger(repo=repo)
+    nxt = ROTATION_ROUND + 1
+    picked = propose(led, 40, 2, nxt)
+    assert picked, "proposal must not be empty"
+    assert len(picked) == len(set(picked))
+    for nm in picked:
+        assert led["last"].get(nm, 0) <= nxt - 2, nm
+    # never-direct names (if any) lead the list
+    nd = set(led["never_direct"])
+    if nd:
+        assert set(picked[: len(nd & set(picked))]) <= nd
