@@ -155,70 +155,64 @@ STANDING = (
 # current window, so including it would make the pin self-breaking (the
 # r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
 # landed).  Bump this constant WITH every rotation.
-ROTATION_ROUND = 9
+ROTATION_ROUND = 10
 
-# r9 window rotation (r8 verdict #1): this rotation EMPTIES the
-# never-direct pool — all 23 oracle-backed names that had never had a
-# driver row (recomputed from the artifacts by tools/never_direct.py,
-# which replaces the hand-kept GAPS ledger: the by-hand count said 20)
-# are in the window, plus the 4 r9-new queries (direct verification the
-# round they land, the r8 precedent).  With the pool empty, the
-# POST-EXHAUSTION POLICY starts now and is pinned in
-# tests/test_plans.py: every rotating slot must be least-recently-
-# direct — its most recent driver row, across all artifacts from rounds
-# before ROTATION_ROUND, must be >= 2 rounds old (never-direct counts
-# as infinitely old).  The 13 fill slots below are the HEAD of the
-# tools/never_direct.py LRU list (all last direct in r1).  Displaced r8
-# names fall back into the digest-covered set; queries/digest.KINDS
-# carries their schemas, so transitive verification stays total.  Dict
+# r10 window rotation (r9 verdict #2): the mechanical LRU proposal,
+# verbatim — `python tools/never_direct.py --propose 40`.  It leads
+# with q_retrieval_eval (landed after the r9 rotation closed, so it is
+# the one remaining never-direct name; this is its first driver row),
+# then the least-recently-direct names: the r2-era relational/changegen
+# tails (q_distinct, q_topk_freq, q_max_ids, the global-ids pair, way
+# chunking/change assembly, five TPC-H queries) and the r2/r3 text/geo/
+# events families, all last direct in r1-r3.  Queries added DURING r10
+# are inserted at the head (direct verification the round they land,
+# the r8/r9 precedent) displacing the LRU tail.  Displaced r9 names
+# fall back into the digest-covered set; queries/digest.KINDS carries
+# their schemas, so transitive verification stays total.  Dict
 # insertion order makes this stable: rotated names are inserted right
 # after the standing slots and keep that position when the module
 # sweep re-updates them.
 ROTATED_IN = (
-    # (a) r9-new — direct verification the round they land
-    "q_er_pairs_sn_refined",
-    "q_er_eval_sn_refined",
-    "q_bt_weighted",
-    "q_pbf_dsv2_stats",
-    # (b) the never-direct pool, emptied: r8-new SN/rater family …
-    "q_er_pairs_sn",
-    "q_er_eval_sn",
-    "q_er_pairs_sn_multi",
-    "q_er_eval_sn_multi",
-    "q_rater_agreement",
-    # … and the r3-r7 tails
-    "q_skew_profile",
-    "q_join_size_est",
-    "q_bloom_decontaminate",
-    "q_hrw_shards",
-    "q_incremental_dedup",
-    "q_zorder_cells",
-    "q_ivm_merge",
-    "q_dup_spans",
-    "q_kn_bigram",
-    "q_bpe_merges",
-    "q_bpe_encode_stats",
-    "q_oov_rate",
-    "q_normalize_text",
-    "q_unicode_nfc",
-    "q_cuped",
-    "q_mmr_topk",
-    "q_sq8_recall",
-    "q_group_topk",
-    # (c) least-recently-direct fill (last direct r1; LRU-list head)
-    "q_percentiles",
-    "q_array_ops",
-    "q_count_distinct",
-    "q_scalar_funcs",
-    "q_rollup",
-    "q_set_ops",
-    "q_pivot",
-    "q01_pricing_summary",
-    "q_snapshot_diff",
-    "q03_top_orders",
-    "q05_region_revenue",
-    "q_semi_join",
-    "q_anti_join",
+    "q_retrieval_eval",
+    "q_distinct",
+    "q_topk_freq",
+    "q_max_ids",
+    "q_global_ids",
+    "q_global_ids_negative",
+    "q_cumulative_fraction",
+    "q_way_chunking",
+    "q_change_assembly",
+    "q_delete_expansion",
+    "q_id_lookup_join",
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q13_customer_distribution",
+    "q16_part_supplier",
+    "q18_large_orders",
+    "q_segment_closest_point",
+    "q_lang_confusion",
+    "q_quality_filter",
+    "q_tfidf_terms",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_minhash_signature",
+    "q_jaccard_pairs",
+    "q_simhash_near_pairs",
+    "q_stats_moments",
+    "q_tile_pyramid",
+    "q_haversine",
+    "q_point_in_polygon",
+    "q_geo_measures",
+    "q_insertion_index",
+    "q_view_purchase_pairs",
+    "q_top_paths",
+    "q_interval_overlap",
+    "q_attribution",
+    "q_capped_balance",
+    "q_sessionize",
+    "q_props_parse",
+    "q_asof_join",
 )
 
 

@@ -429,6 +429,15 @@ def bt_weighted_fit(spark: SparkSession, sf_dir: str, ws: list) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         *[F.sum(f"l{r}").alias(f"a{r}") for r in range(N_RATERS)],
     ).collect()
+    if sum(ws) == 0:
+        # Every kappa-derived weight floored to 0 (all raters at/below
+        # chance): reliability weighting is undefined, and W=0 would
+        # zero every game count and divide by zero inside _mm_fit.
+        # Fall back to equal weights — the convention mirroring the
+        # kappa zero-denominator guard (kappa_expr returns 0 when the
+        # chance-agreement denominator vanishes): degrade to the
+        # unweighted fit rather than error.
+        ws = [100] * N_RATERS
     W = sum(ws)
     acc_n = {}
     acc_w = {}

@@ -615,17 +615,28 @@ def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
     )
     from changegen_spark.queries.suffix import q_suffix_ranks
 
-    for name, fn in (
-        ("q_er_pairs_sn", q_er_pairs_sn),
-        ("q_ccnet_buckets", q_ccnet_buckets),
-        ("q_stratified_split", q_stratified_split),
-        ("q_weighted_sample", q_weighted_sample),
-        ("q_suffix_ranks", q_suffix_ranks),
-        ("q_gini", q_gini),
-        ("q_haversine", q_haversine),
+    # r10 strengthening (r9 advice): presence of SOME ExistingRDD scan is
+    # not enough — q_er_pairs_sn's _window_pairs checkpoint injects one
+    # even with the critical _sn_ranked fence deleted.  Pin the EXACT
+    # count of materialized scans per site, so removing any single fence
+    # (count drops by one) fails, and pin that the only surviving
+    # rangepartitioning exchange is the final presentation orderBy
+    # (single-action, no re-sampling hazard) — at most one.
+    for name, fn, n_scans in (
+        ("q_er_pairs_sn", q_er_pairs_sn, 2),
+        ("q_ccnet_buckets", q_ccnet_buckets, 2),
+        ("q_stratified_split", q_stratified_split, 3),
+        ("q_weighted_sample", q_weighted_sample, 3),
+        ("q_suffix_ranks", q_suffix_ranks, 1),
+        ("q_gini", q_gini, 2),
+        ("q_haversine", q_haversine, 2),
     ):
-        plan = _plan(fn(spark, sf_dir))
-        assert "existingrdd" in plan.lower(), f"{name}: fence missing"
+        plan = _plan(fn(spark, sf_dir)).lower()
+        got = plan.count("scan existingrdd")
+        assert got == n_scans, f"{name}: {got} fences, want {n_scans}"
+        assert plan.count("rangepartitioning") <= 1, (
+            f"{name}: unfenced range exchange feeding a consumer"
+        )
 
 
 def test_never_direct_propose_respects_lru_policy():

@@ -188,3 +188,16 @@ def test_weighted_bt_beats_unweighted_on_planted_truth(spark, sf_dir):
         r.item: r.bt_e6
         for r in bt_weighted_fit(spark, sf_dir, ws).collect()
     }
+
+
+def test_weighted_bt_all_zero_weights_degrades_to_unweighted(spark, sf_dir):
+    """r9 advice: when every kappa-derived weight floors to 0 (all raters
+    at/below chance), W=0 would zero every weighted game count and
+    _mm_fit would divide by zero.  The guard degrades to the equal-weight
+    fit — same convention as kappa_expr's zero-denominator → 0 — so the
+    schema and values match bt_weighted_fit(..., [100]*N_RATERS)."""
+    from changegen_spark.queries.prefs import N_RATERS, bt_weighted_fit
+
+    zero = bt_weighted_fit(spark, sf_dir, [0] * N_RATERS).collect()
+    equal = bt_weighted_fit(spark, sf_dir, [100] * N_RATERS).collect()
+    assert [tuple(r) for r in zero] == [tuple(r) for r in equal]

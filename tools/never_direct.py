@@ -88,7 +88,7 @@ def main():
     ap.add_argument("--slots", type=int, default=40)
     args = ap.parse_args()
     led = ledger(max_round=args.max_round)
-    if args.propose:
+    if args.propose is not None:
         for nm in propose(led, args.slots, 2, args.propose):
             print(f'    "{nm}",')
         return
