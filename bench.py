@@ -118,6 +118,10 @@ BUDGETS = {
     # 1.05) — two aggregation passes over the judgment log (kappa
     # sufficient statistics + per-pair label cells) vs q_bt_scores' one
     "q_bt_weighted": 4.5,
+    # r10 (measured warm min-of-3, fresh session after a bm25 warmup,
+    # load 0.23: 1.57 s) — the single filtered-explode tf pass + the
+    # broadcast query fan-out + per-query top-k window
+    "q_bm25_multi": 2.2,
 }
 
 HEADLINE = [
@@ -192,6 +196,10 @@ HEADLINE = [
     # r9: reliability-weighted BT — the kappa pass (one global aggregate)
     # plus the per-pair label-cells pass, MM driver-side
     "q_bt_weighted",
+    # r10: batched multi-query BM25 — one filtered-explode tf pass fanned
+    # out to 8 queries by a broadcast term table (the bm25_ladder below
+    # measures the queries-vs-postings scaling claim)
+    "q_bm25_multi",
 ]
 
 
@@ -730,6 +738,81 @@ def main() -> None:
             big["fuzzy_wall_s"] / small["fuzzy_wall_s"], 2
         )
 
+    # bm25 ladder (r10, r9 verdict #4): the batched-BM25 scaling claim,
+    # measured — wall must track MATCHED POSTINGS, not queries × corpus.
+    # Three configs on the sf0.1 documents table: the 8-query base batch;
+    # 32 queries over the SAME vocabulary (4× queries, identical tf pass
+    # — wall must stay ~flat); 8 queries over a 3× vocabulary (more
+    # matched postings — wall may grow, and postings is the column that
+    # explains it).  matched_postings = rows of the (doc, term) tf frame,
+    # i.e. the only corpus-dependent shuffle.
+    bm25 = None
+    if sf_val == 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        from changegen_spark.queries.search import (
+            BM25_MULTI,
+            BM25_MULTI_TOPK,
+            bm25_multi_scored,
+        )
+
+        base_vocab = sorted({t for _q, ts in BM25_MULTI for t in ts})
+        wide_vocab = base_vocab + [
+            "data", "row", "table", "stream", "key", "value", "column",
+            "big", "small", "agg", "the", "a", "line", "scan", "group",
+            "customer", "part", "order", "window", "query",
+        ]
+        q32 = tuple(
+            (qid * 4 + k, ts)
+            for qid, ts in BM25_MULTI
+            for k in range(4)
+        )
+        q8_wide = tuple(
+            (i + 1, tuple(wide_vocab[j % len(wide_vocab)]
+                          for j in range(i * 4, i * 4 + 4)))
+            for i in range(8)
+        )
+        bm25 = {"configs": {}}
+        for key, qset in (
+            ("q8_base", BM25_MULTI),
+            ("q32_same_vocab", q32),
+            ("q8_wide_vocab", q8_wide),
+        ):
+            frame = bm25_multi_scored(spark, SF_DIR, qset, BM25_MULTI_TOPK)
+            # matched postings: the tf frame the corpus explode shuffles
+            terms = sorted({t for _q, ts in qset for t in ts})
+            from changegen_spark.queries.mlprep import _toks
+            from changegen_spark.sources.tables import load_table as _lt
+            from pyspark.sql import functions as _F
+
+            postings = (
+                _lt(spark, SF_DIR, "documents")
+                .select(_F.explode(_toks(_F.col("text"))).alias("w"))
+                .filter(_F.col("w").isin(terms))
+                .count()
+            )
+            frame.write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(SF1_WARM_RUNS):
+                t0 = time.time()
+                frame.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            bm25["configs"][key] = {
+                "n_queries": len(qset),
+                "n_terms": len(terms),
+                "matched_postings": postings,
+                "wall_s": round(best, 3),
+            }
+        c = bm25["configs"]
+        bm25["wall_growth_4x_queries"] = round(
+            c["q32_same_vocab"]["wall_s"] / c["q8_base"]["wall_s"], 2
+        )
+        bm25["wall_growth_wide_vocab"] = round(
+            c["q8_wide_vocab"]["wall_s"] / c["q8_base"]["wall_s"], 2
+        )
+        bm25["postings_growth_wide_vocab"] = round(
+            c["q8_wide_vocab"]["matched_postings"]
+            / max(c["q8_base"]["matched_postings"], 1), 2
+        )
+
     # layout ladder (r6): the optimization no query plan shows — range-
     # clustered vs scattered parquet layout of the SAME sf0.1 lineitem
     # rows, a ~1/80-selectivity date predicate on both.  The decisive
@@ -834,6 +917,8 @@ def main() -> None:
         out["web_ladder"] = web
     if corpus is not None:
         out["corpus_ladder"] = corpus
+    if bm25 is not None:
+        out["bm25_ladder"] = bm25
     # r6 verdict #6: the driver captures only a 2000-char stdout tail, so
     # the artifact must not depend on stdout — write the full JSON to a
     # file next to the repo root as well.  r8 verdict #6: the default

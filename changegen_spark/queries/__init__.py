@@ -173,6 +173,9 @@ ROTATION_ROUND = 10
 # after the standing slots and keep that position when the module
 # sweep re-updates them.
 ROTATED_IN = (
+    # r10-new — direct verification the round it lands (r8/r9 precedent);
+    # displaces the LRU tail of the mechanical proposal (q_asof_join)
+    "q_bm25_multi",
     "q_retrieval_eval",
     "q_distinct",
     "q_topk_freq",
@@ -212,7 +215,6 @@ ROTATED_IN = (
     "q_capped_balance",
     "q_sessionize",
     "q_props_parse",
-    "q_asof_join",
 )
 
 

@@ -156,6 +156,7 @@ KINDS = {
     "q_attribution": {"touch_type": "str", "n_purchases": "num", "revenue_e6": "num"},
     "q_interval_overlap": {"user_id": "num", "session_seq": "num", "incident_id": "num", "overlap_us": "num"},
     "q_bm25_search": {"doc_id": "num", "n_terms_hit": "num", "score_e9": "num"},
+    "q_bm25_multi": {"query_id": "num", "doc_id": "num", "rank": "num", "n_terms_hit": "num", "score_e9": "num"},
     "q_hybrid_search": {"doc_id": "num", "rank_lex": "num", "rank_vec": "num", "rrf_e9": "num"},
     "q_null_semantics": {"n_rows": "num", "n_null_keys": "num", "n_eq_pairs": "num", "n_nullsafe_pairs": "num"},
     "q_gini": {"n_customers": "num", "total_cents": "num", "gini": "e6"},

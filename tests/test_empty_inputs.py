@@ -54,6 +54,7 @@ CASES = [
     ("q_nb_classifier", lambda n: n == 0),
     ("q_phrase_search", lambda n: n == 0),
     ("q_bm25_search", lambda n: n == 0),
+    ("q_bm25_multi", lambda n: n == 0),
     ("q_pagerank", lambda n: n == 0),
     ("q_funnel", lambda n: n == 0),
     ("q_resample", lambda n: n == 0),

@@ -104,3 +104,54 @@ def test_retrieval_eval_detects_coordination_miss(spark, tmp_path):
     assert got.mrr3_e6 == 500_000  # first grade-3 doc at rank 2
     assert got.p_at_k_rel3_e6 == 3 * 1_000_000 // NDCG_K
     assert disc[0] == 1_000_000  # literal table sanity
+
+
+def test_bm25_multi_agrees_with_single_query_and_reference(spark):
+    """Query 1 of the batch IS the q_bm25_search query: its per-query
+    top-k must reproduce bm25_scored's ranking and scores exactly (same
+    idf/tf math, same e9 rounding point).  And every query's scores must
+    match the independent plain-Python reference on a crafted corpus."""
+    docs = {
+        1: "spark join fast spark spark",
+        2: "join " * 30 + "slow table",
+        3: "fast",
+        4: "table scan merge sort",
+        5: "spark join fast",
+        6: "hash batch hash",
+        7: "dup merge dup dup",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    queries = ((1, se.BM25_TERMS), (2, ("hash", "batch")), (5, ("dup", "merge")))
+    orig = se.load_table
+    se.load_table = lambda _s, _d, _n: df
+    try:
+        single = se.bm25_scored(spark, "unused", 10).collect()
+        multi = se.bm25_multi_scored(spark, "unused", queries, 10).collect()
+    finally:
+        se.load_table = orig
+    m1 = [
+        (r["doc_id"], r["n_terms_hit"], r["score_e9"])
+        for r in multi
+        if r["query_id"] == 1
+    ]
+    assert m1 == [
+        (r["doc_id"], r["n_terms_hit"], r["score_e9"]) for r in single
+    ]
+    # ranks are 1..k dense per query, ordered by (score desc, doc_id)
+    for qid in (1, 2, 5):
+        rows = [r for r in multi if r["query_id"] == qid]
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["score_e9"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    # per-query scores match the independent reference implementation
+    for qid, terms in queries:
+        want = _ref_bm25(docs, terms)
+        got = {
+            r["doc_id"]: (r["n_terms_hit"], r["score_e9"])
+            for r in multi
+            if r["query_id"] == qid
+        }
+        assert got == want, (qid, got, want)
