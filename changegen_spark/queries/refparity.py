@@ -55,14 +55,24 @@ def q_pbf_dsv2_stats(spark, sf_dir):
     enumeration, per-partition decode) is exercised end-to-end by the
     oracle gate, not just pytest.  Oracle: the identical golden VALUES
     table; a divergence between the two ingestion shapes shows up as one
-    row going red while its twin stays green."""
+    row going red while its twin stays green.
+
+    r10: reads through the PRUNED scan — the query needs (kind, id)
+    only, so ``.option("columns", "kind,id")`` declares the 2-column
+    schema and the decode skips the tag stringtable, way refs, and
+    relation members entirely (sources/pbf_datasource.py; decode-time
+    delta pinned in tests/test_pbf_datasource.py)."""
     from pyspark.sql import functions as F
 
     from changegen_spark.sources.pbf_datasource import register
     from changegen_spark.sources.refdata import REF_PBF
 
     register(spark)
-    df = spark.read.format("osmpbf").load(REF_PBF)
+    df = (
+        spark.read.format("osmpbf")
+        .option("columns", "kind,id")
+        .load(REF_PBF)
+    )
     return (
         df.groupBy("kind")
         .agg(F.count("*").alias("n"), F.max("id").alias("max_id"))

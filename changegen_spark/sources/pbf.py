@@ -158,20 +158,45 @@ def _blob_raw(data: bytes) -> bytes:
 
 # ------------------------------------------------------------- block decoding
 
-def _decode_primitive_block(raw: bytes) -> Iterator[tuple]:
-    """PrimitiveBlock → element tuples in _UNIFIED_SCHEMA column order."""
-    strings: list[str] = []
+# PrimitiveGroup field number per element kind (osmformat.proto)
+_KIND_FNO = {"node": (1, 2), "way": (3,), "relation": (4,)}
+
+
+def _decode_primitive_block(
+    raw: bytes,
+    kinds: frozenset | None = None,
+    cols: frozenset | None = None,
+) -> Iterator[tuple]:
+    """PrimitiveBlock → element tuples in _UNIFIED_SCHEMA column order.
+
+    ``kinds`` (element-kind pushdown) and ``cols`` (column pruning) are
+    the DataSource-V2 scan hints (sources/pbf_datasource.py; the DSV2
+    twin of the reference's per-type filtered scan,
+    ``changegen/generator.py:35-53``).  With a ``kinds`` set, groups of
+    other kinds are skipped BEFORE their bodies are parsed — and when no
+    wanted group exists in the blob, the stringtable is never decoded
+    (the dominant cost: utf-8 of every unique tag string).  With a
+    ``cols`` set, tag/nds/member/coord decode is skipped for
+    unprojected columns; skipped slots yield None (the caller projects
+    them away).  Both default to None = decode everything — the
+    mapInPandas path and every pre-r10 caller are byte-identical.
+    """
+    want = cols if cols is not None else None
+    need_tags = want is None or "tag_keys" in want or "tag_vals" in want
+    need_roles = want is None or "mroles" in want
+    need_mtypes = want is None or "mtypes" in want
+    need_mrefs = want is None or "mrefs" in want
+    need_coords = want is None or "lat" in want or "lon" in want
+    need_nds = want is None or "nds" in want
+
+    st_raw = None
     groups: list[bytes] = []
     granularity = 100
     lat_off = 0
     lon_off = 0
     for fno, _wt, v in _fields(raw):
-        if fno == 1:  # stringtable
-            strings = [
-                bytes(s).decode("utf-8", "replace")
-                for f2, _w2, s in _fields(v)
-                if f2 == 1
-            ]
+        if fno == 1:  # stringtable — keep raw, decode lazily below
+            st_raw = v
         elif fno == 2:
             groups.append(bytes(v))
         elif fno == 17:
@@ -181,6 +206,22 @@ def _decode_primitive_block(raw: bytes) -> Iterator[tuple]:
         elif fno == 20:
             lon_off = v
 
+    strings: list[str] | None = None
+
+    def get_strings() -> list[str]:
+        nonlocal strings
+        if strings is None:
+            strings = (
+                [
+                    bytes(s).decode("utf-8", "replace")
+                    for f2, _w2, s in _fields(st_raw)
+                    if f2 == 1
+                ]
+                if st_raw is not None
+                else []
+            )
+        return strings
+
     scale = 1e-9
 
     def coord(latv: int, lonv: int) -> tuple[float, float]:
@@ -189,8 +230,15 @@ def _decode_primitive_block(raw: bytes) -> Iterator[tuple]:
             scale * (lon_off + granularity * lonv),
         )
 
+    wanted_fnos = (
+        None
+        if kinds is None
+        else frozenset(f for k in kinds for f in _KIND_FNO[k])
+    )
     for g in groups:
         for fno, _wt, v in _fields(g):
+            if wanted_fnos is not None and fno not in wanted_fnos:
+                continue  # kind pushdown: group body never parsed
             if fno == 1:  # plain Node (rare in modern files)
                 nid = 0
                 keys: list[int] = []
@@ -199,18 +247,20 @@ def _decode_primitive_block(raw: bytes) -> Iterator[tuple]:
                 for f2, _w2, v2 in _fields(v):
                     if f2 == 1:
                         nid = _zigzag(v2)
-                    elif f2 == 2:
+                    elif f2 == 2 and need_tags:
                         keys = _packed(v2)
-                    elif f2 == 3:
+                    elif f2 == 3 and need_tags:
                         vals = _packed(v2)
-                    elif f2 == 8:
+                    elif f2 == 8 and need_coords:
                         latv = _zigzag(v2)
-                    elif f2 == 9:
+                    elif f2 == 9 and need_coords:
                         lonv = _zigzag(v2)
-                lat, lon = coord(latv, lonv)
+                lat, lon = coord(latv, lonv) if need_coords else (None, None)
+                st = get_strings() if need_tags else ()
                 yield (
                     "node", nid, lat, lon, None, None, None, None,
-                    [strings[k] for k in keys], [strings[k] for k in vals],
+                    [st[k] for k in keys] if need_tags else None,
+                    [st[k] for k in vals] if need_tags else None,
                 )
             elif fno == 2:  # DenseNodes
                 ids: list[int] = []
@@ -220,68 +270,85 @@ def _decode_primitive_block(raw: bytes) -> Iterator[tuple]:
                 for f2, _w2, v2 in _fields(v):
                     if f2 == 1:
                         ids = _packed_zigzag_delta(v2)
-                    elif f2 == 8:
+                    elif f2 == 8 and need_coords:
                         lats = _packed_zigzag_delta(v2)
-                    elif f2 == 9:
+                    elif f2 == 9 and need_coords:
                         lons = _packed_zigzag_delta(v2)
-                    elif f2 == 10:
+                    elif f2 == 10 and need_tags:
                         kvs = _packed(v2)
                 ki = 0
                 nkv = len(kvs)
+                st = get_strings() if need_tags and nkv else ()
                 for idx, nid in enumerate(ids):
-                    tk: list[str] = []
-                    tv: list[str] = []
-                    while ki < nkv and kvs[ki] != 0:
-                        tk.append(strings[kvs[ki]])
-                        tv.append(strings[kvs[ki + 1]])
-                        ki += 2
-                    ki += 1  # skip the 0 delimiter
-                    lat, lon = coord(lats[idx], lons[idx])
+                    if need_tags and nkv:
+                        tk: list[str] | None = []
+                        tv: list[str] | None = []
+                        while ki < nkv and kvs[ki] != 0:
+                            tk.append(st[kvs[ki]])
+                            tv.append(st[kvs[ki + 1]])
+                            ki += 2
+                        ki += 1  # skip the 0 delimiter
+                    else:
+                        tk = [] if need_tags else None
+                        tv = [] if need_tags else None
+                    lat, lon = (
+                        coord(lats[idx], lons[idx])
+                        if need_coords
+                        else (None, None)
+                    )
                     yield ("node", nid, lat, lon, None, None, None, None, tk, tv)
             elif fno == 3:  # Way
                 wid = 0
                 keys = []
                 vals = []
-                refs: list[int] = []
+                refs: list[int] | None = None
                 for f2, _w2, v2 in _fields(v):
                     if f2 == 1:
                         wid = v2
-                    elif f2 == 2:
+                    elif f2 == 2 and need_tags:
                         keys = _packed(v2)
-                    elif f2 == 3:
+                    elif f2 == 3 and need_tags:
                         vals = _packed(v2)
-                    elif f2 == 8:
+                    elif f2 == 8 and need_nds:
                         refs = _packed_zigzag_delta(v2)
+                if need_nds and refs is None:
+                    refs = []
+                st = get_strings() if need_tags else ()
                 yield (
                     "way", wid, None, None, refs, None, None, None,
-                    [strings[k] for k in keys], [strings[k] for k in vals],
+                    [st[k] for k in keys] if need_tags else None,
+                    [st[k] for k in vals] if need_tags else None,
                 )
             elif fno == 4:  # Relation
                 rid = 0
                 keys = []
                 vals = []
                 roles: list[int] = []
-                memids: list[int] = []
+                memids: list[int] | None = None
                 types: list[int] = []
                 for f2, _w2, v2 in _fields(v):
                     if f2 == 1:
                         rid = v2
-                    elif f2 == 2:
+                    elif f2 == 2 and need_tags:
                         keys = _packed(v2)
-                    elif f2 == 3:
+                    elif f2 == 3 and need_tags:
                         vals = _packed(v2)
-                    elif f2 == 8:
+                    elif f2 == 8 and need_roles:
                         roles = _packed(v2)
-                    elif f2 == 9:
+                    elif f2 == 9 and need_mrefs:
                         memids = _packed_zigzag_delta(v2)
-                    elif f2 == 10:
+                    elif f2 == 10 and need_mtypes:
                         types = _packed(v2)
+                if need_mrefs and memids is None:
+                    memids = []
+                st = get_strings() if (need_tags or need_roles) else ()
                 yield (
                     "relation", rid, None, None, None,
                     memids,
-                    [_MEMBER_TYPES[t] for t in types],
-                    [strings[r] for r in roles],
-                    [strings[k] for k in keys], [strings[k] for k in vals],
+                    [_MEMBER_TYPES[t] for t in types] if need_mtypes else None,
+                    [st[r] for r in roles] if need_roles else None,
+                    [st[k] for k in keys] if need_tags else None,
+                    [st[k] for k in vals] if need_tags else None,
                 )
 
 

@@ -12,17 +12,45 @@ wrapper (``read_pbf_unified``) had to emulate:
   ``InputPartition`` per OSMData blob; Spark schedules the ~8k-element
   blobs across executors like any other scan, and a planet file's
   ~10⁴-10⁵ blobs give natural parallelism with no repartition step;
-* **schema declaration** — the unified element schema is the source's
-  schema; column pruning happens in Spark on top (the decode is
-  whole-row either way — PBF is row-group-less);
+* **element-kind scan pruning (r10)** — ``.option("kinds", "way")``
+  makes the loaded table the per-kind subset, and the decode skips
+  non-matching PrimitiveGroups BEFORE their bodies are parsed; when a
+  blob contains no wanted group its stringtable (the dominant decode
+  cost: utf-8 of every unique tag string) is never touched.  This is
+  the DSV2 twin of the reference's per-type filtered scan
+  (``generator.py:35-53``: libosmium visits only the handler's element
+  type).  Deliberately an OPTION, not ``pushFilters`` — see the warning
+  below;
+* **column pruning (r10)** — the Python DS API (4.1) has no planner
+  prune hook, so projection is an explicit reader option too:
+  ``.option("columns", "kind,id")`` prunes the DECLARED schema and the
+  decode skips the unprojected work (tag stringtable, way refs,
+  relation members, coords).  Queries that need few columns opt in;
+  without the option the full unified schema decodes as before;
 * **executor-side decode** — each task opens the file itself (shared
-  storage, the standard cluster layout) and yields Arrow RecordBatches
-  via pandas, so rows never route through the driver.
+  storage, the standard cluster layout) and yields rows directly, so
+  they never route through the driver.
+
+.. warning:: **Why this source does NOT implement ``pushFilters``**
+   (Spark 4.1.2, measured in tests/test_pbf_datasource.py): once a
+   kind-filtered scan of a relation plans through the pushdown worker,
+   Spark REUSES that pushed read function for subsequent UNFILTERED
+   scans — ``df.count()`` after ``df.filter(kind='way').count()``
+   returned 2953 instead of 84137, silently dropping every node and
+   relation.  The reuse even follows a fresh ``.load()`` of the same
+   path.  A mutable-pushdown reader is therefore unusable for
+   correctness on this Spark build; the option-based subset is
+   relation-scoped and immutable, so every scan of a given relation
+   decodes the same rows no matter what was planned before it.
+   ``test_pushfilters_scan_reuse_is_still_broken`` pins the Spark
+   behavior with a throwaway reader — when a Spark upgrade fixes it,
+   that test fails and pushFilters becomes adoptable.
 
 The mapInPandas path stays (CLI + tests use it); this module is the same
 decode exposed the way a Spark user expects a format to look.  Parity is
 pinned by tests/test_pbf_datasource.py: identical rows to
-``read_pbf_unified`` on the reference's own fixture extract.
+``read_pbf_unified`` on the reference's own fixture extract, plus
+pruned/kind-subset variants against the full scan.
 """
 
 from __future__ import annotations
@@ -35,6 +63,35 @@ from changegen_spark.sources.pbf import (
     _decode_primitive_block,
     scan_blob_spans,
 )
+
+_ALL_KINDS = ("node", "way", "relation")
+_ALL_COLS = tuple(c.split()[0] for c in _UNIFIED_SCHEMA.split(", "))
+
+
+def _parse_columns(options) -> tuple[str, ...] | None:
+    raw = options.get("columns")
+    if not raw:
+        return None
+    cols = tuple(c.strip() for c in raw.split(",") if c.strip())
+    bad = [c for c in cols if c not in _ALL_COLS]
+    if bad:
+        raise ValueError(
+            f"osmpbf: unknown columns {bad}; available: {list(_ALL_COLS)}"
+        )
+    return cols
+
+
+def _parse_kinds(options) -> frozenset | None:
+    raw = options.get("kinds")
+    if not raw:
+        return None
+    kinds = frozenset(k.strip() for k in raw.split(",") if k.strip())
+    bad = sorted(kinds - set(_ALL_KINDS))
+    if bad:
+        raise ValueError(
+            f"osmpbf: unknown kinds {bad}; available: {list(_ALL_KINDS)}"
+        )
+    return kinds
 
 
 class PbfBlobPartition(InputPartition):
@@ -53,6 +110,8 @@ class OsmPbfReader(DataSourceReader):
         import os
 
         self.path = os.path.abspath(path)
+        self.columns = _parse_columns(options)
+        self.kinds = _parse_kinds(options)
 
     def partitions(self):
         return [
@@ -65,7 +124,15 @@ class OsmPbfReader(DataSourceReader):
         with open(self.path, "rb") as f:
             f.seek(partition.off)
             raw = _blob_raw(f.read(partition.size))
-        yield from _decode_primitive_block(raw)
+        cols = self.columns
+        colset = frozenset(cols) if cols is not None else None
+        rows = _decode_primitive_block(raw, kinds=self.kinds, cols=colset)
+        if cols is None:
+            yield from rows
+        else:
+            idxs = tuple(_ALL_COLS.index(c) for c in cols)
+            for row in rows:
+                yield tuple(row[i] for i in idxs)
 
 
 class OsmPbfDataSource(DataSource):
@@ -76,7 +143,14 @@ class OsmPbfDataSource(DataSource):
         return "osmpbf"
 
     def schema(self) -> str:
-        return _UNIFIED_SCHEMA
+        _parse_kinds(self.options)  # validate eagerly at load time
+        cols = _parse_columns(self.options)
+        if cols is None:
+            return _UNIFIED_SCHEMA
+        by_name = dict(
+            (c.split()[0], c) for c in _UNIFIED_SCHEMA.split(", ")
+        )
+        return ", ".join(by_name[c] for c in cols)
 
     def reader(self, schema) -> OsmPbfReader:
         return OsmPbfReader(self.options)
