@@ -488,6 +488,7 @@ def main() -> None:
             er_pairs_for,
             er_pairs_sn,
             er_pairs_sn_multi,
+            er_pairs_sn_suffix,
         )
         from changegen_spark.sources.scaleup import build_er_records
 
@@ -505,8 +506,11 @@ def main() -> None:
         er = {
             "n": {},
             "budget_note": (
-                "1M rung: 1 timed run, name_only + clusters skipped "
-                "(364 s / 14.9 s one-offs in SCALE.md)"
+                "1M rung: 1 timed run, name_only skipped (364 s one-off "
+                "in SCALE.md); clusters at 1M run over the production "
+                "sn_suffix_refine pairs (~190k edges), not with_city "
+                "(whose 2.9M-edge CC is the 14.9 s one-off) — scheme "
+                "field names the edge set per rung"
             ),
         }
         for n_ent in (10_000, 100_000, 1_000_000):
@@ -563,6 +567,32 @@ def main() -> None:
             row["sn_multi_refine"] = timed(
                 er_pairs_sn_multi(ppl, refine_cols=("city",))
             )
+            # r10 (r9 verdict #7): the taxonomy-driven third pass — the
+            # suffix sort order reaches the block-key-broken class that
+            # dominates the 1M misses (SCALE.md taxonomy table)
+            row["sn_suffix_refine"] = timed(
+                er_pairs_sn_suffix(ppl, refine_cols=("city",))
+            )
+            if big:
+                # r10 (r9 verdict #6): the pairs→CC→entity stage at the
+                # density-regime rung, over the production composition's
+                # edge set; single timed run (budget_note)
+                from changegen_spark.functions.clustering import (
+                    connected_components,
+                )
+
+                cpairs = er_pairs_sn_suffix(ppl, refine_cols=("city",))
+                st = {}
+                t0 = time.time()
+                n_rec = connected_components(
+                    cpairs, src="rec_a", dst="rec_b", stats=st
+                ).count()
+                row["clusters"] = {
+                    "scheme": "sn_suffix_refine",
+                    "records": n_rec,
+                    "cc_rounds": st.get("rounds"),
+                    "wall_s": round(time.time() - t0, 3),
+                }
             if not big:
                 # r7 (r6 verdict #8): the cluster stage — checkpointed
                 # connected components over the with_city pairs; rounds
@@ -579,6 +609,7 @@ def main() -> None:
                     cpairs, src="rec_a", dst="rec_b", stats=st
                 ).count()
                 row["clusters"] = {
+                    "scheme": "with_city",
                     "records": n_rec,
                     "cc_rounds": st.get("rounds"),
                     "wall_s": round(time.time() - t0, 3),
@@ -591,7 +622,12 @@ def main() -> None:
                 2,
             )
         # top-decade growth (100k → 1M) for the schemes measured there
-        for scheme in ("with_city", "sorted_neighborhood", "sn_multi_refine"):
+        for scheme in (
+            "with_city",
+            "sorted_neighborhood",
+            "sn_multi_refine",
+            "sn_suffix_refine",
+        ):
             er[f"growth_wall_100k_1m_{scheme}"] = round(
                 er["n"]["1000000"][scheme]["wall_s"]
                 / er["n"]["100000"][scheme]["wall_s"],

@@ -174,8 +174,11 @@ ROTATION_ROUND = 10
 # sweep re-updates them.
 ROTATED_IN = (
     # r10-new — direct verification the round it lands (r8/r9 precedent);
-    # displaces the LRU tail of the mechanical proposal (q_asof_join)
+    # displaces the LRU tail of the mechanical proposal (q_asof_join,
+    # then q_sessionize + q_props_parse for the suffix-SN pair)
     "q_bm25_multi",
+    "q_er_pairs_sn_suffix",
+    "q_er_eval_sn_suffix",
     "q_retrieval_eval",
     "q_distinct",
     "q_topk_freq",
@@ -213,8 +216,6 @@ ROTATED_IN = (
     "q_interval_overlap",
     "q_attribution",
     "q_capped_balance",
-    "q_sessionize",
-    "q_props_parse",
 )
 
 

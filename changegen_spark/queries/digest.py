@@ -288,6 +288,8 @@ KINDS = {
     "q_pbf_dsv2_stats": {"kind": "str", "n": "num", "max_id": "num"},
     "q_retrieval_eval": {"k": "num", "n_rel3": "num", "dcg_e6": "num", "idcg_e6": "num", "ndcg_e6": "num", "mrr3_e6": "num", "p_at_k_rel3_e6": "num"},
     "q_er_eval_sn_refined": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
+    "q_er_pairs_sn_suffix": {"rec_a": "num", "rec_b": "num", "lev": "num"},
+    "q_er_eval_sn_suffix": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},
     # r6: CMS join-cardinality estimate (out-of-window from birth)
     "q_join_size_est": {"n_actual": "num", "est_rows": "num", "overest_e6": "num"},

@@ -648,39 +648,43 @@ def q_er_eval_sn_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sn_union_eval(spark, pred)
 
 
-def _sn_union_eval(spark: SparkSession, pred: DataFrame) -> DataFrame:
-    """Quality of ``pred`` against the planted truth with the two-pass
-    union window ceiling (shared by the multi and refined SN evals —
-    refine changes precision, never the reachable-pair ceiling)."""
-    r1 = _sn_ranked(_people(spark)).select("rec_id", F.col("rank").alias("r1"))
-    r2 = _sn_ranked2(_people(spark)).select(
-        "rec_id", F.col("rank").alias("r2")
-    )
-    ppl = (
-        _people(spark)
-        .select("rec_id", "entity_id")
-        .join(r1, "rec_id")
-        .join(r2, "rec_id")
-    )
+def _sn_union_eval(
+    spark: SparkSession, pred: DataFrame, rankers=None
+) -> DataFrame:
+    """Quality of ``pred`` against the planted truth with the multi-pass
+    union window ceiling (shared by the multi/refined/suffix SN evals —
+    refine changes precision, never the reachable-pair ceiling).
+    ``rankers`` is the list of sort-pass rank builders whose windows
+    union into the ceiling (default: the two-pass name-first +
+    city-first orders)."""
+    if rankers is None:
+        rankers = (_sn_ranked, _sn_ranked2)
+    ppl = _people(spark).select("rec_id", "entity_id")
+    rcols = []
+    for i, ranked in enumerate(rankers, start=1):
+        r = ranked(_people(spark)).select(
+            "rec_id", F.col("rank").alias(f"r{i}")
+        )
+        ppl = ppl.join(r, "rec_id")
+        rcols.append(f"r{i}")
     a = ppl.select(
         F.col("rec_id").alias("rec_a"),
         F.col("entity_id").alias("ea"),
-        F.col("r1").alias("ra1"),
-        F.col("r2").alias("ra2"),
+        *[F.col(c).alias(f"{c}_a") for c in rcols],
     )
     b = ppl.select(
         F.col("rec_id").alias("rec_b"),
         F.col("entity_id").alias("eb"),
-        F.col("r1").alias("rb1"),
-        F.col("r2").alias("rb2"),
+        *[F.col(c).alias(f"{c}_b") for c in rcols],
     )
+    in_w = None
+    for c in rcols:
+        this = F.abs(F.col(f"{c}_a") - F.col(f"{c}_b")) <= SN_WINDOW - 1
+        in_w = this if in_w is None else (in_w | this)
     true_pairs = a.join(b, [a.ea == b.eb, a.rec_a < b.rec_b]).select(
         "rec_a",
         "rec_b",
-        (
-            (F.abs(F.col("ra1") - F.col("rb1")) <= SN_WINDOW - 1)
-            | (F.abs(F.col("ra2") - F.col("rb2")) <= SN_WINDOW - 1)
-        ).alias("in_window"),
+        in_w.alias("in_window"),
     )
     n_pred = pred.count()
     n_true = true_pairs.count()
@@ -969,6 +973,181 @@ FROM counts
 """
 
 
+# --- third SN pass: last-name-suffix key (r9 verdict #7) ---------------------
+#
+# The 1M missed-pair taxonomy (tools/er_taxonomy.py; table in SCALE.md)
+# shows the dominant recall loss of the two-pass composition is the
+# generator's class-1 corruption — a substituted FIRST LETTER of the
+# last name.  Both existing sort orders are prefixed by the phonetic
+# block key, whose leading character IS that letter, so the true pair
+# lands arbitrarily far apart in both orders: unreachable at any
+# window.  The classical fix (Hernández & Stolfo: passes should use
+# INDEPENDENTLY corruptible keys) is a third order keyed on what the
+# corruption preserves — city, then the phonetic of the last name MINUS
+# its first letter, then the first name: the corrupted pair differs
+# only in rec_id under that key, so it sorts adjacent unless strangers
+# share all three components.  Candidates stay ≤ 3·n·(w−1), still
+# linear at any key distribution.
+
+_SUFFIX_LAST = f"substr({_LASTNAME}, 2)"
+
+
+def suffix_key_sql(duck: bool) -> str:
+    """Third-pass key core: phonetic of the last name with its first
+    letter dropped — invariant under the first-letter substitution that
+    breaks ``block_key_sql`` (and under interior vowel swaps, which the
+    phonetic already absorbs)."""
+    return phonetic_key_sql(_SUFFIX_LAST, duck)
+
+
+def _sn_ranked3(people: DataFrame) -> DataFrame:
+    """Third-pass global rank: SUFFIX sort key (city | phonetic(last
+    minus first letter) | first name | id), same distributed two-phase
+    machinery — and the same correctness fence (the rank
+    double-executes its input; unfenced range boundaries re-sample per
+    execution)."""
+    from changegen_spark.operators.ids import assign_sequential_ids
+
+    keyed3 = people.select(
+        "rec_id",
+        F.lower("name").alias("nname"),
+        F.concat_ws(
+            "|",
+            F.coalesce("city", F.lit("")),
+            F.coalesce(F.expr(suffix_key_sql(duck=False)), F.lit("")),
+            F.coalesce(F.expr(f"lower({_FIRSTNAME})"), F.lit("")),
+            F.lpad(F.col("rec_id").cast("string"), 12, "0"),
+        ).alias("skey"),
+    )
+    return assign_sequential_ids(
+        keyed3.repartitionByRange(32, "skey").localCheckpoint(eager=False),
+        order_by=["skey"],
+        out_col="rank",
+        mode="distributed",
+    ).select("rec_id", "nname", "rank")
+
+
+def er_pairs_sn_suffix(
+    people: DataFrame, window: int = SN_WINDOW, refine_cols=()
+) -> DataFrame:
+    """Three-pass sorted neighborhood: name-first + city-first + the
+    suffix order, union, distinct — the pass set whose keys are
+    pairwise independently corruptible for this fixture's three
+    corruption classes.  Candidates ≤ 3·n·(w−1)."""
+    refine = list(refine_cols)
+    p1 = _window_pairs(_sn_ranked(people), people, window, refine)
+    p2 = _window_pairs(_sn_ranked2(people), people, window, refine)
+    p3 = _window_pairs(_sn_ranked3(people), people, window, refine)
+    return p1.unionByName(p2).unionByName(p3).distinct()
+
+
+def q_er_pairs_sn_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 production SN operating point: three sort passes for
+    recall + city refine for precision."""
+    return er_pairs_sn_suffix(
+        _people(spark), refine_cols=SN_REFINE_COLS
+    ).orderBy("rec_a", "rec_b")
+
+
+def q_er_eval_sn_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-pass refined SN quality vs planted truth; the window
+    ceiling is the union over all THREE sort orders."""
+    pred = er_pairs_sn_suffix(
+        _people(spark), refine_cols=SN_REFINE_COLS
+    ).select("rec_a", "rec_b")
+    return _sn_union_eval(
+        spark, pred, rankers=(_sn_ranked, _sn_ranked2, _sn_ranked3)
+    )
+
+
+def _sn_suffix_sql_body() -> str:
+    bk = block_key_sql(duck=True)
+    sk = suffix_key_sql(duck=True)
+    first = _FIRSTNAME
+    pair = """
+  SELECT least(a.rec_id, b.rec_id) AS rec_a,
+         greatest(a.rec_id, b.rec_id) AS rec_b,
+         CAST(levenshtein(a.nname, b.nname) AS BIGINT) AS lev
+  FROM {r} a JOIN {r} b
+    ON b.r > a.r AND b.r <= a.r + {w} AND a.city = b.city
+  WHERE levenshtein(a.nname, b.nname) <= {lv}"""
+    return f"""
+snkeyedr AS (
+  SELECT rec_id, lower(name) AS nname, city,
+         coalesce({bk}, '') || '|'
+           || coalesce(lower(name), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snrankedr AS (
+  SELECT rec_id, nname, city, row_number() OVER (ORDER BY skey) AS r
+  FROM snkeyedr
+), snkeyed2r AS (
+  SELECT rec_id, lower(name) AS nname, city,
+         coalesce(city, '') || '|'
+           || coalesce({bk}, '') || '|'
+           || coalesce(lower(name), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked2r AS (
+  SELECT rec_id, nname, city, row_number() OVER (ORDER BY skey) AS r
+  FROM snkeyed2r
+), snkeyed3r AS (
+  SELECT rec_id, lower(name) AS nname, city,
+         coalesce(city, '') || '|'
+           || coalesce({sk}, '') || '|'
+           || coalesce(lower({first}), '') || '|'
+           || lpad(CAST(rec_id AS VARCHAR), 12, '0') AS skey
+  FROM '{ER_PATH}'
+), snranked3r AS (
+  SELECT rec_id, nname, city, row_number() OVER (ORDER BY skey) AS r
+  FROM snkeyed3r
+), refined3 AS (
+  SELECT DISTINCT rec_a, rec_b, lev FROM (
+    {pair.format(r='snrankedr', w=SN_WINDOW - 1, lv=LEV_MAX)}
+    UNION ALL
+    {pair.format(r='snranked2r', w=SN_WINDOW - 1, lv=LEV_MAX)}
+    UNION ALL
+    {pair.format(r='snranked3r', w=SN_WINDOW - 1, lv=LEV_MAX)}
+  )
+)"""
+
+
+Q_ER_PAIRS_SN_SUFFIX_SQL = f"""
+WITH {_sn_suffix_sql_body()}
+SELECT rec_a, rec_b, lev FROM refined3 ORDER BY rec_a, rec_b
+"""
+
+Q_ER_EVAL_SN_SUFFIX_SQL = f"""
+WITH {_sn_suffix_sql_body()}
+, truth AS (
+  SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         (abs(ra1.r - rb1.r) <= {SN_WINDOW - 1}
+          OR abs(ra2.r - rb2.r) <= {SN_WINDOW - 1}
+          OR abs(ra3.r - rb3.r) <= {SN_WINDOW - 1}) AS in_window
+  FROM '{ER_PATH}' a JOIN '{ER_PATH}' b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  JOIN snrankedr ra1 ON ra1.rec_id = a.rec_id
+  JOIN snrankedr rb1 ON rb1.rec_id = b.rec_id
+  JOIN snranked2r ra2 ON ra2.rec_id = a.rec_id
+  JOIN snranked2r rb2 ON rb2.rec_id = b.rec_id
+  JOIN snranked3r ra3 ON ra3.rec_id = a.rec_id
+  JOIN snranked3r rb3 ON rb3.rec_id = b.rec_id
+), counts AS (
+  SELECT (SELECT count(*) FROM refined3) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM truth WHERE in_window) AS n_reach,
+         (SELECT count(*) FROM refined3 p JOIN truth t
+            ON p.rec_a = t.rec_a AND p.rec_b = t.rec_b) AS n_tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CASE WHEN n_pred > 0 THEN CAST(round(1e6 * n_tp / n_pred) AS BIGINT) ELSE 0 END AS precision_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_tp / n_true) AS BIGINT) ELSE 0 END AS recall_e6,
+       CASE WHEN n_true > 0 THEN CAST(round(1e6 * n_reach / n_true) AS BIGINT) ELSE 0 END AS window_recall_e6
+FROM counts
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -982,6 +1161,8 @@ QUERIES = {
     "q_er_eval_sn_multi": q_er_eval_sn_multi,
     "q_er_pairs_sn_refined": q_er_pairs_sn_refined,
     "q_er_eval_sn_refined": q_er_eval_sn_refined,
+    "q_er_pairs_sn_suffix": q_er_pairs_sn_suffix,
+    "q_er_eval_sn_suffix": q_er_eval_sn_suffix,
 }
 
 ORACLES = {
@@ -997,4 +1178,6 @@ ORACLES = {
     "q_er_eval_sn_multi": Q_ER_EVAL_SN_MULTI_SQL,
     "q_er_pairs_sn_refined": Q_ER_PAIRS_SN_REFINED_SQL,
     "q_er_eval_sn_refined": Q_ER_EVAL_SN_REFINED_SQL,
+    "q_er_pairs_sn_suffix": Q_ER_PAIRS_SN_SUFFIX_SQL,
+    "q_er_eval_sn_suffix": Q_ER_EVAL_SN_SUFFIX_SQL,
 }

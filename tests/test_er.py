@@ -326,3 +326,106 @@ def test_sn_refined_precision_up_recall_flat(spark):
     assert er.recall_e6 == em.recall_e6  # duplicates share city
     assert er.window_recall_e6 == em.window_recall_e6  # ceiling untouched
     assert er.precision_e6 == 1_000_000  # fixture: refine kills every FP
+
+
+def test_sn_suffix_key_invariant_under_class1_and_class0_edits(spark):
+    """The third-pass key core must be invariant under exactly the edits
+    that break the primary block key: substituting the last name's
+    FIRST letter (the generator's class-1 corruption) and swapping an
+    interior vowel (class-0, which the phonetic already absorbs)."""
+    from changegen_spark.queries.er import suffix_key_sql
+
+    df = spark.createDataFrame(
+        [
+            ("john smith",),
+            ("john xmith",),  # class-1: first letter of last name
+            ("john smeth",),  # class-0: interior vowel swap
+            ("john smirth",),  # control: different suffix consonants
+        ],
+        "name string",
+    )
+    keys = [
+        r.k
+        for r in df.select(
+            spark_expr(suffix_key_sql(duck=False)).alias("k")
+        ).collect()
+    ]
+    assert keys[0] == keys[1] == keys[2]
+    assert keys[3] != keys[0]
+
+
+def spark_expr(sql):
+    from pyspark.sql import functions as F
+
+    return F.expr(sql)
+
+
+def test_sn_suffix_pass_reaches_block_broken_pair(spark):
+    """The taxonomy's dominant missed class (tools/er_taxonomy.py at 1M:
+    53,622 of 70,451 misses): a first-letter-substituted duplicate lands
+    far from its base in BOTH existing sort orders (each is prefixed by
+    the phonetic block key, whose lead character is that letter), but
+    adjacent in the suffix order.  Planted here: 4 same-city strangers
+    whose block keys sort strictly between s* and x*, so the pair is >
+    window-1 apart in both existing orders and the 2-pass union misses
+    it; the 3-pass union must find it."""
+    from changegen_spark.queries.er import (
+        er_pairs_sn_multi,
+        er_pairs_sn_suffix,
+    )
+
+    ppl = spark.createDataFrame(
+        [
+            (1, "john smith", "city1", 1),
+            (2, "john xmith", "city1", 1),  # class-1 dup of rec 1
+            (3, "tom taylor", "city1", 3),
+            (4, "uma turner", "city1", 4),
+            (5, "vic walker", "city1", 5),
+            (6, "wes watson", "city1", 6),
+        ],
+        "rec_id long, name string, city string, entity_id long",
+    )
+    two = {
+        (r.rec_a, r.rec_b)
+        for r in er_pairs_sn_multi(ppl, refine_cols=("city",)).collect()
+    }
+    three = {
+        (r.rec_a, r.rec_b)
+        for r in er_pairs_sn_suffix(ppl, refine_cols=("city",)).collect()
+    }
+    assert (1, 2) not in two, "fillers failed to separate the planted pair"
+    assert (1, 2) in three
+    assert two <= three
+
+
+def test_sn_suffix_superset_budget_and_eval_dominates(spark):
+    """Three-pass refined SN on the gate fixture: superset of the 2-pass
+    refined pairs, candidates within 3·n·(w−1), and the eval's union
+    ceiling / recall dominate the 2-pass refined eval while precision
+    stays perfect (refine still kills every false positive here)."""
+    from changegen_spark.queries.er import (
+        SN_WINDOW,
+        _people,
+        q_er_eval_sn_refined,
+        q_er_eval_sn_suffix,
+        q_er_pairs_sn_refined,
+        q_er_pairs_sn_suffix,
+    )
+
+    refined = {
+        (r.rec_a, r.rec_b)
+        for r in q_er_pairs_sn_refined(spark, "").collect()
+    }
+    suffix = {
+        (r.rec_a, r.rec_b)
+        for r in q_er_pairs_sn_suffix(spark, "").collect()
+    }
+    assert refined <= suffix
+    n = _people(spark).count()
+    assert len(suffix) <= 3 * n * (SN_WINDOW - 1)
+    e2 = q_er_eval_sn_refined(spark, "").collect()[0]
+    e3 = q_er_eval_sn_suffix(spark, "").collect()[0]
+    assert e3.window_recall_e6 >= e2.window_recall_e6
+    assert e3.recall_e6 >= e2.recall_e6
+    assert e3.recall_e6 <= e3.window_recall_e6
+    assert e3.precision_e6 == 1_000_000

@@ -606,7 +606,7 @@ def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
     stable) and only corrupt results at scale, so the plan shape is the
     pin."""
     from changegen_spark.queries.curation import q_ccnet_buckets
-    from changegen_spark.queries.er import q_er_pairs_sn
+    from changegen_spark.queries.er import q_er_pairs_sn, q_er_pairs_sn_suffix
     from changegen_spark.queries.geo import q_haversine
     from changegen_spark.queries.misc import q_gini
     from changegen_spark.queries.mlprep import (
@@ -624,6 +624,8 @@ def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
     # (single-action, no re-sampling hazard) — at most one.
     for name, fn, n_scans in (
         ("q_er_pairs_sn", q_er_pairs_sn, 2),
+        # three rank fences + three _window_pairs fences (r10 suffix pass)
+        ("q_er_pairs_sn_suffix", q_er_pairs_sn_suffix, 6),
         ("q_ccnet_buckets", q_ccnet_buckets, 2),
         ("q_stratified_split", q_stratified_split, 3),
         ("q_weighted_sample", q_weighted_sample, 3),
