@@ -179,6 +179,7 @@ ROTATED_IN = (
     "q_bm25_multi",
     "q_er_pairs_sn_suffix",
     "q_er_eval_sn_suffix",
+    "q_er_golden",
     "q_retrieval_eval",
     "q_distinct",
     "q_topk_freq",
@@ -215,7 +216,6 @@ ROTATED_IN = (
     "q_top_paths",
     "q_interval_overlap",
     "q_attribution",
-    "q_capped_balance",
 )
 
 

@@ -1148,6 +1148,114 @@ FROM counts
 """
 
 
+# --- survivorship / golden records (r10) -------------------------------------
+
+
+def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last ER stage: clusters → ONE canonical record per entity
+    (survivorship).  Every source record maps to an entity (its
+    connected component over the production 3-pass+refine pairs, or
+    itself if unmatched — the full-table convention a downstream
+    consumer joins against), then per entity: member count, distinct
+    name-variant count, and mode-with-deterministic-tiebreak canonical
+    name and city (most frequent value, ties broken by the
+    lexicographically smallest — no arrival-order `first()`).
+
+    Scale shape: CC is the checkpointed iteration, then three hash
+    aggregations (entity×name, entity×city, entity) — the mode is
+    computed as `min(struct(-cnt, value))` per entity, a two-level
+    groupBy with map-side partials, NOT a window sort over the full
+    table."""
+    from changegen_spark.functions.clustering import connected_components
+
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
+        F.col("node").alias("rec_id"), F.col("comp").alias("ent")
+    )
+    mapped = (
+        ppl.join(comp, "rec_id", "left")
+        .select(
+            F.lower("name").alias("nname"),
+            "city",
+            F.coalesce("ent", F.col("rec_id")).alias("entity"),
+        )
+    )
+    nc = mapped.groupBy("entity", "nname").agg(F.count("*").alias("cnt"))
+    best_name = (
+        nc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nname").alias("v")
+                )
+            ).alias("b"),
+            F.count("*").alias("n_name_variants"),
+        )
+        .select("entity", F.col("b.v").alias("name"), "n_name_variants")
+    )
+    cc = mapped.groupBy("entity", "city").agg(F.count("*").alias("cnt"))
+    best_city = (
+        cc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("city").alias("v")
+                )
+            ).alias("b")
+        )
+        .select("entity", F.col("b.v").alias("city"))
+    )
+    members = mapped.groupBy("entity").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(best_name, "entity")
+        .join(best_city, "entity")
+        .select("entity", "n_members", "n_name_variants", "name", "city")
+        .orderBy("entity")
+    )
+
+
+Q_ER_GOLDEN_SQL = f"""
+WITH RECURSIVE {_sn_suffix_sql_body()}
+, edges AS (
+  SELECT rec_a AS a, rec_b AS b FROM refined3
+  UNION SELECT rec_b, rec_a FROM refined3
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS entity FROM reach GROUP BY a
+), mapped AS (
+  SELECT lower(p.name) AS nname, p.city,
+         coalesce(c.entity, p.rec_id) AS entity
+  FROM '{ER_PATH}' p LEFT JOIN comp c ON c.rec_id = p.rec_id
+), nc AS (
+  SELECT entity, nname, count(*) AS cnt FROM mapped GROUP BY entity, nname
+), bn AS (
+  SELECT entity, nname, cnt,
+         row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, nname) AS rn,
+         count(*) OVER (PARTITION BY entity) AS n_name_variants
+  FROM nc
+), cc2 AS (
+  SELECT entity, city, count(*) AS cnt FROM mapped GROUP BY entity, city
+), bc AS (
+  SELECT entity, city,
+         row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, city) AS rn
+  FROM cc2
+), mem AS (
+  SELECT entity, count(*) AS n_members FROM mapped GROUP BY entity
+)
+SELECT m.entity, m.n_members,
+       CAST(bn.n_name_variants AS BIGINT) AS n_name_variants,
+       bn.nname AS name, bc.city
+FROM mem m
+JOIN bn ON bn.entity = m.entity AND bn.rn = 1
+JOIN bc ON bc.entity = m.entity AND bc.rn = 1
+ORDER BY m.entity
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -1163,6 +1271,7 @@ QUERIES = {
     "q_er_eval_sn_refined": q_er_eval_sn_refined,
     "q_er_pairs_sn_suffix": q_er_pairs_sn_suffix,
     "q_er_eval_sn_suffix": q_er_eval_sn_suffix,
+    "q_er_golden": q_er_golden,
 }
 
 ORACLES = {
@@ -1180,4 +1289,5 @@ ORACLES = {
     "q_er_eval_sn_refined": Q_ER_EVAL_SN_REFINED_SQL,
     "q_er_pairs_sn_suffix": Q_ER_PAIRS_SN_SUFFIX_SQL,
     "q_er_eval_sn_suffix": Q_ER_EVAL_SN_SUFFIX_SQL,
+    "q_er_golden": Q_ER_GOLDEN_SQL,
 }

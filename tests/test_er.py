@@ -429,3 +429,31 @@ def test_sn_suffix_superset_budget_and_eval_dominates(spark):
     assert e3.recall_e6 >= e2.recall_e6
     assert e3.recall_e6 <= e3.window_recall_e6
     assert e3.precision_e6 == 1_000_000
+
+
+def test_er_golden_survivorship_invariants(spark):
+    """Golden-record stage: full-table coverage (member counts sum to the
+    source row count — singletons map to themselves), variant counts
+    bounded by members, and the matched pairs' records all land in
+    multi-member entities."""
+    from changegen_spark.queries.er import (
+        _people,
+        q_er_golden,
+        q_er_pairs_sn_suffix,
+    )
+
+    golden = q_er_golden(spark, "").collect()
+    n_src = _people(spark).count()
+    assert sum(r.n_members for r in golden) == n_src
+    assert all(1 <= r.n_name_variants <= r.n_members for r in golden)
+    singletons = [r for r in golden if r.n_members == 1]
+    assert all(r.n_name_variants == 1 for r in singletons)
+    multi_entities = {r.entity for r in golden if r.n_members >= 2}
+    paired = set()
+    for r in q_er_pairs_sn_suffix(spark, "").collect():
+        paired.add(r.rec_a)
+        paired.add(r.rec_b)
+    # every matched record's component head is a multi-member entity
+    golden_ids = {r.entity for r in golden}
+    assert multi_entities <= golden_ids
+    assert len(multi_entities) > 0 and len(paired) >= 2 * len(multi_entities) - len(paired)
