@@ -1256,6 +1256,114 @@ ORDER BY m.entity
 """
 
 
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level linkage quality: B-cubed precision/recall/F1 (Bagga
+    & Baldwin 1998) of the production clusters (3-pass SN + city refine
+    → CC, singletons mapping to themselves) against the planted
+    entity_id.  Pairwise P/R (the eval family above) over-weights big
+    clusters quadratically; B³ averages per RECORD: precision(r) =
+    |C(r)∩T(r)|/|C(r)|, recall(r) = |C(r)∩T(r)|/|T(r)| — the metric
+    that actually moves when a giant wrong merge happens.
+
+    Engine-exact arithmetic: per-(pred,true) cell the contribution is
+    n_ct²/|C| summed over cells; both engines compute it as INTEGER
+    floor division at e12 scale (n_ct ≤ 480 ⇒ n_ct²·1e12 ≤ 2.4e17,
+    inside int64), then floor to e6 — no float summation order to
+    diverge.  Scale shape: three hash aggregations (cell, pred-size,
+    true-size) + two broadcast-joinable size frames; no window, no
+    driver math beyond the final 1-row assembly."""
+    from changegen_spark.functions.clustering import connected_components
+
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
+        F.col("node").alias("rec_id"), F.col("comp").alias("p")
+    )
+    m = (
+        ppl.select("rec_id", "entity_id")
+        .join(comp, "rec_id", "left")
+        .select(
+            "entity_id", F.coalesce("p", F.col("rec_id")).alias("pred")
+        )
+    )
+    cells = m.groupBy("pred", "entity_id").agg(F.count("*").alias("n_ct"))
+    psize = m.groupBy("pred").agg(F.count("*").alias("n_c"))
+    tsize = m.groupBy("entity_id").agg(F.count("*").alias("n_t"))
+    agg = (
+        cells.join(psize, "pred")
+        .join(tsize, "entity_id")
+        .select(
+            F.expr("n_ct * n_ct * CAST(1000000000000 AS BIGINT) div n_c").alias(
+                "pterm"
+            ),
+            F.expr("n_ct * n_ct * CAST(1000000000000 AS BIGINT) div n_t").alias(
+                "rterm"
+            ),
+        )
+        .agg(
+            F.sum("pterm").alias("sp"),
+            F.sum("rterm").alias("sr"),
+        )
+        .collect()[0]
+    )
+    n = m.count()
+    n_pred = m.select("pred").distinct().count()
+    n_true = m.select("entity_id").distinct().count()
+    p_e6 = int(agg.sp // (n * 1_000_000))
+    r_e6 = int(agg.sr // (n * 1_000_000))
+    f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if (p_e6 + r_e6) else 0
+    return spark.createDataFrame(
+        [(n, n_pred, n_true, p_e6, r_e6, f1_e6)],
+        "n_records long, n_pred_clusters long, n_true_entities long, "
+        "b3_precision_e6 long, b3_recall_e6 long, b3_f1_e6 long",
+    )
+
+
+Q_ER_BCUBED_SQL = f"""
+WITH RECURSIVE {_sn_suffix_sql_body()}
+, edges AS (
+  SELECT rec_a AS a, rec_b AS b FROM refined3
+  UNION SELECT rec_b, rec_a FROM refined3
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS pred FROM reach GROUP BY a
+), mapped AS (
+  SELECT p.entity_id, coalesce(c.pred, p.rec_id) AS pred
+  FROM '{ER_PATH}' p LEFT JOIN comp c ON c.rec_id = p.rec_id
+), cells AS (
+  SELECT pred, entity_id, count(*) AS n_ct FROM mapped GROUP BY pred, entity_id
+), psize AS (
+  SELECT pred, count(*) AS n_c FROM mapped GROUP BY pred
+), tsize AS (
+  SELECT entity_id, count(*) AS n_t FROM mapped GROUP BY entity_id
+), sums AS (
+  SELECT sum(n_ct * n_ct * CAST(1000000000000 AS BIGINT) // n_c) AS sp,
+         sum(n_ct * n_ct * CAST(1000000000000 AS BIGINT) // n_t) AS sr
+  FROM cells JOIN psize USING (pred) JOIN tsize USING (entity_id)
+), base AS (
+  SELECT (SELECT count(*) FROM mapped) AS n,
+         (SELECT count(DISTINCT pred) FROM mapped) AS n_pred,
+         (SELECT count(DISTINCT entity_id) FROM mapped) AS n_true,
+         sp, sr
+  FROM sums
+), scaled AS (
+  SELECT n, n_pred, n_true,
+         sp // (n * 1000000) AS p_e6, sr // (n * 1000000) AS r_e6
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_records, CAST(n_pred AS BIGINT) AS n_pred_clusters,
+       CAST(n_true AS BIGINT) AS n_true_entities,
+       CAST(p_e6 AS BIGINT) AS b3_precision_e6, CAST(r_e6 AS BIGINT) AS b3_recall_e6,
+       CAST(CASE WHEN p_e6 + r_e6 > 0
+                 THEN (2 * p_e6 * r_e6) // (p_e6 + r_e6) ELSE 0 END AS BIGINT)
+         AS b3_f1_e6
+FROM scaled
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -1272,6 +1380,7 @@ QUERIES = {
     "q_er_pairs_sn_suffix": q_er_pairs_sn_suffix,
     "q_er_eval_sn_suffix": q_er_eval_sn_suffix,
     "q_er_golden": q_er_golden,
+    "q_er_bcubed": q_er_bcubed,
 }
 
 ORACLES = {
@@ -1290,4 +1399,5 @@ ORACLES = {
     "q_er_pairs_sn_suffix": Q_ER_PAIRS_SN_SUFFIX_SQL,
     "q_er_eval_sn_suffix": Q_ER_EVAL_SN_SUFFIX_SQL,
     "q_er_golden": Q_ER_GOLDEN_SQL,
+    "q_er_bcubed": Q_ER_BCUBED_SQL,
 }

@@ -457,3 +457,56 @@ def test_er_golden_survivorship_invariants(spark):
     golden_ids = {r.entity for r in golden}
     assert multi_entities <= golden_ids
     assert len(multi_entities) > 0 and len(paired) >= 2 * len(multi_entities) - len(paired)
+
+
+def test_er_bcubed_matches_independent_python_recomputation(spark):
+    """B³ must equal a from-scratch per-record computation (floor-e6
+    semantics) over the SAME cluster mapping the query uses — catches
+    any cell/size join mistake, not just range errors."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import (
+        SN_REFINE_COLS,
+        _people,
+        er_pairs_sn_suffix,
+        q_er_bcubed,
+    )
+
+    ppl = _people(spark)
+    comp = connected_components(
+        er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS),
+        src="rec_a",
+        dst="rec_b",
+    ).select(F.col("node").alias("rec_id"), F.col("comp").alias("p"))
+    rows = (
+        ppl.select("rec_id", "entity_id")
+        .join(comp, "rec_id", "left")
+        .select(
+            "rec_id", "entity_id", F.coalesce("p", F.col("rec_id")).alias("pred")
+        )
+        .collect()
+    )
+    psize = Counter(r.pred for r in rows)
+    tsize = Counter(r.entity_id for r in rows)
+    cell = Counter((r.pred, r.entity_id) for r in rows)
+    sp = sum(
+        (cell[(pr, t)] ** 2) * 10**12 // psize[pr] for (pr, t) in cell
+    )
+    sr = sum(
+        (cell[(pr, t)] ** 2) * 10**12 // tsize[t] for (pr, t) in cell
+    )
+    n = len(rows)
+    want_p = sp // (n * 10**6)
+    want_r = sr // (n * 10**6)
+    got = q_er_bcubed(spark, "").collect()[0]
+    assert got.n_records == n
+    assert got.b3_precision_e6 == want_p
+    assert got.b3_recall_e6 == want_r
+    # production point on the fixture: high on both axes, F1 between them
+    assert got.b3_precision_e6 >= 900_000
+    assert got.b3_recall_e6 >= 700_000
+    lo, hi = sorted((got.b3_precision_e6, got.b3_recall_e6))
+    assert lo <= got.b3_f1_e6 <= hi
