@@ -1364,6 +1364,134 @@ FROM scaled
 """
 
 
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER: assign ARRIVING records to an existing entity
+    table without re-clustering the base (the batch-append production
+    regime — at 100 TB the base is petabyte-class and never re-CC'd).
+    Base = the fixture's original records (rec_id < 400, each its own
+    entity); arrivals = the planted duplicates (rec_id ≥ 400).  Each
+    arrival probes the base through BOTH candidate keys — the phonetic
+    block key and the r10 suffix key (city | phonetic(last minus first
+    letter) | first) so first-letter corruptions still reach their
+    entity — then city + Levenshtein refine, and the best match is the
+    deterministic min(struct(lev, base_id)); unmatched arrivals get
+    matched_entity −1 (a new-entity insert downstream).
+
+    Scale shape: two key-equality hash joins (arrival keys × base keys,
+    both sides pre-hashed), distinct candidates, one groupBy-min — no
+    window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
+    over shared keys, audited the same way as q_er_blocks."""
+    ppl = _people(spark)
+    k1 = F.expr(block_key_sql(duck=False))
+    k2 = F.concat_ws(
+        "|",
+        F.coalesce("city", F.lit("")),
+        F.coalesce(F.expr(suffix_key_sql(duck=False)), F.lit("")),
+        F.coalesce(F.expr(f"lower({_FIRSTNAME})"), F.lit("")),
+    )
+
+    def keyed(df, idcol):
+        return df.select(
+            F.col("rec_id").alias(idcol),
+            F.explode(
+                F.array(
+                    F.concat(F.lit("k1|"), F.coalesce(k1, F.lit(""))),
+                    F.concat(F.lit("k2|"), k2),
+                )
+            ).alias("bkey"),
+        )
+
+    base = ppl.filter(F.col("rec_id") < 400)
+    arrivals = ppl.filter(F.col("rec_id") >= 400)
+    cand = (
+        keyed(arrivals, "a_id")
+        .join(keyed(base, "b_id"), "bkey")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_attrs = arrivals.select(
+        F.col("rec_id").alias("a_id"),
+        F.lower("name").alias("na"),
+        F.col("city").alias("ca"),
+    )
+    b_attrs = base.select(
+        F.col("rec_id").alias("b_id"),
+        F.lower("name").alias("nb"),
+        F.col("city").alias("cb"),
+    )
+    refined = (
+        cand.join(a_attrs, "a_id")
+        .join(b_attrs, "b_id")
+        .filter(F.col("ca") == F.col("cb"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+    best = refined.groupBy("a_id").agg(
+        F.min(F.struct("lev", F.col("b_id").alias("v"))).alias("b"),
+        F.count("*").alias("n_matches"),
+    )
+    return (
+        arrivals.select(F.col("rec_id").alias("a_id"))
+        .join(best, "a_id", "left")
+        .select(
+            F.col("a_id").alias("rec_id"),
+            F.coalesce(F.col("b.v"), F.lit(-1)).cast("long").alias(
+                "matched_entity"
+            ),
+            F.coalesce(F.col("b.lev"), F.lit(-1)).cast("long").alias("lev"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+Q_ER_INCREMENTAL_SQL = f"""
+WITH base AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
+), arrivals AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
+), akeys AS (
+  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
+), bkeys AS (
+  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM base
+), cand AS (
+  SELECT DISTINCT a_id, b_id FROM akeys JOIN bkeys USING (bkey)
+), refined AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(lower(a.name), lower(b.name)) AS BIGINT) AS lev
+  FROM cand c
+  JOIN arrivals a ON a.rec_id = c.a_id
+  JOIN base b ON b.rec_id = c.b_id
+  WHERE a.city = b.city
+    AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
+), best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         count(*) OVER (PARTITION BY a_id) AS n_matches
+  FROM refined
+)
+SELECT a.rec_id,
+       CAST(coalesce(b.b_id, -1) AS BIGINT) AS matched_entity,
+       CAST(coalesce(b.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches
+FROM arrivals a
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+ORDER BY a.rec_id
+"""
+
+
 QUERIES = {
     "q_er_blocks": q_er_blocks,
     "q_er_pairs": q_er_pairs,
@@ -1381,6 +1509,7 @@ QUERIES = {
     "q_er_eval_sn_suffix": q_er_eval_sn_suffix,
     "q_er_golden": q_er_golden,
     "q_er_bcubed": q_er_bcubed,
+    "q_er_incremental": q_er_incremental,
 }
 
 ORACLES = {
@@ -1400,4 +1529,5 @@ ORACLES = {
     "q_er_eval_sn_suffix": Q_ER_EVAL_SN_SUFFIX_SQL,
     "q_er_golden": Q_ER_GOLDEN_SQL,
     "q_er_bcubed": Q_ER_BCUBED_SQL,
+    "q_er_incremental": Q_ER_INCREMENTAL_SQL,
 }

@@ -510,3 +510,43 @@ def test_er_bcubed_matches_independent_python_recomputation(spark):
     assert got.b3_recall_e6 >= 700_000
     lo, hi = sorted((got.b3_precision_e6, got.b3_recall_e6))
     assert lo <= got.b3_f1_e6 <= hi
+
+
+def test_er_incremental_assignment_pins_planted_truth(spark):
+    """Incremental ER against the base entity table: 76/80 arrivals match
+    their planted entity, ZERO wrong assignments, and — the suffix key's
+    contribution — all 12 class-B (first-letter) arrivals are recovered
+    even though their phonetic block key is broken.  The 4 unmatched
+    arrivals are last-name transpositions that corrupt BOTH candidate
+    keys' phonetics (key-unreachable by construction, surfaced as
+    matched_entity −1 → new-entity inserts, never silent wrong merges)."""
+    from changegen_spark.queries.er import _people, q_er_incremental
+
+    truth = {
+        r.rec_id: r.entity_id
+        for r in _people(spark).select("rec_id", "entity_id").collect()
+    }
+    rows = q_er_incremental(spark, "").collect()
+    assert len(rows) == 80
+    wrong = [
+        r
+        for r in rows
+        if r.matched_entity != -1 and r.matched_entity != truth[r.rec_id]
+    ]
+    assert wrong == []
+    assert sum(1 for r in rows if r.matched_entity == truth[r.rec_id]) == 76
+    assert sorted(r.rec_id for r in rows if r.matched_entity == -1) == [
+        408,
+        414,
+        417,
+        429,
+    ]
+    classb = [r for r in rows if 460 <= r.rec_id <= 471]
+    assert all(r.matched_entity == truth[r.rec_id] for r in classb)
+    # matched rows carry the refine evidence; unmatched rows the sentinel
+    assert all(
+        (r.lev >= 0 and r.n_matches >= 1)
+        if r.matched_entity != -1
+        else (r.lev == -1 and r.n_matches == 0)
+        for r in rows
+    )
