@@ -1364,24 +1364,20 @@ FROM scaled
 """
 
 
-def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ER: assign ARRIVING records to an existing entity
-    table without re-clustering the base (the batch-append production
-    regime — at 100 TB the base is petabyte-class and never re-CC'd).
-    Base = the fixture's original records (rec_id < 400, each its own
-    entity); arrivals = the planted duplicates (rec_id ≥ 400).  Each
-    arrival probes the base through BOTH candidate keys — the phonetic
-    block key and the r10 suffix key (city | phonetic(last minus first
-    letter) | first) so first-letter corruptions still reach their
-    entity — then city + Levenshtein refine, and the best match is the
-    deterministic min(struct(lev, base_id)); unmatched arrivals get
-    matched_entity −1 (a new-entity insert downstream).
+def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
+    """Core of incremental ER, reused by the batch query and the
+    streaming twin (streaming/er.py): each arrival probes ``base``
+    through BOTH candidate keys — the phonetic block key and the r10
+    suffix key (city | phonetic(last minus first letter) | first) so
+    first-letter corruptions still reach their entity — then city +
+    Levenshtein refine, and the best match is the deterministic
+    min(struct(lev, base_id)); unmatched arrivals get matched_entity
+    −1 (a new-entity insert downstream).
 
     Scale shape: two key-equality hash joins (arrival keys × base keys,
     both sides pre-hashed), distinct candidates, one groupBy-min — no
     window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
     over shared keys, audited the same way as q_er_blocks."""
-    ppl = _people(spark)
     k1 = F.expr(block_key_sql(duck=False))
     k2 = F.concat_ws(
         "|",
@@ -1401,8 +1397,6 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey"),
         )
 
-    base = ppl.filter(F.col("rec_id") < 400)
-    arrivals = ppl.filter(F.col("rec_id") >= 400)
     cand = (
         keyed(arrivals, "a_id")
         .join(keyed(base, "b_id"), "bkey")
@@ -1446,6 +1440,19 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
         )
         .orderBy("rec_id")
+    )
+
+
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER: assign ARRIVING records to an existing entity
+    table without re-clustering the base (the batch-append production
+    regime — at 100 TB the base is petabyte-class and never re-CC'd).
+    Base = the fixture's original records (rec_id < 400, each its own
+    entity); arrivals = the planted duplicates (rec_id ≥ 400).  Logic
+    in ``incremental_assign`` (shared with the streaming twin)."""
+    ppl = _people(spark)
+    return incremental_assign(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
     )
 
 

@@ -492,3 +492,52 @@ def test_elo_stream_matches_independent_fold(spark, sf_dir):
     assert final == {i: (ratings[i], n) for i in range(N_ITEMS)}
     assert sum(r for r, _ in final.values()) == N_ITEMS * ELO_INIT
     assert final[N_ITEMS - 1][0] > final[0][0]  # planted order recovered
+
+
+def test_incremental_er_stream_matches_batch_assignment(spark):
+    """Stream-static incremental ER: the union of per-micro-batch
+    assignments must equal the batch q_er_incremental result exactly —
+    legal because each arrival's assignment depends only on the static
+    base, never on other arrivals (stateless by construction)."""
+    from changegen_spark.queries.er import q_er_incremental
+    from changegen_spark.streaming.er import incremental_er_stream
+
+    got = []
+    n_batches = []
+
+    def collect(df, batch_id):
+        got.extend(
+            (r.rec_id, r.matched_entity, r.lev, r.n_matches)
+            for r in df.collect()
+        )
+        n_batches.append(batch_id)
+
+    q = incremental_er_stream(spark, collect, n_files=4)
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2, "want multiple micro-batches"
+    want = [
+        (r.rec_id, r.matched_entity, r.lev, r.n_matches)
+        for r in q_er_incremental(spark, "").collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_incremental_er_stream_restart_is_exactly_once(spark, tmp_path):
+    """With a real checkpoint, a second run of the same availableNow
+    stream processes ZERO new batches — the file-source commit log is
+    the exactly-once guarantee a production upsert sink relies on."""
+    from changegen_spark.streaming.er import incremental_er_stream
+
+    ckpt = str(tmp_path / "ckpt")
+    first = []
+    q = incremental_er_stream(
+        spark, lambda df, i: first.extend(df.collect()), checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+    assert len(first) == 80
+    second = []
+    q2 = incremental_er_stream(
+        spark, lambda df, i: second.extend(df.collect()), checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    assert second == []
