@@ -489,6 +489,7 @@ def main() -> None:
             er_pairs_sn,
             er_pairs_sn_multi,
             er_pairs_sn_suffix,
+            incremental_assign,
         )
         from changegen_spark.sources.scaleup import build_er_records
 
@@ -573,6 +574,34 @@ def main() -> None:
             row["sn_suffix_refine"] = timed(
                 er_pairs_sn_suffix(ppl, refine_cols=("city",))
             )
+            # r10: the batch-append regime — assign the planted arrivals
+            # against the base WITHOUT re-clustering.  Fresh frame per
+            # timed run (a repeated .count() on one frame reuses shuffle
+            # outputs and under-reports by >2×); accuracy rides along so
+            # the key-collision cost of density is in the artifact.
+            base_side = ppl.filter(_F.col("rec_id") < n_ent)
+            arr_side = ppl.filter(_F.col("rec_id") >= n_ent)
+            incremental_assign(arr_side, base_side).count()  # warm
+            best_inc = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                n_arr = incremental_assign(arr_side, base_side).count()
+                best_inc = min(best_inc, time.time() - t0)
+            inc = incremental_assign(arr_side, base_side)
+            j = inc.join(
+                arr_side.select("rec_id", "entity_id"), "rec_id"
+            )
+            row["incremental"] = {
+                "arrivals": n_arr,
+                "wall_s": round(best_inc, 3),
+                "correct": j.filter(
+                    "matched_entity = entity_id"
+                ).count(),
+                "wrong": j.filter(
+                    "matched_entity <> -1 AND matched_entity <> entity_id"
+                ).count(),
+                "unmatched": j.filter("matched_entity = -1").count(),
+            }
             if big:
                 # r10 (r9 verdict #6): the pairs→CC→entity stage at the
                 # density-regime rung, over the production composition's
@@ -627,6 +656,7 @@ def main() -> None:
             "sorted_neighborhood",
             "sn_multi_refine",
             "sn_suffix_refine",
+            "incremental",
         ):
             er[f"growth_wall_100k_1m_{scheme}"] = round(
                 er["n"]["1000000"][scheme]["wall_s"]
