@@ -1364,6 +1364,28 @@ FROM scaled
 """
 
 
+def _inc_keyed(df: DataFrame, idcol: str) -> DataFrame:
+    """(idcol, bkey): both incremental candidate keys per record, class-
+    prefixed ('k1|' = phonetic block key, 'k2|' = city | suffix phonetic
+    | first name) so the two key spaces never collide in the join."""
+    k1 = F.expr(block_key_sql(duck=False))
+    k2 = F.concat_ws(
+        "|",
+        F.coalesce("city", F.lit("")),
+        F.coalesce(F.expr(suffix_key_sql(duck=False)), F.lit("")),
+        F.coalesce(F.expr(f"lower({_FIRSTNAME})"), F.lit("")),
+    )
+    return df.select(
+        F.col("rec_id").alias(idcol),
+        F.explode(
+            F.array(
+                F.concat(F.lit("k1|"), F.coalesce(k1, F.lit(""))),
+                F.concat(F.lit("k2|"), k2),
+            )
+        ).alias("bkey"),
+    )
+
+
 def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
     """Core of incremental ER, reused by the batch query and the
     streaming twin (streaming/er.py): each arrival probes ``base``
@@ -1377,29 +1399,10 @@ def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
     Scale shape: two key-equality hash joins (arrival keys × base keys,
     both sides pre-hashed), distinct candidates, one groupBy-min — no
     window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
-    over shared keys, audited the same way as q_er_blocks."""
-    k1 = F.expr(block_key_sql(duck=False))
-    k2 = F.concat_ws(
-        "|",
-        F.coalesce("city", F.lit("")),
-        F.coalesce(F.expr(suffix_key_sql(duck=False)), F.lit("")),
-        F.coalesce(F.expr(f"lower({_FIRSTNAME})"), F.lit("")),
-    )
-
-    def keyed(df, idcol):
-        return df.select(
-            F.col("rec_id").alias(idcol),
-            F.explode(
-                F.array(
-                    F.concat(F.lit("k1|"), F.coalesce(k1, F.lit(""))),
-                    F.concat(F.lit("k2|"), k2),
-                )
-            ).alias("bkey"),
-        )
-
+    over shared keys, audited by q_er_inc_audit."""
     cand = (
-        keyed(arrivals, "a_id")
-        .join(keyed(base, "b_id"), "bkey")
+        _inc_keyed(arrivals, "a_id")
+        .join(_inc_keyed(base, "b_id"), "bkey")
         .select("a_id", "b_id")
         .distinct()
     )
@@ -1454,6 +1457,113 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_assign(
         ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
     )
+
+
+def q_er_inc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ER candidate audit — the dial a linkage design
+    reads BEFORE running the assignment (q_er_blocks' twin for the
+    batch-append regime): per key class, shared-key count, total
+    candidate volume Σ_k a_k·b_k, the hottest key's a·b (the skew
+    hazard), and the refine survivor count.  Each record emits exactly
+    one key per class, so per-class candidates need no dedup; the
+    class prefix keeps the two key spaces disjoint in one join."""
+    ppl = _people(spark)
+    base = ppl.filter(F.col("rec_id") < 400)
+    arrivals = ppl.filter(F.col("rec_id") >= 400)
+    ak = _inc_keyed(arrivals, "a_id")
+    bk = _inc_keyed(base, "b_id")
+    sizes = (
+        ak.groupBy("bkey")
+        .agg(F.count("*").alias("a_cnt"))
+        .join(bk.groupBy("bkey").agg(F.count("*").alias("b_cnt")), "bkey")
+        .select(
+            F.substring("bkey", 1, 2).alias("key_class"),
+            "a_cnt",
+            "b_cnt",
+        )
+        .groupBy("key_class")
+        .agg(
+            F.count("*").alias("n_shared_keys"),
+            F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("candidates"),
+            F.max(F.col("a_cnt") * F.col("b_cnt")).alias("max_key_pairs"),
+        )
+    )
+    a_attrs = arrivals.select(
+        F.col("rec_id").alias("a_id"),
+        F.lower("name").alias("na"),
+        F.col("city").alias("ca"),
+    )
+    b_attrs = base.select(
+        F.col("rec_id").alias("b_id"),
+        F.lower("name").alias("nb"),
+        F.col("city").alias("cb"),
+    )
+    refined = (
+        ak.join(bk, "bkey")
+        .select(F.substring("bkey", 1, 2).alias("key_class"), "a_id", "b_id")
+        .join(a_attrs, "a_id")
+        .join(b_attrs, "b_id")
+        .filter(
+            (F.col("ca") == F.col("cb"))
+            & (F.levenshtein("na", "nb") <= LEV_MAX)
+        )
+        .groupBy("key_class")
+        .agg(F.count("*").alias("refined"))
+    )
+    return (
+        sizes.join(refined, "key_class", "left")
+        .select(
+            "key_class",
+            F.col("n_shared_keys").cast("long"),
+            F.col("candidates").cast("long"),
+            F.col("max_key_pairs").cast("long"),
+            F.coalesce("refined", F.lit(0)).cast("long").alias("refined"),
+        )
+        .orderBy("key_class")
+    )
+
+
+Q_ER_INC_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
+), arrivals AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
+), akeys AS (
+  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
+), bkeys AS (
+  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM base
+), sizes AS (
+  SELECT substr(bkey, 1, 2) AS key_class,
+         count(*) AS n_shared_keys,
+         sum(a_cnt * b_cnt) AS candidates,
+         max(a_cnt * b_cnt) AS max_key_pairs
+  FROM (SELECT bkey, count(*) AS a_cnt FROM akeys GROUP BY bkey) a
+  JOIN (SELECT bkey, count(*) AS b_cnt FROM bkeys GROUP BY bkey) b USING (bkey)
+  GROUP BY 1
+), refined AS (
+  SELECT substr(k.bkey, 1, 2) AS key_class, count(*) AS refined
+  FROM akeys k JOIN bkeys kb USING (bkey)
+  JOIN arrivals a ON a.rec_id = k.a_id
+  JOIN base b ON b.rec_id = kb.b_id
+  WHERE a.city = b.city
+    AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
+  GROUP BY 1
+)
+SELECT s.key_class, CAST(s.n_shared_keys AS BIGINT) AS n_shared_keys,
+       CAST(s.candidates AS BIGINT) AS candidates,
+       CAST(s.max_key_pairs AS BIGINT) AS max_key_pairs,
+       CAST(coalesce(r.refined, 0) AS BIGINT) AS refined
+FROM sizes s LEFT JOIN refined r ON r.key_class = s.key_class
+ORDER BY s.key_class
+"""
 
 
 Q_ER_INCREMENTAL_SQL = f"""
@@ -1517,6 +1627,7 @@ QUERIES = {
     "q_er_golden": q_er_golden,
     "q_er_bcubed": q_er_bcubed,
     "q_er_incremental": q_er_incremental,
+    "q_er_inc_audit": q_er_inc_audit,
 }
 
 ORACLES = {
@@ -1537,4 +1648,5 @@ ORACLES = {
     "q_er_golden": Q_ER_GOLDEN_SQL,
     "q_er_bcubed": Q_ER_BCUBED_SQL,
     "q_er_incremental": Q_ER_INCREMENTAL_SQL,
+    "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
 }

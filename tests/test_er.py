@@ -550,3 +550,27 @@ def test_er_incremental_assignment_pins_planted_truth(spark):
         else (r.lev == -1 and r.n_matches == 0)
         for r in rows
     )
+
+
+def test_er_inc_audit_consistent_with_assignment(spark):
+    """The candidate audit's refine survivors must account for the
+    assignment's matches: Σ per-class refined ≥ distinct refined pairs
+    ≥ matched arrivals (a pair can arrive via both key classes; an
+    arrival can match several base records).  Candidate volume per
+    class equals Σ a_k·b_k and bounds its refined count."""
+    from changegen_spark.queries.er import q_er_inc_audit, q_er_incremental
+
+    audit = {r.key_class: r for r in q_er_inc_audit(spark, "").collect()}
+    assert set(audit) == {"k1", "k2"}
+    for r in audit.values():
+        assert 0 <= r.refined <= r.candidates
+        assert r.max_key_pairs <= r.candidates
+        assert r.n_shared_keys >= 1
+    inc = q_er_incremental(spark, "").collect()
+    n_matched = sum(1 for r in inc if r.matched_entity != -1)
+    total_matches = sum(r.n_matches for r in inc)
+    refined_sum = sum(r.refined for r in audit.values())
+    assert refined_sum >= total_matches >= n_matched
+    # the suffix class must carry the block-broken arrivals: k2 refines
+    # pairs that k1's broken key can never produce
+    assert audit["k2"].refined > 0
