@@ -574,3 +574,34 @@ def test_er_inc_audit_consistent_with_assignment(spark):
     # the suffix class must carry the block-broken arrivals: k2 refines
     # pairs that k1's broken key can never produce
     assert audit["k2"].refined > 0
+
+
+def test_suffix_key_property_invariant_first_letter_substitution():
+    """Property (DuckDB-evaluated, no Spark needed): for ANY word-pair
+    name, substituting the last name's first letter never changes the
+    suffix key — the invariance the third pass is built on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from changegen_spark.queries.er import suffix_key_sql
+
+    con = duckdb.connect()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        first=st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+        last=st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=2, max_size=10),
+        sub=st.sampled_from("abcdefghijklmnopqrstuvwxyz"),
+    )
+    def check(first, last, sub):
+        name_a = f"{first} {last}"
+        name_b = f"{first} {sub}{last[1:]}"
+        k = suffix_key_sql(duck=True)
+        rows = con.execute(
+            f"SELECT {k} FROM (VALUES (?), (?)) t(name)", [name_a, name_b]
+        ).fetchall()
+        assert rows[0][0] == rows[1][0], (name_a, name_b, rows)
+
+    check()
+    con.close()
