@@ -539,12 +539,13 @@ def main() -> None:
                 # keeps the materialized RDD across actions, so timing
                 # the same object repeatedly re-times only the stages
                 # ABOVE the fence — fenced SN schemes under-reported
-                # ~6× (sn_multi_refine at 1M: 2.3 s same-frame in the
-                # r9 artifact vs 13.2 s fresh-frame min-of-3 idle;
-                # unfenced with_city unchanged at 6.3 s).  The warm
-                # pass stays: it absorbs JVM codegen compile — the
-                # first fresh execution of the 3-pass plan measured
-                # 30-49 s vs 23.1 s once compiled.
+                # ~1.9× (sn_multi_refine at 1M: 2.3 s same-frame in
+                # the r9 artifact vs 4.4 s fresh-frame in the r10
+                # artifact; unfenced with_city unchanged).  The warm
+                # pass stays: it absorbs JVM codegen compile.  Probe
+                # scripts must use get_spark(), not a bare session —
+                # the broadcast-threshold difference alone changes the
+                # rank-join physical plan ~3× (SCALE.md postmortem).
                 build().count()  # warm
                 best = float("inf")
                 n_pairs = 0
