@@ -605,3 +605,20 @@ def test_suffix_key_property_invariant_first_letter_substitution():
 
     check()
     con.close()
+
+
+def test_new_er_family_plans_are_hash_joins_only(spark):
+    """Scale pins for the r10 additions: golden records, B³, incremental
+    assignment, and the audit must plan as hash/broadcast equi-joins —
+    no CartesianProduct, no BroadcastNestedLoopJoin, and (except the
+    presentation orderBy) no data-sized single-partition window."""
+    from changegen_spark.queries.er import (
+        q_er_golden,
+        q_er_inc_audit,
+        q_er_incremental,
+    )
+
+    for fn in (q_er_golden, q_er_incremental, q_er_inc_audit):
+        plan = fn(spark, "")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
