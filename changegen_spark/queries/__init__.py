@@ -183,6 +183,7 @@ ROTATED_IN = (
     "q_er_bcubed",
     "q_er_incremental",
     "q_er_inc_audit",
+    "q_er_chain_audit",
     "q_retrieval_eval",
     "q_distinct",
     "q_topk_freq",
@@ -215,7 +216,6 @@ ROTATED_IN = (
     "q_point_in_polygon",
     "q_geo_measures",
     "q_insertion_index",
-    "q_view_purchase_pairs",
 )
 
 

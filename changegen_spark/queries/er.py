@@ -1566,6 +1566,97 @@ ORDER BY s.key_class
 """
 
 
+def q_er_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the production clusters: connected
+    components happily merge a—b—c where every EDGE passed the lev ≤
+    {LEV_MAX} refine but lev(a, c) exceeds it — the classical
+    chain-merge hazard that B³ precision pays for silently.  One row:
+    multi-member entity count, largest cluster, intra-cluster pairs
+    checked (Σ m·(m−1)/2 — the audit's own cost, bounded by cluster
+    sizes), how many of those pairs exceed the refine threshold
+    (chain pairs), and the worst intra-cluster distance.
+
+    Scale shape: the self-join is keyed on the entity id, so work is
+    Σ m² over CLUSTER sizes — the quantity this audit exists to watch;
+    a runaway cluster shows up as its own cost before it poisons
+    downstream survivorship."""
+    from changegen_spark.functions.clustering import connected_components
+
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
+        F.col("node").alias("rec_id"), F.col("comp").alias("entity")
+    )
+    m = ppl.join(comp, "rec_id").select(
+        "entity", "rec_id", F.lower("name").alias("nname")
+    )
+    a = m.select(
+        "entity", F.col("rec_id").alias("ra"), F.col("nname").alias("na")
+    )
+    b = m.select(
+        "entity", F.col("rec_id").alias("rb"), F.col("nname").alias("nb")
+    )
+    intra = (
+        a.join(b, "entity")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("entity", F.levenshtein("na", "nb").alias("lev"))
+    )
+    sizes = m.groupBy("entity").agg(F.count("*").alias("msize"))
+    return (
+        intra.agg(
+            F.count("*").alias("pairs_checked"),
+            F.sum((F.col("lev") > LEV_MAX).cast("long")).alias(
+                "chain_pairs"
+            ),
+            F.max("lev").alias("max_intra_lev"),
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.agg(
+                    F.count("*").alias("n_multi_entities"),
+                    F.max("msize").alias("max_cluster_size"),
+                )
+            )
+        )
+        .select(
+            F.col("n_multi_entities").cast("long"),
+            F.col("max_cluster_size").cast("long"),
+            F.col("pairs_checked").cast("long"),
+            F.col("chain_pairs").cast("long"),
+            F.col("max_intra_lev").cast("long"),
+        )
+    )
+
+
+Q_ER_CHAIN_AUDIT_SQL = f"""
+WITH RECURSIVE {_sn_suffix_sql_body()}
+, edges AS (
+  SELECT rec_a AS a, rec_b AS b FROM refined3
+  UNION SELECT rec_b, rec_a FROM refined3
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS entity FROM reach GROUP BY a
+), m AS (
+  SELECT c.entity, p.rec_id, lower(p.name) AS nname
+  FROM '{ER_PATH}' p JOIN comp c ON c.rec_id = p.rec_id
+), intra AS (
+  SELECT a.entity, levenshtein(a.nname, b.nname) AS lev
+  FROM m a JOIN m b ON a.entity = b.entity AND a.rec_id < b.rec_id
+), sizes AS (
+  SELECT entity, count(*) AS msize FROM m GROUP BY entity
+)
+SELECT CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_multi_entities,
+       CAST((SELECT max(msize) FROM sizes) AS BIGINT) AS max_cluster_size,
+       CAST(count(*) AS BIGINT) AS pairs_checked,
+       CAST(sum(CASE WHEN lev > {LEV_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS chain_pairs,
+       CAST(max(lev) AS BIGINT) AS max_intra_lev
+FROM intra
+"""
+
+
 Q_ER_INCREMENTAL_SQL = f"""
 WITH base AS (
   SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
@@ -1628,6 +1719,7 @@ QUERIES = {
     "q_er_bcubed": q_er_bcubed,
     "q_er_incremental": q_er_incremental,
     "q_er_inc_audit": q_er_inc_audit,
+    "q_er_chain_audit": q_er_chain_audit,
 }
 
 ORACLES = {
@@ -1649,4 +1741,5 @@ ORACLES = {
     "q_er_bcubed": Q_ER_BCUBED_SQL,
     "q_er_incremental": Q_ER_INCREMENTAL_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
+    "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,
 }

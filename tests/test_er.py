@@ -622,3 +622,102 @@ def test_new_er_family_plans_are_hash_joins_only(spark):
         plan = fn(spark, "")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_er_chain_audit_matches_independent_recomputation(spark):
+    """The transitivity audit must agree with a from-scratch Python
+    recomputation over the same cluster mapping, and its chain_pairs
+    must be consistent with B³: chain pairs exist on this fixture
+    (independent variants of one base name can be 3-4 edits apart),
+    every one sits inside a cluster whose edges each passed lev ≤ 2."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import (
+        LEV_MAX,
+        SN_REFINE_COLS,
+        _people,
+        er_pairs_sn_suffix,
+        q_er_chain_audit,
+    )
+
+    ppl = _people(spark)
+    comp = connected_components(
+        er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS),
+        src="rec_a",
+        dst="rec_b",
+    ).select(F.col("node").alias("rec_id"), F.col("comp").alias("entity"))
+    rows = ppl.join(comp, "rec_id").select(
+        "entity", F.lower("name").alias("nname")
+    ).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.entity].append(r.nname)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pairs_checked = chain = max_lev = 0
+    for names in clusters.values():
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = lev(names[i], names[j])
+                pairs_checked += 1
+                max_lev = max(max_lev, d)
+                chain += d > LEV_MAX
+    got = q_er_chain_audit(spark, "").collect()[0]
+    assert got.n_multi_entities == len(clusters)
+    assert got.max_cluster_size == max(len(v) for v in clusters.values())
+    assert got.pairs_checked == pairs_checked
+    assert got.chain_pairs == chain
+    assert got.max_intra_lev == max_lev
+    # gate fixture: every cluster is a {base, dup} pair, so no chains
+    # CAN exist here (the audit proves it rather than assumes it); the
+    # hazard appears at scale — the 1M taxonomy's 2,183
+    # cluster-recovered lev>2 pairs are exactly chain merges
+    assert got.max_cluster_size == 2 and got.chain_pairs == 0
+
+
+def test_er_chain_merge_hazard_on_planted_chain(spark):
+    """The hazard the audit watches, demonstrated: a—b—c where each edge
+    passes lev ≤ 2 but lev(a, c) = 4 — CC merges all three, and the
+    intra-cluster distance distribution reveals the chain."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import LEV_MAX, er_pairs_sn_suffix
+
+    ppl = spark.createDataFrame(
+        [
+            (1, "anna weber", "c1", 1),
+            (2, "anne webber", "c1", 1),  # lev 2 to rec 1
+            (3, "agne webbers", "c1", 1),  # lev 2 to rec 2, lev 4 to rec 1
+        ],
+        "rec_id long, name string, city string, entity_id long",
+    )
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=("city",))
+    got = {(r.rec_a, r.rec_b): r.lev for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got
+    assert (1, 3) not in got  # the direct edge fails the refine
+    comp = connected_components(pairs, src="rec_a", dst="rec_b")
+    assert comp.select("comp").distinct().count() == 1  # one merged cluster
+    names = {r.rec_id: r.name for r in ppl.collect()}
+    assert (
+        spark.createDataFrame(
+            [(names[1], names[3])], "a string, b string"
+        )
+        .select(F.levenshtein("a", "b").alias("lev"))
+        .collect()[0]
+        .lev
+        > LEV_MAX
+    )
