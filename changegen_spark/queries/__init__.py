@@ -173,9 +173,12 @@ ROTATION_ROUND = 10
 # after the standing slots and keep that position when the module
 # sweep re-updates them.
 ROTATED_IN = (
-    # r10-new — direct verification the round it lands (r8/r9 precedent);
-    # displaces the LRU tail of the mechanical proposal (q_asof_join,
-    # then q_sessionize + q_props_parse for the suffix-SN pair)
+    # r10-new — direct verification the round it lands (r8/r9 precedent).
+    # The 9 r10-new queries displace the LRU tail of the mechanical
+    # proposal (q_asof_join, q_sessionize, q_props_parse,
+    # q_capped_balance, q_attribution, q_interval_overlap, q_top_paths,
+    # q_view_purchase_pairs) — the displaced names fall back to the
+    # digest-covered set and stay first in line for the r11 proposal.
     "q_bm25_multi",
     "q_er_pairs_sn_suffix",
     "q_er_eval_sn_suffix",
