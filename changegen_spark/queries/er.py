@@ -1309,8 +1309,11 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = m.count()
     n_pred = m.select("pred").distinct().count()
     n_true = m.select("entity_id").distinct().count()
-    p_e6 = int(agg.sp // (n * 1_000_000))
-    r_e6 = int(agg.sr // (n * 1_000_000))
+    # empty-input guard (the bt_weighted W=0 lesson): no records → all
+    # metrics 0 rather than ZeroDivisionError, mirroring SQL's NULL-free
+    # CASE discipline
+    p_e6 = int(agg.sp // (n * 1_000_000)) if n and agg.sp is not None else 0
+    r_e6 = int(agg.sr // (n * 1_000_000)) if n and agg.sr is not None else 0
     f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if (p_e6 + r_e6) else 0
     return spark.createDataFrame(
         [(n, n_pred, n_true, p_e6, r_e6, f1_e6)],
