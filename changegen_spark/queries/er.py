@@ -1173,11 +1173,17 @@ def q_er_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
         F.col("node").alias("rec_id"), F.col("comp").alias("ent")
     )
+    # nname/city coalesced to '' (r10 advice): the mode tiebreak is
+    # min(struct(-cnt, v)) here but ORDER BY cnt DESC, v in the oracle,
+    # and the engines disagree on NULL ordering (Spark structs sort NULL
+    # fields first, DuckDB defaults NULLS LAST) — a NULL name/city would
+    # win the tie on one engine and lose it on the other.  '' sorts
+    # first in both.
     mapped = (
         ppl.join(comp, "rec_id", "left")
         .select(
-            F.lower("name").alias("nname"),
-            "city",
+            F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+            F.coalesce("city", F.lit("")).alias("city"),
             F.coalesce("ent", F.col("rec_id")).alias("entity"),
         )
     )
@@ -1227,7 +1233,7 @@ WITH RECURSIVE {_sn_suffix_sql_body()}
 ), comp AS (
   SELECT a AS rec_id, least(a, min(b)) AS entity FROM reach GROUP BY a
 ), mapped AS (
-  SELECT lower(p.name) AS nname, p.city,
+  SELECT coalesce(lower(p.name), '') AS nname, coalesce(p.city, '') AS city,
          coalesce(c.entity, p.rec_id) AS entity
   FROM '{ER_PATH}' p LEFT JOIN comp c ON c.rec_id = p.rec_id
 ), nc AS (
@@ -1267,11 +1273,17 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exact arithmetic: per-(pred,true) cell the contribution is
     n_ct²/|C| summed over cells; both engines compute it as INTEGER
-    floor division at e12 scale (n_ct ≤ 480 ⇒ n_ct²·1e12 ≤ 2.4e17,
-    inside int64), then floor to e6 — no float summation order to
-    diverge.  Scale shape: three hash aggregations (cell, pred-size,
-    true-size) + two broadcast-joinable size frames; no window, no
-    driver math beyond the final 1-row assembly."""
+    floor division at e12 scale, REASSOCIATED as n_ct·((n_ct·1e12) div
+    n_c) so the largest intermediate is n_ct·1e12 — safe in int64 up to
+    ~9.2M-record clusters, not the ~3,035 the naive n_ct²·1e12 ordering
+    allows before a silent wrap (r10 advice; with ANSI off Spark wraps
+    while DuckDB errors — a silent engine divergence).  The inner floor
+    costs < 1 per cell pre-multiplier, < n_ct after it, so the summed
+    error is < n — under one e6 ulp after the final division by n·1e6;
+    both engines reassociate identically so parity is exact.  Scale
+    shape: three hash aggregations (cell, pred-size, true-size) + two
+    broadcast-joinable size frames; no window, no driver math beyond
+    the final 1-row assembly."""
     from changegen_spark.functions.clustering import connected_components
 
     ppl = _people(spark)
@@ -1293,10 +1305,10 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(psize, "pred")
         .join(tsize, "entity_id")
         .select(
-            F.expr("n_ct * n_ct * CAST(1000000000000 AS BIGINT) div n_c").alias(
+            F.expr("n_ct * (n_ct * CAST(1000000000000 AS BIGINT) div n_c)").alias(
                 "pterm"
             ),
-            F.expr("n_ct * n_ct * CAST(1000000000000 AS BIGINT) div n_t").alias(
+            F.expr("n_ct * (n_ct * CAST(1000000000000 AS BIGINT) div n_t)").alias(
                 "rterm"
             ),
         )
@@ -1343,8 +1355,8 @@ WITH RECURSIVE {_sn_suffix_sql_body()}
 ), tsize AS (
   SELECT entity_id, count(*) AS n_t FROM mapped GROUP BY entity_id
 ), sums AS (
-  SELECT sum(n_ct * n_ct * CAST(1000000000000 AS BIGINT) // n_c) AS sp,
-         sum(n_ct * n_ct * CAST(1000000000000 AS BIGINT) // n_t) AS sr
+  SELECT sum(n_ct * ((n_ct * CAST(1000000000000 AS BIGINT)) // n_c)) AS sp,
+         sum(n_ct * ((n_ct * CAST(1000000000000 AS BIGINT)) // n_t)) AS sr
   FROM cells JOIN psize USING (pred) JOIN tsize USING (entity_id)
 ), base AS (
   SELECT (SELECT count(*) FROM mapped) AS n,
@@ -1353,8 +1365,11 @@ WITH RECURSIVE {_sn_suffix_sql_body()}
          sp, sr
   FROM sums
 ), scaled AS (
+  -- n > 0 guard matches the Spark side's empty-input guard: zero
+  -- records must yield 0 metrics on BOTH engines, not NULL // 0 here
   SELECT n, n_pred, n_true,
-         sp // (n * 1000000) AS p_e6, sr // (n * 1000000) AS r_e6
+         CASE WHEN n > 0 THEN coalesce(sp, 0) // (n * 1000000) ELSE 0 END AS p_e6,
+         CASE WHEN n > 0 THEN coalesce(sr, 0) // (n * 1000000) ELSE 0 END AS r_e6
   FROM base
 )
 SELECT CAST(n AS BIGINT) AS n_records, CAST(n_pred AS BIGINT) AS n_pred_clusters,

@@ -32,10 +32,16 @@ def stage_arrival_files(spark: SparkSession, n_files: int = 4) -> str:
     maxFilesPerTrigger=1 yields multiple micro-batches."""
     from changegen_spark.queries.er import ER_PATH, _people
 
+    # the staging key folds in the fixture's size+mtime (r10 advice): a
+    # regenerated er_people fixture must invalidate the cached staging
+    # dir, or the stream silently replays stale arrivals across sessions
+    st = os.stat(ER_PATH)
     stage = os.path.join(
         "/tmp",
         "changegen_spark_er_stream_"
-        + hashlib.md5(f"{ER_PATH}|{n_files}".encode()).hexdigest()[:8],
+        + hashlib.md5(
+            f"{ER_PATH}|{n_files}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:8],
     )
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
