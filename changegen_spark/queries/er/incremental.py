@@ -1,0 +1,360 @@
+"""Incremental (batch-append) ER and its audits (r10): assign arriving
+records to an existing entity table without re-clustering the base, the
+candidate-volume audit, and the chain-transitivity audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.queries.er.blocking import (
+    _FIRSTNAME,
+    ER_PATH,
+    LEV_MAX,
+    _people,
+    block_key_sql,
+)
+from changegen_spark.queries.er.sn import (
+    SN_REFINE_COLS,
+    _sn_suffix_sql_body,
+    er_pairs_sn_suffix,
+    suffix_key_sql,
+)
+
+def _inc_keyed(df: DataFrame, idcol: str) -> DataFrame:
+    """(idcol, bkey): both incremental candidate keys per record, class-
+    prefixed ('k1|' = phonetic block key, 'k2|' = city | suffix phonetic
+    | first name) so the two key spaces never collide in the join."""
+    k1 = F.expr(block_key_sql(duck=False))
+    k2 = F.concat_ws(
+        "|",
+        F.coalesce("city", F.lit("")),
+        F.coalesce(F.expr(suffix_key_sql(duck=False)), F.lit("")),
+        F.coalesce(F.expr(f"lower({_FIRSTNAME})"), F.lit("")),
+    )
+    return df.select(
+        F.col("rec_id").alias(idcol),
+        F.explode(
+            F.array(
+                F.concat(F.lit("k1|"), F.coalesce(k1, F.lit(""))),
+                F.concat(F.lit("k2|"), k2),
+            )
+        ).alias("bkey"),
+    )
+
+
+def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
+    """Core of incremental ER, reused by the batch query and the
+    streaming twin (streaming/er.py): each arrival probes ``base``
+    through BOTH candidate keys — the phonetic block key and the r10
+    suffix key (city | phonetic(last minus first letter) | first) so
+    first-letter corruptions still reach their entity — then city +
+    Levenshtein refine, and the best match is the deterministic
+    min(struct(lev, base_id)); unmatched arrivals get matched_entity
+    −1 (a new-entity insert downstream).
+
+    Scale shape: two key-equality hash joins (arrival keys × base keys,
+    both sides pre-hashed), distinct candidates, one groupBy-min — no
+    window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
+    over shared keys, audited by q_er_inc_audit."""
+    cand = (
+        _inc_keyed(arrivals, "a_id")
+        .join(_inc_keyed(base, "b_id"), "bkey")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_attrs = arrivals.select(
+        F.col("rec_id").alias("a_id"),
+        F.lower("name").alias("na"),
+        F.col("city").alias("ca"),
+    )
+    b_attrs = base.select(
+        F.col("rec_id").alias("b_id"),
+        F.lower("name").alias("nb"),
+        F.col("city").alias("cb"),
+    )
+    refined = (
+        cand.join(a_attrs, "a_id")
+        .join(b_attrs, "b_id")
+        .filter(F.col("ca") == F.col("cb"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("na", "nb").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+    best = refined.groupBy("a_id").agg(
+        F.min(F.struct("lev", F.col("b_id").alias("v"))).alias("b"),
+        F.count("*").alias("n_matches"),
+    )
+    return (
+        arrivals.select(F.col("rec_id").alias("a_id"))
+        .join(best, "a_id", "left")
+        .select(
+            F.col("a_id").alias("rec_id"),
+            F.coalesce(F.col("b.v"), F.lit(-1)).cast("long").alias(
+                "matched_entity"
+            ),
+            F.coalesce(F.col("b.lev"), F.lit(-1)).cast("long").alias("lev"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER: assign ARRIVING records to an existing entity
+    table without re-clustering the base (the batch-append production
+    regime — at 100 TB the base is petabyte-class and never re-CC'd).
+    Base = the fixture's original records (rec_id < 400, each its own
+    entity); arrivals = the planted duplicates (rec_id ≥ 400).  Logic
+    in ``incremental_assign`` (shared with the streaming twin)."""
+    ppl = _people(spark)
+    return incremental_assign(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
+def q_er_inc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ER candidate audit — the dial a linkage design
+    reads BEFORE running the assignment (q_er_blocks' twin for the
+    batch-append regime): per key class, shared-key count, total
+    candidate volume Σ_k a_k·b_k, the hottest key's a·b (the skew
+    hazard), and the refine survivor count.  Each record emits exactly
+    one key per class, so per-class candidates need no dedup; the
+    class prefix keeps the two key spaces disjoint in one join."""
+    ppl = _people(spark)
+    base = ppl.filter(F.col("rec_id") < 400)
+    arrivals = ppl.filter(F.col("rec_id") >= 400)
+    ak = _inc_keyed(arrivals, "a_id")
+    bk = _inc_keyed(base, "b_id")
+    sizes = (
+        ak.groupBy("bkey")
+        .agg(F.count("*").alias("a_cnt"))
+        .join(bk.groupBy("bkey").agg(F.count("*").alias("b_cnt")), "bkey")
+        .select(
+            F.substring("bkey", 1, 2).alias("key_class"),
+            "a_cnt",
+            "b_cnt",
+        )
+        .groupBy("key_class")
+        .agg(
+            F.count("*").alias("n_shared_keys"),
+            F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("candidates"),
+            F.max(F.col("a_cnt") * F.col("b_cnt")).alias("max_key_pairs"),
+        )
+    )
+    a_attrs = arrivals.select(
+        F.col("rec_id").alias("a_id"),
+        F.lower("name").alias("na"),
+        F.col("city").alias("ca"),
+    )
+    b_attrs = base.select(
+        F.col("rec_id").alias("b_id"),
+        F.lower("name").alias("nb"),
+        F.col("city").alias("cb"),
+    )
+    refined = (
+        ak.join(bk, "bkey")
+        .select(F.substring("bkey", 1, 2).alias("key_class"), "a_id", "b_id")
+        .join(a_attrs, "a_id")
+        .join(b_attrs, "b_id")
+        .filter(
+            (F.col("ca") == F.col("cb"))
+            & (F.levenshtein("na", "nb") <= LEV_MAX)
+        )
+        .groupBy("key_class")
+        .agg(F.count("*").alias("refined"))
+    )
+    return (
+        sizes.join(refined, "key_class", "left")
+        .select(
+            "key_class",
+            F.col("n_shared_keys").cast("long"),
+            F.col("candidates").cast("long"),
+            F.col("max_key_pairs").cast("long"),
+            F.coalesce("refined", F.lit(0)).cast("long").alias("refined"),
+        )
+        .orderBy("key_class")
+    )
+
+
+Q_ER_INC_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
+), arrivals AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
+), akeys AS (
+  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
+), bkeys AS (
+  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM base
+), sizes AS (
+  SELECT substr(bkey, 1, 2) AS key_class,
+         count(*) AS n_shared_keys,
+         sum(a_cnt * b_cnt) AS candidates,
+         max(a_cnt * b_cnt) AS max_key_pairs
+  FROM (SELECT bkey, count(*) AS a_cnt FROM akeys GROUP BY bkey) a
+  JOIN (SELECT bkey, count(*) AS b_cnt FROM bkeys GROUP BY bkey) b USING (bkey)
+  GROUP BY 1
+), refined AS (
+  SELECT substr(k.bkey, 1, 2) AS key_class, count(*) AS refined
+  FROM akeys k JOIN bkeys kb USING (bkey)
+  JOIN arrivals a ON a.rec_id = k.a_id
+  JOIN base b ON b.rec_id = kb.b_id
+  WHERE a.city = b.city
+    AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
+  GROUP BY 1
+)
+SELECT s.key_class, CAST(s.n_shared_keys AS BIGINT) AS n_shared_keys,
+       CAST(s.candidates AS BIGINT) AS candidates,
+       CAST(s.max_key_pairs AS BIGINT) AS max_key_pairs,
+       CAST(coalesce(r.refined, 0) AS BIGINT) AS refined
+FROM sizes s LEFT JOIN refined r ON r.key_class = s.key_class
+ORDER BY s.key_class
+"""
+
+
+def q_er_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the production clusters: connected
+    components happily merge a—b—c where every EDGE passed the lev ≤
+    {LEV_MAX} refine but lev(a, c) exceeds it — the classical
+    chain-merge hazard that B³ precision pays for silently.  One row:
+    multi-member entity count, largest cluster, intra-cluster pairs
+    checked (Σ m·(m−1)/2 — the audit's own cost, bounded by cluster
+    sizes), how many of those pairs exceed the refine threshold
+    (chain pairs), and the worst intra-cluster distance.
+
+    Scale shape: the self-join is keyed on the entity id, so work is
+    Σ m² over CLUSTER sizes — the quantity this audit exists to watch;
+    a runaway cluster shows up as its own cost before it poisons
+    downstream survivorship."""
+    from changegen_spark.functions.clustering import connected_components
+
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
+        F.col("node").alias("rec_id"), F.col("comp").alias("entity")
+    )
+    m = ppl.join(comp, "rec_id").select(
+        "entity", "rec_id", F.lower("name").alias("nname")
+    )
+    a = m.select(
+        "entity", F.col("rec_id").alias("ra"), F.col("nname").alias("na")
+    )
+    b = m.select(
+        "entity", F.col("rec_id").alias("rb"), F.col("nname").alias("nb")
+    )
+    intra = (
+        a.join(b, "entity")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("entity", F.levenshtein("na", "nb").alias("lev"))
+    )
+    sizes = m.groupBy("entity").agg(F.count("*").alias("msize"))
+    return (
+        intra.agg(
+            F.count("*").alias("pairs_checked"),
+            F.sum((F.col("lev") > LEV_MAX).cast("long")).alias(
+                "chain_pairs"
+            ),
+            F.max("lev").alias("max_intra_lev"),
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.agg(
+                    F.count("*").alias("n_multi_entities"),
+                    F.max("msize").alias("max_cluster_size"),
+                )
+            )
+        )
+        .select(
+            F.col("n_multi_entities").cast("long"),
+            F.col("max_cluster_size").cast("long"),
+            F.col("pairs_checked").cast("long"),
+            F.col("chain_pairs").cast("long"),
+            F.col("max_intra_lev").cast("long"),
+        )
+    )
+
+
+Q_ER_CHAIN_AUDIT_SQL = f"""
+WITH RECURSIVE {_sn_suffix_sql_body()}
+, edges AS (
+  SELECT rec_a AS a, rec_b AS b FROM refined3
+  UNION SELECT rec_b, rec_a FROM refined3
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS entity FROM reach GROUP BY a
+), m AS (
+  SELECT c.entity, p.rec_id, lower(p.name) AS nname
+  FROM '{ER_PATH}' p JOIN comp c ON c.rec_id = p.rec_id
+), intra AS (
+  SELECT a.entity, levenshtein(a.nname, b.nname) AS lev
+  FROM m a JOIN m b ON a.entity = b.entity AND a.rec_id < b.rec_id
+), sizes AS (
+  SELECT entity, count(*) AS msize FROM m GROUP BY entity
+)
+SELECT CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_multi_entities,
+       CAST((SELECT max(msize) FROM sizes) AS BIGINT) AS max_cluster_size,
+       CAST(count(*) AS BIGINT) AS pairs_checked,
+       CAST(sum(CASE WHEN lev > {LEV_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS chain_pairs,
+       CAST(max(lev) AS BIGINT) AS max_intra_lev
+FROM intra
+"""
+
+
+Q_ER_INCREMENTAL_SQL = f"""
+WITH base AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
+), arrivals AS (
+  SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
+), akeys AS (
+  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
+), bkeys AS (
+  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower({_FIRSTNAME}), '') FROM base
+), cand AS (
+  SELECT DISTINCT a_id, b_id FROM akeys JOIN bkeys USING (bkey)
+), refined AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(lower(a.name), lower(b.name)) AS BIGINT) AS lev
+  FROM cand c
+  JOIN arrivals a ON a.rec_id = c.a_id
+  JOIN base b ON b.rec_id = c.b_id
+  WHERE a.city = b.city
+    AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
+), best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         count(*) OVER (PARTITION BY a_id) AS n_matches
+  FROM refined
+)
+SELECT a.rec_id,
+       CAST(coalesce(b.b_id, -1) AS BIGINT) AS matched_entity,
+       CAST(coalesce(b.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches
+FROM arrivals a
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+ORDER BY a.rec_id
+"""
+
+
