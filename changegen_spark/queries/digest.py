@@ -291,8 +291,10 @@ KINDS = {
     "q_er_pairs_sn_suffix": {"rec_a": "num", "rec_b": "num", "lev": "num"},
     "q_er_eval_sn_suffix": {"n_pred": "num", "n_true": "num", "n_tp": "num", "precision_e6": "num", "recall_e6": "num", "window_recall_e6": "num"},
     "q_er_golden": {"entity": "num", "n_members": "num", "n_name_variants": "num", "name": "str", "city": "str"},
+    "q_er_golden_full": {"entity": "num", "n_members": "num", "name_mode": "str", "name_longest": "str", "city_latest": "str"},
     "q_er_bcubed": {"n_records": "num", "n_pred_clusters": "num", "n_true_entities": "num", "b3_precision_e6": "num", "b3_recall_e6": "num", "b3_f1_e6": "num"},
     "q_er_incremental": {"rec_id": "num", "matched_entity": "num", "lev": "num", "n_matches": "num"},
+    "q_er_incremental_margin": {"rec_id": "num", "matched_entity": "num", "lev": "num", "margin": "num", "n_matches": "num"},
     "q_er_inc_audit": {"key_class": "str", "n_shared_keys": "num", "candidates": "num", "max_key_pairs": "num", "refined": "num"},
     "q_er_chain_audit": {"n_multi_entities": "num", "max_cluster_size": "num", "pairs_checked": "num", "chain_pairs": "num", "max_intra_lev": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},

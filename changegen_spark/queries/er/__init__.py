@@ -78,19 +78,26 @@ from changegen_spark.queries.er.sn import (  # noqa: F401
 )
 from changegen_spark.queries.er.golden import (  # noqa: F401
     Q_ER_BCUBED_SQL,
+    Q_ER_GOLDEN_FULL_SQL,
     Q_ER_GOLDEN_SQL,
     q_er_bcubed,
     q_er_golden,
+    q_er_golden_full,
 )
 from changegen_spark.queries.er.incremental import (  # noqa: F401
+    INC_MARGIN,
     Q_ER_CHAIN_AUDIT_SQL,
     Q_ER_INC_AUDIT_SQL,
+    Q_ER_INCREMENTAL_MARGIN_SQL,
     Q_ER_INCREMENTAL_SQL,
     _inc_keyed,
+    _inc_refined,
     incremental_assign,
+    incremental_assign_margin,
     q_er_chain_audit,
     q_er_inc_audit,
     q_er_incremental,
+    q_er_incremental_margin,
 )
 
 QUERIES = {
@@ -109,8 +116,10 @@ QUERIES = {
     "q_er_pairs_sn_suffix": q_er_pairs_sn_suffix,
     "q_er_eval_sn_suffix": q_er_eval_sn_suffix,
     "q_er_golden": q_er_golden,
+    "q_er_golden_full": q_er_golden_full,
     "q_er_bcubed": q_er_bcubed,
     "q_er_incremental": q_er_incremental,
+    "q_er_incremental_margin": q_er_incremental_margin,
     "q_er_inc_audit": q_er_inc_audit,
     "q_er_chain_audit": q_er_chain_audit,
 }
@@ -131,8 +140,10 @@ ORACLES = {
     "q_er_pairs_sn_suffix": Q_ER_PAIRS_SN_SUFFIX_SQL,
     "q_er_eval_sn_suffix": Q_ER_EVAL_SN_SUFFIX_SQL,
     "q_er_golden": Q_ER_GOLDEN_SQL,
+    "q_er_golden_full": Q_ER_GOLDEN_FULL_SQL,
     "q_er_bcubed": Q_ER_BCUBED_SQL,
     "q_er_incremental": Q_ER_INCREMENTAL_SQL,
+    "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
     "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,
 }

@@ -128,6 +128,117 @@ ORDER BY m.entity
 """
 
 
+def q_er_golden_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-attribute survivorship (r10 verdict #6): a production golden
+    record carries EVERY attribute with a per-column survivorship rule,
+    not just the mode.  Three rules over the production clusters:
+
+    * ``name_mode``    — most frequent normalized name, ties to the
+      lexicographically smallest (q_er_golden's rule);
+    * ``name_longest`` — most-COMPLETE rule: the longest name variant
+      (longer = more information survives the merge), ties to the
+      lexicographically smallest;
+    * ``city_latest``  — RECENCY/source-priority rule: the city of the
+      highest rec_id member (the fixture's ids are insertion-ordered,
+      the standard most-recent-source proxy).
+
+    Scale shape identical to q_er_golden: CC, then hash aggregations
+    only — mode is the two-level groupBy + min(struct(-cnt, v));
+    longest is min(struct(-length, v)); latest is max(struct(rec_id,
+    v)) (rec_id unique ⇒ deterministic) — no window over the full
+    table, every struct-min/max has map-side partials."""
+    from changegen_spark.functions.clustering import connected_components
+
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
+        F.col("node").alias("rec_id"), F.col("comp").alias("ent")
+    )
+    # same ''-coalesce discipline as q_er_golden: tiebreaks must order
+    # identically on both engines when a value is NULL
+    mapped = ppl.join(comp, "rec_id", "left").select(
+        "rec_id",
+        F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+        F.coalesce("city", F.lit("")).alias("city"),
+        F.coalesce("ent", F.col("rec_id")).alias("entity"),
+    )
+    nc = mapped.groupBy("entity", "nname").agg(F.count("*").alias("cnt"))
+    mode = (
+        nc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nname").alias("v")
+                )
+            ).alias("b")
+        )
+        .select("entity", F.col("b.v").alias("name_mode"))
+    )
+    rest = mapped.groupBy("entity").agg(
+        F.count("*").alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.length("nname")).alias("neg"),
+                F.col("nname").alias("v"),
+            )
+        )["v"].alias("name_longest"),
+        F.max(
+            F.struct(F.col("rec_id").alias("r"), F.col("city").alias("v"))
+        )["v"].alias("city_latest"),
+    )
+    return (
+        rest.join(mode, "entity")
+        .select(
+            "entity", "n_members", "name_mode", "name_longest", "city_latest"
+        )
+        .orderBy("entity")
+    )
+
+
+Q_ER_GOLDEN_FULL_SQL = f"""
+WITH RECURSIVE {_sn_suffix_sql_body()}
+, edges AS (
+  SELECT rec_a AS a, rec_b AS b FROM refined3
+  UNION SELECT rec_b, rec_a FROM refined3
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS entity FROM reach GROUP BY a
+), mapped AS (
+  SELECT p.rec_id, coalesce(lower(p.name), '') AS nname,
+         coalesce(p.city, '') AS city,
+         coalesce(c.entity, p.rec_id) AS entity
+  FROM '{ER_PATH}' p LEFT JOIN comp c ON c.rec_id = p.rec_id
+), nc AS (
+  SELECT entity, nname, count(*) AS cnt FROM mapped GROUP BY entity, nname
+), bn AS (
+  SELECT entity, nname,
+         row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, nname) AS rn
+  FROM nc
+), ln AS (
+  SELECT entity, nname,
+         row_number() OVER (
+           PARTITION BY entity ORDER BY length(nname) DESC, nname) AS rn
+  FROM (SELECT DISTINCT entity, nname FROM mapped)
+), lc AS (
+  SELECT entity, city,
+         row_number() OVER (PARTITION BY entity ORDER BY rec_id DESC) AS rn
+  FROM mapped
+), mem AS (
+  SELECT entity, count(*) AS n_members FROM mapped GROUP BY entity
+)
+SELECT m.entity, m.n_members,
+       bn.nname AS name_mode, ln.nname AS name_longest, lc.city AS city_latest
+FROM mem m
+JOIN bn ON bn.entity = m.entity AND bn.rn = 1
+JOIN ln ON ln.entity = m.entity AND ln.rn = 1
+JOIN lc ON lc.entity = m.entity AND lc.rn = 1
+ORDER BY m.entity
+"""
+
+
 def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level linkage quality: B-cubed precision/recall/F1 (Bagga
     & Baldwin 1998) of the production clusters (3-pass SN + city refine

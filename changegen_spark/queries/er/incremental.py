@@ -44,20 +44,11 @@ def _inc_keyed(df: DataFrame, idcol: str) -> DataFrame:
     )
 
 
-def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
-    """Core of incremental ER, reused by the batch query and the
-    streaming twin (streaming/er.py): each arrival probes ``base``
-    through BOTH candidate keys — the phonetic block key and the r10
-    suffix key (city | phonetic(last minus first letter) | first) so
-    first-letter corruptions still reach their entity — then city +
-    Levenshtein refine, and the best match is the deterministic
-    min(struct(lev, base_id)); unmatched arrivals get matched_entity
-    −1 (a new-entity insert downstream).
-
-    Scale shape: two key-equality hash joins (arrival keys × base keys,
-    both sides pre-hashed), distinct candidates, one groupBy-min — no
-    window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
-    over shared keys, audited by q_er_inc_audit."""
+def _inc_refined(arrivals: DataFrame, base: DataFrame) -> DataFrame:
+    """(a_id, b_id, lev) refined candidates shared by the plain and the
+    margin-abstaining assignment (so the two variants cannot drift in
+    candidate generation, the _inc_keyed principle one level up): both
+    candidate keys, city equality, Levenshtein ≤ {LEV_MAX}."""
     cand = (
         _inc_keyed(arrivals, "a_id")
         .join(_inc_keyed(base, "b_id"), "bkey")
@@ -74,7 +65,7 @@ def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
         F.lower("name").alias("nb"),
         F.col("city").alias("cb"),
     )
-    refined = (
+    return (
         cand.join(a_attrs, "a_id")
         .join(b_attrs, "b_id")
         .filter(F.col("ca") == F.col("cb"))
@@ -85,6 +76,23 @@ def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
         )
         .filter(F.col("lev") <= LEV_MAX)
     )
+
+
+def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
+    """Core of incremental ER, reused by the batch query and the
+    streaming twin (streaming/er.py): each arrival probes ``base``
+    through BOTH candidate keys — the phonetic block key and the r10
+    suffix key (city | phonetic(last minus first letter) | first) so
+    first-letter corruptions still reach their entity — then city +
+    Levenshtein refine, and the best match is the deterministic
+    min(struct(lev, base_id)); unmatched arrivals get matched_entity
+    −1 (a new-entity insert downstream).
+
+    Scale shape: two key-equality hash joins (arrival keys × base keys,
+    both sides pre-hashed), distinct candidates, one groupBy-min — no
+    window over data, no CC iteration; candidate volume is Σ_k a_k·b_k
+    over shared keys, audited by q_er_inc_audit."""
+    refined = _inc_refined(arrivals, base)
     best = refined.groupBy("a_id").agg(
         F.min(F.struct("lev", F.col("b_id").alias("v"))).alias("b"),
         F.count("*").alias("n_matches"),
@@ -113,6 +121,88 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ``incremental_assign`` (shared with the streaming twin)."""
     ppl = _people(spark)
     return incremental_assign(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
+INC_MARGIN = 1  # abstain when runner-up lev is within (margin-1) of best
+
+
+def incremental_assign_margin(
+    arrivals: DataFrame, base: DataFrame, margin: int = INC_MARGIN
+) -> DataFrame:
+    """Incremental assignment with AMBIGUITY ABSTENTION (r10 verdict
+    #1): the plain variant's min(struct(lev, b_id)) breaks ties blindly,
+    and at population density same-city lev≤{LEV_MAX} name collisions
+    make the blind pick the one ER error that CORRUPTS downstream golden
+    records (a wrong merge) rather than merely missing one.  Here an
+    arrival whose best and runner-up candidates are separated by less
+    than ``margin`` edit-distance units is routed to matched_entity −2
+    (ambiguous → clerical-review/new-entity queue) instead of merged;
+    −1 stays the no-candidate sentinel.  ``margin`` = 1 abstains only on
+    exact ties — measured at the 1M rung this removes the majority of
+    wrong merges at a bounded abstention rate (er_ladder's incremental
+    rung carries wrong/ambiguous per margin; SCALE.md has the taxonomy
+    of survivors).
+
+    The ``margin`` output column is the measured gap (second_lev −
+    lev; −1 when there is no runner-up, the maximally-confident case).
+
+    Scale shape: identical candidate volume to the plain variant (the
+    refine frame is shared code), then ONE window partitioned by the
+    arrival id — partition-local rank + lead, no global sort; the
+    window key is the probe id, so skew is bounded by the per-arrival
+    candidate count q_er_inc_audit watches."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy("lev", "b_id")
+    picked = (
+        _inc_refined(arrivals, base)
+        .select(
+            "a_id",
+            "b_id",
+            "lev",
+            F.row_number().over(w).alias("rn"),
+            F.lead("lev").over(w).alias("second_lev"),
+            F.count("*").over(Window.partitionBy("a_id")).alias("nm"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.when(
+                F.col("second_lev").isNotNull()
+                & ((F.col("second_lev") - F.col("lev")) < F.lit(margin)),
+                F.lit(-2),
+            )
+            .otherwise(F.col("b_id"))
+            .alias("me"),
+            "lev",
+            F.coalesce(
+                F.col("second_lev") - F.col("lev"), F.lit(-1)
+            ).alias("gap"),
+            "nm",
+        )
+    )
+    return (
+        arrivals.select(F.col("rec_id").alias("a_id"))
+        .join(picked, "a_id", "left")
+        .select(
+            F.col("a_id").alias("rec_id"),
+            F.coalesce("me", F.lit(-1)).cast("long").alias("matched_entity"),
+            F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
+            F.coalesce("gap", F.lit(-1)).cast("long").alias("margin"),
+            F.coalesce("nm", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def q_er_incremental_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_er_incremental with margin-1 ambiguity abstention: exact
+    best/runner-up ties (different base entities at the same edit
+    distance) become matched_entity −2 instead of a blind merge."""
+    ppl = _people(spark)
+    return incremental_assign_margin(
         ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
     )
 
@@ -315,8 +405,9 @@ FROM intra
 """
 
 
-Q_ER_INCREMENTAL_SQL = f"""
-WITH base AS (
+# shared WITH-body for the two incremental oracles (the SQL twin of
+# _inc_refined): key construction, candidate join, city+lev refine
+_INC_REFINED_SQL_BODY = f"""base AS (
   SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
 ), arrivals AS (
   SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
@@ -342,7 +433,11 @@ WITH base AS (
   JOIN base b ON b.rec_id = c.b_id
   WHERE a.city = b.city
     AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
-), best AS (
+)"""
+
+Q_ER_INCREMENTAL_SQL = f"""
+WITH {_INC_REFINED_SQL_BODY}
+, best AS (
   SELECT a_id, b_id, lev,
          row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
          count(*) OVER (PARTITION BY a_id) AS n_matches
@@ -351,6 +446,30 @@ WITH base AS (
 SELECT a.rec_id,
        CAST(coalesce(b.b_id, -1) AS BIGINT) AS matched_entity,
        CAST(coalesce(b.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches
+FROM arrivals a
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+ORDER BY a.rec_id
+"""
+
+Q_ER_INCREMENTAL_MARGIN_SQL = f"""
+WITH {_INC_REFINED_SQL_BODY}
+, best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev,
+         count(*) OVER (PARTITION BY a_id) AS n_matches
+  FROM refined
+)
+SELECT a.rec_id,
+       CAST(CASE
+              WHEN b.a_id IS NULL THEN -1
+              WHEN b.second_lev IS NOT NULL
+                   AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+              ELSE b.b_id
+            END AS BIGINT) AS matched_entity,
+       CAST(coalesce(b.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(b.second_lev - b.lev, -1) AS BIGINT) AS margin,
        CAST(coalesce(b.n_matches, 0) AS BIGINT) AS n_matches
 FROM arrivals a
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id

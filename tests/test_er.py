@@ -616,12 +616,126 @@ def test_new_er_family_plans_are_hash_joins_only(spark):
         q_er_golden,
         q_er_inc_audit,
         q_er_incremental,
+        q_er_incremental_margin,
     )
 
-    for fn in (q_er_golden, q_er_incremental, q_er_inc_audit):
+    for fn in (
+        q_er_golden,
+        q_er_incremental,
+        q_er_incremental_margin,
+        q_er_inc_audit,
+    ):
         plan = fn(spark, "")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_golden_full_rules_diverge_and_recompute(spark):
+    """Full-attribute survivorship (r10 verdict #6): the three per-column
+    rules must be genuinely different rules — on this fixture the
+    longest-name rule disagrees with the mode for the entities whose
+    duplicate carries a doubled-letter corruption (longer than the
+    clean majority spelling) — and city_latest must equal an
+    independent max-rec_id recomputation per entity."""
+    from collections import defaultdict
+
+    from changegen_spark.queries.er import (
+        _people,
+        q_er_golden,
+        q_er_golden_full,
+    )
+
+    full = {r.entity: r for r in q_er_golden_full(spark, "").collect()}
+    plain = {r.entity: r for r in q_er_golden(spark, "").collect()}
+    assert set(full) == set(plain)
+    # rule identity where rules agree by construction
+    assert all(full[e].name_mode == plain[e].name for e in full)
+    assert all(full[e].n_members == plain[e].n_members for e in full)
+    # the longest rule must actually fire somewhere
+    diverged = [e for e in full if full[e].name_longest != full[e].name_mode]
+    assert len(diverged) > 0
+    for e in diverged:
+        assert len(full[e].name_longest) >= len(full[e].name_mode)
+    # independent recency recomputation: rebuild the cluster mapping
+    # from scratch (same pairs -> CC -> singleton convention) and check
+    # city_latest is the max-rec_id member's city for EVERY entity
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import (
+        SN_REFINE_COLS,
+        er_pairs_sn_suffix,
+    )
+
+    ppl = _people(spark)
+    comp = connected_components(
+        er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS),
+        src="rec_a",
+        dst="rec_b",
+    ).select(F.col("node").alias("rec_id"), F.col("comp").alias("ent"))
+    members = defaultdict(list)
+    for r in ppl.join(comp, "rec_id", "left").collect():
+        e = r.ent if r.ent is not None else r.rec_id
+        members[e].append((r.rec_id, r.city or ""))
+    assert set(members) == set(full)
+    for e, ms in members.items():
+        assert full[e].city_latest == max(ms)[1], e
+        assert full[e].n_members == len(ms), e
+
+
+def test_incremental_margin_abstains_on_ties_only(spark):
+    """Margin-based abstention (r10 verdict #1) on a synthetic frame
+    where the fixture can't reach the ambiguous path (no same-city
+    collisions at 400 base entities): an arrival with TWO base
+    candidates at the same edit distance must route to −2 where the
+    plain variant blindly merges with the min-id candidate; a clear
+    winner one edit closer than its runner-up must still merge (margin
+    1 only abstains on exact ties); no-candidate arrivals stay −1."""
+    from changegen_spark.queries.er import (
+        incremental_assign,
+        incremental_assign_margin,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "ann smith", "springfield"),
+            (2, "ana smith", "springfield"),
+            (10, "robert jones", "portland"),
+            (11, "roberta jones", "portland"),
+        ],
+        "rec_id long, name string, city string",
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (100, "anna smith", "springfield"),  # lev 1 to BOTH 1 and 2
+            (101, "robert jones", "portland"),  # lev 0 vs 10, lev 1 vs 11
+            (102, "zz unmatchable", "nowhere"),  # no candidates
+        ],
+        "rec_id long, name string, city string",
+    )
+    plain = {
+        r.rec_id: r for r in incremental_assign(arrivals, base).collect()
+    }
+    margin = {
+        r.rec_id: r
+        for r in incremental_assign_margin(arrivals, base).collect()
+    }
+    # blind pick merges the tie with the smallest base id
+    assert plain[100].matched_entity == 1 and plain[100].lev == 1
+    # margin variant abstains: gap 0 < margin 1
+    assert margin[100].matched_entity == -2
+    assert margin[100].margin == 0 and margin[100].n_matches == 2
+    # clear winner: gap 1 >= margin 1, merges on both variants
+    assert plain[101].matched_entity == 10
+    assert margin[101].matched_entity == 10
+    assert margin[101].lev == 0 and margin[101].margin == 1
+    # no candidates: -1 with no measurable gap on both variants
+    assert plain[102].matched_entity == -1
+    assert margin[102].matched_entity == -1 and margin[102].margin == -1
+    # abstention can only ever REMOVE merges, never add or change one
+    for rid, m in margin.items():
+        if m.matched_entity not in (-1, -2):
+            assert m.matched_entity == plain[rid].matched_entity
 
 
 def test_er_chain_audit_matches_independent_recomputation(spark):
