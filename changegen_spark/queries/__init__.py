@@ -122,15 +122,32 @@ def _base_oracles():
     return out
 
 
-# The transitive-verification digest is SHARDED across three window rows
-# (r2-verdict follow-up + r3 housekeeping #0): the covered set grew to ~100
-# out-of-window queries, and a single digest row was one ~100-subplan Spark
-# job plus one ~100-subquery DuckDB statement — a driver-budget and
-# failure-isolation hazard.  Three slots cost two extra window positions
-# (the displaced queries are oracle-backed, so they simply join the covered
-# set) and cap each digest plan at ~1/3 the size; a broken out-of-window
-# query now fails one shard, not the whole transitive check.
-DIGEST_NAMES = ("q_relational_digest", "q_digest_shard_b", "q_digest_shard_c")
+# The transitive-verification digest is SHARDED across several window rows
+# (r2-verdict follow-up + r3 housekeeping #0): the covered set grew past
+# ~100 out-of-window queries, and a single digest row was one ~100-subplan
+# Spark job plus one ~100-subquery DuckDB statement — a driver-budget and
+# failure-isolation hazard.  Since r11 the shard COUNT is computed from the
+# registry size (r10 verdict #3: three fixed shards had regrown to 75
+# subqueries each) so it scales instead of rotting: covered = B − 50 + D
+# oracle-backed names sit outside the 50-slot window when D window rows are
+# digests, and D is the smallest count keeping every shard ≤ ~40
+# subqueries (D ≥ (B − 50)/39).  Each extra slot costs one rotating window
+# position (the displaced query is oracle-backed, so it simply joins the
+# covered set); a broken out-of-window query fails one shard, not the
+# whole transitive check.
+
+
+def _digest_shard_count() -> int:
+    b = len(_base_oracles())
+    d = 3  # never fewer than the r3-era sharding
+    while 39 * d < b - 50:
+        d += 1
+    return d
+
+
+DIGEST_NAMES = ("q_relational_digest", "q_digest_shard_b", "q_digest_shard_c") + tuple(
+    f"q_digest_shard_{chr(ord('d') + i)}" for i in range(_digest_shard_count() - 3)
+)
 
 # Standing window slots (r5 verdict #6): the changegen-parity core never
 # rotates out.  These are the queries that prove reference parity — the
@@ -155,70 +172,61 @@ STANDING = (
 # current window, so including it would make the pin self-breaking (the
 # r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
 # landed).  Bump this constant WITH every rotation.
-ROTATION_ROUND = 10
+ROTATION_ROUND = 11
 
-# r10 window rotation (r9 verdict #2): the mechanical LRU proposal,
-# verbatim — `python tools/never_direct.py --propose 40`.  It leads
-# with q_retrieval_eval (landed after the r9 rotation closed, so it is
-# the one remaining never-direct name; this is its first driver row),
-# then the least-recently-direct names: the r2-era relational/changegen
-# tails (q_distinct, q_topk_freq, q_max_ids, the global-ids pair, way
-# chunking/change assembly, five TPC-H queries) and the r2/r3 text/geo/
-# events families, all last direct in r1-r3.  Queries added DURING r10
-# are inserted at the head (direct verification the round they land,
-# the r8/r9 precedent) displacing the LRU tail.  Displaced r9 names
-# fall back into the digest-covered set; queries/digest.KINDS carries
-# their schemas, so transitive verification stays total.  Dict
-# insertion order makes this stable: rotated names are inserted right
-# after the standing slots and keep that position when the module
-# sweep re-updates them.
+# r11 window rotation: the mechanical LRU proposal, verbatim —
+# `python tools/never_direct.py --propose 11 --slots 37` (37 rotating
+# slots now: the computed digest sharding takes 6 window rows at the
+# current registry size).  The proposal leads with the two r11-new
+# queries (q_er_golden_full, q_er_incremental_margin — never-direct by
+# definition, direct the round they land per the r8-r10 precedent),
+# then the least-recently-direct names: the r4-era events/funnels
+# family (q_view_purchase_pairs … q_asof_join, displaced from the r10
+# proposal by that round's nine new queries), the r5 corpus-sampling
+# family, and the r6 vector/ANN family, all last direct in r4-r6.
+# Displaced r10 names fall back into the digest-covered set;
+# queries/digest.KINDS carries their schemas, so transitive
+# verification stays total.  Dict insertion order makes this stable:
+# rotated names are inserted right after the standing slots and keep
+# that position when the module sweep re-updates them.
 ROTATED_IN = (
-    # r10-new — direct verification the round it lands (r8/r9 precedent).
-    # The 9 r10-new queries displace the LRU tail of the mechanical
-    # proposal (q_asof_join, q_sessionize, q_props_parse,
-    # q_capped_balance, q_attribution, q_interval_overlap, q_top_paths,
-    # q_view_purchase_pairs) — the displaced names fall back to the
-    # digest-covered set and stay first in line for the r11 proposal.
-    "q_bm25_multi",
-    "q_er_pairs_sn_suffix",
-    "q_er_eval_sn_suffix",
-    "q_er_golden",
-    "q_er_bcubed",
-    "q_er_incremental",
-    "q_er_inc_audit",
-    "q_er_chain_audit",
-    "q_retrieval_eval",
-    "q_distinct",
-    "q_topk_freq",
-    "q_max_ids",
-    "q_global_ids",
-    "q_global_ids_negative",
-    "q_cumulative_fraction",
-    "q_way_chunking",
-    "q_change_assembly",
-    "q_delete_expansion",
-    "q_id_lookup_join",
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q13_customer_distribution",
-    "q16_part_supplier",
-    "q18_large_orders",
-    "q_segment_closest_point",
-    "q_lang_confusion",
-    "q_quality_filter",
-    "q_tfidf_terms",
-    "q_token_count",
-    "q_text_quality",
-    "q_lang_id",
-    "q_minhash_signature",
-    "q_jaccard_pairs",
-    "q_simhash_near_pairs",
-    "q_stats_moments",
-    "q_tile_pyramid",
-    "q_haversine",
-    "q_point_in_polygon",
-    "q_geo_measures",
-    "q_insertion_index",
+    "q_er_golden_full",
+    "q_er_incremental_margin",
+    "q_view_purchase_pairs",
+    "q_top_paths",
+    "q_interval_overlap",
+    "q_attribution",
+    "q_capped_balance",
+    "q_sessionize",
+    "q_props_parse",
+    "q_asof_join",
+    "q_range_join",
+    "q_dsir_weights",
+    "q_decontaminate",
+    "q_weighted_sample",
+    "q_external_decontaminate",
+    "q_corpus_pipeline",
+    "q_mixture_plan",
+    "q_pii_scrub",
+    "q_repetition",
+    "q_hash_sample",
+    "q_reservoir_sample",
+    "q_reservoir_per_source",
+    "q_stratified_split",
+    "q_token_chunks",
+    "q_pack_sequences",
+    "q_distance_join",
+    "q_bbox_join",
+    "q_knn_join",
+    "q_containment_join",
+    "q_embed_norm",
+    "q_hard_negatives",
+    "q_hard_negatives_lsh",
+    "q_label_centroids",
+    "q_ann_bruteforce",
+    "q_ann_lsh",
+    "q_ann_pq",
+    "q_embedding_dedup",
 )
 
 

@@ -28,6 +28,14 @@ def test_digest_shards_partition_covered_set():
     flat = [n for s in shards for n in s]
     assert sorted(flat) == sorted(covered)
     assert len(set(flat)) == len(flat)
+    # r11 (r10 verdict #3): the shard count is COMPUTED from the registry
+    # size, so a growing registry adds shards instead of regrowing each
+    # shard past the ~100-subplan hazard that motivated sharding in r3
+    assert all(len(s) <= 45 for s in shards), [len(s) for s in shards]
+    # and the window stays exactly 50 slots
+    from changegen_spark.queries import ROTATED_IN, STANDING
+
+    assert len(DIGEST_NAMES) + len(STANDING) + len(ROTATED_IN) == 50
 
 
 def test_covered_set_matches_kinds_map():
