@@ -360,6 +360,24 @@ def bm25_multi_scored(
     """
     from pyspark.sql import Window
 
+    per_q = bm25_multi_per_query(spark, sf_dir, queries)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score_e9"), "doc_id")
+    return (
+        per_q.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rank", "n_terms_hit", "score_e9")
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_multi_per_query(
+    spark: SparkSession, sf_dir: str, queries
+) -> DataFrame:
+    """The pre-top-k (query_id, doc_id, n_terms_hit, score_e9) frame of
+    ``bm25_multi_scored`` — factored out so bench.py's bm25 ladder can
+    measure the FAN-OUT volume (rows here = Σ_q matched docs of q, the
+    quantity that actually grows with query count; the corpus-side tf
+    pass is query-count-invariant)."""
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select("doc_id", F.size(_toks(F.col("text"))).alias("dl"))
     stats = lens.agg(
@@ -398,20 +416,13 @@ def bm25_multi_scored(
             F.round(term_score * 1e9).cast("long").alias("s_e9"),
         )
     )
-    per_q = (
+    return (
         scored.join(F.broadcast(qterms), "w")
         .groupBy("query_id", "doc_id")
         .agg(
             F.count("*").alias("n_terms_hit"),
             F.sum("s_e9").alias("score_e9"),
         )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score_e9"), "doc_id")
-    return (
-        per_q.withColumn("rank", F.row_number().over(wq).cast("long"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "doc_id", "rank", "n_terms_hit", "score_e9")
-        .orderBy("query_id", "rank")
     )
 
 
