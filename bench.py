@@ -598,12 +598,24 @@ def main() -> None:
             # the key-collision cost of density is in the artifact.
             base_side = ppl.filter(_F.col("rec_id") < n_ent)
             arr_side = ppl.filter(_F.col("rec_id") >= n_ent)
-            incremental_assign(arr_side, base_side).count()  # warm
+            # r11 postmortem: the r10 rung timed .count() on the final
+            # LEFT JOIN against a grouped-by key — Catalyst ELIMINATES
+            # that join for a count (grouped keys are provably unique),
+            # so the 0.32 s r10 artifact number never executed the
+            # candidate join at all.  A noop sink consumes every column
+            # and cannot be join-eliminated.
+            def _inc_noop():
+                incremental_assign(arr_side, base_side).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            _inc_noop()  # warm
             best_inc = float("inf")
             for _ in range(runs):
                 t0 = time.time()
-                n_arr = incremental_assign(arr_side, base_side).count()
+                _inc_noop()
                 best_inc = min(best_inc, time.time() - t0)
+            n_arr = arr_side.count()
             inc = incremental_assign(arr_side, base_side)
             j = inc.join(
                 arr_side.select("rec_id", "entity_id"), "rec_id"
@@ -631,7 +643,7 @@ def main() -> None:
                 t0 = time.time()
                 incremental_assign_margin(
                     arr_side, base_side, margin=1
-                ).count()
+                ).write.format("noop").mode("overwrite").save()
                 best_m1 = min(best_m1, time.time() - t0)
             for mg in (1, 2):
                 jm = incremental_assign_margin(

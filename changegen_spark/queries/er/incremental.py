@@ -24,9 +24,24 @@ from changegen_spark.queries.er.sn import (
 
 def _inc_keyed(df: DataFrame, idcol: str) -> DataFrame:
     """(idcol, bkey): both incremental candidate keys per record, class-
-    prefixed ('k1|' = phonetic block key, 'k2|' = city | suffix phonetic
-    | first name) so the two key spaces never collide in the join."""
-    k1 = F.expr(block_key_sql(duck=False))
+    prefixed ('k1|' = city | phonetic block key, 'k2|' = city | suffix
+    phonetic | first name) so the two key spaces never collide in the
+    join.
+
+    City is folded into BOTH keys (r11): the refine stage requires
+    city equality unconditionally, so a cross-city candidate can never
+    survive — keying on city first is a pure candidate reduction with
+    byte-identical output.  Measured at the 1M rung it is the
+    difference between 197M candidate pairs (hottest bare phonetic key
+    alone: 12.7M) and ~0.5M — the join was candidate-bound, and the
+    r10 artifact's 0.32 s wall had hidden it (Catalyst join-eliminates
+    a count() over the final left join against the grouped key, so the
+    rung never executed the candidate join; see SCALE.md postmortem)."""
+    k1 = F.concat_ws(
+        "|",
+        F.coalesce("city", F.lit("")),
+        F.coalesce(F.expr(block_key_sql(duck=False)), F.lit("")),
+    )
     k2 = F.concat_ws(
         "|",
         F.coalesce("city", F.lit("")),
@@ -37,7 +52,7 @@ def _inc_keyed(df: DataFrame, idcol: str) -> DataFrame:
         F.col("rec_id").alias(idcol),
         F.explode(
             F.array(
-                F.concat(F.lit("k1|"), F.coalesce(k1, F.lit(""))),
+                F.concat(F.lit("k1|"), k1),
                 F.concat(F.lit("k2|"), k2),
             )
         ).alias("bkey"),
@@ -81,9 +96,9 @@ def _inc_refined(arrivals: DataFrame, base: DataFrame) -> DataFrame:
 def incremental_assign(arrivals: DataFrame, base: DataFrame) -> DataFrame:
     """Core of incremental ER, reused by the batch query and the
     streaming twin (streaming/er.py): each arrival probes ``base``
-    through BOTH candidate keys — the phonetic block key and the r10
-    suffix key (city | phonetic(last minus first letter) | first) so
-    first-letter corruptions still reach their entity — then city +
+    through BOTH candidate keys — city | phonetic block key, and the
+    r10 suffix key (city | phonetic(last minus first letter) | first)
+    so first-letter corruptions still reach their entity — then city +
     Levenshtein refine, and the best match is the deterministic
     min(struct(lev, base_id)); unmatched arrivals get matched_entity
     −1 (a new-entity insert downstream).
@@ -277,13 +292,15 @@ WITH base AS (
 ), arrivals AS (
   SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
 ), akeys AS (
-  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  SELECT rec_id AS a_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
   UNION ALL
   SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
          || coalesce({suffix_key_sql(duck=True)}, '') || '|'
          || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
 ), bkeys AS (
-  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  SELECT rec_id AS b_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
   UNION ALL
   SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
          || coalesce({suffix_key_sql(duck=True)}, '') || '|'
@@ -412,13 +429,15 @@ _INC_REFINED_SQL_BODY = f"""base AS (
 ), arrivals AS (
   SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
 ), akeys AS (
-  SELECT rec_id AS a_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  SELECT rec_id AS a_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
   UNION ALL
   SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
          || coalesce({suffix_key_sql(duck=True)}, '') || '|'
          || coalesce(lower({_FIRSTNAME}), '') FROM arrivals
 ), bkeys AS (
-  SELECT rec_id AS b_id, 'k1|' || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  SELECT rec_id AS b_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
   UNION ALL
   SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
          || coalesce({suffix_key_sql(duck=True)}, '') || '|'

@@ -62,16 +62,20 @@ def incremental_er_stream(
     on_batch,
     n_files: int = 4,
     checkpoint: str | None = None,
+    stage_dir: str | None = None,
 ):
     """Run the stream-static incremental-ER pipeline over the staged
     arrival drop directory; ``on_batch(assignments_df, batch_id)`` is
     invoked per micro-batch with the assignment frame (rec_id,
     matched_entity, lev, n_matches).  Returns the started query (caller
-    drives processAllAvailable/stop)."""
+    drives processAllAvailable/stop).  ``stage_dir`` overrides the
+    default fixture staging (used by the arrival-order permutation
+    parity test: assignment is stateless per arrival, so file-drop
+    ORDER must not change the final table)."""
     from changegen_spark.queries.er import _people, incremental_assign
 
     base = _people(spark).filter("rec_id < 400")
-    stage = stage_arrival_files(spark, n_files=n_files)
+    stage = stage_dir or stage_arrival_files(spark, n_files=n_files)
     schema = spark.read.parquet(stage).schema
     arrivals = (
         spark.readStream.schema(schema)
