@@ -486,6 +486,7 @@ def main() -> None:
 
         from changegen_spark.queries.er import (
             _inc_refined,
+            bcubed_from_pairs,
             er_pairs_for,
             er_pairs_sn,
             er_pairs_sn_multi,
@@ -724,6 +725,29 @@ def main() -> None:
                     "records": n_rec,
                     "cc_rounds": st.get("rounds"),
                     "wall_s": round(time.time() - t0, 3),
+                }
+            # r11 (r10 verdict #2): entity-level B³ per scheme — pair
+            # recall understates a transitive scheme (cluster-recovered
+            # pairs) and pair precision understates chain cost; B³
+            # averages per RECORD, the number survivorship actually
+            # inherits.  The two production candidates of the regime
+            # rule are graded at every rung; untimed (CC rides inside).
+            row["bcubed"] = {}
+            for scheme, pairs_fn in (
+                ("with_city", lambda: er_pairs_for(ppl, ("city",))),
+                (
+                    "sn_suffix_refine",
+                    lambda: er_pairs_sn_suffix(ppl, refine_cols=("city",)),
+                ),
+            ):
+                n_rec, n_pred, n_true, p_e6, r_e6, f1_e6 = bcubed_from_pairs(
+                    ppl, pairs_fn()
+                )
+                row["bcubed"][scheme] = {
+                    "b3_precision_pct": round(p_e6 / 1e4, 2),
+                    "b3_recall_pct": round(r_e6 / 1e4, 2),
+                    "b3_f1_pct": round(f1_e6 / 1e4, 2),
+                    "n_pred_clusters": n_pred,
                 }
             er["n"][str(n_ent)] = row
         for scheme in ("name_only", "with_city"):

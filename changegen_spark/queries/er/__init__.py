@@ -78,6 +78,7 @@ from changegen_spark.queries.er.sn import (  # noqa: F401
 )
 from changegen_spark.queries.er.golden import (  # noqa: F401
     Q_ER_BCUBED_SQL,
+    bcubed_from_pairs,
     Q_ER_GOLDEN_FULL_SQL,
     Q_ER_GOLDEN_SQL,
     q_er_bcubed,

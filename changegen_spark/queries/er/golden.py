@@ -239,37 +239,20 @@ ORDER BY m.entity
 """
 
 
-def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-level linkage quality: B-cubed precision/recall/F1 (Bagga
-    & Baldwin 1998) of the production clusters (3-pass SN + city refine
-    → CC, singletons mapping to themselves) against the planted
-    entity_id.  Pairwise P/R (the eval family above) over-weights big
-    clusters quadratically; B³ averages per RECORD: precision(r) =
-    |C(r)∩T(r)|/|C(r)|, recall(r) = |C(r)∩T(r)|/|T(r)| — the metric
-    that actually moves when a giant wrong merge happens.
-
-    Engine-exact arithmetic: per-(pred,true) cell the contribution is
-    n_ct²/|C| summed over cells; both engines compute it as INTEGER
-    floor division at e12 scale, REASSOCIATED as n_ct·((n_ct·1e12) div
-    n_c) so the largest intermediate is n_ct·1e12 — safe in int64 up to
-    ~9.2M-record clusters, not the ~3,035 the naive n_ct²·1e12 ordering
-    allows before a silent wrap (r10 advice; with ANSI off Spark wraps
-    while DuckDB errors — a silent engine divergence).  The inner floor
-    costs < 1 per cell pre-multiplier, < n_ct after it, so the summed
-    error is < n — under one e6 ulp after the final division by n·1e6;
-    both engines reassociate identically so parity is exact.  Scale
-    shape: three hash aggregations (cell, pred-size, true-size) + two
-    broadcast-joinable size frames; no window, no driver math beyond
-    the final 1-row assembly."""
+def bcubed_from_pairs(people: DataFrame, pairs: DataFrame) -> tuple:
+    """(n, n_pred, n_true, p_e6, r_e6, f1_e6) B³ metrics of the clusters
+    implied by ``pairs`` (CC, singletons map to themselves) against the
+    planted entity_id of ``people`` — the computation behind
+    ``q_er_bcubed``, factored so bench.py's er_ladder can grade EVERY
+    scheme at the entity level (r10 verdict #2), not just the shipped
+    one.  Integer e12 arithmetic throughout (see q_er_bcubed)."""
     from changegen_spark.functions.clustering import connected_components
 
-    ppl = _people(spark)
-    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
     comp = connected_components(pairs, src="rec_a", dst="rec_b").select(
         F.col("node").alias("rec_id"), F.col("comp").alias("p")
     )
     m = (
-        ppl.select("rec_id", "entity_id")
+        people.select("rec_id", "entity_id")
         .join(comp, "rec_id", "left")
         .select(
             "entity_id", F.coalesce("p", F.col("rec_id")).alias("pred")
@@ -304,6 +287,34 @@ def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_e6 = int(agg.sp // (n * 1_000_000)) if n and agg.sp is not None else 0
     r_e6 = int(agg.sr // (n * 1_000_000)) if n and agg.sr is not None else 0
     f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if (p_e6 + r_e6) else 0
+    return (n, n_pred, n_true, p_e6, r_e6, f1_e6)
+
+
+def q_er_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level linkage quality: B-cubed precision/recall/F1 (Bagga
+    & Baldwin 1998) of the production clusters (3-pass SN + city refine
+    → CC, singletons mapping to themselves) against the planted
+    entity_id.  Pairwise P/R (the eval family above) over-weights big
+    clusters quadratically; B³ averages per RECORD: precision(r) =
+    |C(r)∩T(r)|/|C(r)|, recall(r) = |C(r)∩T(r)|/|T(r)| — the metric
+    that actually moves when a giant wrong merge happens.
+
+    Engine-exact arithmetic: per-(pred,true) cell the contribution is
+    n_ct²/|C| summed over cells; both engines compute it as INTEGER
+    floor division at e12 scale, REASSOCIATED as n_ct·((n_ct·1e12) div
+    n_c) so the largest intermediate is n_ct·1e12 — safe in int64 up to
+    ~9.2M-record clusters, not the ~3,035 the naive n_ct²·1e12 ordering
+    allows before a silent wrap (r10 advice; with ANSI off Spark wraps
+    while DuckDB errors — a silent engine divergence).  The inner floor
+    costs < 1 per cell pre-multiplier, < n_ct after it, so the summed
+    error is < n — under one e6 ulp after the final division by n·1e6;
+    both engines reassociate identically so parity is exact.  Scale
+    shape: three hash aggregations (cell, pred-size, true-size) + two
+    broadcast-joinable size frames; no window, no driver math beyond
+    the final 1-row assembly."""
+    ppl = _people(spark)
+    pairs = er_pairs_sn_suffix(ppl, refine_cols=SN_REFINE_COLS)
+    n, n_pred, n_true, p_e6, r_e6, f1_e6 = bcubed_from_pairs(ppl, pairs)
     return spark.createDataFrame(
         [(n, n_pred, n_true, p_e6, r_e6, f1_e6)],
         "n_records long, n_pred_clusters long, n_true_entities long, "
