@@ -56,11 +56,11 @@ DISPOSITIONS = {
             "consumes the range exchange"),
     ("changegen_spark/queries/curation.py", "q_ccnet_buckets", "repartitionByRange"):
         (1, "fenced (r9 site)"),
-    ("changegen_spark/queries/er.py", "_sn_ranked", "repartitionByRange"):
+    ("changegen_spark/queries/er/sn.py", "_sn_ranked", "repartitionByRange"):
         (1, "fenced (r9 site)"),
-    ("changegen_spark/queries/er.py", "_sn_ranked2", "repartitionByRange"):
+    ("changegen_spark/queries/er/sn.py", "_sn_ranked2", "repartitionByRange"):
         (1, "fenced (r9 site)"),
-    ("changegen_spark/queries/er.py", "_sn_ranked3", "repartitionByRange"):
+    ("changegen_spark/queries/er/sn.py", "_sn_ranked3", "repartitionByRange"):
         (1, "fenced (r10 suffix pass; same shape as _sn_ranked)"),
     ("changegen_spark/queries/geo.py", "q_convex_hulls", "collect_list"):
         (2, "order-insensitive consumer: hull_stats and size() are set "
