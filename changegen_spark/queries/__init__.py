@@ -192,6 +192,7 @@ ROTATION_ROUND = 11
 ROTATED_IN = (
     "q_er_golden_full",
     "q_er_incremental_margin",
+    "q_er_golden_inc",
     "q_view_purchase_pairs",
     "q_top_paths",
     "q_interval_overlap",
@@ -226,7 +227,6 @@ ROTATED_IN = (
     "q_ann_bruteforce",
     "q_ann_lsh",
     "q_ann_pq",
-    "q_embedding_dedup",
 )
 
 

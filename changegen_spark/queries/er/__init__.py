@@ -89,13 +89,16 @@ from changegen_spark.queries.er.incremental import (  # noqa: F401
     INC_MARGIN,
     Q_ER_CHAIN_AUDIT_SQL,
     Q_ER_INC_AUDIT_SQL,
+    Q_ER_GOLDEN_INC_SQL,
     Q_ER_INCREMENTAL_MARGIN_SQL,
     Q_ER_INCREMENTAL_SQL,
     _inc_keyed,
     _inc_refined,
+    golden_delta,
     incremental_assign,
     incremental_assign_margin,
     q_er_chain_audit,
+    q_er_golden_inc,
     q_er_inc_audit,
     q_er_incremental,
     q_er_incremental_margin,
@@ -121,6 +124,7 @@ QUERIES = {
     "q_er_bcubed": q_er_bcubed,
     "q_er_incremental": q_er_incremental,
     "q_er_incremental_margin": q_er_incremental_margin,
+    "q_er_golden_inc": q_er_golden_inc,
     "q_er_inc_audit": q_er_inc_audit,
     "q_er_chain_audit": q_er_chain_audit,
 }
@@ -145,6 +149,7 @@ ORACLES = {
     "q_er_bcubed": Q_ER_BCUBED_SQL,
     "q_er_incremental": Q_ER_INCREMENTAL_SQL,
     "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
+    "q_er_golden_inc": Q_ER_GOLDEN_INC_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
     "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,
 }

@@ -222,6 +222,114 @@ def q_er_incremental_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def golden_delta(arrivals: DataFrame, base: DataFrame) -> DataFrame:
+    """Incremental GOLDEN-TABLE maintenance (r11): the step downstream
+    of the margin assignment — given a batch of arrivals and the
+    existing base entity table, emit the golden-record DELTA a MERGE
+    applies, never recomputing untouched entities (at 100 TB the golden
+    table is petabyte-class and the delta is KB-to-GB):
+
+    * an arrival matched to base entity e (matched_entity ≥ 0) UPDATES
+      e's golden row — survivorship recomputed over {e's base record}
+      ∪ {e's arrivals this batch}, same per-column rules as
+      q_er_golden_full (mode / longest / latest);
+    * an unmatched (−1) or margin-abstained (−2) arrival becomes a NEW
+      singleton entity keyed by its own rec_id (the review queue
+      resolves −2 later; until then it must not corrupt an existing
+      golden row — the whole point of abstention).
+
+    Output: (entity, status 'updated'|'new', n_members,
+    name_mode, name_longest, city_latest), sorted by entity.
+
+    Scale shape: the margin assignment's joins, then ONE union of
+    (affected base records ⋈ assignments) with the arrival rows and
+    three hash aggregations over THAT delta only — work is
+    O(|arrivals| + |affected entities|), independent of base size; no
+    window over data, no CC."""
+    assigned = incremental_assign_margin(arrivals, base).select(
+        "rec_id", "matched_entity"
+    )
+    arr_rows = arrivals.select(
+        "rec_id",
+        F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+        F.coalesce("city", F.lit("")).alias("city"),
+    ).join(assigned, "rec_id")
+    matched = arr_rows.filter(F.col("matched_entity") >= 0).select(
+        F.col("matched_entity").alias("entity"), "rec_id", "nname", "city"
+    )
+    fresh = arr_rows.filter(F.col("matched_entity") < 0).select(
+        F.col("rec_id").alias("entity"), "rec_id", "nname", "city"
+    )
+    # the touched base records: one per updated entity (base entities
+    # are singletons by construction in the batch-append regime)
+    touched = (
+        base.select(
+            F.col("rec_id").alias("entity"),
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+            F.coalesce("city", F.lit("")).alias("city"),
+        )
+        .join(matched.select("entity").distinct(), "entity")
+    )
+    members = matched.unionByName(touched).unionByName(fresh)
+    status = (
+        members.groupBy("entity")
+        .agg(F.count("*").alias("n_members"))
+        .withColumn(
+            "status",
+            F.when(F.col("n_members") > 1, F.lit("updated")).otherwise(
+                F.lit("new")
+            ),
+        )
+    )
+    nc = members.groupBy("entity", "nname").agg(F.count("*").alias("cnt"))
+    mode = (
+        nc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nname").alias("v")
+                )
+            ).alias("b")
+        )
+        .select("entity", F.col("b.v").alias("name_mode"))
+    )
+    rest = members.groupBy("entity").agg(
+        F.min(
+            F.struct(
+                (-F.length("nname")).alias("neg"), F.col("nname").alias("v")
+            )
+        )["v"].alias("name_longest"),
+        F.max(
+            F.struct(F.col("rec_id").alias("r"), F.col("city").alias("v"))
+        )["v"].alias("city_latest"),
+    )
+    return (
+        status.join(mode, "entity")
+        .join(rest, "entity")
+        .select(
+            "entity",
+            "status",
+            F.col("n_members").cast("long").alias("n_members"),
+            "name_mode",
+            "name_longest",
+            "city_latest",
+        )
+        .orderBy("entity")
+    )
+
+
+def q_er_golden_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record delta for the fixture's batch append: arrivals
+    (rec_id ≥ 400) margin-assigned against the base (rec_id < 400),
+    survivorship recomputed for touched entities only (see
+    ``golden_delta``)."""
+    ppl = _people(spark)
+    return golden_delta(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
 def q_er_inc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-ER candidate audit — the dial a linkage design
     reads BEFORE running the assignment (q_er_blocks' twin for the
@@ -469,6 +577,64 @@ SELECT a.rec_id,
 FROM arrivals a
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
 ORDER BY a.rec_id
+"""
+
+Q_ER_GOLDEN_INC_SQL = f"""
+WITH {_INC_REFINED_SQL_BODY}
+, best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev
+  FROM refined
+), assigned AS (
+  SELECT a.rec_id,
+         CASE
+           WHEN b.a_id IS NULL THEN -1
+           WHEN b.second_lev IS NOT NULL
+                AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+           ELSE b.b_id
+         END AS me
+  FROM arrivals a
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+), arr_rows AS (
+  SELECT s.rec_id, coalesce(lower(a.name), '') AS nname,
+         coalesce(a.city, '') AS city, s.me
+  FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id
+), members AS (
+  SELECT me AS entity, rec_id, nname, city FROM arr_rows WHERE me >= 0
+  UNION ALL
+  SELECT b.rec_id, b.rec_id, coalesce(lower(b.name), ''), coalesce(b.city, '')
+  FROM base b
+  JOIN (SELECT DISTINCT me FROM arr_rows WHERE me >= 0) t ON t.me = b.rec_id
+  UNION ALL
+  SELECT rec_id, rec_id, nname, city FROM arr_rows WHERE me < 0
+), st AS (
+  SELECT entity, count(*) AS n_members,
+         CASE WHEN count(*) > 1 THEN 'updated' ELSE 'new' END AS status
+  FROM members GROUP BY entity
+), nc AS (
+  SELECT entity, nname, count(*) AS cnt FROM members GROUP BY entity, nname
+), bn AS (
+  SELECT entity, nname,
+         row_number() OVER (PARTITION BY entity ORDER BY cnt DESC, nname) AS rn
+  FROM nc
+), ln AS (
+  SELECT entity, nname,
+         row_number() OVER (
+           PARTITION BY entity ORDER BY length(nname) DESC, nname) AS rn
+  FROM (SELECT DISTINCT entity, nname FROM members)
+), lc AS (
+  SELECT entity, city,
+         row_number() OVER (PARTITION BY entity ORDER BY rec_id DESC) AS rn
+  FROM members
+)
+SELECT s.entity, s.status, CAST(s.n_members AS BIGINT) AS n_members,
+       bn.nname AS name_mode, ln.nname AS name_longest, lc.city AS city_latest
+FROM st s
+JOIN bn ON bn.entity = s.entity AND bn.rn = 1
+JOIN ln ON ln.entity = s.entity AND ln.rn = 1
+JOIN lc ON lc.entity = s.entity AND lc.rn = 1
+ORDER BY s.entity
 """
 
 Q_ER_INCREMENTAL_MARGIN_SQL = f"""

@@ -683,6 +683,55 @@ def test_golden_full_rules_diverge_and_recompute(spark):
         assert full[e].n_members == len(ms), e
 
 
+def test_golden_inc_delta_matches_assignment_membership(spark):
+    """The incremental golden delta must be exactly the survivorship
+    recomputation over the membership its own margin assignment
+    implies: every matched arrival folds into its base entity's row
+    (status updated, n_members = 1 + arrivals), every unmatched or
+    ambiguous arrival becomes a fresh singleton (status new), and the
+    per-column rules replay an independent Python fold."""
+    from collections import defaultdict
+
+    from changegen_spark.queries.er import (
+        _people,
+        q_er_golden_inc,
+        q_er_incremental_margin,
+    )
+
+    ppl = {r.rec_id: r for r in _people(spark).collect()}
+    assign = {
+        r.rec_id: r.matched_entity
+        for r in q_er_incremental_margin(spark, "").collect()
+    }
+    members = defaultdict(list)  # entity -> [(rec_id, nname, city)]
+    for rid, me in assign.items():
+        ent = me if me >= 0 else rid
+        members[ent].append(
+            (rid, (ppl[rid].name or "").lower(), ppl[rid].city or "")
+        )
+    for ent in list(members):
+        if ent in ppl and any(rid != ent for rid, _n, _c in members[ent]):
+            members[ent].append(
+                (ent, (ppl[ent].name or "").lower(), ppl[ent].city or "")
+            )
+    got = {r.entity: r for r in q_er_golden_inc(spark, "").collect()}
+    assert set(got) == set(members)
+    for ent, ms in members.items():
+        g = got[ent]
+        assert g.n_members == len(ms), ent
+        assert g.status == ("updated" if len(ms) > 1 else "new"), ent
+        names = sorted(n for _r, n, _c in ms)
+        # mode with lexicographic tiebreak
+        from collections import Counter
+
+        cnt = Counter(names)
+        assert g.name_mode == min(cnt, key=lambda v: (-cnt[v], v)), ent
+        assert g.name_longest == min(
+            set(names), key=lambda v: (-len(v), v)
+        ), ent
+        assert g.city_latest == max(ms)[2], ent
+
+
 def test_incremental_margin_abstains_on_ties_only(spark):
     """Margin-based abstention (r10 verdict #1) on a synthetic frame
     where the fixture can't reach the ambiguous path (no same-city
