@@ -93,3 +93,167 @@ def incremental_er_stream(
         # temporary checkpoint and reprocesses everything
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+GOLDEN_BUCKETS = 16  # entity-hash partitions of the maintained tables
+
+
+def _bucketed(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "bucket", F.pmod(F.col("entity"), F.lit(GOLDEN_BUCKETS))
+    )
+
+
+def _member_rows(df: DataFrame, entity_col) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        entity_col.cast("long").alias("entity"),
+        "rec_id",
+        F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+        F.coalesce("city", F.lit("")).alias("city"),
+    )
+
+
+def _golden_rows(members: DataFrame) -> DataFrame:
+    """Survivorship rows from a member set — the same three per-column
+    rules as queries/er/golden.q_er_golden_full (mode / longest /
+    latest), kept as hash aggregations."""
+    from pyspark.sql import functions as F
+
+    nc = members.groupBy("entity", "nname").agg(F.count("*").alias("cnt"))
+    mode = (
+        nc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nname").alias("v")
+                )
+            ).alias("b")
+        )
+        .select("entity", F.col("b.v").alias("name_mode"))
+    )
+    rest = members.groupBy("entity").agg(
+        F.count("*").alias("n_members"),
+        F.min(
+            F.struct(
+                (-F.length("nname")).alias("neg"), F.col("nname").alias("v")
+            )
+        )["v"].alias("name_longest"),
+        F.max(
+            F.struct(F.col("rec_id").alias("r"), F.col("city").alias("v"))
+        )["v"].alias("city_latest"),
+    )
+    return rest.join(mode, "entity").select(
+        "entity", "n_members", "name_mode", "name_longest", "city_latest"
+    )
+
+
+def golden_maintenance_stream(
+    spark: SparkSession,
+    golden_dir: str,
+    n_files: int = 4,
+    checkpoint: str | None = None,
+    stage_dir: str | None = None,
+):
+    """Maintain a PERSISTENT golden table from the arrival drop stream —
+    the full production loop the assignment stream only emits rows for:
+    per micro-batch, (1) margin-assign the arrivals against the static
+    base, (2) write the batch's member rows idempotently under
+    ``members/batch=<id>/`` (a retried batch OVERWRITES its own
+    directory — foreachBatch's standard exactly-once-write recipe on a
+    non-transactional store), (3) recompute survivorship for every
+    entity in the BUCKETS this batch touches and dynamic-partition-
+    overwrite exactly those buckets of ``golden/``.
+
+    This is the classic pre-Delta MERGE: the golden table is
+    hash-partitioned on entity (``GOLDEN_BUCKETS``), so an upsert
+    rewrites only the affected partitions, never the table — at 100 TB
+    the rewrite cost per batch is (touched buckets / total buckets) of
+    the golden table, and buckets scale with the table.  On a
+    transactional format (Delta/Iceberg) steps 2-3 collapse into one
+    MERGE; the bucket-overwrite shape is the same plan underneath.
+
+    Restart safety: derived state only.  Member dirs are keyed by
+    batch_id (idempotent overwrite), golden buckets are a pure function
+    of base ∪ members (idempotent recompute), and the file-source
+    commit log (``checkpoint``) prevents reprocessing on restart."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import (
+        _people,
+        incremental_assign_margin,
+    )
+
+    base = _people(spark).filter("rec_id < 400")
+    members_dir = os.path.join(golden_dir, "members")
+    table_dir = os.path.join(golden_dir, "golden")
+    # seed: every base entity is a singleton golden row (idempotent)
+    if not os.path.exists(os.path.join(golden_dir, "_SEEDED")):
+        seed_members = _member_rows(base, F.col("rec_id"))
+        (
+            _bucketed(_golden_rows(seed_members))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+        with open(os.path.join(golden_dir, "_SEEDED"), "w") as fh:
+            fh.write("ok")
+
+    stage = stage_dir or stage_arrival_files(spark, n_files=n_files)
+    schema = spark.read.parquet(stage).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = incremental_assign_margin(batch_df, base).select(
+            "rec_id", "matched_entity"
+        )
+        batch_members = _member_rows(
+            batch_df.join(assigned, "rec_id"),
+            F.when(
+                F.col("matched_entity") >= 0, F.col("matched_entity")
+            ).otherwise(F.col("rec_id")),
+        )
+        # (2) idempotent member write: retrying batch N rewrites ONLY
+        # members/batch=N — never appends duplicates
+        batch_members.write.mode("overwrite").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+        # (3) recompute the touched buckets from base ∪ all members
+        spark.catalog.refreshByPath(members_dir)
+        all_members = _member_rows(base, F.col("rec_id")).unionByName(
+            spark.read.option("basePath", members_dir)
+            .parquet(members_dir)
+            .select("entity", "rec_id", "nname", "city")
+        )
+        touched = (
+            batch_members.select(
+                F.pmod("entity", F.lit(GOLDEN_BUCKETS)).alias("bucket")
+            )
+            .distinct()
+        )
+        rows = _bucketed(
+            _golden_rows(
+                _bucketed(all_members).join(F.broadcast(touched), "bucket")
+                .select("entity", "rec_id", "nname", "city")
+            )
+        )
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+
+    writer = (
+        arrivals.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

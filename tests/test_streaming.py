@@ -571,6 +571,71 @@ def test_incremental_er_stream_order_permutation_parity(spark, tmp_path):
     assert finals[0] == finals[1]
 
 
+def test_golden_maintenance_stream_converges_and_is_restart_safe(
+    spark, tmp_path
+):
+    """The streamed golden table (bucket-partition-overwrite MERGE per
+    micro-batch) must converge to exactly the survivorship a from-
+    scratch computation over base ∪ all arrivals produces — batch
+    boundaries must leave no trace (mode counts accumulate across
+    batches through the members table) — and a checkpointed re-run
+    must process zero batches and leave the table byte-identical."""
+    import pyspark.sql.functions as F
+
+    from changegen_spark.queries.er import (
+        _people,
+        q_er_incremental_margin,
+    )
+    from changegen_spark.streaming.er import (
+        _golden_rows,
+        _member_rows,
+        golden_maintenance_stream,
+    )
+
+    gdir, ckpt = str(tmp_path / "golden"), str(tmp_path / "ckpt")
+    q = golden_maintenance_stream(spark, gdir, checkpoint=ckpt)
+    q.awaitTermination(180)
+
+    def read_table():
+        spark.catalog.refreshByPath(gdir + "/golden")
+        return sorted(
+            (r.entity, r.n_members, r.name_mode, r.name_longest,
+             r.city_latest)
+            for r in spark.read.parquet(gdir + "/golden")
+            .drop("bucket")
+            .collect()
+        )
+
+    got = read_table()
+    # expected: base singletons ∪ arrivals folded by the SAME margin
+    # assignment, survivorship recomputed from scratch in one pass
+    ppl = _people(spark)
+    base = ppl.filter("rec_id < 400")
+    assigned = q_er_incremental_margin(spark, "").select(
+        "rec_id", "matched_entity"
+    )
+    arr_members = _member_rows(
+        ppl.filter("rec_id >= 400").join(assigned, "rec_id"),
+        F.when(
+            F.col("matched_entity") >= 0, F.col("matched_entity")
+        ).otherwise(F.col("rec_id")),
+    )
+    want = sorted(
+        (r.entity, r.n_members, r.name_mode, r.name_longest, r.city_latest)
+        for r in _golden_rows(
+            _member_rows(base, F.col("rec_id")).unionByName(arr_members)
+        ).collect()
+    )
+    assert got == want
+    # every entity is represented exactly once (400 base + new
+    # singletons for unmatched/ambiguous arrivals)
+    assert len({e for e, *_ in got}) == len(got) >= 400
+    # restart: zero new batches, table untouched
+    q2 = golden_maintenance_stream(spark, gdir, checkpoint=ckpt)
+    q2.awaitTermination(120)
+    assert read_table() == got
+
+
 def test_incremental_er_stream_restart_is_exactly_once(spark, tmp_path):
     """With a real checkpoint, a second run of the same availableNow
     stream processes ZERO new batches — the file-source commit log is
