@@ -9,9 +9,10 @@ OUTSIDE the window, an order-insensitive content digest of its full
 result — and whose DuckDB oracles compute the identical digest over the
 same entries' oracle SQL.  Green digest rows therefore transitively
 re-verify the whole out-of-window family every round.  Since late r3 the
-digest is SHARDED over three window slots (``DIGEST_NAMES`` in
-``queries/__init__.py``, round-robin assignment) so no single driver
-query unions ~100 subplans.
+digest is SHARDED over multiple window slots (``DIGEST_NAMES`` in
+``queries/__init__.py``, round-robin assignment; the shard count is
+COMPUTED from the registry size as of r11) so no single driver query
+unions ~100 subplans.
 
 Digest definition (must be computable identically in Spark SQL and DuckDB
 SQL — no driver-side normalization):
