@@ -683,6 +683,32 @@ def test_golden_full_rules_diverge_and_recompute(spark):
         assert full[e].n_members == len(ms), e
 
 
+def test_bcubed_integer_arithmetic_survives_giant_clusters(spark):
+    """r10-advice regression pin: the naive n_ct²·1e12 ordering wraps
+    int64 once a cluster exceeds ~3,035 records (3035²·1e12 > 2⁶³);
+    the reassociated n_ct·((n_ct·1e12) div n_c) must stay exact.  One
+    5,000-record entity predicted as one 5,000-record cluster has B³
+    precision = recall = F1 = 1 exactly — under the wrapped arithmetic
+    the sums go negative and the metrics collapse."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import bcubed_from_pairs
+
+    n = 5000
+    people = spark.range(n).select(
+        F.col("id").alias("rec_id"), F.lit(1).cast("long").alias("entity_id")
+    )
+    # chain 0-1, 1-2, ... so CC folds everything into one cluster
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("rec_a"), (F.col("id") + 1).alias("rec_b")
+    )
+    n_rec, n_pred, n_true, p_e6, r_e6, f1_e6 = bcubed_from_pairs(
+        people, pairs
+    )
+    assert (n_rec, n_pred, n_true) == (n, 1, 1)
+    assert (p_e6, r_e6, f1_e6) == (1_000_000, 1_000_000, 1_000_000)
+
+
 def test_golden_inc_delta_matches_assignment_membership(spark):
     """The incremental golden delta must be exactly the survivorship
     recomputation over the membership its own margin assignment
