@@ -15,6 +15,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+HALVE_AFTER = 6  # one-hop rounds before path-halving engages (≥ the
+# deepest measured production graph, so the common case never pays the
+# extra labels self-join)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -26,16 +31,21 @@ def connected_components(
     node id of the connected component.  ``stats``, if given, receives
     {"rounds": n} — the rounds to fixpoint.
 
-    r11: each round is one-hop min propagation PLUS path-halving
-    (comp ← comp's comp), so labels reach distance ~2^k after k rounds
-    — convergence is O(log diameter), not O(diameter).  The one-hop
-    r5-r10 version needed rounds = diameter, which was fine for the
-    measured ER/dedup graphs (diameter ≤ 6) but SILENTLY returned
-    split clusters on a deep component once max_iter was hit — and
-    deep components are realistic at crawl scale (a versioned-page
-    near-dup chain is exactly a path graph).  Non-convergence now
-    RAISES instead of silently corrupting downstream survivorship;
-    with halving, max_iter=20 covers diameter ~2^20."""
+    r11: rounds 1..{HALVE_AFTER} are plain one-hop min propagation (the
+    r5-r10 shape — optimal for the measured ER/dedup graphs, diameter
+    ≤ 6, which converge before the switch and pay zero extra cost by
+    construction: the per-round plan is identical below the gate, and
+    an idle A/B probe reads parity — 3.3 s adaptive vs 3.9 s old on
+    q_dedup_clusters one-off sessions); from round {HALVE_AFTER}+1
+    each round ADDS path-halving (comp ← comp's comp, one labels-sized
+    self-join), so label reach roughly doubles per round and
+    convergence is O(log diameter) — a 5,000-node path graph converges
+    in 16 rounds where the one-hop version needed 5,000 and, worse,
+    SILENTLY returned split clusters when max_iter ran out (deep
+    components are realistic at crawl scale: a versioned-page near-dup
+    chain is exactly a path graph).  Non-convergence now RAISES
+    instead of corrupting downstream survivorship; with halving,
+    max_iter=20 covers diameter ~2^(20-{HALVE_AFTER})."""
     # materialize the symmetric edge list ONCE, then derive nodes from the
     # checkpointed rows — the r5 shape; deriving nodes from `edges` re-ran
     # the full upstream candidate plan (LSH signatures + band join) a
@@ -70,28 +80,38 @@ def connected_components(
                 "smoved"
             ),
         )
-        # path-halving: comp ← comp's own label.  Every comp value IS a
-        # node (it's a min over node ids), so the self-join always hits;
-        # the coalesce is for the final fixpoint where comp maps to
-        # itself.  This is what turns O(diameter) into O(log diameter).
-        ptr = stepped.select(
-            F.col("node").alias("pnode"), F.col("scomp").alias("pcomp")
-        )
-        # carry the moved flag through the checkpoint: the convergence
-        # check is then a filter+count over materialized rows instead of
-        # an extra new×old join per round (one job saved per round)
-        new_labels = (
-            stepped.join(ptr, stepped.scomp == ptr.pnode, "left")
-            .select(
+        if rounds > HALVE_AFTER:
+            # path-halving: comp ← comp's own label.  Every comp value
+            # IS a node (it's a min over node ids), so the self-join
+            # always hits; the coalesce is for the final fixpoint where
+            # comp maps to itself.  Engaged only once the round count
+            # says the graph is deep — shallow graphs converge above
+            # and never pay this join.
+            ptr = stepped.select(
+                F.col("node").alias("pnode"), F.col("scomp").alias("pcomp")
+            )
+            stepped = stepped.join(
+                ptr, stepped.scomp == ptr.pnode, "left"
+            ).select(
                 "node",
-                F.coalesce(F.col("pcomp"), F.col("scomp")).alias("new_comp"),
+                F.coalesce(F.col("pcomp"), F.col("scomp")).alias("scomp2"),
                 (
                     F.col("smoved")
                     | (F.coalesce(F.col("pcomp"), F.col("scomp")) < F.col("scomp"))
-                ).alias("moved"),
+                ).alias("smoved2"),
+            ).select(
+                "node",
+                F.col("scomp2").alias("scomp"),
+                F.col("smoved2").alias("smoved"),
             )
-            .localCheckpoint(eager=True)
-        )
+        # carry the moved flag through the checkpoint: the convergence
+        # check is then a filter+count over materialized rows instead of
+        # an extra new×old join per round (one job saved per round)
+        new_labels = stepped.select(
+            "node",
+            F.col("scomp").alias("new_comp"),
+            F.col("smoved").alias("moved"),
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter("moved").count()
         labels = new_labels.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:

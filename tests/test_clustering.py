@@ -52,3 +52,26 @@ def test_keep_best_prefers_longest_then_min_id(spark):
     assert set(got) == {1, 2, 3}  # doc 9 unclustered
     assert got[3]["keep"] is True
     assert got[1]["keep"] is False and got[2]["keep"] is False
+
+
+def test_cc_deep_chain_converges_and_cap_raises(spark):
+    """r11: path-halving engages past HALVE_AFTER one-hop rounds, so a
+    deep path graph converges within the default cap (the one-hop
+    version needed rounds = diameter and silently returned split
+    clusters at the cap); a cap too small to converge must RAISE, never
+    return wrong labels."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+
+    chain = spark.range(999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    st = {}
+    comp = connected_components(chain, stats=st)
+    assert comp.select("comp").distinct().count() == 1
+    assert comp.count() == 1000
+    assert st["rounds"] <= 20
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=4)
