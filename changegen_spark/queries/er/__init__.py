@@ -92,6 +92,7 @@ from changegen_spark.queries.er.incremental import (  # noqa: F401
     Q_ER_GOLDEN_INC_SQL,
     Q_ER_INCREMENTAL_MARGIN_SQL,
     Q_ER_INCREMENTAL_SQL,
+    Q_ER_MARGIN_AUDIT_SQL,
     _inc_keyed,
     _inc_refined,
     golden_delta,
@@ -102,6 +103,7 @@ from changegen_spark.queries.er.incremental import (  # noqa: F401
     q_er_inc_audit,
     q_er_incremental,
     q_er_incremental_margin,
+    q_er_margin_audit,
 )
 
 QUERIES = {
@@ -126,6 +128,7 @@ QUERIES = {
     "q_er_incremental_margin": q_er_incremental_margin,
     "q_er_golden_inc": q_er_golden_inc,
     "q_er_inc_audit": q_er_inc_audit,
+    "q_er_margin_audit": q_er_margin_audit,
     "q_er_chain_audit": q_er_chain_audit,
 }
 
@@ -151,5 +154,6 @@ ORACLES = {
     "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
     "q_er_golden_inc": Q_ER_GOLDEN_INC_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
+    "q_er_margin_audit": Q_ER_MARGIN_AUDIT_SQL,
     "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,
 }

@@ -222,6 +222,52 @@ def q_er_incremental_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The margin-threshold dial (completes the measure → threshold →
+    abstain loop): the joint distribution of (best lev, best-vs-
+    runner-up gap) over every arrival with ≥1 candidate — the table a
+    pipeline reads BEFORE picking ``margin``.  gap −1 = no runner-up
+    (maximally confident); gap 0 = exact tie (what margin 1 abstains
+    on); each extra gap unit is one more edit of separation.  Reading
+    it: Σ n over rows with gap < m is exactly the abstention count at
+    margin m, so the whole margin-vs-review-cost tradeoff is one scan
+    of this (≤ (LEV_MAX+1)·(LEV_MAX+2)-row) frame.
+
+    Scale shape: the margin pipeline's window (partitioned by probe
+    id), then one hash groupBy on two tiny-domain columns."""
+    from pyspark.sql import Window
+
+    ppl = _people(spark)
+    arrivals = ppl.filter(F.col("rec_id") >= 400)
+    base = ppl.filter(F.col("rec_id") < 400)
+    w = Window.partitionBy("a_id").orderBy("lev", "b_id")
+    best = (
+        _inc_refined(arrivals, base)
+        .select(
+            "a_id",
+            "lev",
+            F.row_number().over(w).alias("rn"),
+            F.lead("lev").over(w).alias("second_lev"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy(
+            F.col("lev"),
+            F.coalesce(
+                F.col("second_lev") - F.col("lev"), F.lit(-1)
+            ).alias("gap"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("lev").cast("long"),
+            F.col("gap").cast("long"),
+            F.col("n").cast("long"),
+        )
+        .orderBy("lev", "gap")
+    )
+
+
 def golden_delta(arrivals: DataFrame, base: DataFrame) -> DataFrame:
     """Incremental GOLDEN-TABLE maintenance (r11): the step downstream
     of the margin assignment — given a batch of arrivals and the
@@ -636,6 +682,23 @@ JOIN ln ON ln.entity = s.entity AND ln.rn = 1
 JOIN lc ON lc.entity = s.entity AND lc.rn = 1
 ORDER BY s.entity
 """
+
+Q_ER_MARGIN_AUDIT_SQL = f"""
+WITH {_INC_REFINED_SQL_BODY}
+, best AS (
+  SELECT a_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev
+  FROM refined
+)
+SELECT CAST(lev AS BIGINT) AS lev,
+       CAST(coalesce(second_lev - lev, -1) AS BIGINT) AS gap,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY lev, gap
+"""
+
 
 Q_ER_INCREMENTAL_MARGIN_SQL = f"""
 WITH {_INC_REFINED_SQL_BODY}
