@@ -237,9 +237,11 @@ def all_queries():
     carry.  Rows-only queries keep their relative order after the demotion
     (they are pytest-covered; the oracle-backed set is the hard signal).
 
-    Slots 0-2 are the digest shards (queries/digest.py): window rows that
-    together transitively hash-check every oracle-backed entry OUTSIDE
-    the window, so rotation never again leaves a family unverified."""
+    The first len(DIGEST_NAMES) slots (computed from registry size —
+    currently via _digest_shard_count()) are the digest shards
+    (queries/digest.py): window rows that together transitively
+    hash-check every oracle-backed entry OUTSIDE the window, so rotation
+    never again leaves a family unverified."""
     from changegen_spark.queries import digest as _digest
 
     oracles = _base_oracles()

@@ -187,11 +187,24 @@ def golden_maintenance_stream(
         incremental_assign_margin,
     )
 
+    from changegen_spark.queries.er import ER_PATH
+
     base = _people(spark).filter("rec_id < 400")
     members_dir = os.path.join(golden_dir, "members")
     table_dir = os.path.join(golden_dir, "golden")
-    # seed: every base entity is a singleton golden row (idempotent)
-    if not os.path.exists(os.path.join(golden_dir, "_SEEDED")):
+    # seed: every base entity is a singleton golden row (idempotent).
+    # The marker records the fixture's size+mtime (r11 advice — the same
+    # invalidation stage_arrival_files uses): a regenerated er_people
+    # fixture with a reused golden_dir must RESEED, not silently keep
+    # stale base rows.
+    st = os.stat(ER_PATH)
+    seed_key = f"{ER_PATH}|{st.st_size}|{st.st_mtime_ns}"
+    marker = os.path.join(golden_dir, "_SEEDED")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != seed_key
+    if stale:
         seed_members = _member_rows(base, F.col("rec_id"))
         (
             _bucketed(_golden_rows(seed_members))
@@ -199,8 +212,8 @@ def golden_maintenance_stream(
             .partitionBy("bucket")
             .parquet(table_dir)
         )
-        with open(os.path.join(golden_dir, "_SEEDED"), "w") as fh:
-            fh.write("ok")
+        with open(marker, "w") as fh:
+            fh.write(seed_key)
 
     stage = stage_dir or stage_arrival_files(spark, n_files=n_files)
     schema = spark.read.parquet(stage).schema

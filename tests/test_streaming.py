@@ -526,11 +526,14 @@ def test_incremental_er_stream_order_permutation_parity(spark, tmp_path):
     """Dropping the SAME arrival files in a different order must produce
     the identical final assignment table (r10 verdict #7): assignment is
     stateless per arrival against a static base, so nothing may depend
-    on micro-batch sequencing.  The file copies are renamed so the
-    file-source's (mtime, path) ordering actually differs between the
-    two runs — the per-batch compositions are asserted to differ, so
-    the parity claim is tested against a real permutation, not two
-    identical schedules."""
+    on micro-batch sequencing.  The file copies get explicitly PINNED
+    mtimes one second apart in copy order (r12: fast copies all landed
+    in the same millisecond, and the file source's same-mtime tie-break
+    is listing-order — arbitrary — so the "permutation is real" check
+    was flaky), so the file-source's (mtime, path) ordering provably
+    differs between the two runs — the per-batch compositions are
+    asserted to differ, so the parity claim is tested against a real
+    permutation, not two identical schedules."""
     import glob
     import os
     import shutil
@@ -547,8 +550,11 @@ def test_incremental_er_stream_order_permutation_parity(spark, tmp_path):
     for tag, order in (("fwd", parts), ("rev", list(reversed(parts)))):
         d = tmp_path / f"drop_{tag}"
         d.mkdir()
+        t0 = os.stat(parts[0]).st_mtime + 10
         for i, src in enumerate(order):
-            shutil.copy(src, d / f"{i:02d}.parquet")
+            dst = d / f"{i:02d}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (t0 + i, t0 + i))
         got, first = [], []
 
         def collect(df, batch_id, got=got, first=first):
