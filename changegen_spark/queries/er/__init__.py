@@ -85,6 +85,14 @@ from changegen_spark.queries.er.golden import (  # noqa: F401
     q_er_golden,
     q_er_golden_full,
 )
+from changegen_spark.queries.er.resolve import (  # noqa: F401
+    ER_AMBIG_PATH,
+    Q_ER_AMBIGUOUS_RESOLVE_SQL,
+    _ambig_people,
+    q_er_ambiguous_resolve,
+    resolve_ambiguous,
+    updated_golden_names,
+)
 from changegen_spark.queries.er.incremental import (  # noqa: F401
     INC_MARGIN,
     Q_ER_CHAIN_AUDIT_SQL,
@@ -127,6 +135,7 @@ QUERIES = {
     "q_er_incremental": q_er_incremental,
     "q_er_incremental_margin": q_er_incremental_margin,
     "q_er_golden_inc": q_er_golden_inc,
+    "q_er_ambiguous_resolve": q_er_ambiguous_resolve,
     "q_er_inc_audit": q_er_inc_audit,
     "q_er_margin_audit": q_er_margin_audit,
     "q_er_chain_audit": q_er_chain_audit,
@@ -153,6 +162,7 @@ ORACLES = {
     "q_er_incremental": Q_ER_INCREMENTAL_SQL,
     "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
     "q_er_golden_inc": Q_ER_GOLDEN_INC_SQL,
+    "q_er_ambiguous_resolve": Q_ER_AMBIGUOUS_RESOLVE_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
     "q_er_margin_audit": Q_ER_MARGIN_AUDIT_SQL,
     "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,

@@ -576,12 +576,15 @@ FROM intra
 """
 
 
-# shared WITH-body for the two incremental oracles (the SQL twin of
-# _inc_refined): key construction, candidate join, city+lev refine
-_INC_REFINED_SQL_BODY = f"""base AS (
-  SELECT * FROM '{ER_PATH}' WHERE rec_id < 400
+# shared WITH-body for the incremental oracles (the SQL twin of
+# _inc_refined): key construction, candidate join, city+lev refine.
+# Parameterized on the fixture path (r12) so the ambiguity-resolution
+# oracle over er_ambig.parquet reuses it verbatim.
+def inc_refined_sql_body(path: str) -> str:
+    return f"""base AS (
+  SELECT * FROM '{path}' WHERE rec_id < 400
 ), arrivals AS (
-  SELECT * FROM '{ER_PATH}' WHERE rec_id >= 400
+  SELECT * FROM '{path}' WHERE rec_id >= 400
 ), akeys AS (
   SELECT rec_id AS a_id, 'k1|' || coalesce(city, '') || '|'
          || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
@@ -607,6 +610,9 @@ _INC_REFINED_SQL_BODY = f"""base AS (
   WHERE a.city = b.city
     AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
 )"""
+
+
+_INC_REFINED_SQL_BODY = inc_refined_sql_body(ER_PATH)
 
 Q_ER_INCREMENTAL_SQL = f"""
 WITH {_INC_REFINED_SQL_BODY}

@@ -1,0 +1,354 @@
+"""Re-resolution of margin-abstained arrivals (r12, r11 verdict #1).
+
+Margin abstention (incremental.incremental_assign_margin) parks an
+arrival whose best and runner-up candidates are closer than ``margin``
+as matched_entity −2 — correctly unmerged, but a production pipeline
+must eventually give every arrival a TERMINAL disposition or the
+abstention is just deferred loss.  This module adds the drain step:
+after the batch's confident merges and new-entity inserts have updated
+the golden table, re-probe the ambiguous pool against the UPDATED
+survivor names — merges change them (mode ties break lexicographically,
+so an absorbed variant can become the survivor), so a tie that existed
+against the pre-batch base can break.  Each pooled arrival ends in one
+of three states:
+
+* ``resolved``        — the re-probe has a strict best (gap ≥ margin):
+                        merge into that entity;
+* ``new``             — the survivor drift left NO candidate within the
+                        refine threshold: insert as a new entity;
+* ``still_ambiguous`` — the tie persists: stay parked (the streaming
+                        twin carries these across micro-batches).
+
+The re-probe target is the WHOLE updated golden table — untouched base
+entities, updated survivors, and the batch's new singleton entities
+alike — through the same two candidate keys and city+Levenshtein refine
+as the first pass, so first-pass and re-probe can never disagree on
+reachability semantics.
+
+100 TB shape: the pool is a small fraction of arrivals (7.2% at the
+1M-rung margin-1 cell), and the re-probe is the SAME two key-equality
+hash joins as the first pass with the pool as the probe side — candidate
+volume is Σ_k pool_k·golden_k, bounded by the q_er_inc_audit dial; the
+golden side is the maintained table, not a recompute (this module
+reconstructs it only because the fixture query is self-contained).
+
+Fixture: fixtures/er_ambig.parquet (tools/make_er_ambig.py) — er_people
+plants no exact ties, so the drain loop needs its own corpus with each
+terminal state planted and build-time-asserted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changegen_spark.queries.er.blocking import (
+    FIXDIR,
+    LEV_MAX,
+    block_key_sql,
+)
+from changegen_spark.queries.er.incremental import (
+    INC_MARGIN,
+    _inc_keyed,
+    inc_refined_sql_body,
+    incremental_assign_margin,
+)
+from changegen_spark.queries.er.sn import suffix_key_sql
+
+ER_AMBIG_PATH = os.path.join(FIXDIR, "er_ambig.parquet")
+
+
+def _ambig_people(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(ER_AMBIG_PATH)
+
+
+def _norm_rows(df: DataFrame, entity_col) -> DataFrame:
+    return df.select(
+        entity_col.cast("long").alias("entity"),
+        "rec_id",
+        F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+        F.coalesce("city", F.lit("")).alias("city"),
+    )
+
+
+def updated_golden_names(
+    arrivals: DataFrame, base: DataFrame, margin: int = INC_MARGIN
+) -> DataFrame:
+    """(entity, name, city) of the golden table AFTER applying one
+    batch's confident merges (matched_entity ≥ 0) and new-entity inserts
+    (−1); margin-abstained (−2) arrivals are excluded — they are parked,
+    not golden.  Survivor name = the same mode-with-lexicographic-
+    tiebreak rule as golden.q_er_golden_full / incremental.golden_delta;
+    city = latest member's (members share the city whenever the entity
+    was updated by a merge, since refine demands city equality)."""
+    assigned = incremental_assign_margin(arrivals, base, margin=margin).select(
+        "rec_id", "matched_entity"
+    )
+    arr = _norm_rows(arrivals, F.col("rec_id")).drop("entity").join(
+        assigned, "rec_id"
+    )
+    members = (
+        _norm_rows(base, F.col("rec_id"))
+        .unionByName(
+            arr.filter(F.col("matched_entity") >= 0).select(
+                F.col("matched_entity").alias("entity"),
+                "rec_id",
+                "nname",
+                "city",
+            )
+        )
+        .unionByName(
+            arr.filter(F.col("matched_entity") == -1).select(
+                F.col("rec_id").alias("entity"), "rec_id", "nname", "city"
+            )
+        )
+    )
+    nc = members.groupBy("entity", "nname").agg(F.count("*").alias("cnt"))
+    mode = (
+        nc.groupBy("entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("nname").alias("v")
+                )
+            ).alias("b")
+        )
+        .select("entity", F.col("b.v").alias("name"))
+    )
+    latest = members.groupBy("entity").agg(
+        F.max(
+            F.struct(F.col("rec_id").alias("r"), F.col("city").alias("v"))
+        )["v"].alias("city")
+    )
+    return mode.join(latest, "entity")
+
+
+def reprobe_pool(
+    amb: DataFrame, golden: DataFrame, margin: int = INC_MARGIN
+) -> DataFrame:
+    """Re-probe a parked pool against a golden-name table.  ``amb``:
+    (rec_id, aname, acity) — lowercased/coalesced; ``golden``: (entity,
+    name, city).  Returns (rec_id, matched_entity, lev, margin,
+    n_matches, status) — the shared core of the batch query and the
+    streaming pool-maintenance twin (streaming/er.py), so the two can
+    never drift on candidate keys, refine, or the margin rule.
+
+    Scale shape: identical join plan to the first pass with the golden
+    table as the build side — two key-equality hash joins + distinct +
+    one probe-id window; zero iteration, zero data-sized windows."""
+    from pyspark.sql import Window
+
+    ak = _inc_keyed(
+        amb.select(
+            "rec_id", F.col("aname").alias("name"), F.col("acity").alias("city")
+        ),
+        "a_id",
+    )
+    gk = _inc_keyed(
+        golden.select(F.col("entity").alias("rec_id"), "name", "city"),
+        "g_id",
+    )
+    cand = ak.join(gk, "bkey").select("a_id", "g_id").distinct()
+    refined = (
+        cand.join(
+            amb.select(F.col("rec_id").alias("a_id"), "aname", "acity"), "a_id"
+        )
+        .join(
+            golden.select(
+                F.col("entity").alias("g_id"),
+                F.col("name").alias("gname"),
+                F.col("city").alias("gcity"),
+            ),
+            "g_id",
+        )
+        .filter(F.col("acity") == F.col("gcity"))
+        .select(
+            "a_id",
+            "g_id",
+            F.levenshtein("aname", "gname").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= LEV_MAX)
+    )
+    w = Window.partitionBy("a_id").orderBy("lev", "g_id")
+    picked = (
+        refined.select(
+            "a_id",
+            "g_id",
+            "lev",
+            F.row_number().over(w).alias("rn"),
+            F.lead("lev").over(w).alias("second_lev"),
+            F.count("*").over(Window.partitionBy("a_id")).alias("nm"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "a_id",
+            F.when(
+                F.col("second_lev").isNotNull()
+                & ((F.col("second_lev") - F.col("lev")) < F.lit(margin)),
+                F.lit(-2),
+            )
+            .otherwise(F.col("g_id"))
+            .alias("me"),
+            "lev",
+            F.coalesce(F.col("second_lev") - F.col("lev"), F.lit(-1)).alias(
+                "gap"
+            ),
+            "nm",
+        )
+    )
+    return (
+        amb.select(F.col("rec_id").alias("a_id"))
+        .join(picked, "a_id", "left")
+        .select(
+            F.col("a_id").alias("rec_id"),
+            F.coalesce("me", F.lit(-1)).cast("long").alias("matched_entity"),
+            F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
+            F.coalesce("gap", F.lit(-1)).cast("long").alias("margin"),
+            F.coalesce("nm", F.lit(0)).cast("long").alias("n_matches"),
+            F.when(F.col("me").isNull(), F.lit("new"))
+            .when(F.col("me") == -2, F.lit("still_ambiguous"))
+            .otherwise(F.lit("resolved"))
+            .alias("status"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def resolve_ambiguous(
+    arrivals: DataFrame, base: DataFrame, margin: int = INC_MARGIN
+) -> DataFrame:
+    """Terminal disposition for every margin-abstained arrival in the
+    batch: (rec_id, matched_entity, lev, margin, n_matches, status) —
+    matched_entity is the resolved entity id, −1 for new, −2 for still
+    parked; lev/margin/n_matches describe the RE-PROBE (−1/−1/0 when it
+    came up dry); status ∈ resolved | new | still_ambiguous."""
+    assigned = incremental_assign_margin(arrivals, base, margin=margin)
+    amb = (
+        assigned.filter(F.col("matched_entity") == -2)
+        .select("rec_id")
+        .join(arrivals, "rec_id")
+        .select(
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("aname"),
+            F.coalesce("city", F.lit("")).alias("acity"),
+        )
+    )
+    golden = updated_golden_names(arrivals, base, margin=margin)
+    return reprobe_pool(amb, golden, margin=margin)
+
+
+def q_er_ambiguous_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the ambiguous pool over the planted-tie fixture: arrivals
+    (rec_id ≥ 400) margin-assigned against the base (< 400), the batch's
+    merges applied to survivor names, then every −2 arrival re-probed
+    against the updated golden table.  The fixture plants one of each
+    terminal state (see tools/make_er_ambig.py)."""
+    ppl = _ambig_people(spark)
+    return resolve_ambiguous(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
+Q_ER_AMBIGUOUS_RESOLVE_SQL = f"""
+WITH {inc_refined_sql_body(ER_AMBIG_PATH)}
+, best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev
+  FROM refined
+), assigned AS (
+  SELECT a.rec_id,
+         CASE
+           WHEN b.a_id IS NULL THEN -1
+           WHEN b.second_lev IS NOT NULL
+                AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+           ELSE b.b_id
+         END AS me
+  FROM arrivals a
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+), members AS (
+  SELECT rec_id AS entity, rec_id,
+         coalesce(lower(name), '') AS nname, coalesce(city, '') AS city
+  FROM base
+  UNION ALL
+  SELECT s.me, a.rec_id, coalesce(lower(a.name), ''), coalesce(a.city, '')
+  FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id WHERE s.me >= 0
+  UNION ALL
+  SELECT a.rec_id, a.rec_id, coalesce(lower(a.name), ''), coalesce(a.city, '')
+  FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id WHERE s.me = -1
+), gname AS (
+  SELECT entity, nname AS name FROM (
+    SELECT entity, nname,
+           row_number() OVER (
+             PARTITION BY entity ORDER BY count(*) DESC, nname) AS rn
+    FROM members GROUP BY entity, nname
+  ) WHERE rn = 1
+), gcity AS (
+  SELECT entity, city FROM (
+    SELECT entity, city,
+           row_number() OVER (PARTITION BY entity ORDER BY rec_id DESC) AS rn
+    FROM members
+  ) WHERE rn = 1
+), golden AS (
+  SELECT n.entity, n.name, c.city FROM gname n JOIN gcity c USING (entity)
+), amb AS (
+  SELECT a.rec_id, coalesce(lower(a.name), '') AS aname,
+         coalesce(a.city, '') AS acity
+  FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id WHERE s.me = -2
+), ambn AS (
+  SELECT rec_id, aname AS name, acity AS city FROM amb
+), akeys2 AS (
+  SELECT rec_id AS a_id, 'k1|' || city || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey
+  FROM ambn
+  UNION ALL
+  SELECT rec_id, 'k2|' || city || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '')
+         || '|' || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM ambn
+), gkeys AS (
+  SELECT entity AS g_id, 'k1|' || city || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey
+  FROM golden
+  UNION ALL
+  SELECT entity, 'k2|' || city || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '')
+         || '|' || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM golden
+), cand2 AS (
+  SELECT DISTINCT a_id, g_id FROM akeys2 JOIN gkeys USING (bkey)
+), refined2 AS (
+  SELECT c.a_id, c.g_id,
+         CAST(levenshtein(m.aname, g.name) AS BIGINT) AS lev
+  FROM cand2 c
+  JOIN amb m ON m.rec_id = c.a_id
+  JOIN golden g ON g.entity = c.g_id
+  WHERE m.acity = g.city
+    AND levenshtein(m.aname, g.name) <= {LEV_MAX}
+), best2 AS (
+  SELECT a_id, g_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, g_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, g_id) AS second_lev,
+         count(*) OVER (PARTITION BY a_id) AS nm
+  FROM refined2
+), picked AS (
+  SELECT a_id,
+         CASE WHEN second_lev IS NOT NULL
+                   AND second_lev - lev < {INC_MARGIN} THEN -2
+              ELSE g_id END AS me,
+         lev, coalesce(second_lev - lev, -1) AS gap, nm
+  FROM best2 WHERE rn = 1
+)
+SELECT m.rec_id,
+       CAST(coalesce(p.me, -1) AS BIGINT) AS matched_entity,
+       CAST(coalesce(p.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(p.gap, -1) AS BIGINT) AS margin,
+       CAST(coalesce(p.nm, 0) AS BIGINT) AS n_matches,
+       CASE WHEN p.a_id IS NULL THEN 'new'
+            WHEN p.me = -2 THEN 'still_ambiguous'
+            ELSE 'resolved' END AS status
+FROM amb m LEFT JOIN picked p ON p.a_id = m.rec_id
+ORDER BY m.rec_id
+"""

@@ -151,6 +151,247 @@ def _golden_rows(members: DataFrame) -> DataFrame:
     )
 
 
+def stage_ambig_files(spark: SparkSession, n_files: int = 3) -> str:
+    """Stage the er_ambig fixture's arrivals (rec_id ≥ 400) as a drop
+    directory, mirroring stage_arrival_files (size+mtime-keyed cache)."""
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+
+    st = os.stat(ER_AMBIG_PATH)
+    stage = os.path.join(
+        "/tmp",
+        "changegen_spark_er_ambig_stream_"
+        + hashlib.md5(
+            f"{ER_AMBIG_PATH}|{n_files}|{st.st_size}|{st.st_mtime_ns}".encode()
+        ).hexdigest()[:8],
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        arrivals = spark.read.parquet(ER_AMBIG_PATH).filter("rec_id >= 400")
+        (
+            arrivals.repartition(n_files, "rec_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def _latest_pool_batch(pool_dir: str, before: int) -> int | None:
+    """Largest committed pool snapshot id strictly below ``before`` —
+    the pool state this batch inherits (a RETRIED batch must not read
+    its own failed attempt's snapshot)."""
+    if not os.path.isdir(pool_dir):
+        return None
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(pool_dir)
+        if d.startswith("batch=")
+    ]
+    ids = [i for i in ids if i < before]
+    return max(ids) if ids else None
+
+
+def resolve_maintenance_stream(
+    spark: SparkSession,
+    state_dir: str,
+    n_files: int = 3,
+    checkpoint: str | None = None,
+    stage_dir: str | None = None,
+):
+    """Golden maintenance WITH a carried ambiguous pool (r11 verdict #1)
+    — the streaming twin of queries/er/resolve.q_er_ambiguous_resolve.
+    Per micro-batch: (1) margin-assign the arrivals against the static
+    base; (2) confident merges and −1 arrivals become member rows, −2
+    arrivals join the POOL; (3) the whole pool (inherited snapshot ∪
+    this batch's parkings) is re-probed via the SHARED
+    ``reprobe_pool`` core against the updated golden names (base ∪ all
+    members including this batch's) — resolved/new pooled arrivals
+    become members with a terminal disposition, still-ambiguous ones
+    are written as this batch's pool snapshot; (4) the touched golden
+    buckets are dynamic-partition-overwritten as in
+    golden_maintenance_stream.
+
+    State layout under ``state_dir`` (all derived, all idempotent —
+    batch-keyed overwrites + pure recomputes, so retries are safe and
+    the file-source checkpoint gives exactly-once):
+      members/batch=<id>/  member rows added by that batch
+      pool/batch=<id>/     FULL pool snapshot after that batch
+      drained/batch=<id>/  terminal dispositions decided in that batch
+      golden/bucket=*/     the maintained golden table
+
+    Ordering semantics, stated honestly: re-resolution is EAGER — a
+    pooled arrival resolves with the information available at its
+    batch, so a tie that a later batch's merge would have re-broken
+    differently is decided early (the order-dependence test pins this).
+    When every confident arrival lands no later than the batch that
+    drains its dependent tie, the terminal dispositions equal the
+    one-shot batch operator's exactly (the parity test).
+
+    100 TB shape: the pool snapshot is small (the abstention rate of
+    the margin dial) and the re-probe is the same two key-equality hash
+    joins as the first pass; members/golden maintenance is touched-
+    bucket work as in golden_maintenance_stream."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+    from changegen_spark.queries.er.incremental import (
+        incremental_assign_margin,
+    )
+    from changegen_spark.queries.er.resolve import reprobe_pool
+
+    base = spark.read.parquet(ER_AMBIG_PATH).filter("rec_id < 400")
+    members_dir = os.path.join(state_dir, "members")
+    pool_dir = os.path.join(state_dir, "pool")
+    drained_dir = os.path.join(state_dir, "drained")
+    table_dir = os.path.join(state_dir, "golden")
+
+    # seed: every base entity a singleton golden row, marker keyed on the
+    # fixture's size+mtime (same invalidation as golden_maintenance_stream)
+    st = os.stat(ER_AMBIG_PATH)
+    seed_key = f"{ER_AMBIG_PATH}|{st.st_size}|{st.st_mtime_ns}"
+    marker = os.path.join(state_dir, "_SEEDED")
+    os.makedirs(state_dir, exist_ok=True)
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != seed_key
+    if stale:
+        (
+            _bucketed(_golden_rows(_member_rows(base, F.col("rec_id"))))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+        with open(marker, "w") as fh:
+            fh.write(seed_key)
+
+    stage = stage_dir or stage_ambig_files(spark, n_files=n_files)
+    schema = spark.read.parquet(stage).schema
+    arrivals = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    pool_schema = "rec_id long, aname string, acity string"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = incremental_assign_margin(batch_df, base).select(
+            "rec_id", "matched_entity"
+        )
+        arr = batch_df.join(assigned, "rec_id").select(
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
+            F.coalesce("city", F.lit("")).alias("city"),
+            "matched_entity",
+        ).localCheckpoint(eager=True)
+        batch_members = arr.filter(F.col("matched_entity") != -2).select(
+            F.when(F.col("matched_entity") >= 0, F.col("matched_entity"))
+            .otherwise(F.col("rec_id"))
+            .cast("long")
+            .alias("entity"),
+            "rec_id",
+            "nname",
+            "city",
+        )
+        parked = arr.filter(F.col("matched_entity") == -2).select(
+            "rec_id",
+            F.col("nname").alias("aname"),
+            F.col("city").alias("acity"),
+        )
+        prev = _latest_pool_batch(pool_dir, batch_id)
+        if prev is None:
+            pool_in = spark.createDataFrame([], pool_schema)
+        else:
+            snap = os.path.join(pool_dir, f"batch={prev}")
+            spark.catalog.refreshByPath(snap)
+            pool_in = spark.read.parquet(snap)
+        pool_in = pool_in.unionByName(parked)
+        # golden names INCLUDING this batch's members (parity with the
+        # batch operator, which re-probes after its merges)
+        prior = spark.createDataFrame(
+            [], "entity long, rec_id long, nname string, city string"
+        )
+        if os.path.isdir(members_dir) and any(
+            d.startswith("batch=") for d in os.listdir(members_dir)
+        ):
+            spark.catalog.refreshByPath(members_dir)
+            prior = (
+                spark.read.option("basePath", members_dir)
+                .parquet(members_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("entity", "rec_id", "nname", "city")
+            )
+        all_members = (
+            _member_rows(base, F.col("rec_id"))
+            .unionByName(prior)
+            .unionByName(batch_members)
+        )
+        golden = _golden_rows(all_members).select(
+            "entity",
+            F.col("name_mode").alias("name"),
+            F.col("city_latest").alias("city"),
+        )
+        decisions = reprobe_pool(pool_in, golden).localCheckpoint(eager=True)
+        drained = decisions.filter(F.col("matched_entity") != -2)
+        drained_members = drained.join(pool_in, "rec_id").select(
+            F.when(F.col("matched_entity") >= 0, F.col("matched_entity"))
+            .otherwise(F.col("rec_id"))
+            .cast("long")
+            .alias("entity"),
+            "rec_id",
+            F.col("aname").alias("nname"),
+            F.col("acity").alias("city"),
+        )
+        out_members = batch_members.unionByName(drained_members)
+        out_members.write.mode("overwrite").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+        still = decisions.filter(F.col("matched_entity") == -2).select(
+            "rec_id"
+        ).join(pool_in, "rec_id")
+        still.write.mode("overwrite").parquet(
+            os.path.join(pool_dir, f"batch={batch_id}")
+        )
+        drained.write.mode("overwrite").parquet(
+            os.path.join(drained_dir, f"batch={batch_id}")
+        )
+        # golden-table bucket maintenance (as golden_maintenance_stream)
+        spark.catalog.refreshByPath(members_dir)
+        final_members = _member_rows(base, F.col("rec_id")).unionByName(
+            spark.read.option("basePath", members_dir)
+            .parquet(members_dir)
+            .filter(F.col("batch") <= batch_id)
+            .select("entity", "rec_id", "nname", "city")
+        )
+        touched = (
+            out_members.select(
+                F.pmod("entity", F.lit(GOLDEN_BUCKETS)).alias("bucket")
+            )
+            .distinct()
+        )
+        rows = _bucketed(
+            _golden_rows(
+                _bucketed(final_members)
+                .join(F.broadcast(touched), "bucket")
+                .select("entity", "rec_id", "nname", "city")
+            )
+        )
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+
+    writer = (
+        arrivals.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def golden_maintenance_stream(
     spark: SparkSession,
     golden_dir: str,

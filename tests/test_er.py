@@ -910,3 +910,73 @@ def test_er_chain_merge_hazard_on_planted_chain(spark):
         .lev
         > LEV_MAX
     )
+
+
+def test_ambiguous_resolve_pins_planted_terminal_states(spark):
+    """The abstain → re-resolve drain loop (r11 verdict #1) over the
+    planted-tie fixture: every −2 arrival must reach the terminal state
+    tools/make_er_ambig.py planted and build-time-asserted — the
+    resolvable tie breaks to the OTHER entity once the confident merge
+    flips its rival's survivor name; the untouched tie stays parked;
+    the drift group's candidates leave refine reach entirely (new
+    entity); the batch-created singleton participates as a re-probe
+    candidate (n_matches counts it) but ranks strictly behind."""
+    from changegen_spark.queries.er import q_er_ambiguous_resolve
+
+    got = {
+        r.rec_id: r for r in q_er_ambiguous_resolve(spark, "").collect()
+    }
+    assert set(got) == {401, 402, 405, 407}, "the pool is exactly the ties"
+    # group R: the confident merge of 400 flipped entity 100's survivor
+    # name to 'dana maier', so 401 is now strictly closer to 101
+    assert (got[401].matched_entity, got[401].status) == (101, "resolved")
+    assert got[401].lev == 1 and got[401].margin == 1
+    # group S: nothing touched belmore — the tie persists
+    assert (got[402].matched_entity, got[402].status) == (
+        -2,
+        "still_ambiguous",
+    )
+    assert got[402].margin == 0 and got[402].n_matches == 2
+    # group N: both survivors drifted out of lev reach — re-probe dry
+    assert (got[405].matched_entity, got[405].status) == (-1, "new")
+    assert got[405].n_matches == 0 and got[405].lev == -1
+    # group B: resolves to 107 with THREE candidates in the mix (the
+    # flipped 106 survivor, 107, and 408's new singleton entity)
+    assert (got[407].matched_entity, got[407].status) == (107, "resolved")
+    assert got[407].n_matches == 3 and got[407].margin == 1
+
+
+def test_ambiguous_resolve_golden_includes_batch_entities(spark):
+    """updated_golden_names must reflect the batch: flipped survivor
+    names for merged entities, untouched names elsewhere, and one NEW
+    entity per −1 arrival (keyed by its own rec_id) — the re-probe's
+    target set."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import (
+        _ambig_people,
+        updated_golden_names,
+    )
+
+    ppl = _ambig_people(spark)
+    golden = {
+        r.entity: r
+        for r in updated_golden_names(
+            ppl.filter(F.col("rec_id") >= 400),
+            ppl.filter(F.col("rec_id") < 400),
+        ).collect()
+    }
+    # survivor flips (mode tie -> lexicographic min = the arrival name)
+    assert golden[100].name == "dana maier"
+    assert golden[104].name == "paul barand"
+    assert golden[105].name == "paul barandt"
+    assert golden[106].name == "gina mmoore"
+    # untouched base entities keep their own names
+    assert golden[101].name == "dana meyer"
+    assert golden[102].name == "rene kraus"
+    # -1 arrivals became singleton entities keyed by their rec_id
+    assert golden[408].name == "gina maura"
+    assert golden[410].name == "tove lindqvist"
+    # parked (-2) arrivals are NOT golden entities
+    for parked in (401, 402, 405, 407):
+        assert parked not in golden

@@ -661,3 +661,178 @@ def test_incremental_er_stream_restart_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert second == []
+
+
+def _stage_ambig_ordered(spark, tmp_path, groups):
+    """Write one drop file per rec_id group, mtimes pinned in group
+    order, so micro-batches process the groups in sequence."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+
+    arr = spark.read.parquet(ER_AMBIG_PATH).filter("rec_id >= 400")
+    d = tmp_path / "drop"
+    d.mkdir()
+    t0 = os.stat(ER_AMBIG_PATH).st_mtime + 10
+    for i, ids in enumerate(groups):
+        tmp = str(tmp_path / f"g{i}")
+        arr.filter(F.col("rec_id").isin(ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = str(d / f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    return str(d)
+
+
+def _read_resolve_state(spark, state_dir):
+    import glob
+    import os
+
+    drained = {}
+    for p in sorted(glob.glob(os.path.join(state_dir, "drained", "batch=*"))):
+        spark.catalog.refreshByPath(p)
+        for r in spark.read.parquet(p).collect():
+            assert r.rec_id not in drained, "terminal dispositions are final"
+            drained[r.rec_id] = (r.matched_entity, r.status)
+    pools = sorted(
+        glob.glob(os.path.join(state_dir, "pool", "batch=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    spark.catalog.refreshByPath(pools[-1])
+    final_pool = {r.rec_id for r in spark.read.parquet(pools[-1]).collect()}
+    return drained, final_pool
+
+
+def test_resolve_stream_carried_pool_matches_batch_operator(spark, tmp_path):
+    """The pool-carrying stream (confident arrivals landing AFTER the
+    ties that need them) must reach exactly the one-shot batch
+    operator's terminal dispositions: the ambiguous arrivals are parked
+    in batch 0, carried across TWO batches, and drained as their
+    resolvers land — pinning both the carry mechanics and stream ≡
+    batch parity for resolver-no-later orderings."""
+    from changegen_spark.queries.er import q_er_ambiguous_resolve
+    from changegen_spark.streaming.er import resolve_maintenance_stream
+
+    stage = _stage_ambig_ordered(
+        spark,
+        tmp_path,
+        [[401, 402, 405, 407], [400, 409, 410], [403, 404, 406, 408]],
+    )
+    state = str(tmp_path / "state")
+    q = resolve_maintenance_stream(spark, state, stage_dir=stage)
+    q.awaitTermination(180)
+    drained, final_pool = _read_resolve_state(spark, state)
+
+    want = {
+        r.rec_id: (r.matched_entity, r.status)
+        for r in q_er_ambiguous_resolve(spark, "").collect()
+    }
+    want_drained = {
+        k: v for k, v in want.items() if v[1] != "still_ambiguous"
+    }
+    assert drained == want_drained
+    assert final_pool == {
+        k for k, v in want.items() if v[1] == "still_ambiguous"
+    }
+    # the carry was real: 401's resolver (400) landed a batch later
+    b0 = spark.read.parquet(str(tmp_path / "state/drained/batch=0"))
+    assert b0.count() == 0, "batch 0 must drain nothing (base-only golden)"
+
+    # golden table reflects the drained pool: 405 is a new entity, the
+    # flipped survivors are in place, and 401's resolution re-flipped
+    # entity 101's mode (meuer < meyer on the 1-1 tie)
+    spark.catalog.refreshByPath(state + "/golden")
+    golden = {
+        r.entity: r.name_mode
+        for r in spark.read.parquet(state + "/golden").collect()
+    }
+    assert golden[405] == "paul brandeo"
+    assert golden[100] == "dana maier"
+    assert golden[101] == "dana meuer"
+    assert 402 not in golden, "parked arrivals are not golden entities"
+
+
+def test_resolve_stream_single_batch_equals_batch_query(spark, tmp_path):
+    """All arrivals in ONE micro-batch: the stream's drained decisions
+    must equal q_er_ambiguous_resolve row-for-row (incl. the re-probe
+    diagnostics), and the still-ambiguous arrival sits in the pool."""
+    from changegen_spark.queries.er import q_er_ambiguous_resolve
+    from changegen_spark.streaming.er import resolve_maintenance_stream
+
+    stage = _stage_ambig_ordered(
+        spark, tmp_path, [[400 + i for i in range(11)]]
+    )
+    state = str(tmp_path / "state")
+    q = resolve_maintenance_stream(spark, state, stage_dir=stage)
+    q.awaitTermination(180)
+
+    spark.catalog.refreshByPath(state + "/drained/batch=0")
+    got = {
+        r.rec_id: (r.matched_entity, r.lev, r.margin, r.n_matches, r.status)
+        for r in spark.read.parquet(state + "/drained/batch=0").collect()
+    }
+    want = {
+        r.rec_id: (r.matched_entity, r.lev, r.margin, r.n_matches, r.status)
+        for r in q_er_ambiguous_resolve(spark, "").collect()
+        if r.status != "still_ambiguous"
+    }
+    assert got == want
+    _, final_pool = _read_resolve_state(spark, state)
+    assert final_pool == {402}
+
+
+def test_resolve_stream_restart_is_exactly_once(spark, tmp_path):
+    """A checkpointed re-run must process zero batches and leave the
+    drained log, pool snapshots, and golden table unchanged."""
+    import glob
+
+    from changegen_spark.streaming.er import resolve_maintenance_stream
+
+    stage = _stage_ambig_ordered(
+        spark, tmp_path, [[401, 402, 405, 407], [400, 403, 404, 406, 408]]
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = resolve_maintenance_stream(
+        spark, state, stage_dir=stage, checkpoint=ckpt
+    )
+    q.awaitTermination(180)
+    before = _read_resolve_state(spark, state)
+    n_dirs = len(glob.glob(state + "/drained/batch=*"))
+
+    q2 = resolve_maintenance_stream(
+        spark, state, stage_dir=stage, checkpoint=ckpt
+    )
+    q2.awaitTermination(180)
+    assert _read_resolve_state(spark, state) == before
+    assert len(glob.glob(state + "/drained/batch=*")) == n_dirs
+
+
+def test_resolve_stream_eager_resolution_is_order_dependent(spark, tmp_path):
+    """Documented semantics pin: re-resolution is EAGER — when group N's
+    two survivor flips land in DIFFERENT batches, the parked tie
+    resolves to the not-yet-flipped entity the moment the first flip
+    breaks the tie (105 here), where the one-shot batch operator (both
+    flips visible at once) says 'new'.  A production pipeline choosing
+    deferred draining instead would hold the pool until a quiescent
+    point; the carried-pool state supports either policy."""
+    from changegen_spark.queries.er import q_er_ambiguous_resolve
+    from changegen_spark.streaming.er import resolve_maintenance_stream
+
+    stage = _stage_ambig_ordered(spark, tmp_path, [[405], [403], [404]])
+    state = str(tmp_path / "state")
+    q = resolve_maintenance_stream(spark, state, stage_dir=stage)
+    q.awaitTermination(180)
+    drained, final_pool = _read_resolve_state(spark, state)
+    assert drained[405] == (105, "resolved"), "eager: first flip decides"
+    assert final_pool == set()
+    batch_says = {
+        r.rec_id: r.status
+        for r in q_er_ambiguous_resolve(spark, "").collect()
+    }
+    assert batch_says[405] == "new", "one-shot operator sees both flips"
