@@ -93,6 +93,12 @@ from changegen_spark.queries.er.resolve import (  # noqa: F401
     resolve_ambiguous,
     updated_golden_names,
 )
+from changegen_spark.queries.er.retract import (  # noqa: F401
+    Q_ER_GOLDEN_RETRACT_SQL,
+    RETRACT_DELETES,
+    golden_retract,
+    q_er_golden_retract,
+)
 from changegen_spark.queries.er.incremental import (  # noqa: F401
     INC_MARGIN,
     Q_ER_CHAIN_AUDIT_SQL,
@@ -136,6 +142,7 @@ QUERIES = {
     "q_er_incremental_margin": q_er_incremental_margin,
     "q_er_golden_inc": q_er_golden_inc,
     "q_er_ambiguous_resolve": q_er_ambiguous_resolve,
+    "q_er_golden_retract": q_er_golden_retract,
     "q_er_inc_audit": q_er_inc_audit,
     "q_er_margin_audit": q_er_margin_audit,
     "q_er_chain_audit": q_er_chain_audit,
@@ -163,6 +170,7 @@ ORACLES = {
     "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
     "q_er_golden_inc": Q_ER_GOLDEN_INC_SQL,
     "q_er_ambiguous_resolve": Q_ER_AMBIGUOUS_RESOLVE_SQL,
+    "q_er_golden_retract": Q_ER_GOLDEN_RETRACT_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
     "q_er_margin_audit": Q_ER_MARGIN_AUDIT_SQL,
     "q_er_chain_audit": Q_ER_CHAIN_AUDIT_SQL,

@@ -392,6 +392,201 @@ def resolve_maintenance_stream(
     return writer.start()
 
 
+def retract_membership(
+    membership: DataFrame,
+    deletes: DataFrame,
+    people: DataFrame,
+) -> DataFrame:
+    """One retraction step over a (rec_id, entity) membership table:
+    remove the deleted records, re-run connected components on the
+    SUBGRAPH induced by the touched entities' remaining members (pair
+    generation re-run on just that record subset — the local recompute
+    contract of queries/er/retract.golden_retract), and re-head the
+    resulting components by min rec_id.  Untouched entities pass through
+    byte-identical.  Returns the new full membership."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er.blocking import er_pairs_for
+
+    dels = deletes.select("rec_id").distinct()
+    touched = (
+        membership.join(dels, "rec_id").select("entity").distinct()
+    ).localCheckpoint(eager=True)
+    untouched = membership.join(F.broadcast(touched), "entity", "left_anti")
+    remaining = membership.join(F.broadcast(touched), "entity").join(
+        dels, "rec_id", "left_anti"
+    )
+    sub_people = people.join(
+        remaining.select("rec_id"), "rec_id"
+    ).localCheckpoint(eager=True)
+    sub_edges = er_pairs_for(sub_people).select("rec_a", "rec_b")
+    subcomp = connected_components(sub_edges, src="rec_a", dst="rec_b")
+    rehomed = remaining.select("rec_id").join(
+        subcomp, remaining.rec_id == subcomp.node, "left"
+    ).select(
+        "rec_id", F.coalesce("comp", F.col("rec_id")).alias("entity")
+    )
+    return untouched.select("rec_id", "entity").unionByName(rehomed)
+
+
+def retract_stream(
+    spark: SparkSession,
+    state_dir: str,
+    deletes_stage: str,
+    checkpoint: str | None = None,
+):
+    """Streaming golden-table RETRACTION (r11 verdict #4): delete
+    batches arrive as files of (rec_id) rows; each micro-batch removes
+    those members, re-runs CC on the touched entities' remaining
+    subgraph, and maintains BOTH the membership table (full snapshot
+    per batch — fixture-small here; at scale a bucket-partitioned
+    upsert like the golden table's) and the bucket-partitioned golden
+    table (touched buckets dynamic-partition-overwritten, so a split
+    entity's new heads appear and a emptied entity's row vanishes with
+    its bucket rewrite).
+
+    Idempotent by construction: membership snapshots are batch-keyed
+    overwrites, golden buckets are a pure function of the snapshot, and
+    the file-source checkpoint prevents reprocessing — a retried batch
+    reads its PREDECESSOR's snapshot (never its own failed write) and
+    rewrites exactly its own outputs."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+    from changegen_spark.queries.er.blocking import er_pairs_for
+
+    people = spark.read.parquet(ER_AMBIG_PATH)
+    members_dir = os.path.join(state_dir, "membership")
+    table_dir = os.path.join(state_dir, "golden")
+
+    # seed: the full CC assignment + golden table (fixture-keyed marker)
+    st = os.stat(ER_AMBIG_PATH)
+    seed_key = f"{ER_AMBIG_PATH}|{st.st_size}|{st.st_mtime_ns}"
+    marker = os.path.join(state_dir, "_SEEDED")
+    os.makedirs(state_dir, exist_ok=True)
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read() != seed_key
+    seed_dir = os.path.join(members_dir, "seed")
+    if stale:
+        comp = connected_components(
+            er_pairs_for(people).select("rec_a", "rec_b"),
+            src="rec_a",
+            dst="rec_b",
+        )
+        assign = people.select("rec_id").join(
+            comp, people.rec_id == comp.node, "left"
+        ).select(
+            "rec_id", F.coalesce("comp", F.col("rec_id")).alias("entity")
+        )
+        assign.write.mode("overwrite").parquet(seed_dir)
+        spark.catalog.refreshByPath(seed_dir)
+        seeded = spark.read.parquet(seed_dir)
+        members = _member_rows(people.join(seeded, "rec_id"), F.col("entity"))
+        (
+            _bucketed(_golden_rows(members))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(table_dir)
+        )
+        with open(marker, "w") as fh:
+            fh.write(seed_key)
+
+    schema = spark.read.parquet(deletes_stage).schema
+    deletes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deletes_stage)
+    )
+
+    def _snapshot_before(batch_id: int) -> str:
+        ids = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(members_dir)
+            if d.startswith("batch=")
+        ]
+        ids = [i for i in ids if i < batch_id]
+        if ids:
+            return os.path.join(members_dir, f"batch={max(ids)}")
+        return seed_dir
+
+    def apply_deletes(batch_df: DataFrame, batch_id: int) -> None:
+        snap = _snapshot_before(batch_id)
+        spark.catalog.refreshByPath(snap)
+        membership = spark.read.parquet(snap).select("rec_id", "entity")
+        old_touched = (
+            membership.join(batch_df.select("rec_id").distinct(), "rec_id")
+            .select("entity")
+            .distinct()
+        ).localCheckpoint(eager=True)
+        new_membership = retract_membership(
+            membership, batch_df, people
+        ).localCheckpoint(eager=True)
+        new_membership.write.mode("overwrite").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+        # touched buckets: old entity ids (rows may vanish) + the new
+        # entity ids of every record those entities used to own
+        new_heads = (
+            new_membership.join(
+                membership.join(F.broadcast(old_touched), "entity").select(
+                    "rec_id"
+                ),
+                "rec_id",
+            )
+            .select("entity")
+            .distinct()
+        )
+        touched_buckets = (
+            old_touched.select("entity")
+            .unionByName(new_heads)
+            .select(F.pmod("entity", F.lit(GOLDEN_BUCKETS)).alias("bucket"))
+            .distinct()
+        )
+        members = _member_rows(
+            people.join(new_membership, "rec_id"), F.col("entity")
+        )
+        rows = (
+            _bucketed(_golden_rows(members))
+            .join(F.broadcast(touched_buckets), "bucket", "left_semi")
+            .select(
+                "entity",
+                "n_members",
+                "name_mode",
+                "name_longest",
+                "city_latest",
+                "bucket",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # per-bucket explicit overwrite, NOT dynamic-partition-overwrite:
+        # retraction can empty a bucket (its only entity tombstoned), and
+        # dynamic mode never rewrites a partition it has no rows for — the
+        # stale golden row would survive.  The bucket list is collect()ed
+        # but bounded by GOLDEN_BUCKETS, not data.
+        for b in sorted(
+            r.bucket for r in touched_buckets.distinct().collect()
+        ):
+            (
+                rows.filter(F.col("bucket") == b)
+                .drop("bucket")
+                .write.mode("overwrite")
+                .parquet(os.path.join(table_dir, f"bucket={b}"))
+            )
+
+    writer = (
+        deletes.writeStream.foreachBatch(apply_deletes).trigger(
+            availableNow=True
+        )
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def golden_maintenance_stream(
     spark: SparkSession,
     golden_dir: str,

@@ -980,3 +980,45 @@ def test_ambiguous_resolve_golden_includes_batch_entities(spark):
     # parked (-2) arrivals are NOT golden entities
     for parked in (401, 402, 405, 407):
         assert parked not in golden
+
+
+def test_golden_retract_bridge_split_and_statuses(spark):
+    """Retracting the planted BRIDGE record must SPLIT its cluster (the
+    q_er_chain_audit hazard made load-bearing): {300,301,302} was one
+    entity because 301 bridged two sub-threshold ends; without it, 300
+    and 302 are strangers.  The fixed delete batch also exercises the
+    other statuses: head retraction re-heads {102,103,402} under 103,
+    leaf retraction leaves entity 104 'updated', singleton retraction
+    tombstones 115."""
+    from changegen_spark.queries.er import q_er_golden_retract
+
+    got = {r.entity: r for r in q_er_golden_retract(spark, "").collect()}
+    # the split: two surviving singleton entities from one old cluster
+    assert (got[300].status, got[300].n_members) == ("updated", 1)
+    assert (got[302].status, got[302].n_members) == ("split", 1)
+    assert got[300].name_mode == "mara weber"
+    assert got[302].name_mode == "marrah webbber"
+    # head retraction: old id tombstoned, cluster survives under 103
+    assert got[102].status == "deleted" and got[102].n_members == 0
+    assert (got[103].status, got[103].n_members) == ("split", 2)
+    # leaf retraction: same id, one fewer member
+    assert (got[104].status, got[104].n_members) == ("updated", 4)
+    # singleton retraction: plain tombstone
+    assert got[115].status == "deleted"
+    assert set(got) == {102, 103, 104, 115, 300, 302}
+
+
+def test_golden_retract_is_local_to_touched_entities(spark):
+    """Entities untouched by the delete batch must not appear in the
+    delta at all, and a no-op delete batch produces an empty delta."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import _ambig_people, golden_retract
+
+    ppl = _ambig_people(spark)
+    # deleting a record that matches nothing (410) touches only its own
+    # singleton entity
+    one = golden_retract(
+        ppl, spark.createDataFrame([(410,)], "rec_id long")
+    ).collect()
+    assert [(r.entity, r.status) for r in one] == [(410, "deleted")]

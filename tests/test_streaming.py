@@ -836,3 +836,117 @@ def test_resolve_stream_eager_resolution_is_order_dependent(spark, tmp_path):
         for r in q_er_ambiguous_resolve(spark, "").collect()
     }
     assert batch_says[405] == "new", "one-shot operator sees both flips"
+
+
+def test_retract_stream_matches_from_scratch_recompute(spark, tmp_path):
+    """Streaming retraction across TWO delete batches must converge to
+    exactly the membership a from-scratch CC over (people minus all
+    deletes) produces — iterated local re-CC of touched entities equals
+    the global recompute — and the golden table must reflect it (split
+    heads present, vanished entities gone)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from changegen_spark.functions.clustering import connected_components
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+    from changegen_spark.queries.er.blocking import er_pairs_for
+    from changegen_spark.queries.er.retract import RETRACT_DELETES
+    from changegen_spark.streaming.er import retract_stream
+
+    drop = tmp_path / "dels"
+    drop.mkdir()
+    t0 = os.stat(ER_AMBIG_PATH).st_mtime + 10
+    batches = [[301, 115], [102, 405]]
+    for i, ids in enumerate(batches):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"d{i}")
+        spark.createDataFrame(
+            [(int(r),) for r in ids], "rec_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = str(drop / f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    state = str(tmp_path / "state")
+    q = retract_stream(spark, state, deletes_stage=str(drop))
+    q.awaitTermination(180)
+
+    mdir = state + "/membership/batch=1"
+    spark.catalog.refreshByPath(mdir)
+    got = {
+        r.rec_id: r.entity for r in spark.read.parquet(mdir).collect()
+    }
+    people = spark.read.parquet(ER_AMBIG_PATH)
+    alive = people.filter(~F.col("rec_id").isin(list(RETRACT_DELETES)))
+    comp = connected_components(
+        er_pairs_for(alive).select("rec_a", "rec_b"),
+        src="rec_a",
+        dst="rec_b",
+    )
+    want = {
+        r.rec_id: r.entity
+        for r in alive.select("rec_id")
+        .join(comp, alive.rec_id == comp.node, "left")
+        .select("rec_id", F.coalesce("comp", F.col("rec_id")).alias("entity"))
+        .collect()
+    }
+    assert got == want
+    # golden table: split heads present, tombstoned ids absent
+    spark.catalog.refreshByPath(state + "/golden")
+    golden = {
+        r.entity: r for r in spark.read.parquet(state + "/golden").collect()
+    }
+    assert golden[302].name_mode == "marrah webbber"
+    assert golden[103].n_members == 2
+    for gone in (102, 115):
+        assert gone not in golden
+    # every live record's entity has a golden row; every golden entity
+    # is a live head
+    assert set(golden) == set(want.values())
+
+
+def test_retract_stream_restart_is_exactly_once(spark, tmp_path):
+    """A checkpointed re-run of the delete stream must process nothing
+    and leave membership snapshots and the golden table unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+    from changegen_spark.streaming.er import retract_stream
+
+    drop = tmp_path / "dels"
+    drop.mkdir()
+    tmp = str(tmp_path / "d0")
+    spark.createDataFrame([(301,)], "rec_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    shutil.copy(part, str(drop / "00.parquet"))
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = retract_stream(spark, state, deletes_stage=str(drop), checkpoint=ckpt)
+    q.awaitTermination(180)
+
+    def fingerprint():
+        spark.catalog.refreshByPath(state + "/membership/batch=0")
+        spark.catalog.refreshByPath(state + "/golden")
+        m = sorted(
+            (r.rec_id, r.entity)
+            for r in spark.read.parquet(state + "/membership/batch=0").collect()
+        )
+        g = sorted(
+            tuple(r) for r in spark.read.parquet(state + "/golden").collect()
+        )
+        return m, g, len(glob.glob(state + "/membership/batch=*"))
+
+    before = fingerprint()
+    q2 = retract_stream(
+        spark, state, deletes_stage=str(drop), checkpoint=ckpt
+    )
+    q2.awaitTermination(180)
+    assert fingerprint() == before

@@ -69,6 +69,14 @@ BASE = [
     # group B: resolve via batch-created entity (city delmont)
     (106, "gina moore", "delmont", 106),
     (107, "gina mooro", "delmont", 107),
+    # group C: a CHAIN under the key-blocking pair rule (same phonetic
+    # block, lev(300,301) = lev(301,302) = 2, lev(300,302) = 4) — 301 is
+    # a BRIDGE record whose retraction must SPLIT the cluster
+    # (queries/er/retract.py; the q_er_chain_audit hazard made load-
+    # bearing on purpose)
+    (300, "mara weber", "fairhope", 300),
+    (301, "marra webber", "fairhope", 300),
+    (302, "marrah webbber", "fairhope", 300),
 ]
 
 ARRIVALS = [
@@ -209,6 +217,22 @@ def _verify(rows) -> None:
     assert slev(407, surv106) > l_to_107, "tie must break"
     assert lev(407, 408) > l_to_107, "the new singleton must rank behind"
     assert lev(407, 408) <= LEV_MAX, "but still be a re-probe candidate"
+
+    # group C: the chain must hold under the key-blocking pair rule —
+    # one shared phonetic block, adjacent levs within the refine
+    # threshold, end-to-end lev beyond it (301 is a true bridge), and
+    # NO cross-group pair reaching into fairhope
+    assert keys(300)[0] == keys(301)[0] == keys(302)[0]
+    assert lev(300, 301) <= LEV_MAX and lev(301, 302) <= LEV_MAX
+    assert lev(300, 302) > LEV_MAX, "chain must not short-circuit"
+    stray = con.execute(
+        f"SELECT count(*) FROM p x JOIN p y ON x.rec_id < y.rec_id "
+        f"AND {block_key_sql(duck=True).replace('name', 'x.name')} = "
+        f"{block_key_sql(duck=True).replace('name', 'y.name')} "
+        f"AND levenshtein(lower(x.name), lower(y.name)) <= {LEV_MAX} "
+        "WHERE (x.city = 'fairhope') != (y.city = 'fairhope')"
+    ).fetchone()[0]
+    assert stray == 0, "no pair may cross into the chain group"
 
     # boring rows: 409 is the exact name of filler entity 108 (survivor
     # unchanged by the merge); 410 must match nothing at all
