@@ -300,6 +300,9 @@ KINDS = {
     "q_er_margin_audit": {"lev": "num", "gap": "num", "n": "num"},
     "q_er_ambiguous_resolve": {"rec_id": "num", "matched_entity": "num", "lev": "num", "margin": "num", "n_matches": "num", "status": "str"},
     "q_er_golden_retract": {"entity": "num", "status": "str", "n_members": "num", "name_mode": "str", "name_longest": "str", "city_latest": "str"},
+    "q_multimodal_decode": {"asset_id": "num", "width": "num", "height": "num", "n_pixels": "num", "mean_px": "e6", "ok": "num"},
+    "q_multimodal_frames": {"asset_id": "num", "frame_idx": "num", "mean_px": "e6"},
+    "q_multimodal_features_ann": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},
     "q_er_inc_audit": {"key_class": "str", "n_shared_keys": "num", "candidates": "num", "max_key_pairs": "num", "refined": "num"},
     "q_er_chain_audit": {"n_multi_entities": "num", "max_cluster_size": "num", "pairs_checked": "num", "chain_pairs": "num", "max_intra_lev": "num"},
     "q_df_prune_audit": {"n_terms": "num", "n_kept": "num", "sum_df2_all": "num", "sum_df2_kept": "num"},

@@ -74,7 +74,10 @@ def _norm_rows(df: DataFrame, entity_col) -> DataFrame:
 
 
 def updated_golden_names(
-    arrivals: DataFrame, base: DataFrame, margin: int = INC_MARGIN
+    arrivals: DataFrame,
+    base: DataFrame,
+    margin: int = INC_MARGIN,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """(entity, name, city) of the golden table AFTER applying one
     batch's confident merges (matched_entity ≥ 0) and new-entity inserts
@@ -82,10 +85,18 @@ def updated_golden_names(
     not golden.  Survivor name = the same mode-with-lexicographic-
     tiebreak rule as golden.q_er_golden_full / incremental.golden_delta;
     city = latest member's (members share the city whenever the entity
-    was updated by a merge, since refine demands city equality)."""
-    assigned = incremental_assign_margin(arrivals, base, margin=margin).select(
-        "rec_id", "matched_entity"
-    )
+    was updated by a merge, since refine demands city equality).
+
+    ``assigned`` (rec_id, matched_entity) short-circuits the internal
+    margin assignment when the caller already ran it — the ladder passes
+    a checkpointed frame so the 1M-rung candidate join executes once,
+    not once per consumer."""
+    if assigned is None:
+        assigned = incremental_assign_margin(
+            arrivals, base, margin=margin
+        ).select("rec_id", "matched_entity")
+    else:
+        assigned = assigned.select("rec_id", "matched_entity")
     arr = _norm_rows(arrivals, F.col("rec_id")).drop("entity").join(
         assigned, "rec_id"
     )
@@ -217,14 +228,19 @@ def reprobe_pool(
 
 
 def resolve_ambiguous(
-    arrivals: DataFrame, base: DataFrame, margin: int = INC_MARGIN
+    arrivals: DataFrame,
+    base: DataFrame,
+    margin: int = INC_MARGIN,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Terminal disposition for every margin-abstained arrival in the
     batch: (rec_id, matched_entity, lev, margin, n_matches, status) —
     matched_entity is the resolved entity id, −1 for new, −2 for still
     parked; lev/margin/n_matches describe the RE-PROBE (−1/−1/0 when it
-    came up dry); status ∈ resolved | new | still_ambiguous."""
-    assigned = incremental_assign_margin(arrivals, base, margin=margin)
+    came up dry); status ∈ resolved | new | still_ambiguous.
+    ``assigned`` as in updated_golden_names."""
+    if assigned is None:
+        assigned = incremental_assign_margin(arrivals, base, margin=margin)
     amb = (
         assigned.filter(F.col("matched_entity") == -2)
         .select("rec_id")
@@ -235,7 +251,9 @@ def resolve_ambiguous(
             F.coalesce("city", F.lit("")).alias("acity"),
         )
     )
-    golden = updated_golden_names(arrivals, base, margin=margin)
+    golden = updated_golden_names(
+        arrivals, base, margin=margin, assigned=assigned
+    )
     return reprobe_pool(amb, golden, margin=margin)
 
 

@@ -125,10 +125,19 @@ def q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched binary decode stage over the synthetic asset table."""
+    """Arrow-batched binary decode stage over the synthetic asset table.
+    Oracle-backed since r12 (r11 verdict #7): the asset payloads are
+    deterministic md5 chains, so the expected stats are pinned as a
+    literal VALUES table recomputed sequentially by
+    tools/make_media_gold.py; ``ok`` is cast to long so the whole row is
+    numeric for the digest kind map."""
     from changegen_spark.multimodal import decode_images, synth_assets
 
-    return decode_images(synth_assets(spark, 100)).orderBy("asset_id")
+    return (
+        decode_images(synth_assets(spark, 100))
+        .withColumn("ok", F.col("ok").cast("long"))
+        .orderBy("asset_id")
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,8 +412,19 @@ QUERIES = {
     "q_multimodal_features_ann": q_multimodal_features_ann,
 }
 
+# literal VALUES oracles for the deterministic synthetic-asset pipelines
+# (r11 verdict #7) — generated by tools/make_media_gold.py
+from changegen_spark.queries.extensions_gold import (  # noqa: E402
+    Q_MULTIMODAL_DECODE_SQL,
+    Q_MULTIMODAL_FEATURES_ANN_SQL,
+    Q_MULTIMODAL_FRAMES_SQL,
+)
+
 ORACLES: dict[str, str] = {
     # medoid-quantizer IVF is fully SQL-expressible (see q_ann_ivf)
     "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
+    "q_multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
+    "q_multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
+    "q_multimodal_features_ann": Q_MULTIMODAL_FEATURES_ANN_SQL,
 }

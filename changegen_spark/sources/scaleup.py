@@ -311,6 +311,97 @@ def build_er_records(
     return path
 
 
+def build_er_adversarial(
+    spark,
+    out: str,
+    n_entities: int = 100_000,
+    n_adv: int = 2_500,
+    dup_frac: float = 0.15,
+    seed: int = 11,
+    parts: int = 32,
+) -> str:
+    """ER scale fixture with an ADVERSARIAL corruption regime (r11
+    verdict #2): every wrong merge build_er_records can produce is an
+    exact best/runner-up TIE (margin 1 removes them all), so the
+    margin mechanism's strictly-closer-impostor path was unexercised.
+    Here the first ``2*n_adv`` entity ids are planted TWIN pairs: entity
+    2j is a true target, entity 2j+1 is a legitimate DIFFERENT person
+    whose name is one interior-vowel edit away in the same city (the
+    realistic smith/smyth-next-door case).  The adversarial arrivals
+    (after the normal dup arrivals) corrupt the TRUE entity's name with
+    the twin's vowel swap PLUS a doubled final letter — Levenshtein 1
+    from the impostor, 2 from the truth, same phonetic block, same city
+    — so the blind pick AND margin 1 both merge into the impostor
+    (gap = 1), and the survivor taxonomy's
+    ``wrong_stranger_strictly_closer`` goes non-zero by construction.
+    Margin 2 abstains on them (the measured mitigation row in the
+    ladder).
+
+    Twin-aware naming is CONSISTENT: normal dup arrivals that hash onto
+    a twin entity derive their variants from the twin's ACTUAL (swapped)
+    name, so ground truth stays clean.
+
+    Layout: base [0, n_entities), normal dups [n_entities,
+    n_entities+n_dup), adversarial arrivals [n_entities+n_dup, +n_adv)
+    with entity_id = 2*(k) for the k-th.  Idempotent per (size, n_adv).
+    """
+    import os
+
+    assert 2 * n_adv <= n_entities
+    path = os.path.join(out, f"er_adversarial_{n_entities}_{n_adv}.parquet")
+    if os.path.exists(path):
+        return path
+    n_dup = int(n_entities * dup_frac)
+
+    def ename(eid: int) -> str:
+        nm = _er_entity_name(eid, seed)
+        if eid < 2 * n_adv and eid % 2 == 1:
+            # twin: one interior vowel swap of its even sibling's name
+            return _er_variant(
+                _er_entity_name(eid - 1, seed), 0, _er_h(seed, eid - 1, "adv")
+            )
+        return nm
+
+    def ecity(eid: int) -> str:
+        if eid < 2 * n_adv and eid % 2 == 1:
+            eid = eid - 1  # twin shares the true target's city
+        return f"city{_er_h(seed, eid, 'c') % ER_N_CITIES}"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                if rid < n_entities:
+                    eid = rid
+                    name = ename(eid)
+                elif rid < n_entities + n_dup:
+                    j = rid - n_entities
+                    eid = _er_h(seed, j, "src") % n_entities
+                    name = _er_variant(
+                        ename(eid), j % 3, _er_h(seed, j, "op")
+                    )
+                else:
+                    k = rid - n_entities - n_dup
+                    eid = 2 * k
+                    twin = ename(eid + 1)
+                    name = twin + twin[-1]  # lev 1 to twin, 2 to truth
+                recs.append((rid, name, ecity(eid), eid))
+            yield pd.DataFrame(
+                recs, columns=["rec_id", "name", "city", "entity_id"]
+            )
+
+    (
+        spark.range(n_entities + n_dup + n_adv, numPartitions=parts)
+        .mapInPandas(gen, "rec_id long, name string, city string, entity_id long")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 # --- web-crawl URL scale fixture (r6) ----------------------------------------
 #
 # The committed web_urls.parquet is 811 rows; this builder synthesizes

@@ -1022,3 +1022,70 @@ def test_golden_retract_is_local_to_touched_entities(spark):
         ppl, spark.createDataFrame([(410,)], "rec_id long")
     ).collect()
     assert [(r.entity, r.status) for r in one] == [(410, "deleted")]
+
+
+def test_adversarial_regime_defeats_margin1_not_margin2(spark, tmp_path):
+    """The strictly-closer-impostor corruption regime (r11 verdict #2):
+    build_er_records' wrong merges are all exact ties (margin 1 removes
+    every one), so the taxonomy column wrong_stranger_strictly_closer
+    had never been non-zero.  build_er_adversarial plants twin entities
+    one vowel-edit apart and arrivals one edit from the IMPOSTOR twin,
+    two from the truth — margin 1 must merge them wrongly (gap 1), the
+    survivor taxonomy must classify them as stranger-strictly-closer,
+    and margin 2 (the measured mitigation) must park them instead."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import (
+        _inc_refined,
+        incremental_assign_margin,
+    )
+    from changegen_spark.sources.scaleup import build_er_adversarial
+
+    n_ent, n_adv = 2_000, 50
+    path = build_er_adversarial(
+        spark, str(tmp_path), n_entities=n_ent, n_adv=n_adv
+    )
+    ppl = spark.read.parquet(path)
+    base = ppl.filter(F.col("rec_id") < n_ent)
+    arrivals = ppl.filter(F.col("rec_id") >= n_ent)
+    n_dup = int(n_ent * 0.15)
+    adv = arrivals.filter(F.col("rec_id") >= n_ent + n_dup)
+    assert adv.count() == n_adv
+
+    for mg in (1, 2):
+        jm = (
+            incremental_assign_margin(arrivals, base, margin=mg)
+            .join(arrivals.select("rec_id", "entity_id"), "rec_id")
+            .filter(F.col("rec_id") >= n_ent + n_dup)
+        )
+        rows = {r.rec_id: r for r in jm.collect()}
+        wrong = [
+            r
+            for r in rows.values()
+            if r.matched_entity >= 0 and r.matched_entity != r.entity_id
+        ]
+        ambiguous = [r for r in rows.values() if r.matched_entity == -2]
+        if mg == 1:
+            # the regime works: the vast majority merge into the twin
+            # (a few arrivals can tie with a hash-coincident third name)
+            assert len(wrong) > n_adv * 0.8, (len(wrong), n_adv)
+            for r in wrong:
+                assert r.matched_entity == r.entity_id + 1, "the impostor"
+                assert r.lev == 1 and r.margin == 1
+            # taxonomy: the TRUE entity was a candidate, strictly behind
+            truecand = _inc_refined(arrivals, base).select(
+                F.col("a_id").alias("rec_id"),
+                F.col("b_id").alias("entity_id"),
+                F.col("lev").alias("true_lev"),
+            )
+            surv = spark.createDataFrame(
+                [(r.rec_id, r.entity_id, r.lev) for r in wrong],
+                "rec_id long, entity_id long, lev long",
+            ).join(truecand, ["rec_id", "entity_id"])
+            closer = surv.filter("true_lev > lev").count()
+            assert closer == len(wrong), "all survivors: stranger closer"
+        else:
+            # margin 2 is the mitigation: the impostor merges become
+            # abstentions (gap 1 < 2), not wrong merges
+            assert len(wrong) == 0
+            assert len(ambiguous) >= n_adv * 0.8
