@@ -128,19 +128,39 @@ def _base_oracles():
 # Spark job plus one ~100-subquery DuckDB statement — a driver-budget and
 # failure-isolation hazard.  Since r11 the shard COUNT is computed from the
 # registry size (r10 verdict #3: three fixed shards had regrown to 75
-# subqueries each) so it scales instead of rotting: covered = B − 50 + D
-# oracle-backed names sit outside the 50-slot window when D window rows are
-# digests, and D is the smallest count keeping every shard ≤ ~40
-# subqueries (D ≥ (B − 50)/39).  Each extra slot costs one rotating window
-# position (the displaced query is oracle-backed, so it simply joins the
-# covered set); a broken out-of-window query fails one shard, not the
-# whole transitive check.
+# subqueries each); covered = B − 50 + D oracle-backed names sit outside
+# the 50-slot window when D window rows are digests.  Each extra slot
+# costs one rotating window position (the displaced query is
+# oracle-backed, so it simply joins the covered set); a broken
+# out-of-window query fails one shard, not the whole transitive check.
+#
+# r12 (r11 verdict #6): the window SPEND is CAPPED at 6 slots.  The
+# uncapped formula grew ~1 slot per ~2 rounds, stretching LRU rotation
+# latency for every rotating family, while total digest WORK is
+# D-invariant (every covered query executes exactly once regardless of
+# packing) — more shards buy only failure-isolation granularity, which 6
+# shards already provide.  The per-shard budget rises from ~39 to a
+# 60-subquery ceiling: shards measured ~55 s at 38–39 subqueries
+# (CORRECTNESS_r11 / the judge's own shard-f re-run), so the ceiling
+# projects to ~85 s/shard — inside the driver's per-query tolerance and
+# cheaper than another displaced slot every other round.  Headroom: 50 +
+# 6×60 = 410 base oracles (~13 rounds at current growth).  Past that the
+# build fails loudly below, forcing an explicit decision (two-level
+# digest or a bigger window) instead of silent regrowth.
+_DIGEST_MAX_SLOTS = 6
+_DIGEST_SHARD_CEIL = 60
 
 
 def _digest_shard_count() -> int:
     b = len(_base_oracles())
+    if b - 50 > _DIGEST_MAX_SLOTS * _DIGEST_SHARD_CEIL:
+        raise ValueError(
+            f"digest capacity exceeded: {b} base oracles > "
+            f"{50 + _DIGEST_MAX_SLOTS * _DIGEST_SHARD_CEIL} — decide a new "
+            "policy (two-level digest / bigger window) explicitly"
+        )
     d = 3  # never fewer than the r3-era sharding
-    while 39 * d < b - 50:
+    while 39 * d < b - 50 and d < _DIGEST_MAX_SLOTS:
         d += 1
     return d
 
@@ -172,61 +192,59 @@ STANDING = (
 # current window, so including it would make the pin self-breaking (the
 # r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
 # landed).  Bump this constant WITH every rotation.
-ROTATION_ROUND = 11
+ROTATION_ROUND = 12
 
-# r11 window rotation: the mechanical LRU proposal, verbatim —
-# `python tools/never_direct.py --propose 11 --slots 37` (37 rotating
-# slots now: the computed digest sharding takes 6 window rows at the
-# current registry size).  The proposal leads with the two r11-new
-# queries (q_er_golden_full, q_er_incremental_margin — never-direct by
-# definition, direct the round they land per the r8-r10 precedent),
-# then the least-recently-direct names: the r4-era events/funnels
-# family (q_view_purchase_pairs … q_asof_join, displaced from the r10
-# proposal by that round's nine new queries), the r5 corpus-sampling
-# family, and the r6 vector/ANN family, all last direct in r4-r6.
-# Displaced r10 names fall back into the digest-covered set;
-# queries/digest.KINDS carries their schemas, so transitive
-# verification stays total.  Dict insertion order makes this stable:
-# rotated names are inserted right after the standing slots and keep
-# that position when the module sweep re-updates them.
+# r12 window rotation: the mechanical LRU proposal, verbatim —
+# `python tools/never_direct.py --propose 12 --slots 37`.  The proposal
+# leads with the five r12-new / newly-oracle-backed queries (the three
+# multimodal VALUES-oracle upgrades, the ambiguous-pool drain, the
+# retraction path — never-direct by definition, direct the round they
+# land per the r8-r11 precedent) and q_er_margin_audit (added post-close
+# in r11, the only other never-direct name), then the least-recently-
+# direct tail: the r5-era embedding/vector family, the r5 geo/dedup
+# names, and the r5-r6 sketch/search families.  Displaced r11 names fall
+# back into the digest-covered set; queries/digest.KINDS carries their
+# schemas, so transitive verification stays total.  Dict insertion order
+# makes this stable: rotated names are inserted right after the standing
+# slots and keep that position when the module sweep re-updates them.
 ROTATED_IN = (
-    "q_er_golden_full",
-    "q_er_incremental_margin",
-    "q_er_golden_inc",
-    "q_view_purchase_pairs",
-    "q_top_paths",
-    "q_interval_overlap",
-    "q_attribution",
-    "q_capped_balance",
-    "q_sessionize",
-    "q_props_parse",
-    "q_asof_join",
-    "q_range_join",
-    "q_dsir_weights",
-    "q_decontaminate",
-    "q_weighted_sample",
-    "q_external_decontaminate",
-    "q_corpus_pipeline",
-    "q_mixture_plan",
-    "q_pii_scrub",
-    "q_repetition",
-    "q_hash_sample",
-    "q_reservoir_sample",
-    "q_reservoir_per_source",
-    "q_stratified_split",
-    "q_token_chunks",
-    "q_pack_sequences",
-    "q_distance_join",
-    "q_bbox_join",
-    "q_knn_join",
-    "q_containment_join",
-    "q_embed_norm",
-    "q_hard_negatives",
-    "q_hard_negatives_lsh",
-    "q_label_centroids",
-    "q_ann_bruteforce",
-    "q_ann_lsh",
-    "q_ann_pq",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_features_ann",
+    "q_er_ambiguous_resolve",
+    "q_er_golden_retract",
+    "q_er_margin_audit",
+    "q_embedding_dedup",
+    "q_embedding_dedup_lsh",
+    "q_dim_standardize",
+    "q_random_projection",
+    "q_semantic_dedup",
+    "q_ann_ivf",
+    "q_event_windows",
+    "q_dwithin_semi",
+    "q_self_join",
+    "q_grid_dedup",
+    "q_mercator",
+    "q_nearest_neighbor",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_fingerprint",
+    "q_exact_dedup",
+    "q_lsh_pairs",
+    "q_simhash",
+    "q_hstore_parse",
+    "q_catalog",
+    "q_window_rank",
+    "q_window_funcs",
+    "q_pagerank",
+    "q_resample",
+    "q_bm25_search",
+    "q_setsim_join",
+    "q_winnow_pairs",
+    "q_hll_distinct",
+    "q_kmv_distinct",
+    "q_sample_quantiles",
+    "q_tag_unpivot",
 )
 
 
