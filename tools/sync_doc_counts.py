@@ -31,6 +31,38 @@ def main() -> None:
             print(f"{path}: -> {rep}")
     print(f"registry: {nq} queries, {no} oracles, {nd} digest-covered")
 
+    # r12 (r11 verdict #8): close-note drift check.  The LATEST
+    # "round-close gate state" block in GAPS.md quotes registry counts
+    # as prose ("N queries / M oracles"); the r11 note shipped quoting a
+    # pre-addition sweep.  Historical blocks legitimately carry old
+    # counts, so only the last block is checked — and checked, not
+    # rewritten: close notes are run evidence, a silent rewrite would
+    # falsify it.  Exit 1 so a stale note fails the round-close ritual.
+    gaps = open("GAPS.md").read()
+    headers = [
+        (int(m.group(1) or m.group(2)), m.start())
+        for m in re.finditer(
+            r"(?:Round-(\d+) close|r(\d+) round-close gate state)", gaps
+        )
+    ]
+    stale = []
+    if headers:
+        rnd, start = max(headers)  # the LATEST round's close note
+        # the note runs to the next markdown header of either style
+        m = re.search(r"\n(?:### |\d+[a-z]?\.\s+\*\*)", gaps[start:])
+        block = gaps[start : start + m.start()] if m else gaps[start:]
+        for m in re.finditer(r"(\d+)\s+queries\s*/\s*(\d+)\s+oracle", block):
+            q, o = int(m.group(1)), int(m.group(2))
+            if (q, o) != (nq, no):
+                stale.append(
+                    f"round-{rnd} close note says {q}/{o}, "
+                    f"registry is {nq}/{no}"
+                )
+    if stale:
+        for msg in stale:
+            print(f"STALE: {msg}")
+        raise SystemExit(1)
+
 
 if __name__ == "__main__":
     main()
