@@ -1089,3 +1089,20 @@ def test_adversarial_regime_defeats_margin1_not_margin2(spark, tmp_path):
             # abstentions (gap 1 < 2), not wrong merges
             assert len(wrong) == 0
             assert len(ambiguous) >= n_adv * 0.8
+
+
+def test_r12_er_plans_are_hash_joins_only(spark):
+    """Scale pins for the r12 additions: the pool re-probe and the
+    retraction delta must plan as hash/broadcast equi-joins — no
+    CartesianProduct, no BroadcastNestedLoopJoin (the re-probe is the
+    same keyed join shape as the first pass; retraction's subgraph CC
+    runs over keyed joins only)."""
+    from changegen_spark.queries.er import (
+        q_er_ambiguous_resolve,
+        q_er_golden_retract,
+    )
+
+    for fn in (q_er_ambiguous_resolve, q_er_golden_retract):
+        plan = fn(spark, "")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__

@@ -47,6 +47,12 @@ DOUBLE_ALLOWLIST = {
     ("q_cdc_chunks", "dup_frac"),
     ("q_corpus_pipeline", "contamination_frac"),
     ("q_cumulative_fraction", "frac"),
+    # r12 multimodal VALUES oracles: decode mean_px is integer-exact e6
+    # half-up, frames mean_px is round(.,6) mirrored by the generator,
+    # cos_sim is round(.,6) half-up on both sides (make_media_gold.py)
+    ("q_multimodal_decode", "mean_px"),
+    ("q_multimodal_frames", "mean_px"),
+    ("q_multimodal_features_ann", "cos_sim"),
     ("q_decontaminate", "contamination_frac"),
     ("q_dim_standardize", "max_abs_z"),
     ("q_dim_standardize", "mean_z"),
