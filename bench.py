@@ -698,10 +698,15 @@ def main() -> None:
                 .select("rec_id", "matched_entity")
                 .localCheckpoint(eager=True)
             )
+
+            def _resolve_noop():
+                resolve_ambiguous(
+                    arr_side, base_side, margin=1, assigned=am1
+                ).write.format("noop").mode("overwrite").save()
+
+            _resolve_noop()  # warm (codegen compile dominates the cold run)
             t0 = time.time()
-            resolve_ambiguous(
-                arr_side, base_side, margin=1, assigned=am1
-            ).write.format("noop").mode("overwrite").save()
+            _resolve_noop()
             resolve_wall = round(time.time() - t0, 3)
             dj = (
                 resolve_ambiguous(arr_side, base_side, margin=1, assigned=am1)

@@ -214,6 +214,7 @@ ROTATED_IN = (
     "q_er_ambiguous_resolve",
     "q_er_golden_retract",
     "q_er_margin_audit",
+    "q_er_new_entity_merge",
     "q_embedding_dedup",
     "q_embedding_dedup_lsh",
     "q_dim_standardize",
@@ -244,7 +245,6 @@ ROTATED_IN = (
     "q_hll_distinct",
     "q_kmv_distinct",
     "q_sample_quantiles",
-    "q_tag_unpivot",
 )
 
 

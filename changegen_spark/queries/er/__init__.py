@@ -88,8 +88,12 @@ from changegen_spark.queries.er.golden import (  # noqa: F401
 from changegen_spark.queries.er.resolve import (  # noqa: F401
     ER_AMBIG_PATH,
     Q_ER_AMBIGUOUS_RESOLVE_SQL,
+    Q_ER_NEW_ENTITY_MERGE_SQL,
     _ambig_people,
+    new_entity_merge,
     q_er_ambiguous_resolve,
+    q_er_new_entity_merge,
+    reprobe_pool,
     resolve_ambiguous,
     updated_golden_names,
 )
@@ -142,6 +146,7 @@ QUERIES = {
     "q_er_incremental_margin": q_er_incremental_margin,
     "q_er_golden_inc": q_er_golden_inc,
     "q_er_ambiguous_resolve": q_er_ambiguous_resolve,
+    "q_er_new_entity_merge": q_er_new_entity_merge,
     "q_er_golden_retract": q_er_golden_retract,
     "q_er_inc_audit": q_er_inc_audit,
     "q_er_margin_audit": q_er_margin_audit,
@@ -170,6 +175,7 @@ ORACLES = {
     "q_er_incremental_margin": Q_ER_INCREMENTAL_MARGIN_SQL,
     "q_er_golden_inc": Q_ER_GOLDEN_INC_SQL,
     "q_er_ambiguous_resolve": Q_ER_AMBIGUOUS_RESOLVE_SQL,
+    "q_er_new_entity_merge": Q_ER_NEW_ENTITY_MERGE_SQL,
     "q_er_golden_retract": Q_ER_GOLDEN_RETRACT_SQL,
     "q_er_inc_audit": Q_ER_INC_AUDIT_SQL,
     "q_er_margin_audit": Q_ER_MARGIN_AUDIT_SQL,

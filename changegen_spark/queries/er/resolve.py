@@ -257,6 +257,109 @@ def resolve_ambiguous(
     return reprobe_pool(amb, golden, margin=margin)
 
 
+def new_entity_merge(
+    arrivals: DataFrame,
+    base: DataFrame,
+    margin: int = INC_MARGIN,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Consolidate the batch's −1 pool BEFORE the new-entity insert: two
+    arrivals of the SAME new person in one batch each get −1 against the
+    base (neither is there yet), and a naive insert would mint two
+    entities for one person — a wrong-split that no later batch can
+    heal, because both rows are then base records that incremental
+    assignment never re-compares.  Here the −1 arrivals pair among
+    THEMSELVES through the same two candidate keys + city/Levenshtein
+    refine as the base probe, connected components merge the matches,
+    and the new entity id is the component's min rec_id.
+
+    Output: (rec_id, new_entity, n_members), one row per −1 arrival,
+    sorted by rec_id.  ``assigned`` as in updated_golden_names.
+
+    Scale shape: the pool is the batch's unmatched fraction; one
+    key-equality self-join over it (Σ_k f_k² candidate volume — the
+    same dial as q_er_inc_audit, over a far smaller frame), then CC
+    whose components are person-sized.  Never touches the base."""
+    from changegen_spark.functions.clustering import connected_components
+
+    if assigned is None:
+        assigned = incremental_assign_margin(arrivals, base, margin=margin)
+    fresh = (
+        assigned.filter(F.col("matched_entity") == -1)
+        .select("rec_id")
+        .join(arrivals, "rec_id")
+        .select(
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("fname"),
+            F.coalesce("city", F.lit("")).alias("fcity"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    keyed = _inc_keyed(
+        fresh.select(
+            "rec_id", F.col("fname").alias("name"), F.col("fcity").alias("city")
+        ),
+        "a_id",
+    )
+    cand = (
+        keyed.join(
+            keyed.select(
+                F.col("a_id").alias("b_id"), F.col("bkey").alias("bkey")
+            ),
+            "bkey",
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    attrs_a = fresh.select(
+        F.col("rec_id").alias("a_id"),
+        F.col("fname").alias("na"),
+        F.col("fcity").alias("ca"),
+    )
+    attrs_b = fresh.select(
+        F.col("rec_id").alias("b_id"),
+        F.col("fname").alias("nb"),
+        F.col("fcity").alias("cb"),
+    )
+    edges = (
+        cand.join(attrs_a, "a_id")
+        .join(attrs_b, "b_id")
+        .filter(
+            (F.col("ca") == F.col("cb"))
+            & (F.levenshtein("na", "nb") <= LEV_MAX)
+        )
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(edges, src="a_id", dst="b_id")
+    mapped = fresh.select("rec_id").join(
+        comp, fresh.rec_id == comp.node, "left"
+    ).select(
+        "rec_id", F.coalesce("comp", F.col("rec_id")).alias("new_entity")
+    )
+    sizes = mapped.groupBy("new_entity").agg(F.count("*").alias("n_members"))
+    return (
+        mapped.join(sizes, "new_entity")
+        .select(
+            F.col("rec_id").cast("long"),
+            F.col("new_entity").cast("long"),
+            F.col("n_members").cast("long"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def q_er_new_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """−1-pool consolidation over the planted fixture: arrivals 410/411
+    are 1-edit variants of the same genuinely-new person (no base
+    match) and must merge into ONE new entity (410); 408 stays a
+    singleton."""
+    ppl = _ambig_people(spark)
+    return new_entity_merge(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
 def q_er_ambiguous_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the ambiguous pool over the planted-tie fixture: arrivals
     (rec_id ≥ 400) margin-assigned against the base (< 400), the batch's
@@ -368,5 +471,59 @@ SELECT m.rec_id,
             WHEN p.me = -2 THEN 'still_ambiguous'
             ELSE 'resolved' END AS status
 FROM amb m LEFT JOIN picked p ON p.a_id = m.rec_id
+ORDER BY m.rec_id
+"""
+
+
+Q_ER_NEW_ENTITY_MERGE_SQL = f"""
+WITH RECURSIVE {inc_refined_sql_body(ER_AMBIG_PATH)}
+, best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev
+  FROM refined
+), assigned AS (
+  SELECT a.rec_id,
+         CASE
+           WHEN b.a_id IS NULL THEN -1
+           WHEN b.second_lev IS NOT NULL
+                AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+           ELSE b.b_id
+         END AS me
+  FROM arrivals a
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+), fresh AS (
+  SELECT a.rec_id, coalesce(lower(a.name), '') AS name,
+         coalesce(a.city, '') AS city
+  FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id WHERE s.me = -1
+), fkeys AS (
+  SELECT rec_id, 'k1|' || city || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM fresh
+  UNION ALL
+  SELECT rec_id, 'k2|' || city || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '')
+         || '|' || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM fresh
+), fedges AS (
+  SELECT DISTINCT x.rec_id AS a, y.rec_id AS b
+  FROM fkeys x JOIN fkeys y ON x.bkey = y.bkey AND x.rec_id <> y.rec_id
+  JOIN fresh fa ON fa.rec_id = x.rec_id
+  JOIN fresh fb ON fb.rec_id = y.rec_id
+  WHERE fa.city = fb.city
+    AND levenshtein(fa.name, fb.name) <= {LEV_MAX}
+), freach(a, b) AS (
+  SELECT a, b FROM fedges
+  UNION
+  SELECT r.a, e.b FROM freach r JOIN fedges e ON r.b = e.a
+), fcomp AS (
+  SELECT a AS rec_id, least(a, min(b)) AS new_entity FROM freach GROUP BY a
+), mapped AS (
+  SELECT f.rec_id, coalesce(c.new_entity, f.rec_id) AS new_entity
+  FROM fresh f LEFT JOIN fcomp c ON c.rec_id = f.rec_id
+)
+SELECT CAST(m.rec_id AS BIGINT) AS rec_id,
+       CAST(m.new_entity AS BIGINT) AS new_entity,
+       CAST(count(*) OVER (PARTITION BY m.new_entity) AS BIGINT) AS n_members
+FROM mapped m
 ORDER BY m.rec_id
 """

@@ -1016,12 +1016,16 @@ def test_golden_retract_is_local_to_touched_entities(spark):
     from changegen_spark.queries.er import _ambig_people, golden_retract
 
     ppl = _ambig_people(spark)
-    # deleting a record that matches nothing (410) touches only its own
-    # singleton entity
+    # deleting 410 touches only its own 2-member cluster ({410, 411} —
+    # the planted intra-batch duplicate pair): the cluster re-heads
+    # under 411, and no other entity appears in the delta
     one = golden_retract(
         ppl, spark.createDataFrame([(410,)], "rec_id long")
     ).collect()
-    assert [(r.entity, r.status) for r in one] == [(410, "deleted")]
+    assert [(r.entity, r.status) for r in one] == [
+        (410, "deleted"),
+        (411, "split"),
+    ]
 
 
 def test_adversarial_regime_defeats_margin1_not_margin2(spark, tmp_path):
@@ -1106,3 +1110,20 @@ def test_r12_er_plans_are_hash_joins_only(spark):
         plan = fn(spark, "")._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_new_entity_merge_consolidates_intra_batch_duplicates(spark):
+    """The −1-pool consolidation (r12, beyond the verdict list): two
+    arrivals of the same genuinely-new person in one batch (410/411,
+    1-edit variants with no base match) must become ONE new entity —
+    a naive per-arrival insert would mint two, a wrong-split no later
+    batch can heal (both rows would then be base records incremental
+    assignment never re-compares).  The unrelated −1 arrival stays a
+    singleton."""
+    from changegen_spark.queries.er import q_er_new_entity_merge
+
+    got = {
+        r.rec_id: (r.new_entity, r.n_members)
+        for r in q_er_new_entity_merge(spark, "").collect()
+    }
+    assert got == {408: (408, 1), 410: (410, 2), 411: (410, 2)}

@@ -722,7 +722,7 @@ def test_resolve_stream_carried_pool_matches_batch_operator(spark, tmp_path):
     stage = _stage_ambig_ordered(
         spark,
         tmp_path,
-        [[401, 402, 405, 407], [400, 409, 410], [403, 404, 406, 408]],
+        [[401, 402, 405, 407], [400, 409, 410, 411], [403, 404, 406, 408]],
     )
     state = str(tmp_path / "state")
     q = resolve_maintenance_stream(spark, state, stage_dir=stage)
@@ -766,7 +766,7 @@ def test_resolve_stream_single_batch_equals_batch_query(spark, tmp_path):
     from changegen_spark.streaming.er import resolve_maintenance_stream
 
     stage = _stage_ambig_ordered(
-        spark, tmp_path, [[400 + i for i in range(11)]]
+        spark, tmp_path, [[400 + i for i in range(12)]]
     )
     state = str(tmp_path / "state")
     q = resolve_maintenance_stream(spark, state, stage_dir=stage)

@@ -96,8 +96,13 @@ ARRIVALS = [
     # boring confident arrival whose name equals its entity's (survivor
     # unchanged): the re-resolution path must not touch it
     (409, "omar veith", "ellsworth", 108),
-    # genuinely new person, far from everything
+    # genuinely new person, far from every BASE record — but arriving
+    # TWICE in the batch (410/411 are 1-edit variants of each other):
+    # naive new-entity insert would create two entities for one person;
+    # the −1-pool consolidation operator (queries/er/resolve.py
+    # new_entity_merge) must merge them
     (410, "tove lindqvist", "ellsworth", -1),
+    (411, "tove lindquist", "ellsworth", -1),
 ]
 
 # filler base entities: unique names, no planted relations — golden-table
@@ -235,13 +240,19 @@ def _verify(rows) -> None:
     assert stray == 0, "no pair may cross into the chain group"
 
     # boring rows: 409 is the exact name of filler entity 108 (survivor
-    # unchanged by the merge); 410 must match nothing at all
+    # unchanged by the merge); 410/411 must match no BASE record but
+    # must match EACH OTHER (the intra-batch new-entity duplicate)
     assert name(409) == name(108)
-    worst = con.execute(
-        "SELECT min(levenshtein(lower(x.name), lower(y.name))) FROM p x, p y "
-        "WHERE x.rec_id = 410 AND y.rec_id < 400"
-    ).fetchone()[0]
-    assert worst > LEV_MAX, ("410 must be a genuine new person", worst)
+    for rid in (410, 411):
+        worst = con.execute(
+            "SELECT min(levenshtein(lower(x.name), lower(y.name))) "
+            "FROM p x, p y WHERE x.rec_id = ? AND y.rec_id < 400",
+            [rid],
+        ).fetchone()[0]
+        assert worst > LEV_MAX, (rid, "must be a genuine new person", worst)
+    assert lev(410, 411) <= LEV_MAX and keys(410)[0] == keys(411)[0], (
+        "the duplicate new arrivals must be mutually reachable"
+    )
     con.close()
 
 
