@@ -737,9 +737,10 @@ def main() -> None:
                 cpairs = er_pairs_sn_suffix(ppl, refine_cols=("city",))
                 st = {}
                 t0 = time.time()
-                n_rec = connected_components(
+                labels = connected_components(
                     cpairs, src="rec_a", dst="rec_b", stats=st
-                ).count()
+                )
+                n_rec = labels.count()
                 row["clusters"] = {
                     "scheme": "sn_suffix_refine",
                     "records": n_rec,
@@ -758,15 +759,62 @@ def main() -> None:
                 connected_components(cpairs, src="rec_a", dst="rec_b").count()
                 st = {}
                 t0 = time.time()
-                n_rec = connected_components(
+                labels = connected_components(
                     cpairs, src="rec_a", dst="rec_b", stats=st
-                ).count()
+                )
+                n_rec = labels.count()
                 row["clusters"] = {
                     "scheme": "with_city",
                     "records": n_rec,
                     "cc_rounds": st.get("rounds"),
                     "wall_s": round(time.time() - t0, 3),
                 }
+            # r12: RETRACTION at scale — the touched-entities-only
+            # contract MEASURED, not asserted: delete the same absolute
+            # batch (1,000 records) at every rung and time the
+            # retraction CORE (rehome_touched: touched members → subset
+            # pair regen → subgraph CC → re-head).  If the contract
+            # holds, the wall tracks the TOUCHED size (≈ constant across
+            # rungs), not the base size; the full-membership snapshot
+            # write the fixture-scale stream does is passthrough, not
+            # work, and is excluded by construction.
+            from changegen_spark.streaming.er import rehome_touched
+
+            membership = (
+                ppl.select("rec_id")
+                .join(
+                    labels.withColumnRenamed("node", "rec_id"),
+                    "rec_id",
+                    "left",
+                )
+                .select(
+                    "rec_id",
+                    _F.coalesce("comp", _F.col("rec_id")).alias("entity"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            r_dels = ppl.filter(_F.col("rec_id") < 1000).select("rec_id")
+
+            def _retract_noop():
+                rehome_touched(membership, r_dels, ppl).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            _retract_noop()  # warm
+            t0 = time.time()
+            _retract_noop()
+            retract_wall = round(time.time() - t0, 3)
+            touched_n = (
+                membership.join(r_dels, "rec_id")
+                .select("entity")
+                .distinct()
+                .count()
+            )
+            row["retract"] = {
+                "n_deletes": 1000,
+                "touched_entities": touched_n,
+                "wall_s": retract_wall,
+            }
             # r11 (r10 verdict #2): entity-level B³ per scheme — pair
             # recall understates a transitive scheme (cluster-recovered
             # pairs) and pair precision understates chain cost; B³
@@ -813,6 +861,13 @@ def main() -> None:
         er["growth_wall_10x_clusters"] = round(
             er["n"]["100000"]["clusters"]["wall_s"]
             / er["n"]["10000"]["clusters"]["wall_s"],
+            2,
+        )
+        # the retraction contract in one number: same 1,000-record
+        # delete batch at 10× the base should cost ~1× the wall
+        er["growth_wall_100k_1m_retract"] = round(
+            er["n"]["1000000"]["retract"]["wall_s"]
+            / er["n"]["100000"]["retract"]["wall_s"],
             2,
         )
         # r12 (r11 verdict #2): the ADVERSARIAL rung — the standard

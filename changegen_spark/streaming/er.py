@@ -392,18 +392,18 @@ def resolve_maintenance_stream(
     return writer.start()
 
 
-def retract_membership(
+def rehome_touched(
     membership: DataFrame,
     deletes: DataFrame,
     people: DataFrame,
 ) -> DataFrame:
-    """One retraction step over a (rec_id, entity) membership table:
-    remove the deleted records, re-run connected components on the
-    SUBGRAPH induced by the touched entities' remaining members (pair
-    generation re-run on just that record subset — the local recompute
-    contract of queries/er/retract.golden_retract), and re-head the
-    resulting components by min rec_id.  Untouched entities pass through
-    byte-identical.  Returns the new full membership."""
+    """The touched-only CORE of a retraction step: the new (rec_id,
+    entity) assignments for the REMAINING members of the entities that
+    lost a record — pair generation re-run on just that record subset,
+    CC on the induced subgraph, components re-headed by min rec_id.
+    This frame is all the retraction WORK there is (the er_ladder
+    ``retract`` cell times exactly it); everything else in
+    retract_membership is untouched-row passthrough."""
     from pyspark.sql import functions as F
 
     from changegen_spark.functions.clustering import connected_components
@@ -413,7 +413,6 @@ def retract_membership(
     touched = (
         membership.join(dels, "rec_id").select("entity").distinct()
     ).localCheckpoint(eager=True)
-    untouched = membership.join(F.broadcast(touched), "entity", "left_anti")
     remaining = membership.join(F.broadcast(touched), "entity").join(
         dels, "rec_id", "left_anti"
     )
@@ -422,11 +421,30 @@ def retract_membership(
     ).localCheckpoint(eager=True)
     sub_edges = er_pairs_for(sub_people).select("rec_a", "rec_b")
     subcomp = connected_components(sub_edges, src="rec_a", dst="rec_b")
-    rehomed = remaining.select("rec_id").join(
+    return remaining.select("rec_id").join(
         subcomp, remaining.rec_id == subcomp.node, "left"
     ).select(
         "rec_id", F.coalesce("comp", F.col("rec_id")).alias("entity")
     )
+
+
+def retract_membership(
+    membership: DataFrame,
+    deletes: DataFrame,
+    people: DataFrame,
+) -> DataFrame:
+    """One retraction step over a (rec_id, entity) membership table:
+    remove the deleted records, re-home the touched entities' remaining
+    members (``rehome_touched``), pass untouched entities through
+    byte-identical.  Returns the new full membership."""
+    from pyspark.sql import functions as F
+
+    dels = deletes.select("rec_id").distinct()
+    touched = (
+        membership.join(dels, "rec_id").select("entity").distinct()
+    ).localCheckpoint(eager=True)
+    untouched = membership.join(F.broadcast(touched), "entity", "left_anti")
+    rehomed = rehome_touched(membership, deletes, people)
     return untouched.select("rec_id", "entity").unionByName(rehomed)
 
 
