@@ -50,3 +50,24 @@ def test_delete_repair_affected_group_filter_is_a_broadcast_semi_join(
         .toString()
     )
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_mv_join_refresh_delta_terms_all_exercised(spark, sf_dir):
+    """The delta-join decomposition must be exact (consistent=1 on every
+    group) AND non-trivially exercised: all three delta terms (new
+    order × old shipments, old order × new shipments, new × new) carry
+    rows at this sf — otherwise the audit proves less than it claims."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mv import _join_sides, q_mv_join_refresh
+
+    rows = q_mv_join_refresh(spark, sf_dir).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+    assert sum(r.n_inc for r in rows) == sum(r.n_full for r in rows)
+
+    o, li = _join_sides(spark, sf_dir)
+    a_old, d_a = o.filter("a_base"), o.filter("NOT a_base")
+    b_old, d_b = li.filter("b_base"), li.filter("NOT b_base")
+    assert d_a.join(b_old, "o_orderkey").count() > 0
+    assert a_old.join(d_b, "o_orderkey").count() > 0
+    assert d_a.join(d_b, "o_orderkey").count() > 0
