@@ -1127,3 +1127,79 @@ def test_new_entity_merge_consolidates_intra_batch_duplicates(spark):
         for r in q_er_new_entity_merge(spark, "").collect()
     }
     assert got == {408: (408, 1), 410: (410, 2), 411: (410, 2)}
+
+
+def test_retract_iterated_local_recompute_equals_global_property():
+    """Property (pure Python, no Spark): the retraction algorithm's
+    compositional claim — applying delete batches one at a time with
+    the TOUCHED-ENTITIES-ONLY recompute (retract_membership's logic:
+    remaining members of touched entities, edges restricted to them,
+    re-CC, min-id heads; untouched entities pass through) converges to
+    exactly the global CC over the surviving nodes, for ANY graph and
+    ANY batch split.  This is the invariant the Spark twins rely on;
+    the fixture tests pin single instances, this pins the algebra."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def global_cc(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a in parent and b in parent:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    def retract_step(membership, dels, edges):
+        touched = {e for n, e in membership.items() if n in dels}
+        remaining = {
+            n for n, e in membership.items()
+            if e in touched and n not in dels
+        }
+        sub_edges = [
+            (a, b) for a, b in edges if a in remaining and b in remaining
+        ]
+        rehomed = global_cc(remaining, sub_edges)
+        out = {
+            n: e for n, e in membership.items()
+            if e not in touched
+        }
+        out.update(rehomed)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=12),
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=11),
+                st.integers(min_value=0, max_value=11),
+            ),
+            max_size=20,
+        ),
+        dels=st.lists(
+            st.integers(min_value=0, max_value=11), max_size=8
+        ),
+        n_batches=st.integers(min_value=1, max_value=3),
+    )
+    def check(n, edges, dels, n_batches):
+        nodes = set(range(n))
+        edges = [(a, b) for a, b in edges if a in nodes and b in nodes and a != b]
+        dels = [d for d in dels if d in nodes]
+        membership = global_cc(nodes, edges)
+        batches = [
+            dels[i::n_batches] for i in range(n_batches)
+        ]
+        for batch in batches:
+            membership = retract_step(membership, set(batch), edges)
+        survivors = nodes - set(dels)
+        assert membership == global_cc(survivors, edges)
+
+    check()
