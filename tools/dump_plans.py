@@ -44,6 +44,8 @@ ANNOTATED = {
     "q_mv_delete_repair": "affected-group filter is a broadcast LeftSemi on the group-id frame; untouched groups served from the MV via the anti-join branch — the base table is never shuffled for the filter",
     "q17_small_quantity": "per-part stats aggregate consumes the LeftSemi-pruned lineitem (Brand#9 keys broadcast) — the stats exchange carries ~1/25 of the partkeys, not all of them (r7 fix, verdict #7)",
     "q_media_dup_pairs_mih": "multi-index Hamming: radius-1 probe keys equi-joined against exact 32-bit half keys (ids only through the shuffle), hashes re-attached by id, exact 64-bit refine — no cartesian/nested-loop; candidate volume ~linear (r7, verdict #1)",
+    "q_er_ambiguous_resolve": "r12 pool drain: both passes (base probe, golden re-probe) are candidate-key hash equi-joins; survivorship is two-level hash aggregates; the only windows are partitioned by the probe id — no cartesian, no data-sized single-partition stage",
+    "q_mv_join_refresh": "r12 delta-join view maintenance: every delta term is an equi-join with one small side (broadcastable at real delta sizes); the audit's full recompute is the only base⋈base join and exists solely to prove the shortcut",
 }
 
 # Static audit note prepended to the generated file (r4 verdict #5).
