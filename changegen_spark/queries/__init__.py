@@ -216,6 +216,7 @@ ROTATED_IN = (
     "q_er_margin_audit",
     "q_er_new_entity_merge",
     "q_mv_join_refresh",
+    "q_mv_join_delete",
     "q_embedding_dedup",
     "q_embedding_dedup_lsh",
     "q_dim_standardize",
@@ -244,7 +245,6 @@ ROTATED_IN = (
     "q_setsim_join",
     "q_winnow_pairs",
     "q_hll_distinct",
-    "q_kmv_distinct",
 )
 
 

@@ -302,6 +302,7 @@ KINDS = {
     "q_er_golden_retract": {"entity": "num", "status": "str", "n_members": "num", "name_mode": "str", "name_longest": "str", "city_latest": "str"},
     "q_er_new_entity_merge": {"rec_id": "num", "new_entity": "num", "n_members": "num"},
     "q_mv_join_refresh": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
+    "q_mv_join_delete": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_multimodal_decode": {"asset_id": "num", "width": "num", "height": "num", "n_pixels": "num", "mean_px": "e6", "ok": "num"},
     "q_multimodal_frames": {"asset_id": "num", "frame_idx": "num", "mean_px": "e6"},
     "q_multimodal_features_ann": {"query_id": "num", "vec_id": "num", "cos_sim": "e6", "rank": "num"},

@@ -345,14 +345,123 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
+# deterministic "deleted rows" for the join-view delete path: a 1/7 of
+# orders (the aggregate path's predicate, reused) and an independent
+# ~1/9 of lineitems.  The B-side predicate is a pure function of the
+# lineitem KEY — deliberately: the synthetic lineitem table carries
+# duplicate (l_orderkey, l_linenumber) keys (11,785 at sf0.01), so a
+# row-identity delete is ill-defined there; CDC deletes are KEYED, and
+# a key-determined predicate makes "delete the key" and "filter the
+# rows" provably the same set (the first cut of this query keyed the
+# delete on l_partkey and the anti-join removed all copies of keys the
+# filter kept — the oracle caught it)
+DELETE_PRED_B = "(l_orderkey * 7 + l_linenumber) % 9 = 4"
+
+
+def q_mv_join_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete maintenance of the materialized JOIN view (r12, the other
+    half of q_mv_join_refresh's differential story): deletes land on
+    BOTH base tables, and the maintained view sheds exactly the rows
+    that joined a deleted row on EITHER side —
+
+        V_new = V_old ▷ delA(keys) ▷ delB(row keys)
+
+    two ANTI-joins against the stored view with the (small) delete-key
+    sets broadcast; the base tables are never re-joined.  Emitted per
+    (priority, returnflag): the anti-join-maintained counts/sums next
+    to a from-scratch join over the filtered bases, consistent=1 iff
+    bit-equal.
+
+    100 TB shape: each anti-join is a BroadcastHashJoin with the delete
+    keys as the build side (CDC delete batches are delta-sized); the
+    view-sized side streams through map-side.  The full recompute is
+    the audit, not the mechanism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(f"CAST({DELETE_PRED} AS INT)").alias("a_del"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(f"CAST({DELETE_PRED_B} AS INT)").alias("b_del"),
+    )
+    v_old = o.join(li, "o_orderkey")
+    del_a = o.filter("a_del = 1").select("o_orderkey")
+    del_b = li.filter("b_del = 1").select("o_orderkey", "l_linenumber")
+    v_inc = v_old.join(F.broadcast(del_a), "o_orderkey", "left_anti").join(
+        F.broadcast(del_b), ["o_orderkey", "l_linenumber"], "left_anti"
+    )
+    inc = _join_agg(
+        v_inc.select("o_orderpriority", "l_returnflag", "cents"), "inc"
+    )
+    full = _join_agg(
+        o.filter("a_del = 0")
+        .join(li.filter("b_del = 0"), "o_orderkey")
+        .select("o_orderpriority", "l_returnflag", "cents"),
+        "full",
+    )
+    return (
+        inc.join(full, ["o_orderpriority", "l_returnflag"], "full_outer")
+        .selectExpr(
+            "o_orderpriority",
+            "l_returnflag",
+            "CAST(n_inc AS BIGINT) AS n_inc",
+            "CAST(sum_inc AS BIGINT) AS sum_inc",
+            "CAST(n_full AS BIGINT) AS n_full",
+            "CAST(sum_full AS BIGINT) AS sum_full",
+            "CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent",
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+Q_MV_JOIN_DELETE_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST({DELETE_PRED} AS INT) AS a_del
+  FROM orders
+), b AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST({DELETE_PRED_B} AS INT) AS b_del
+  FROM lineitem
+), v_inc AS (
+  SELECT a.o_orderpriority, b.l_returnflag, b.cents
+  FROM a JOIN b USING (o_orderkey)
+  WHERE a.a_del = 0 AND b.b_del = 0
+), inc AS (
+  SELECT o_orderpriority, l_returnflag,
+         count(*) AS n_inc, CAST(sum(cents) AS BIGINT) AS sum_inc
+  FROM v_inc GROUP BY 1, 2
+), full_v AS (
+  SELECT a.o_orderpriority, b.l_returnflag,
+         count(*) AS n_full, CAST(sum(cents) AS BIGINT) AS sum_full
+  FROM a JOIN b USING (o_orderkey)
+  WHERE a.a_del = 0 AND b.b_del = 0
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, l_returnflag,
+       CAST(n_inc AS BIGINT) AS n_inc, sum_inc,
+       CAST(n_full AS BIGINT) AS n_full, sum_full,
+       CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent
+FROM inc FULL OUTER JOIN full_v USING (o_orderpriority, l_returnflag)
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+
 QUERIES = {
     "q_mv_refresh": q_mv_refresh,
     "q_mv_delete_repair": q_mv_delete_repair,
     "q_mv_join_refresh": q_mv_join_refresh,
+    "q_mv_join_delete": q_mv_join_delete,
 }
 
 ORACLES = {
     "q_mv_refresh": Q_MV_REFRESH_SQL,
     "q_mv_delete_repair": Q_MV_DELETE_REPAIR_SQL,
     "q_mv_join_refresh": Q_MV_JOIN_REFRESH_SQL,
+    "q_mv_join_delete": Q_MV_JOIN_DELETE_SQL,
 }

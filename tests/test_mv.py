@@ -71,3 +71,47 @@ def test_mv_join_refresh_delta_terms_all_exercised(spark, sf_dir):
     assert d_a.join(b_old, "o_orderkey").count() > 0
     assert a_old.join(d_b, "o_orderkey").count() > 0
     assert d_a.join(d_b, "o_orderkey").count() > 0
+
+
+def test_mv_join_delete_antijoin_equals_filter_and_overlap_exercised(
+    spark, sf_dir
+):
+    """The keyed delete path: anti-join maintenance must equal the
+    filtered recompute on every group (consistent=1), the two delete
+    sets must OVERLAP on some view rows (both-sides-deleted exercised),
+    and the plan must be broadcast anti-joins — no cartesian.  The
+    B-side predicate is key-determined on purpose: this table carries
+    duplicate (orderkey, linenumber) keys, so a row-identity delete is
+    ill-defined and the first (l_partkey-keyed) cut removed all copies
+    of keys the filter kept — the oracle caught it."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mv import (
+        DELETE_PRED,
+        DELETE_PRED_B,
+        q_mv_join_delete,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    rows = q_mv_join_delete(spark, sf_dir).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(f"CAST({DELETE_PRED} AS INT)").alias("a_del")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(f"CAST({DELETE_PRED_B} AS INT)").alias("b_del"),
+    )
+    both = o.join(li, "o_orderkey").filter("a_del = 1 AND b_del = 1")
+    assert both.count() > 0, "both-sides-deleted rows must exist"
+
+    plan = (
+        q_mv_join_delete(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
