@@ -240,7 +240,12 @@ def resolve_ambiguous(
     came up dry); status ∈ resolved | new | still_ambiguous.
     ``assigned`` as in updated_golden_names."""
     if assigned is None:
-        assigned = incremental_assign_margin(arrivals, base, margin=margin)
+        # fence: this frame has TWO consumers below (the pool filter and
+        # the golden-member build) — unfenced, the candidate join would
+        # execute once per consumer
+        assigned = incremental_assign_margin(
+            arrivals, base, margin=margin
+        ).localCheckpoint(eager=False)
     amb = (
         assigned.filter(F.col("matched_entity") == -2)
         .select("rec_id")
