@@ -1203,3 +1203,28 @@ def test_retract_iterated_local_recompute_equals_global_property():
         assert membership == global_cc(survivors, edges)
 
     check()
+
+
+def test_er_ambig_fixture_drift_guard(spark):
+    """The er_ambig fixture is committed and its planted relations are
+    build-time-asserted by tools/make_er_ambig.py — but only when the
+    generator RUNS.  This pins the shipped parquet's shape so a
+    generator edit without a rebuild (or a rebuild that changes the
+    plant) fails loudly instead of silently shifting the resolve /
+    retract / consolidation oracles."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import ER_AMBIG_PATH
+
+    df = spark.read.parquet(ER_AMBIG_PATH)
+    assert df.count() == 43
+    ids = {r.rec_id for r in df.select("rec_id").collect()}
+    # the planted groups and the chain must be present verbatim
+    assert {100, 101, 102, 103, 104, 105, 106, 107} <= ids
+    assert {300, 301, 302} <= ids, "the retraction bridge chain"
+    assert {r for r in ids if r >= 400} == set(range(400, 412))
+    names = {
+        r.rec_id: r.name for r in df.filter("rec_id IN (301, 410, 411)").collect()
+    }
+    assert names[301] == "marra webber", "the bridge record"
+    assert names[410] == "tove lindqvist" and names[411] == "tove lindquist"
