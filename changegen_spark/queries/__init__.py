@@ -217,6 +217,9 @@ ROTATED_IN = (
     "q_er_new_entity_merge",
     "q_mv_join_refresh",
     "q_mv_join_delete",
+    "q_streaming_windows",
+    "q_streaming_pair_join",
+    "q_streaming_reservoir",
     "q_embedding_dedup",
     "q_embedding_dedup_lsh",
     "q_dim_standardize",
@@ -242,9 +245,6 @@ ROTATED_IN = (
     "q_pagerank",
     "q_resample",
     "q_bm25_search",
-    "q_setsim_join",
-    "q_winnow_pairs",
-    "q_hll_distinct",
 )
 
 

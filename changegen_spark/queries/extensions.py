@@ -420,10 +420,28 @@ from changegen_spark.queries.extensions_gold import (  # noqa: E402
     Q_MULTIMODAL_FRAMES_SQL,
 )
 
+# run-to-completion streaming twins whose ROW-EXACT equality with an
+# oracle-backed batch query is pytest-pinned inherit that query's oracle
+# verbatim (r12): a finite availableNow stream is just another execution
+# strategy for the same relation, so "rows-only by nature (streaming)"
+# was underclaiming — the weaker check applies only where emission
+# SEMANTICS differ from any batch relation (update-mode intermediate
+# rows, session-window bounds, engine-specific sketch hashes).
+from changegen_spark.queries.events import (  # noqa: E402
+    Q_EVENT_WINDOWS_SQL,
+    Q_VIEW_PURCHASE_PAIRS_SQL,
+)
+from changegen_spark.queries import mlprep as _mlprep_oracles  # noqa: E402
+
 ORACLES: dict[str, str] = {
     # medoid-quantizer IVF is fully SQL-expressible (see q_ann_ivf)
     "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
+    "q_streaming_windows": Q_EVENT_WINDOWS_SQL,
+    "q_streaming_pair_join": Q_VIEW_PURCHASE_PAIRS_SQL,
+    "q_streaming_reservoir": _mlprep_oracles.ORACLES[
+        "q_reservoir_per_source"
+    ],
     "q_multimodal_decode": Q_MULTIMODAL_DECODE_SQL,
     "q_multimodal_frames": Q_MULTIMODAL_FRAMES_SQL,
     "q_multimodal_features_ann": Q_MULTIMODAL_FEATURES_ANN_SQL,

@@ -51,6 +51,9 @@ DOUBLE_ALLOWLIST = {
     # half-up, frames mean_px is round(.,6) mirrored by the generator,
     # cos_sim is round(.,6) half-up on both sides (make_media_gold.py)
     ("q_multimodal_decode", "mean_px"),
+    # r12 streaming-twin oracle reuse: same column as the batch twin's
+    # allowlisted es_key (round(.,9) on both sides)
+    ("q_streaming_reservoir", "es_key"),
     ("q_multimodal_frames", "mean_px"),
     ("q_multimodal_features_ann", "cos_sim"),
     ("q_decontaminate", "contamination_frac"),
