@@ -195,18 +195,21 @@ STANDING = (
 ROTATION_ROUND = 12
 
 # r12 window rotation: the mechanical LRU proposal, verbatim —
-# `python tools/never_direct.py --propose 12 --slots 37`.  The proposal
-# leads with the five r12-new / newly-oracle-backed queries (the three
-# multimodal VALUES-oracle upgrades, the ambiguous-pool drain, the
-# retraction path — never-direct by definition, direct the round they
-# land per the r8-r11 precedent) and q_er_margin_audit (added post-close
-# in r11, the only other never-direct name), then the least-recently-
-# direct tail: the r5-era embedding/vector family, the r5 geo/dedup
-# names, and the r5-r6 sketch/search families.  Displaced r11 names fall
-# back into the digest-covered set; queries/digest.KINDS carries their
-# schemas, so transitive verification stays total.  Dict insertion order
-# makes this stable: rotated names are inserted right after the standing
-# slots and keep that position when the module sweep re-updates them.
+# `python tools/never_direct.py --propose 12 --slots 37`, REGENERATED
+# after each of the round's registry additions so the window always
+# carries every never-direct name (new queries go direct the round they
+# land, the r8-r11 precedent).  The final proposal leads with the ten
+# r12-new / newly-oracle-backed names — the multimodal VALUES-oracle
+# trio, the ambiguous-pool drain, the retraction path, the −1-pool
+# consolidation, both join-view MV queries, and the three pinned
+# streaming twins that inherited their batch twins' oracles — plus
+# q_er_margin_audit (r11's post-close addition), then the
+# least-recently-direct tail (the r5-era embedding/vector, geo/dedup,
+# and sketch/search families).  Displaced names fall back into the
+# digest-covered set; queries/digest.KINDS carries their schemas, so
+# transitive verification stays total.  Dict insertion order makes this
+# stable: rotated names are inserted right after the standing slots and
+# keep that position when the module sweep re-updates them.
 ROTATED_IN = (
     "q_multimodal_decode",
     "q_multimodal_frames",
