@@ -794,11 +794,21 @@ def main() -> None:
                 .localCheckpoint(eager=True)
             )
             r_dels = ppl.filter(_F.col("rec_id") < 1000).select("rec_id")
+            # r13 (r12 advice): rehome under the SAME pair rule that
+            # built the membership above (sn_suffix_refine at big rungs,
+            # with_city otherwise) — otherwise the timed subgraph
+            # belongs to a pipeline nobody maintains
+            if big:
+                rung_pairs_fn = lambda p: er_pairs_sn_suffix(  # noqa: E731
+                    p, refine_cols=("city",)
+                )
+            else:
+                rung_pairs_fn = lambda p: er_pairs_for(p, ("city",))  # noqa: E731
 
             def _retract_noop():
-                rehome_touched(membership, r_dels, ppl).write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                rehome_touched(
+                    membership, r_dels, ppl, pairs_fn=rung_pairs_fn
+                ).write.format("noop").mode("overwrite").save()
 
             _retract_noop()  # warm
             t0 = time.time()

@@ -158,10 +158,12 @@ def connected_components(
 
 
 # render the {HALVE_AFTER} placeholders (an f-string literal would not be
-# stored as __doc__, so substitute post-hoc)
-connected_components.__doc__ = connected_components.__doc__.replace(
-    "{HALVE_AFTER}", str(HALVE_AFTER)
-)
+# stored as __doc__, so substitute post-hoc; guard for python -OO, where
+# docstrings are stripped and __doc__ is None)
+if connected_components.__doc__:
+    connected_components.__doc__ = connected_components.__doc__.replace(
+        "{HALVE_AFTER}", str(HALVE_AFTER)
+    )
 
 
 def dedup_keep_list(

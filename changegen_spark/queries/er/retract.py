@@ -178,7 +178,7 @@ _DELS_SQL = ", ".join(f"({r})" for r in RETRACT_DELETES)
 
 Q_ER_GOLDEN_RETRACT_SQL = f"""
 WITH RECURSIVE keyed AS (
-  SELECT rec_id, lower(name) AS nname, coalesce(city, '') AS city,
+  SELECT rec_id, coalesce(lower(name), '') AS nname, coalesce(city, '') AS city,
          {block_key_sql(duck=True)} AS block_key
   FROM '{ER_AMBIG_PATH}'
 ), pairs AS (

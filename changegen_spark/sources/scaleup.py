@@ -343,12 +343,18 @@ def build_er_adversarial(
 
     Layout: base [0, n_entities), normal dups [n_entities,
     n_entities+n_dup), adversarial arrivals [n_entities+n_dup, +n_adv)
-    with entity_id = 2*(k) for the k-th.  Idempotent per (size, n_adv).
+    with entity_id = 2*(k) for the k-th.  Idempotent per the FULL
+    parameter set — seed and dup_frac are part of the cache key, so a
+    call with different generation parameters never reuses a stale
+    fixture (r12 advice).
     """
     import os
 
     assert 2 * n_adv <= n_entities
-    path = os.path.join(out, f"er_adversarial_{n_entities}_{n_adv}.parquet")
+    path = os.path.join(
+        out,
+        f"er_adversarial_{n_entities}_{n_adv}_s{seed}_d{dup_frac}.parquet",
+    )
     if os.path.exists(path):
         return path
     n_dup = int(n_entities * dup_frac)

@@ -396,6 +396,7 @@ def rehome_touched(
     membership: DataFrame,
     deletes: DataFrame,
     people: DataFrame,
+    pairs_fn=None,
 ) -> DataFrame:
     """The touched-only CORE of a retraction step: the new (rec_id,
     entity) assignments for the REMAINING members of the entities that
@@ -403,12 +404,20 @@ def rehome_touched(
     CC on the induced subgraph, components re-headed by min rec_id.
     This frame is all the retraction WORK there is (the er_ladder
     ``retract`` cell times exactly it); everything else in
-    retract_membership is untouched-row passthrough."""
+    retract_membership is untouched-row passthrough.
+
+    ``pairs_fn`` (people_subset → (rec_a, rec_b) pairs) is the pair rule
+    the membership was BUILT with — retraction must regenerate edges
+    under the same rule or the rehomed subgraph belongs to a different
+    pipeline than the one being maintained (r12 advice).  Defaults to
+    plain ``er_pairs_for``, the rule ``retract_stream`` seeds with."""
     from pyspark.sql import functions as F
 
     from changegen_spark.functions.clustering import connected_components
     from changegen_spark.queries.er.blocking import er_pairs_for
 
+    if pairs_fn is None:
+        pairs_fn = er_pairs_for
     dels = deletes.select("rec_id").distinct()
     touched = (
         membership.join(dels, "rec_id").select("entity").distinct()
@@ -419,7 +428,7 @@ def rehome_touched(
     sub_people = people.join(
         remaining.select("rec_id"), "rec_id"
     ).localCheckpoint(eager=True)
-    sub_edges = er_pairs_for(sub_people).select("rec_a", "rec_b")
+    sub_edges = pairs_fn(sub_people).select("rec_a", "rec_b")
     subcomp = connected_components(sub_edges, src="rec_a", dst="rec_b")
     return remaining.select("rec_id").join(
         subcomp, remaining.rec_id == subcomp.node, "left"
