@@ -689,13 +689,23 @@ def main() -> None:
             # margin-1 abstentions against the UPDATED golden names
             # (confident merges flip survivor modes, breaking first-pass
             # ties), so every arrival reaches a terminal disposition.
-            # The assignment frame is checkpointed and shared, so the
-            # candidate join executes once, not once per consumer.
-            from changegen_spark.queries.er import resolve_ambiguous
+            # r13 (r12 verdict #1): resolution precision is measured PER
+            # ACCEPTANCE POLICY as first-class columns — the r12 'gap'
+            # rule resolved 21 parked arrivals at this table's 1M rung
+            # with only 10 correct (11 wrong merges where the first pass
+            # shipped 0); the shipped default ('toward': the winner's
+            # survivor name must move strictly closer than the parked
+            # lev) must keep wrong-via-drain at 0.  One re-probe
+            # execution feeds all four policies (drain_policy_outcomes).
+            from changegen_spark.queries.er import (
+                DRAIN_POLICY,
+                drain_policy_outcomes,
+                resolve_ambiguous,
+            )
 
             am1 = (
                 incremental_assign_margin(arr_side, base_side, margin=1)
-                .select("rec_id", "matched_entity")
+                .select("rec_id", "matched_entity", "lev")
                 .localCheckpoint(eager=True)
             )
 
@@ -709,21 +719,50 @@ def main() -> None:
             _resolve_noop()
             resolve_wall = round(time.time() - t0, 3)
             dj = (
-                resolve_ambiguous(arr_side, base_side, margin=1, assigned=am1)
+                drain_policy_outcomes(
+                    arr_side, base_side, margin=1, assigned=am1
+                )
                 .join(arr_side.select("rec_id", "entity_id"), "rec_id")
                 .localCheckpoint(eager=True)
             )
+            pol_cells = {}
+            for prow in (
+                dj.groupBy("policy")
+                .agg(
+                    _F.count(
+                        _F.when(_F.col("matched_entity") >= 0, 1)
+                    ).alias("resolved"),
+                    _F.count(
+                        _F.when(
+                            (_F.col("matched_entity") >= 0)
+                            & (
+                                _F.col("matched_entity")
+                                == _F.col("entity_id")
+                            ),
+                            1,
+                        )
+                    ).alias("resolved_correct"),
+                    _F.count(
+                        _F.when(_F.col("matched_entity") == -1, 1)
+                    ).alias("resolve_new"),
+                    _F.count(
+                        _F.when(_F.col("matched_entity") == -2, 1)
+                    ).alias("still_ambiguous"),
+                )
+                .collect()
+            ):
+                pol_cells[prow.policy] = {
+                    "resolved": prow.resolved,
+                    "resolved_correct": prow.resolved_correct,
+                    "resolve_new": prow.resolve_new,
+                    "still_ambiguous": prow.still_ambiguous,
+                }
+            row["incremental"]["margin1"].update(pol_cells[DRAIN_POLICY])
             row["incremental"]["margin1"].update(
                 {
-                    "resolved": dj.filter("matched_entity >= 0").count(),
-                    "resolved_correct": dj.filter(
-                        "matched_entity = entity_id"
-                    ).count(),
-                    "resolve_new": dj.filter("matched_entity = -1").count(),
-                    "still_ambiguous": dj.filter(
-                        "matched_entity = -2"
-                    ).count(),
                     "resolve_wall_s": resolve_wall,
+                    "drain_policy": DRAIN_POLICY,
+                    "drain_policies": pol_cells,
                 }
             )
             if big:
@@ -943,6 +982,70 @@ def main() -> None:
                     "true_lev IS NOT NULL AND true_lev > lev"
                 ).count()
             arow[f"margin{mg}"] = cell
+            if mg == 2:
+                # r13 (r12 verdict #2): drain x adversarial — margin 2
+                # parks ~3k arrivals here, 2,500 of them PLANTED
+                # impostor ties; measure whether the drain leaks them
+                # back in as `resolved` under each policy.  The shipped
+                # default must keep adversarial wrongs at 0 post-drain.
+                adp = (
+                    drain_policy_outcomes(
+                        aarr,
+                        abase,
+                        margin=mg,
+                        assigned=assign.select(
+                            "rec_id", "matched_entity", "lev"
+                        ).localCheckpoint(eager=True),
+                    )
+                    .join(aarr.select("rec_id", "entity_id"), "rec_id")
+                    .localCheckpoint(eager=True)
+                )
+                dcells = {}
+                for prow in (
+                    adp.groupBy("policy")
+                    .agg(
+                        _F.count(
+                            _F.when(_F.col("matched_entity") >= 0, 1)
+                        ).alias("resolved"),
+                        _F.count(
+                            _F.when(
+                                (_F.col("matched_entity") >= 0)
+                                & (
+                                    _F.col("matched_entity")
+                                    == _F.col("entity_id")
+                                ),
+                                1,
+                            )
+                        ).alias("resolved_correct"),
+                        _F.count(
+                            _F.when(
+                                (_F.col("rec_id") >= adv_lo)
+                                & (_F.col("matched_entity") >= 0)
+                                & (
+                                    _F.col("matched_entity")
+                                    != _F.col("entity_id")
+                                ),
+                                1,
+                            )
+                        ).alias("adv_resolved_wrong"),
+                        _F.count(
+                            _F.when(_F.col("matched_entity") == -1, 1)
+                        ).alias("resolve_new"),
+                        _F.count(
+                            _F.when(_F.col("matched_entity") == -2, 1)
+                        ).alias("still_ambiguous"),
+                    )
+                    .collect()
+                ):
+                    dcells[prow.policy] = {
+                        "resolved": prow.resolved,
+                        "resolved_correct": prow.resolved_correct,
+                        "adv_resolved_wrong": prow.adv_resolved_wrong,
+                        "resolve_new": prow.resolve_new,
+                        "still_ambiguous": prow.still_ambiguous,
+                    }
+                cell["drain_policy"] = DRAIN_POLICY
+                cell["drain_policies"] = dcells
         er["adversarial_100k"] = arow
         # r12 (r11 verdict #3): deep-component CC at bench scale — a
         # 100k-node CHAIN (the versioned-page near-dup model: each

@@ -12,18 +12,44 @@ so an absorbed variant can become the survivor), so a tie that existed
 against the pre-batch base can break.  Each pooled arrival ends in one
 of three states:
 
-* ``resolved``        — the re-probe has a strict best (gap ≥ margin):
-                        merge into that entity;
+* ``resolved``        — the re-probe has a strict best (gap ≥ margin)
+                        AND the acceptance POLICY's evidence rule
+                        holds: merge into that entity;
 * ``new``             — the survivor drift left NO candidate within the
                         refine threshold: insert as a new entity;
-* ``still_ambiguous`` — the tie persists: stay parked (the streaming
-                        twin carries these across micro-batches).
+* ``still_ambiguous`` — the tie persists, or it broke without
+                        informative evidence: stay parked (the
+                        streaming twin carries these across
+                        micro-batches).
 
 The re-probe target is the WHOLE updated golden table — untouched base
 entities, updated survivors, and the batch's new singleton entities
 alike — through the same two candidate keys and city+Levenshtein refine
 as the first pass, so first-pass and re-probe can never disagree on
 reachability semantics.
+
+Acceptance policy (r13, r12 verdict #1).  The r12 drain accepted ANY
+re-probe whose gap reached ``margin`` — but a first-pass tie usually
+breaks because the LOSING candidate's survivor name drifted away
+(lexicographic mode-tiebreak noise), which says nothing about where the
+arrival belongs: at the 1M bench rung that rule resolved 21 parked
+arrivals with only 10 correct, shipping 11 wrong merges where the first
+pass shipped 0.  The r13 policies demand evidence the re-probe is
+INFORMATIVE:
+
+* ``gap``         — the r12 rule (gap ≥ margin), kept for measurement;
+* ``gap2``        — gap ≥ max(margin, 2) on the re-probe;
+* ``toward``      — the DEFAULT: the winner's survivor name must have
+                    moved strictly TOWARD the arrival (re-probe lev <
+                    the lev the arrival was PARKED at) — true exactly
+                    when the winning entity absorbed a confirming
+                    variant, never when the loser merely drifted away;
+* ``toward_gap2`` — both.
+
+``DRAIN_POLICY`` holds the default; the per-policy resolution precision
+is measured as first-class er_ladder columns (bench.py) and
+q_er_drain_policy exposes the full policy × arrival disposition table
+with a DuckDB oracle.
 
 100 TB shape: the pool is a small fraction of arrivals (7.2% at the
 1M-rung margin-1 cell), and the re-probe is the SAME two key-equality
@@ -136,15 +162,19 @@ def updated_golden_names(
     return mode.join(latest, "entity")
 
 
-def reprobe_pool(
-    amb: DataFrame, golden: DataFrame, margin: int = INC_MARGIN
-) -> DataFrame:
-    """Re-probe a parked pool against a golden-name table.  ``amb``:
-    (rec_id, aname, acity) — lowercased/coalesced; ``golden``: (entity,
-    name, city).  Returns (rec_id, matched_entity, lev, margin,
-    n_matches, status) — the shared core of the batch query and the
-    streaming pool-maintenance twin (streaming/er.py), so the two can
-    never drift on candidate keys, refine, or the margin rule.
+DRAIN_POLICY = "toward"  # default acceptance policy (r13)
+DRAIN_POLICIES = ("gap", "gap2", "toward", "toward_gap2")
+
+
+def _reprobe_scored(amb: DataFrame, golden: DataFrame) -> DataFrame:
+    """Policy-free re-probe metrics, one row per pooled arrival:
+    (rec_id, g_id nullable, lev, gap, nm, park_lev) — g_id the winning
+    candidate (null when the re-probe is dry), lev its re-probe
+    Levenshtein, gap = runner-up lev − winner lev (−1 when there is no
+    runner-up, the maximally-confident case), nm the candidate count,
+    park_lev the lev the arrival was PARKED at in its first pass (the
+    'toward' policies' evidence baseline).  ``amb``: (rec_id, aname,
+    acity, park_lev); ``golden``: (entity, name, city).
 
     Scale shape: identical join plan to the first pass with the golden
     table as the build side — two key-equality hash joins + distinct +
@@ -195,13 +225,7 @@ def reprobe_pool(
         .filter(F.col("rn") == 1)
         .select(
             "a_id",
-            F.when(
-                F.col("second_lev").isNotNull()
-                & ((F.col("second_lev") - F.col("lev")) < F.lit(margin)),
-                F.lit(-2),
-            )
-            .otherwise(F.col("g_id"))
-            .alias("me"),
+            "g_id",
             "lev",
             F.coalesce(F.col("second_lev") - F.col("lev"), F.lit(-1)).alias(
                 "gap"
@@ -210,20 +234,84 @@ def reprobe_pool(
         )
     )
     return (
-        amb.select(F.col("rec_id").alias("a_id"))
+        amb.select(F.col("rec_id").alias("a_id"), "park_lev")
         .join(picked, "a_id", "left")
         .select(
             F.col("a_id").alias("rec_id"),
-            F.coalesce("me", F.lit(-1)).cast("long").alias("matched_entity"),
-            F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
-            F.coalesce("gap", F.lit(-1)).cast("long").alias("margin"),
-            F.coalesce("nm", F.lit(0)).cast("long").alias("n_matches"),
-            F.when(F.col("me").isNull(), F.lit("new"))
-            .when(F.col("me") == -2, F.lit("still_ambiguous"))
-            .otherwise(F.lit("resolved"))
-            .alias("status"),
+            "g_id",
+            "lev",
+            "gap",
+            "nm",
+            F.col("park_lev").cast("long").alias("park_lev"),
         )
-        .orderBy("rec_id")
+    )
+
+
+def apply_drain_policy(
+    scored: DataFrame, margin: int = INC_MARGIN, policy: str = DRAIN_POLICY
+) -> DataFrame:
+    """Turn policy-free re-probe metrics (``_reprobe_scored``) into
+    terminal dispositions under ``policy``: (rec_id, matched_entity,
+    lev, margin, n_matches, status).  The gap rule mirrors the first
+    pass (a sole candidate — gap −1 — is maximally confident and passes
+    any gap requirement); the 'toward' rule additionally demands the
+    winner's re-probe lev be strictly below the parked lev — the one
+    tie-break that carries evidence (the winning entity absorbed a
+    confirming variant) rather than lexicographic survivor drift."""
+    if policy not in DRAIN_POLICIES:
+        raise ValueError(f"unknown drain policy {policy!r}")
+    need_gap = margin if policy in ("gap", "toward") else max(margin, 2)
+    rejected = (F.col("gap") >= 0) & (F.col("gap") < F.lit(need_gap))
+    if policy in ("toward", "toward_gap2"):
+        rejected = rejected | (F.col("lev") >= F.col("park_lev"))
+    me = F.when(F.col("g_id").isNull(), F.lit(None)).otherwise(
+        F.when(rejected, F.lit(-2)).otherwise(F.col("g_id"))
+    )
+    return scored.select(
+        "rec_id",
+        F.coalesce(me, F.lit(-1)).cast("long").alias("matched_entity"),
+        F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
+        F.coalesce("gap", F.lit(-1)).cast("long").alias("margin"),
+        F.coalesce("nm", F.lit(0)).cast("long").alias("n_matches"),
+        F.when(me.isNull(), F.lit("new"))
+        .when(me == -2, F.lit("still_ambiguous"))
+        .otherwise(F.lit("resolved"))
+        .alias("status"),
+    ).orderBy("rec_id")
+
+
+def reprobe_pool(
+    amb: DataFrame,
+    golden: DataFrame,
+    margin: int = INC_MARGIN,
+    policy: str = DRAIN_POLICY,
+) -> DataFrame:
+    """Re-probe a parked pool against a golden-name table.  ``amb``:
+    (rec_id, aname, acity, park_lev) — lowercased/coalesced, park_lev
+    the first-pass lev the arrival was parked at; ``golden``: (entity,
+    name, city).  Returns (rec_id, matched_entity, lev, margin,
+    n_matches, status) — the shared core of the batch query and the
+    streaming pool-maintenance twin (streaming/er.py), so the two can
+    never drift on candidate keys, refine, or the acceptance policy."""
+    return apply_drain_policy(
+        _reprobe_scored(amb, golden), margin=margin, policy=policy
+    )
+
+
+def _parked_pool(assigned: DataFrame, arrivals: DataFrame) -> DataFrame:
+    """(rec_id, aname, acity, park_lev) of the batch's −2 arrivals —
+    park_lev is the first-pass best lev, the 'toward' policies' evidence
+    baseline, so ``assigned`` must carry its ``lev`` column."""
+    return (
+        assigned.filter(F.col("matched_entity") == -2)
+        .select("rec_id", F.col("lev").alias("park_lev"))
+        .join(arrivals, "rec_id")
+        .select(
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("aname"),
+            F.coalesce("city", F.lit("")).alias("acity"),
+            "park_lev",
+        )
     )
 
 
@@ -232,13 +320,15 @@ def resolve_ambiguous(
     base: DataFrame,
     margin: int = INC_MARGIN,
     assigned: DataFrame | None = None,
+    policy: str = DRAIN_POLICY,
 ) -> DataFrame:
     """Terminal disposition for every margin-abstained arrival in the
     batch: (rec_id, matched_entity, lev, margin, n_matches, status) —
     matched_entity is the resolved entity id, −1 for new, −2 for still
     parked; lev/margin/n_matches describe the RE-PROBE (−1/−1/0 when it
     came up dry); status ∈ resolved | new | still_ambiguous.
-    ``assigned`` as in updated_golden_names."""
+    ``assigned`` as in updated_golden_names, and must carry ``lev``
+    (the first-pass best lev) — the 'toward' policies' park baseline."""
     if assigned is None:
         # fence: this frame has TWO consumers below (the pool filter and
         # the golden-member build) — unfenced, the candidate join would
@@ -246,20 +336,41 @@ def resolve_ambiguous(
         assigned = incremental_assign_margin(
             arrivals, base, margin=margin
         ).localCheckpoint(eager=False)
-    amb = (
-        assigned.filter(F.col("matched_entity") == -2)
-        .select("rec_id")
-        .join(arrivals, "rec_id")
-        .select(
-            "rec_id",
-            F.coalesce(F.lower("name"), F.lit("")).alias("aname"),
-            F.coalesce("city", F.lit("")).alias("acity"),
-        )
-    )
+    amb = _parked_pool(assigned, arrivals)
     golden = updated_golden_names(
         arrivals, base, margin=margin, assigned=assigned
     )
-    return reprobe_pool(amb, golden, margin=margin)
+    return reprobe_pool(amb, golden, margin=margin, policy=policy)
+
+
+def drain_policy_outcomes(
+    arrivals: DataFrame,
+    base: DataFrame,
+    margin: int = INC_MARGIN,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Per-policy drained dispositions from ONE re-probe execution:
+    (policy, rec_id, matched_entity, status), one row per (policy ∈
+    DRAIN_POLICIES) × (parked arrival).  The scored frame is computed
+    once and fenced; each policy is a pure projection over it, so the
+    4-policy table costs one candidate join — the shape the er_ladder's
+    per-policy precision columns ride on."""
+    if assigned is None:
+        assigned = incremental_assign_margin(
+            arrivals, base, margin=margin
+        ).localCheckpoint(eager=False)
+    amb = _parked_pool(assigned, arrivals)
+    golden = updated_golden_names(
+        arrivals, base, margin=margin, assigned=assigned
+    )
+    scored = _reprobe_scored(amb, golden).localCheckpoint(eager=False)
+    out = None
+    for p in DRAIN_POLICIES:
+        disp = apply_drain_policy(scored, margin=margin, policy=p).select(
+            F.lit(p).alias("policy"), "rec_id", "matched_entity", "status"
+        )
+        out = disp if out is None else out.unionByName(disp)
+    return out.orderBy("policy", "rec_id")
 
 
 def new_entity_merge(
@@ -366,18 +477,35 @@ def q_er_new_entity_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_er_ambiguous_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drain the ambiguous pool over the planted-tie fixture: arrivals
-    (rec_id ≥ 400) margin-assigned against the base (< 400), the batch's
-    merges applied to survivor names, then every −2 arrival re-probed
-    against the updated golden table.  The fixture plants one of each
-    terminal state (see tools/make_er_ambig.py)."""
+    """Drain the ambiguous pool over the planted-tie fixture under the
+    DEFAULT policy ('toward'): arrivals (rec_id ≥ 400) margin-assigned
+    against the base (< 400), the batch's merges applied to survivor
+    names, then every −2 arrival re-probed against the updated golden
+    table — a resolution is accepted only when the winner's survivor
+    name moved strictly TOWARD the arrival (group T); loser-drift
+    tie-breaks (groups R and B) stay parked.  The fixture plants one of
+    each terminal state (see tools/make_er_ambig.py)."""
     ppl = _ambig_people(spark)
     return resolve_ambiguous(
         ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
     )
 
 
-Q_ER_AMBIGUOUS_RESOLVE_SQL = f"""
+def q_er_drain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full policy × parked-arrival disposition table over the
+    planted fixture — the policy comparison q_er_ambiguous_resolve's
+    default is chosen from: 'gap' (the r12 rule) resolves the
+    loser-drift ties R and B, every 'toward' variant rejects them, and
+    only the toward-evidence group T resolves under the default."""
+    ppl = _ambig_people(spark)
+    return drain_policy_outcomes(
+        ppl.filter(F.col("rec_id") >= 400), ppl.filter(F.col("rec_id") < 400)
+    )
+
+
+# shared CTE chain of the drain oracles: first pass -> updated golden
+# names -> pooled arrivals (with park_lev) -> re-probe -> ranked best2
+_DRAIN_CTES = f"""
 WITH {inc_refined_sql_body(ER_AMBIG_PATH)}
 , best AS (
   SELECT a_id, b_id, lev,
@@ -391,7 +519,8 @@ WITH {inc_refined_sql_body(ER_AMBIG_PATH)}
            WHEN b.second_lev IS NOT NULL
                 AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
            ELSE b.b_id
-         END AS me
+         END AS me,
+         b.lev AS park_lev
   FROM arrivals a
   LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
 ), members AS (
@@ -421,7 +550,7 @@ WITH {inc_refined_sql_body(ER_AMBIG_PATH)}
   SELECT n.entity, n.name, c.city FROM gname n JOIN gcity c USING (entity)
 ), amb AS (
   SELECT a.rec_id, coalesce(lower(a.name), '') AS aname,
-         coalesce(a.city, '') AS acity
+         coalesce(a.city, '') AS acity, s.park_lev
   FROM assigned s JOIN arrivals a ON a.rec_id = s.rec_id WHERE s.me = -2
 ), ambn AS (
   SELECT rec_id, aname AS name, acity AS city FROM amb
@@ -459,13 +588,20 @@ WITH {inc_refined_sql_body(ER_AMBIG_PATH)}
          lead(lev) OVER (PARTITION BY a_id ORDER BY lev, g_id) AS second_lev,
          count(*) OVER (PARTITION BY a_id) AS nm
   FROM refined2
-), picked AS (
-  SELECT a_id,
-         CASE WHEN second_lev IS NOT NULL
-                   AND second_lev - lev < {INC_MARGIN} THEN -2
-              ELSE g_id END AS me,
-         lev, coalesce(second_lev - lev, -1) AS gap, nm
-  FROM best2 WHERE rn = 1
+)"""
+
+
+Q_ER_AMBIGUOUS_RESOLVE_SQL = _DRAIN_CTES + f""", picked AS (
+  -- default policy 'toward': reject on an insufficient gap AND on a
+  -- winner that did not move strictly closer than the parked lev
+  SELECT b.a_id,
+         CASE WHEN b.second_lev IS NOT NULL
+                   AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+              WHEN b.lev >= m.park_lev THEN -2
+              ELSE b.g_id END AS me,
+         b.lev, coalesce(b.second_lev - b.lev, -1) AS gap, b.nm
+  FROM best2 b JOIN amb m ON m.rec_id = b.a_id
+  WHERE b.rn = 1
 )
 SELECT m.rec_id,
        CAST(coalesce(p.me, -1) AS BIGINT) AS matched_entity,
@@ -477,6 +613,36 @@ SELECT m.rec_id,
             ELSE 'resolved' END AS status
 FROM amb m LEFT JOIN picked p ON p.a_id = m.rec_id
 ORDER BY m.rec_id
+"""
+
+
+Q_ER_DRAIN_POLICY_SQL = _DRAIN_CTES + f""", scored AS (
+  SELECT b.a_id, b.g_id, b.lev, b.second_lev, b.nm, m.park_lev
+  FROM best2 b JOIN amb m ON m.rec_id = b.a_id
+  WHERE b.rn = 1
+), policies(policy, need_gap, toward) AS (
+  VALUES ('gap', {INC_MARGIN}, false),
+         ('gap2', {max(INC_MARGIN, 2)}, false),
+         ('toward', {INC_MARGIN}, true),
+         ('toward_gap2', {max(INC_MARGIN, 2)}, true)
+), disp AS (
+  SELECT p.policy, m.rec_id,
+         CASE WHEN s.a_id IS NULL THEN -1
+              WHEN s.second_lev IS NOT NULL
+                   AND s.second_lev - s.lev < p.need_gap THEN -2
+              WHEN p.toward AND s.lev >= s.park_lev THEN -2
+              ELSE s.g_id END AS me
+  FROM policies p
+  CROSS JOIN amb m
+  LEFT JOIN scored s ON s.a_id = m.rec_id
+)
+SELECT policy, rec_id,
+       CAST(me AS BIGINT) AS matched_entity,
+       CASE WHEN me = -1 THEN 'new'
+            WHEN me = -2 THEN 'still_ambiguous'
+            ELSE 'resolved' END AS status
+FROM disp
+ORDER BY policy, rec_id
 """
 
 

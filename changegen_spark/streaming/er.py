@@ -273,17 +273,21 @@ def resolve_maintenance_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    pool_schema = "rec_id long, aname string, acity string"
+    # park_lev rides in the snapshot: an arrival re-probed in a LATER
+    # batch still carries the lev it was parked at — the 'toward'
+    # policy's evidence baseline (queries/er/resolve.py)
+    pool_schema = "rec_id long, aname string, acity string, park_lev long"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         assigned = incremental_assign_margin(batch_df, base).select(
-            "rec_id", "matched_entity"
+            "rec_id", "matched_entity", "lev"
         )
         arr = batch_df.join(assigned, "rec_id").select(
             "rec_id",
             F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
             F.coalesce("city", F.lit("")).alias("city"),
             "matched_entity",
+            "lev",
         ).localCheckpoint(eager=True)
         batch_members = arr.filter(F.col("matched_entity") != -2).select(
             F.when(F.col("matched_entity") >= 0, F.col("matched_entity"))
@@ -298,6 +302,7 @@ def resolve_maintenance_stream(
             "rec_id",
             F.col("nname").alias("aname"),
             F.col("city").alias("acity"),
+            F.col("lev").cast("long").alias("park_lev"),
         )
         prev = _latest_pool_batch(pool_dir, batch_id)
         if prev is None:

@@ -913,23 +913,30 @@ def test_er_chain_merge_hazard_on_planted_chain(spark):
 
 
 def test_ambiguous_resolve_pins_planted_terminal_states(spark):
-    """The abstain → re-resolve drain loop (r11 verdict #1) over the
-    planted-tie fixture: every −2 arrival must reach the terminal state
-    tools/make_er_ambig.py planted and build-time-asserted — the
-    resolvable tie breaks to the OTHER entity once the confident merge
-    flips its rival's survivor name; the untouched tie stays parked;
-    the drift group's candidates leave refine reach entirely (new
-    entity); the batch-created singleton participates as a re-probe
-    candidate (n_matches counts it) but ranks strictly behind."""
+    """The abstain → re-resolve drain loop over the planted-tie fixture
+    under the r13 DEFAULT policy ('toward'): a parked tie resolves only
+    when the WINNER's survivor name moved strictly closer than the
+    parked lev (group T) — the loser-drift tie-breaks of groups R and B
+    (winner lev unchanged, rival merely drifted away) are rejected as
+    uninformative and stay parked (at the 1M bench rung the r12 'gap'
+    rule resolved such drift ties ~50% wrong); the untouched tie stays
+    parked; the drift group's candidates leave refine reach entirely
+    (new entity)."""
     from changegen_spark.queries.er import q_er_ambiguous_resolve
 
     got = {
         r.rec_id: r for r in q_er_ambiguous_resolve(spark, "").collect()
     }
-    assert set(got) == {401, 402, 405, 407}, "the pool is exactly the ties"
-    # group R: the confident merge of 400 flipped entity 100's survivor
-    # name to 'dana maier', so 401 is now strictly closer to 101
-    assert (got[401].matched_entity, got[401].status) == (101, "resolved")
+    assert set(got) == {401, 402, 405, 407, 413}, (
+        "the pool is exactly the ties"
+    )
+    # group R: 400's merge flipped entity 100's survivor AWAY from 401,
+    # leaving 101 uniquely best — but 101's lev equals the parked lev
+    # (pure loser drift), so the toward policy keeps 401 parked
+    assert (got[401].matched_entity, got[401].status) == (
+        -2,
+        "still_ambiguous",
+    )
     assert got[401].lev == 1 and got[401].margin == 1
     # group S: nothing touched belmore — the tie persists
     assert (got[402].matched_entity, got[402].status) == (
@@ -940,10 +947,57 @@ def test_ambiguous_resolve_pins_planted_terminal_states(spark):
     # group N: both survivors drifted out of lev reach — re-probe dry
     assert (got[405].matched_entity, got[405].status) == (-1, "new")
     assert got[405].n_matches == 0 and got[405].lev == -1
-    # group B: resolves to 107 with THREE candidates in the mix (the
-    # flipped 106 survivor, 107, and 408's new singleton entity)
-    assert (got[407].matched_entity, got[407].status) == (107, "resolved")
+    # group B: 107 is uniquely best with THREE candidates in the mix,
+    # but again by loser drift only (107's lev == the parked lev) —
+    # parked under the default policy
+    assert (got[407].matched_entity, got[407].status) == (
+        -2,
+        "still_ambiguous",
+    )
     assert got[407].n_matches == 3 and got[407].margin == 1
+    # group T: entity 130 absorbed 412, moving its survivor name
+    # strictly TOWARD 413 (re-probe lev 1 < parked lev 2) — the one
+    # evidence-backed tie-break, resolved
+    assert (got[413].matched_entity, got[413].status) == (130, "resolved")
+    assert got[413].lev == 1 and got[413].margin == 1
+    assert got[413].n_matches == 2
+
+
+def test_drain_policy_table_contrasts_acceptance_rules(spark):
+    """q_er_drain_policy pins the policy contrast the default was
+    chosen from: the r12 'gap' rule accepts the loser-drift tie-breaks
+    (401→101, 407→107) alongside the evidence-backed 413→130; every
+    'toward' variant rejects the drift pair; gap2 parks ALL ties on
+    this fixture (with LEV_MAX=2 a surviving runner-up can never be 2
+    edits behind a winner, so gap≥2 only passes sole-candidate
+    re-probes — the measured reason gap2 is NOT the mitigation: at the
+    1M rung the 21 drift resolutions all had no close runner-up and
+    gap2 shipped the same 11 wrong merges as gap)."""
+    from changegen_spark.queries.er import q_er_drain_policy
+
+    rows = q_er_drain_policy(spark, "").collect()
+    got = {
+        (r.policy, r.rec_id): (r.matched_entity, r.status) for r in rows
+    }
+    assert len(rows) == 20, "4 policies x 5 parked arrivals"
+    # the r12 rule: drift ties resolve (the measured ~50%-wrong class)
+    assert got[("gap", 401)] == (101, "resolved")
+    assert got[("gap", 407)] == (107, "resolved")
+    assert got[("gap", 413)] == (130, "resolved")
+    # toward: only the evidence-backed group T resolves
+    assert got[("toward", 401)] == (-2, "still_ambiguous")
+    assert got[("toward", 407)] == (-2, "still_ambiguous")
+    assert got[("toward", 413)] == (130, "resolved")
+    # gap2 / toward_gap2: every tie parked (no gap-2 runner-up exists
+    # within the refine threshold)
+    for pol in ("gap2", "toward_gap2"):
+        for rid in (401, 407, 413):
+            assert got[(pol, rid)] == (-2, "still_ambiguous"), (pol, rid)
+    # invariants across ALL policies: the dry re-probe is 'new', the
+    # untouched tie stays parked
+    for pol in ("gap", "gap2", "toward", "toward_gap2"):
+        assert got[(pol, 405)] == (-1, "new")
+        assert got[(pol, 402)] == (-2, "still_ambiguous")
 
 
 def test_ambiguous_resolve_golden_includes_batch_entities(spark):
@@ -971,14 +1025,16 @@ def test_ambiguous_resolve_golden_includes_batch_entities(spark):
     assert golden[104].name == "paul barand"
     assert golden[105].name == "paul barandt"
     assert golden[106].name == "gina mmoore"
+    assert golden[130].name == "lena hofmaan", "group T toward flip"
     # untouched base entities keep their own names
     assert golden[101].name == "dana meyer"
     assert golden[102].name == "rene kraus"
+    assert golden[131].name == "lena hoffmann"
     # -1 arrivals became singleton entities keyed by their rec_id
     assert golden[408].name == "gina maura"
     assert golden[410].name == "tove lindqvist"
     # parked (-2) arrivals are NOT golden entities
-    for parked in (401, 402, 405, 407):
+    for parked in (401, 402, 405, 407, 413):
         assert parked not in golden
 
 
@@ -1217,14 +1273,17 @@ def test_er_ambig_fixture_drift_guard(spark):
     from changegen_spark.queries.er import ER_AMBIG_PATH
 
     df = spark.read.parquet(ER_AMBIG_PATH)
-    assert df.count() == 43
+    assert df.count() == 47
     ids = {r.rec_id for r in df.select("rec_id").collect()}
     # the planted groups and the chain must be present verbatim
-    assert {100, 101, 102, 103, 104, 105, 106, 107} <= ids
+    assert {100, 101, 102, 103, 104, 105, 106, 107, 130, 131} <= ids
     assert {300, 301, 302} <= ids, "the retraction bridge chain"
-    assert {r for r in ids if r >= 400} == set(range(400, 412))
+    assert {r for r in ids if r >= 400} == set(range(400, 414))
     names = {
-        r.rec_id: r.name for r in df.filter("rec_id IN (301, 410, 411)").collect()
+        r.rec_id: r.name
+        for r in df.filter("rec_id IN (301, 410, 411, 412, 413)").collect()
     }
     assert names[301] == "marra webber", "the bridge record"
     assert names[410] == "tove lindqvist" and names[411] == "tove lindquist"
+    assert names[412] == "lena hofmaan", "group T confident arrival"
+    assert names[413] == "lena hofmaann", "group T parked tie"

@@ -722,7 +722,11 @@ def test_resolve_stream_carried_pool_matches_batch_operator(spark, tmp_path):
     stage = _stage_ambig_ordered(
         spark,
         tmp_path,
-        [[401, 402, 405, 407], [400, 409, 410, 411], [403, 404, 406, 408]],
+        [
+            [401, 402, 405, 407, 413],
+            [400, 409, 410, 411],
+            [403, 404, 406, 408, 412],
+        ],
     )
     state = str(tmp_path / "state")
     q = resolve_maintenance_stream(spark, state, stage_dir=stage)
@@ -740,13 +744,15 @@ def test_resolve_stream_carried_pool_matches_batch_operator(spark, tmp_path):
     assert final_pool == {
         k for k, v in want.items() if v[1] == "still_ambiguous"
     }
-    # the carry was real: 401's resolver (400) landed a batch later
+    # the carry was real: 413's resolver (412) landed TWO batches after
+    # it was parked — park_lev rode the pool snapshots across both
     b0 = spark.read.parquet(str(tmp_path / "state/drained/batch=0"))
     assert b0.count() == 0, "batch 0 must drain nothing (base-only golden)"
 
     # golden table reflects the drained pool: 405 is a new entity, the
-    # flipped survivors are in place, and 401's resolution re-flipped
-    # entity 101's mode (meuer < meyer on the 1-1 tie)
+    # flipped survivors are in place; 401 stays PARKED under the
+    # default 'toward' policy (loser drift only), so entity 101 keeps
+    # its own name; 413's toward-resolve joined entity 130
     spark.catalog.refreshByPath(state + "/golden")
     golden = {
         r.entity: r.name_mode
@@ -754,7 +760,8 @@ def test_resolve_stream_carried_pool_matches_batch_operator(spark, tmp_path):
     }
     assert golden[405] == "paul brandeo"
     assert golden[100] == "dana maier"
-    assert golden[101] == "dana meuer"
+    assert golden[101] == "dana meyer"
+    assert golden[130] == "lena hofmaan"
     assert 402 not in golden, "parked arrivals are not golden entities"
 
 
@@ -766,7 +773,7 @@ def test_resolve_stream_single_batch_equals_batch_query(spark, tmp_path):
     from changegen_spark.streaming.er import resolve_maintenance_stream
 
     stage = _stage_ambig_ordered(
-        spark, tmp_path, [[400 + i for i in range(12)]]
+        spark, tmp_path, [[400 + i for i in range(14)]]
     )
     state = str(tmp_path / "state")
     q = resolve_maintenance_stream(spark, state, stage_dir=stage)
@@ -784,7 +791,9 @@ def test_resolve_stream_single_batch_equals_batch_query(spark, tmp_path):
     }
     assert got == want
     _, final_pool = _read_resolve_state(spark, state)
-    assert final_pool == {402}
+    # the loser-drift ties 401/407 stay parked under the default
+    # 'toward' policy, alongside the untouched tie 402
+    assert final_pool == {401, 402, 407}
 
 
 def test_resolve_stream_restart_is_exactly_once(spark, tmp_path):
@@ -813,14 +822,20 @@ def test_resolve_stream_restart_is_exactly_once(spark, tmp_path):
     assert len(glob.glob(state + "/drained/batch=*")) == n_dirs
 
 
-def test_resolve_stream_eager_resolution_is_order_dependent(spark, tmp_path):
-    """Documented semantics pin: re-resolution is EAGER — when group N's
-    two survivor flips land in DIFFERENT batches, the parked tie
-    resolves to the not-yet-flipped entity the moment the first flip
-    breaks the tie (105 here), where the one-shot batch operator (both
-    flips visible at once) says 'new'.  A production pipeline choosing
-    deferred draining instead would hold the pool until a quiescent
-    point; the carried-pool state supports either policy."""
+def test_resolve_stream_eager_drain_no_longer_leaks_drift(spark, tmp_path):
+    """Semantics pin, UPDATED for the r13 'toward' policy.  Under the
+    r12 'gap' rule this exact staging (group N's two survivor flips in
+    different batches) exposed an eager-drain order dependence: after
+    403's flip parked 405 saw 105 as uniquely best and merged into it
+    — a drift resolution the one-shot batch operator (both flips
+    visible) called 'new'.  The toward policy REJECTS that premature
+    resolution (105's lev equals the parked lev — no evidence), so the
+    arrival stays parked through batch 1 and drains as 'new' in batch
+    2 when 404's flip empties its candidate set: for this fixture the
+    eager stream and the one-shot operator now AGREE.  Eager draining
+    remains order-dependent in general (a later batch can still move a
+    survivor toward a pooled arrival that an earlier batch resolved
+    'new'), but the uninformative-drift class is gone by policy."""
     from changegen_spark.queries.er import q_er_ambiguous_resolve
     from changegen_spark.streaming.er import resolve_maintenance_stream
 
@@ -829,13 +844,13 @@ def test_resolve_stream_eager_resolution_is_order_dependent(spark, tmp_path):
     q = resolve_maintenance_stream(spark, state, stage_dir=stage)
     q.awaitTermination(180)
     drained, final_pool = _read_resolve_state(spark, state)
-    assert drained[405] == (105, "resolved"), "eager: first flip decides"
+    assert drained[405] == (-1, "new"), "toward rejects the drift merge"
     assert final_pool == set()
     batch_says = {
         r.rec_id: r.status
         for r in q_er_ambiguous_resolve(spark, "").collect()
     }
-    assert batch_says[405] == "new", "one-shot operator sees both flips"
+    assert batch_says[405] == "new", "one-shot operator agrees"
 
 
 def test_retract_stream_matches_from_scratch_recompute(spark, tmp_path):

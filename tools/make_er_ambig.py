@@ -19,7 +19,16 @@ KNOWN terminal disposition after one batch:
 * group B (resolve via batch-created entity): the tie breaks because a
   −1 arrival (new singleton entity, same batch) plus a survivor flip
   leave exactly one strictly-closest candidate — the re-probe target
-  set is the WHOLE updated golden table, new entities included.
+  set is the WHOLE updated golden table, new entities included;
+* group T (toward-resolve, r13): the tie breaks because the WINNER's
+  survivor name moved strictly CLOSER to the parked arrival (its entity
+  absorbed a confirming variant) — the one tie-break the default drain
+  policy accepts as informative.  Groups R and B break their ties by
+  the LOSER drifting away (the winner's lev stays at the parked lev),
+  which the r13 'toward' policy rejects as lexicographic noise: at the
+  1M bench rung such drift resolutions measured ~50% wrong
+  (resolved_correct 10/21, VERDICT r12), worse than the abstention
+  they replace.
 
 Every planted relation (tie levs, confident gaps, phonetic-key
 equality, survivor flips) is ASSERTED at build time against the same
@@ -69,6 +78,11 @@ BASE = [
     # group B: resolve via batch-created entity (city delmont)
     (106, "gina moore", "delmont", 106),
     (107, "gina mooro", "delmont", 107),
+    # group T: toward-resolve (city tolland, r13) — the tie breaks
+    # because entity 130 absorbs a confirming variant that moves its
+    # survivor name STRICTLY CLOSER to the parked arrival
+    (130, "lena hofman", "tolland", 130),
+    (131, "lena hoffmann", "tolland", 131),
     # group C: a CHAIN under the key-blocking pair rule (same phonetic
     # block, lev(300,301) = lev(301,302) = 2, lev(300,302) = 4) — 301 is
     # a BRIDGE record whose retraction must SPLIT the cluster
@@ -103,6 +117,10 @@ ARRIVALS = [
     # new_entity_merge) must merge them
     (410, "tove lindqvist", "ellsworth", -1),
     (411, "tove lindquist", "ellsworth", -1),
+    # group T
+    (412, "lena hofmaan", "tolland", 130),  # confident -> 130; flips survivor
+    (413, "lena hofmaann", "tolland", 130),  # tie 130/131; winner 130 MOVES
+    # TOWARD 413 (surv lev 1 < parked lev 2) -> resolves under 'toward'
 ]
 
 # filler base entities: unique names, no planted relations — golden-table
@@ -222,6 +240,34 @@ def _verify(rows) -> None:
     assert slev(407, surv106) > l_to_107, "tie must break"
     assert lev(407, 408) > l_to_107, "the new singleton must rank behind"
     assert lev(407, 408) <= LEV_MAX, "but still be a re-probe candidate"
+
+    # group T: 412 confident into 130 flips the survivor TOWARD 413 —
+    # the re-probe winner's lev drops strictly below the parked lev
+    # while the runner-up (131, untouched) stays at the parked lev, so
+    # gap >= 1 AND the 'toward' evidence rule both hold.  Also pin the
+    # CONTRAST: groups R and B break their ties with the winner's lev
+    # UNCHANGED (loser drift only), the case 'toward' must reject.
+    assert_confident(412, 130, [131])
+    assert_tie(413, 130, 131)
+    surv130 = min(name(130), name(412))
+    assert surv130 == name(412), "group T survivor must flip to the arrival"
+    park_t = lev(413, 130)
+    assert slev(413, surv130) < park_t, "group T winner must move TOWARD 413"
+    assert slev(413, surv130) < lev(413, 131), "and be strictly best"
+    assert keys(413)[0] == keys(412)[0], "413 must reach the flipped survivor"
+    # contrast pins: R and B winners keep their parked lev exactly
+    assert lev(401, 101) == lev(401, 100), "group R winner lev unchanged"
+    assert lev(407, 107) == lev(407, 106), "group B winner lev unchanged"
+    # tolland is isolated under the retract pair rule (block key + lev,
+    # no city refine): no pair may cross between tolland and elsewhere
+    stray_t = con.execute(
+        f"SELECT count(*) FROM p x JOIN p y ON x.rec_id < y.rec_id "
+        f"AND {block_key_sql(duck=True).replace('name', 'x.name')} = "
+        f"{block_key_sql(duck=True).replace('name', 'y.name')} "
+        f"AND levenshtein(lower(x.name), lower(y.name)) <= {LEV_MAX} "
+        "WHERE (x.city = 'tolland') != (y.city = 'tolland')"
+    ).fetchone()[0]
+    assert stray_t == 0, "no pair may cross into the toward group"
 
     # group C: the chain must hold under the key-blocking pair rule —
     # one shared phonetic block, adjacent levs within the refine
