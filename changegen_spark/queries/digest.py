@@ -304,6 +304,7 @@ KINDS = {
     "q_er_new_entity_merge": {"rec_id": "num", "new_entity": "num", "n_members": "num"},
     "q_mv_join_refresh": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_mv_join_delete": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
+    "q_mv_join_update": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_streaming_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
     "q_streaming_pair_join": {"user_id": "num", "view_id": "num", "purchase_id": "num", "gap_us": "num", "value_cents": "num"},
     "q_streaming_reservoir": {"source": "str", "doc_id": "num", "w": "num", "es_key": "e6", "rank": "num"},

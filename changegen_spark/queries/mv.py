@@ -452,11 +452,161 @@ ORDER BY o_orderpriority, l_returnflag
 """
 
 
+# deterministic CDC UPDATE images (r13, r12 verdict #4): a keyed subset
+# of each side changes a NON-KEY attribute — the classic delete+insert
+# upsert through the view.  Both predicates are pure functions of the
+# row KEY (the q_mv_join_delete lesson: CDC updates are keyed, and a
+# key-determined predicate makes "update the key" and "map the rows"
+# provably the same set).
+UPDATE_PRED_A = "o_orderkey % 13 = 3"  # these orders change priority
+UPDATE_PRED_B = "(l_orderkey * 5 + l_linenumber) % 11 = 7"  # flag change
+UPDATED_PRIORITY = "0-UPDATED"
+UPDATED_FLAG = "U"
+
+
+def q_mv_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE maintenance of the materialized JOIN view (r13 — the
+    upsert leg q_mv_join_refresh/delete left unexercised): CDC updates
+    land on BOTH base tables as keyed new images (an order's priority
+    change, a lineitem's returnflag change), and the view is maintained
+    as delete+insert through the delta-join algebra —
+
+        V_new = (V_old ▷ updA_keys ▷ updB_rowkeys)
+                ∪ (A'_upd ⋈ B') ∪ ((A' ▷ updA_keys) ⋈ B'_upd)
+
+    two broadcast ANTI-joins shed every stored row that touched an
+    updated key on either side; the re-insert terms each join one
+    UPDATE-sized side (broadcastable) against a stored table, with the
+    post-update images A'/B' so a row whose A AND B both updated comes
+    back exactly once with both new values.  Emitted per (priority,
+    returnflag): the upsert-maintained counts/sums next to a
+    from-scratch join over the post-update bases, consistent=1 iff
+    bit-equal.
+
+    100 TB shape: CDC update batches are delta-sized — the anti-join
+    build sides and both re-insert probe sides broadcast; the stored
+    view streams through map-side, and the base tables are re-joined
+    only on the updated keys.  The full recompute is the audit, not the
+    mechanism."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(f"CAST({UPDATE_PRED_A} AS INT)").alias("a_upd"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(f"CAST({UPDATE_PRED_B} AS INT)").alias("b_upd"),
+    )
+    # post-update images (what the CDC new-image records carry)
+    o_new = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("a_upd") == 1, F.lit(UPDATED_PRIORITY)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    li_new = li.withColumn(
+        "l_returnflag",
+        F.when(F.col("b_upd") == 1, F.lit(UPDATED_FLAG)).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    v_old = o.join(li, "o_orderkey")  # the stored view (pre-update)
+    upd_a = o.filter("a_upd = 1").select("o_orderkey")
+    upd_b = li.filter("b_upd = 1").select("o_orderkey", "l_linenumber")
+    survivors = v_old.join(F.broadcast(upd_a), "o_orderkey", "left_anti").join(
+        F.broadcast(upd_b), ["o_orderkey", "l_linenumber"], "left_anti"
+    )
+    ins_a = o_new.filter("a_upd = 1").join(li_new, "o_orderkey")
+    ins_b = o_new.filter("a_upd = 0").join(
+        li_new.filter("b_upd = 1"), "o_orderkey"
+    )
+    cols = ["o_orderpriority", "l_returnflag", "cents"]
+    v_inc = (
+        survivors.select(*cols)
+        .unionByName(ins_a.select(*cols))
+        .unionByName(ins_b.select(*cols))
+    )
+    inc = _join_agg(v_inc, "inc")
+    full = _join_agg(o_new.join(li_new, "o_orderkey").select(*cols), "full")
+    return (
+        inc.join(full, ["o_orderpriority", "l_returnflag"], "full_outer")
+        .selectExpr(
+            "o_orderpriority",
+            "l_returnflag",
+            "CAST(n_inc AS BIGINT) AS n_inc",
+            "CAST(sum_inc AS BIGINT) AS sum_inc",
+            "CAST(n_full AS BIGINT) AS n_full",
+            "CAST(sum_full AS BIGINT) AS sum_full",
+            "CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent",
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+Q_MV_JOIN_UPDATE_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST({UPDATE_PRED_A} AS INT) AS a_upd
+  FROM orders
+), b AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber, l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST({UPDATE_PRED_B} AS INT) AS b_upd
+  FROM lineitem
+), a_new AS (
+  SELECT o_orderkey,
+         CASE WHEN a_upd = 1 THEN '{UPDATED_PRIORITY}'
+              ELSE o_orderpriority END AS o_orderpriority,
+         a_upd
+  FROM a
+), b_new AS (
+  SELECT o_orderkey, l_linenumber,
+         CASE WHEN b_upd = 1 THEN '{UPDATED_FLAG}'
+              ELSE l_returnflag END AS l_returnflag,
+         cents, b_upd
+  FROM b
+), v_inc AS (
+  -- survivors: stored rows whose keys no update touched (old images)
+  SELECT a.o_orderpriority, b.l_returnflag, b.cents
+  FROM a JOIN b USING (o_orderkey)
+  WHERE a.a_upd = 0 AND b.b_upd = 0
+  UNION ALL
+  -- re-insert: updated-A keys re-joined against post-update B
+  SELECT a_new.o_orderpriority, b_new.l_returnflag, b_new.cents
+  FROM a_new JOIN b_new USING (o_orderkey)
+  WHERE a_new.a_upd = 1
+  UNION ALL
+  -- re-insert: updated-B rows whose A did not update
+  SELECT a_new.o_orderpriority, b_new.l_returnflag, b_new.cents
+  FROM a_new JOIN b_new USING (o_orderkey)
+  WHERE a_new.a_upd = 0 AND b_new.b_upd = 1
+), inc AS (
+  SELECT o_orderpriority, l_returnflag,
+         count(*) AS n_inc, CAST(sum(cents) AS BIGINT) AS sum_inc
+  FROM v_inc GROUP BY 1, 2
+), full_v AS (
+  SELECT a_new.o_orderpriority, b_new.l_returnflag,
+         count(*) AS n_full, CAST(sum(cents) AS BIGINT) AS sum_full
+  FROM a_new JOIN b_new USING (o_orderkey) GROUP BY 1, 2
+)
+SELECT o_orderpriority, l_returnflag,
+       CAST(n_inc AS BIGINT) AS n_inc, sum_inc,
+       CAST(n_full AS BIGINT) AS n_full, sum_full,
+       CAST(n_inc = n_full AND sum_inc = sum_full AS INT) AS consistent
+FROM inc FULL OUTER JOIN full_v USING (o_orderpriority, l_returnflag)
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+
 QUERIES = {
     "q_mv_refresh": q_mv_refresh,
     "q_mv_delete_repair": q_mv_delete_repair,
     "q_mv_join_refresh": q_mv_join_refresh,
     "q_mv_join_delete": q_mv_join_delete,
+    "q_mv_join_update": q_mv_join_update,
 }
 
 ORACLES = {
@@ -464,4 +614,5 @@ ORACLES = {
     "q_mv_delete_repair": Q_MV_DELETE_REPAIR_SQL,
     "q_mv_join_refresh": Q_MV_JOIN_REFRESH_SQL,
     "q_mv_join_delete": Q_MV_JOIN_DELETE_SQL,
+    "q_mv_join_update": Q_MV_JOIN_UPDATE_SQL,
 }

@@ -115,3 +115,59 @@ def test_mv_join_delete_antijoin_equals_filter_and_overlap_exercised(
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_mv_join_update_upsert_exact_and_both_sides_exercised(
+    spark, sf_dir
+):
+    """The CDC-update upsert (r13): delete+insert through the delta-join
+    algebra must equal the post-update recompute on every group
+    (consistent=1), rows whose A AND B images BOTH updated must exist
+    (the double-update row must come back exactly once with both new
+    values — the overlap the decomposition's second term deliberately
+    excludes), the updated-priority and updated-flag groups must be
+    non-empty, and the plan must be broadcast anti-joins."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mv import (
+        UPDATE_PRED_A,
+        UPDATE_PRED_B,
+        UPDATED_FLAG,
+        UPDATED_PRIORITY,
+        q_mv_join_update,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    rows = q_mv_join_update(spark, sf_dir).collect()
+    assert rows and all(r.consistent == 1 for r in rows)
+    # both new-image groups are served from the maintained view
+    assert any(
+        r.o_orderpriority == UPDATED_PRIORITY and r.n_inc > 0 for r in rows
+    )
+    assert any(r.l_returnflag == UPDATED_FLAG and r.n_inc > 0 for r in rows)
+    # and their intersection (A and B updated on the same view row)
+    assert any(
+        r.o_orderpriority == UPDATED_PRIORITY
+        and r.l_returnflag == UPDATED_FLAG
+        and r.n_inc > 0
+        for r in rows
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(f"CAST({UPDATE_PRED_A} AS INT)").alias("a_upd")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr(f"CAST({UPDATE_PRED_B} AS INT)").alias("b_upd"),
+    )
+    both = o.join(li, "o_orderkey").filter("a_upd = 1 AND b_upd = 1")
+    assert both.count() > 0, "double-updated view rows must exist"
+
+    plan = (
+        q_mv_join_update(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

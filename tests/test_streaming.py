@@ -965,3 +965,103 @@ def test_retract_stream_restart_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert fingerprint() == before
+
+
+def _mv_expected_final(spark, sf_dir):
+    """Independent recompute of the post-CDC join view aggregate: all
+    orders/lineitems (pre-cutoff seed + post-cutoff inserts), minus the
+    keyed deletes, with the keyed update images applied."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.mv import (
+        DELETE_PRED,
+        DELETE_PRED_B,
+        UPDATE_PRED_A,
+        UPDATE_PRED_B,
+        UPDATED_FLAG,
+        UPDATED_PRIORITY,
+    )
+    from changegen_spark.sources.tables import load_table
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(f"NOT ({DELETE_PRED})")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.expr(UPDATE_PRED_A), F.lit(UPDATED_PRIORITY)
+            ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(f"NOT ({DELETE_PRED_B})")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            F.when(F.expr(UPDATE_PRED_B), F.lit(UPDATED_FLAG)).otherwise(
+                F.col("l_returnflag")
+            ).alias("l_returnflag"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    return sorted(
+        tuple(r)
+        for r in o.join(li, "o_orderkey")
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    )
+
+
+def _mv_view_agg(spark, state):
+    from pyspark.sql import functions as F
+
+    spark.catalog.refreshByPath(state + "/view")
+    return sorted(
+        tuple(r)
+        for r in spark.read.parquet(state + "/view")
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    )
+
+
+def test_mv_join_stream_converges_to_post_cdc_recompute(
+    spark, sf_dir, tmp_path
+):
+    """The stored join view maintained under the full CDC sequence
+    (ΔA inserts, ΔB inserts, keyed deletes, keyed update images — one
+    micro-batch each) must converge to exactly the from-scratch join
+    over the post-CDC base states: the streaming twin of
+    q_mv_join_refresh + q_mv_join_delete + q_mv_join_update composed."""
+    from changegen_spark.streaming.mv import mv_join_maintenance_stream
+
+    state = str(tmp_path / "state")
+    q = mv_join_maintenance_stream(spark, state, sf_dir)
+    q.awaitTermination(300)
+    assert _mv_view_agg(spark, state) == _mv_expected_final(spark, sf_dir)
+
+
+def test_mv_join_stream_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """A checkpointed re-run must process zero batches: the CDC log dir
+    count and the view aggregate are unchanged."""
+    import glob
+
+    from changegen_spark.streaming.mv import mv_join_maintenance_stream
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = mv_join_maintenance_stream(spark, state, sf_dir, checkpoint=ckpt)
+    q.awaitTermination(300)
+    before = (
+        _mv_view_agg(spark, state),
+        len(glob.glob(state + "/cdc/batch=*")),
+    )
+    q2 = mv_join_maintenance_stream(spark, state, sf_dir, checkpoint=ckpt)
+    q2.awaitTermination(300)
+    assert (
+        _mv_view_agg(spark, state),
+        len(glob.glob(state + "/cdc/batch=*")),
+    ) == before
