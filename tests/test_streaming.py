@@ -1065,3 +1065,207 @@ def test_mv_join_stream_restart_is_exactly_once(spark, sf_dir, tmp_path):
         _mv_view_agg(spark, state),
         len(glob.glob(state + "/cdc/batch=*")),
     ) == before
+
+
+def _lifecycle_fingerprint(spark, state):
+    import glob
+
+    recs = sorted(
+        glob.glob(state + "/records/batch=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    spark.catalog.refreshByPath(recs[-1])
+    records = sorted(
+        tuple(r) for r in spark.read.parquet(recs[-1]).collect()
+    )
+    pools = sorted(
+        glob.glob(state + "/pool/batch=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    spark.catalog.refreshByPath(pools[-1])
+    pool = sorted(
+        tuple(r) for r in spark.read.parquet(pools[-1]).collect()
+    )
+    spark.catalog.refreshByPath(state + "/golden")
+    golden = sorted(
+        tuple(r) for r in spark.read.parquet(state + "/golden").collect()
+    )
+    return records, pool, golden
+
+
+def test_lifecycle_stream_interleaves_arrivals_and_deletes(spark, tmp_path):
+    """The composed lifecycle (r12 verdict #3): arrival and delete
+    batches interleave over ONE shared store, and every planted
+    interaction is pinned — a deleted rival does NOT resolve a parked
+    tie (the survivor's lev never dropped: 'toward' keeps it parked), a
+    later confident arrival DOES drain the pool mid-sequence (413→130
+    with deletes before and after it), head deletion re-heads the
+    entity an earlier batch merged into, and tombstoned entities leave
+    the golden table."""
+    from changegen_spark.streaming.er import (
+        lifecycle_stream,
+        stage_lifecycle_files,
+    )
+
+    stage = stage_lifecycle_files(
+        spark,
+        str(tmp_path / "events"),
+        [
+            [("arrive", 401), ("arrive", 402), ("arrive", 413)],
+            [("delete", 101), ("delete", 103)],
+            [("arrive", 400), ("arrive", 412)],
+            [("delete", 100), ("delete", 412)],
+        ],
+    )
+    state = str(tmp_path / "state")
+    q = lifecycle_stream(spark, state, stage)
+    q.awaitTermination(300)
+    records, pool, golden = _lifecycle_fingerprint(spark, state)
+
+    ent = {r[0]: r[3] for r in records}  # rec_id -> entity
+    # deleted records (base heads, an arrived member) are gone
+    for gone in (100, 101, 103, 412):
+        assert gone not in ent
+    # head deletion re-headed 400's entity to itself
+    assert ent[400] == 400
+    # the mid-sequence drain: 413 resolved into 130 (batch 2) and
+    # SURVIVED 412's later deletion as a member of 130
+    assert ent[413] == 130
+    # parked forever: rival deletion (401: 101 gone; 402: 103 gone)
+    # breaks the tie WITHOUT evidence — toward keeps both pooled
+    assert {p[0] for p in pool} == {401, 402}
+    # golden tuple: (entity, n_members, name_mode, name_longest,
+    # city_latest, bucket)
+    g = {r[0]: r for r in golden}
+    for gone in (100, 101, 103):
+        assert gone not in g, "tombstoned entities leave the golden table"
+    assert g[400][2] == "dana maier" and g[400][1] == 1
+    assert g[130][2] == "lena hofmaann" and g[130][1] == 2
+    assert g[102][1] == 1
+    # drained log: exactly the one evidence-backed resolution
+    import glob
+
+    drained = {}
+    for p in sorted(glob.glob(state + "/drained/batch=*")):
+        spark.catalog.refreshByPath(p)
+        for r in spark.read.parquet(p).collect():
+            drained[r.rec_id] = (r.matched_entity, r.status)
+    assert drained == {413: (130, "resolved")}
+
+
+def test_lifecycle_stream_deletes_first_equals_one_shot_batch(
+    spark, tmp_path
+):
+    """Retraction → assignment interaction, pinned against the BATCH
+    operators: when all deletes land before all arrivals, the stream's
+    final state must equal the one-shot batch pipeline over the reduced
+    base (margin assignment + new-entity ids + the default-policy
+    drain) — a deleted base record can never attract an arrival."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import (
+        ER_AMBIG_PATH,
+        incremental_assign_margin,
+        resolve_ambiguous,
+    )
+    from changegen_spark.streaming.er import (
+        lifecycle_stream,
+        stage_lifecycle_files,
+    )
+
+    dels = [101, 106]
+    arrivals = list(range(400, 414))
+    stage = stage_lifecycle_files(
+        spark,
+        str(tmp_path / "events"),
+        [
+            [("delete", r) for r in dels],
+            [("arrive", r) for r in arrivals],
+        ],
+    )
+    state = str(tmp_path / "state")
+    q = lifecycle_stream(spark, state, stage)
+    q.awaitTermination(300)
+    records, pool, _ = _lifecycle_fingerprint(spark, state)
+    got = {r[0]: r[3] for r in records if r[0] >= 400}
+    got_pool = {p[0] for p in pool}
+
+    ppl = spark.read.parquet(ER_AMBIG_PATH)
+    base2 = ppl.filter("rec_id < 400").filter(
+        ~F.col("rec_id").isin(dels)
+    )
+    arr = ppl.filter("rec_id >= 400")
+    assigned = incremental_assign_margin(arr, base2).localCheckpoint(
+        eager=True
+    )
+    want, want_pool = {}, set()
+    for r in assigned.collect():
+        if r.matched_entity >= 0:
+            want[r.rec_id] = r.matched_entity
+        elif r.matched_entity == -1:
+            want[r.rec_id] = r.rec_id
+    for r in resolve_ambiguous(arr, base2, assigned=assigned).collect():
+        if r.matched_entity >= 0:
+            want[r.rec_id] = r.matched_entity
+        elif r.matched_entity == -1:
+            want[r.rec_id] = r.rec_id
+        else:
+            want_pool.add(r.rec_id)
+    assert got == want
+    assert got_pool == want_pool
+    # the interaction is non-trivial: with 101 retracted, 401's first
+    # pass is no longer a tie — it merges confidently into 100
+    assert got[401] == 100
+
+
+def test_lifecycle_stream_restart_resumes_mid_sequence(spark, tmp_path):
+    """Exactly-once across a MID-sequence restart: run the first half
+    of the event sequence to completion under a checkpoint, drop the
+    second half's files, re-start with the same checkpoint — only the
+    new files are processed (batch ids continue), and the final state
+    equals a fresh single-run over the full sequence."""
+    import glob
+    import shutil
+
+    from changegen_spark.streaming.er import (
+        lifecycle_stream,
+        stage_lifecycle_files,
+    )
+
+    seq = [
+        [("arrive", 401), ("arrive", 402), ("arrive", 413)],
+        [("delete", 101), ("delete", 103)],
+        [("arrive", 400), ("arrive", 412)],
+        [("delete", 100), ("delete", 412)],
+    ]
+    full_stage = stage_lifecycle_files(
+        spark, str(tmp_path / "events_full"), seq
+    )
+    staged = sorted(glob.glob(full_stage + "/*.parquet"))
+    half = str(tmp_path / "events_half")
+    import os
+
+    os.makedirs(half)
+    # copy2 preserves the staged mtimes — the file source orders
+    # micro-batches by modification time, and a plain copy would let
+    # the delete file overtake the arrival file on an mtime tie
+    for f in staged[:2]:
+        shutil.copy2(f, half)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = lifecycle_stream(spark, state, half, checkpoint=ckpt)
+    q.awaitTermination(300)
+    assert len(glob.glob(state + "/records/batch=*")) == 2
+
+    for f in staged[2:]:
+        shutil.copy2(f, half)
+    q2 = lifecycle_stream(spark, state, half, checkpoint=ckpt)
+    q2.awaitTermination(300)
+    assert len(glob.glob(state + "/records/batch=*")) == 4
+
+    fresh = str(tmp_path / "state_fresh")
+    q3 = lifecycle_stream(spark, fresh, full_stage)
+    q3.awaitTermination(300)
+    assert _lifecycle_fingerprint(spark, state) == _lifecycle_fingerprint(
+        spark, fresh
+    )
