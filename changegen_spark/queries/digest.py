@@ -306,6 +306,7 @@ KINDS = {
     "q_mv_join_delete": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_mv_join_update": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},
     "q_streaming_windows": {"window_start": "str", "event_type": "str", "n": "num", "sum_value_e6": "num"},
+    "q_streaming_sessions": {"user_id": "num", "session_start": "str", "session_end": "str", "n_events": "num"},
     "q_streaming_pair_join": {"user_id": "num", "view_id": "num", "purchase_id": "num", "gap_us": "num", "value_cents": "num"},
     "q_streaming_reservoir": {"source": "str", "doc_id": "num", "w": "num", "es_key": "e6", "rank": "num"},
     "q_multimodal_decode": {"asset_id": "num", "width": "num", "height": "num", "n_pixels": "num", "mean_px": "e6", "ok": "num"},

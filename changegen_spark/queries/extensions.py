@@ -51,7 +51,14 @@ def q_streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window stateful aggregation over the event stream."""
+    """session_window stateful aggregation over the event stream.
+    Oracle-backed since r13 (r12 verdict #7): session BOUNDS are batch-
+    computable as gaps-and-islands SQL — lag → new-session flag →
+    cumulative session id — with ONE semantic translation: a
+    session_window's end is last_event + gap (the window stays open a
+    full gap past its last event), so the oracle emits max(ts) + 30
+    minutes where the plain batch sessionization (q_sessionize) emits
+    max(ts)."""
     from changegen_spark.streaming.events import (
         run_to_memory_sink,
         sessionize_stream,
@@ -62,6 +69,32 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir).filter(F.col("user_id") % 20 == 0)
     out = run_to_memory_sink(sessionize_stream(stream), name, mode="complete")
     return out.orderBy("user_id", "session_start")
+
+
+# gaps-and-islands twin of the session_window stream: same 30-minute gap
+# rule as Q_SESSIONIZE_SQL (strictly-greater -> new session), session_end
+# = last event + gap per session_window semantics
+Q_STREAMING_SESSIONS_SQL = """
+WITH ev AS (SELECT * FROM events WHERE user_id % 20 = 0),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*) AS n_events
+FROM sessioned GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
 
 
 def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +459,9 @@ from changegen_spark.queries.extensions_gold import (  # noqa: E402
 # strategy for the same relation, so "rows-only by nature (streaming)"
 # was underclaiming — the weaker check applies only where emission
 # SEMANTICS differ from any batch relation (update-mode intermediate
-# rows, session-window bounds, engine-specific sketch hashes).
+# rows, engine-specific sketch hashes).  Session windows left that set
+# in r13: their bounds are gaps-and-islands SQL plus one stated
+# translation (end = last event + gap), Q_STREAMING_SESSIONS_SQL above.
 from changegen_spark.queries.events import (  # noqa: E402
     Q_EVENT_WINDOWS_SQL,
     Q_VIEW_PURCHASE_PAIRS_SQL,
@@ -439,6 +474,7 @@ ORACLES: dict[str, str] = {
     "q_semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
     "q_streaming_windows": Q_EVENT_WINDOWS_SQL,
     "q_streaming_pair_join": Q_VIEW_PURCHASE_PAIRS_SQL,
+    "q_streaming_sessions": Q_STREAMING_SESSIONS_SQL,
     "q_streaming_reservoir": _mlprep_oracles.ORACLES[
         "q_reservoir_per_source"
     ],
