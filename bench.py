@@ -258,6 +258,58 @@ def _calibration_s() -> float:
     return round(min(one() for _ in range(3)), 3)
 
 
+# Idle-machine value of _parallel_calibration_s() on this box (r13,
+# r12 verdict #6): the single-thread canary reads ~1.0 while the
+# headline drifts ±13% across idle runs with movers concentrated in
+# Arrow-UDF-heavy queries — multi-core contention, Python-worker pool
+# state, and page cache are invisible to a single-thread probe.  This
+# canary runs the same machinery the drifting queries run: 32 Arrow
+# pandas-UDF tasks across the executor threads.
+IDLE_CALIB_PAR_S = 0.76  # min-of-3 after warm, measured idle at r13 (0.756-0.775 across 4 fresh sessions)
+
+
+def _parallel_calibration_s(spark) -> float:
+    """Fixed 32-task Arrow pandas-UDF micro-job, timed (min-of-3 after
+    one warm run) — the MULTI-CORE load canary.  Exercises exactly the
+    ambient state the single-thread probe cannot see: task scheduling
+    across all executor threads, Arrow serialization, and the Python
+    worker pool.  calib_par_ratio = measured/IDLE_CALIB_PAR_S is the
+    multiplier to read round-over-round drift in Arrow-UDF-heavy
+    queries against."""
+    import numpy as np  # noqa: F401 (imported in the UDF body too)
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf
+
+    def _work_body(x):
+        import numpy as np
+        import pandas as pd
+
+        v = x.to_numpy(dtype="float64") + 1.0
+        acc = np.zeros_like(v)
+        for _ in range(400):
+            acc = np.sqrt(acc + v * 1.0000001)
+        return pd.Series(acc)
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` stringifies inline hints, which pyspark's type-hint
+    # inference cannot resolve against this closure's locals
+    _work_body.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    _work = pandas_udf(_work_body, "double")
+
+    df = spark.range(32 * 200_000, numPartitions=32).select(
+        _work(_F.col("id")).alias("y")
+    )
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    one()  # warm: Python worker spin-up + codegen
+    return round(min(one() for _ in range(3)), 3)
+
+
 def main() -> None:
     from changegen_spark.queries import all_queries
     from changegen_spark.session import get_spark
@@ -277,6 +329,14 @@ def main() -> None:
 
     spark = get_spark("changegen_spark-bench")
     queries = all_queries()
+
+    # r13 (r12 verdict #6): MULTI-CORE canary sampled before and after
+    # the sweep — the single-thread probe reads ~1.0 while Arrow-UDF-
+    # heavy queries drift ±13% across idle runs; this probe runs the
+    # same multi-core + Arrow + Python-worker machinery those queries
+    # run, so its ratio is the figure round-over-round claims about
+    # them must be normalized by.
+    calib_par_before = _parallel_calibration_s(spark)
 
     # Steady-state methodology (r3: n=3 warm runs, min reported): run each
     # query once to absorb one-time JVM class-load + whole-stage-codegen
@@ -311,10 +371,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     calib_after = _calibration_s()
+    calib_par_after = _parallel_calibration_s(spark)
     # Ambient-load multiplier for THIS run; queries_norm are the timings a
     # judge should compare across rounds (raw timings retained alongside).
     calib_ratio = max(
         1.0, round(((calib_before + calib_after) / 2) / IDLE_CALIB_S, 3)
+    )
+    calib_par_ratio = max(
+        1.0,
+        round(
+            ((calib_par_before + calib_par_after) / 2) / IDLE_CALIB_PAR_S, 3
+        ),
     )
     timings_norm = {n: round(t / calib_ratio, 3) for n, t in timings.items()}
 
@@ -1414,9 +1481,22 @@ def main() -> None:
         "calib_s": {"before": calib_before, "after": calib_after},
         "calib_idle_s": IDLE_CALIB_S,
         "calib_ratio": calib_ratio,
+        # r13 (r12 verdict #6): the multi-core Arrow-UDF canary — the
+        # single-thread probe cannot see multi-core/Python-worker/page-
+        # cache ambient state, which is exactly where the ±13% idle
+        # drift in Arrow-UDF-heavy queries lives.  Round-over-round
+        # claims should quote value_norm_par when the movers are
+        # UDF-heavy.
+        "calib_par_s": {
+            "before": calib_par_before,
+            "after": calib_par_after,
+        },
+        "calib_par_idle_s": IDLE_CALIB_PAR_S,
+        "calib_par_ratio": calib_par_ratio,
         # timings divided by calib_ratio — the cross-round comparable view
         "queries_norm": timings_norm,
         "value_norm": round(sum(timings_norm.values()), 3),
+        "value_norm_par": round(sum(timings.values()) / calib_par_ratio, 3),
     }
     if sf1 is not None:
         out["sf1"] = sf1
