@@ -58,6 +58,37 @@ def main() -> None:
                     f"round-{rnd} close note says {q}/{o}, "
                     f"registry is {nq}/{no}"
                 )
+    # r13 (r12 verdict #8): quoted LADDER figures must agree with the
+    # committed artifact they cite.  The r12 verdict found GAPS/SCALE
+    # quoting deep_cc at 18.0 s from an earlier run while bench_out.json
+    # carried 14.1 s — rounds/components agreed, the wall was a stale
+    # copy.  Every "N rounds (...), 1 component, X s" deep_cc quote in
+    # GAPS.md/SCALE.md is checked against the committed cell (wall to
+    # one decimal, rounds exact).  Checked, not rewritten, for the same
+    # reason as the close-note counts: these quotes are presented as run
+    # evidence.
+    import json
+    import os
+
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench_out.json")
+    if os.path.exists(bench_path):
+        cell = json.load(open(bench_path)).get("er_ladder", {}).get("deep_cc")
+        if cell:
+            want_rounds, want_wall = cell["rounds"], round(cell["wall_s"], 1)
+            for path in ("GAPS.md", "SCALE.md"):
+                text = re.sub(r"[*\n]", " ", open(path).read())
+                for m in re.finditer(
+                    r"(\d+) rounds \(6 one-hop \+ \d+ halving\), 1 "
+                    r"component, ([\d.]+)\s*s",
+                    text,
+                ):
+                    rounds, wall = int(m.group(1)), float(m.group(2))
+                    if (rounds, wall) != (want_rounds, want_wall):
+                        stale.append(
+                            f"{path} quotes deep_cc {rounds} rounds/"
+                            f"{wall} s, committed artifact says "
+                            f"{want_rounds}/{want_wall}"
+                        )
     if stale:
         for msg in stale:
             print(f"STALE: {msg}")
