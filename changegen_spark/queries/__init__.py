@@ -192,62 +192,61 @@ STANDING = (
 # current window, so including it would make the pin self-breaking (the
 # r7 postmortem: the suite went red the moment CORRECTNESS_r07.json
 # landed).  Bump this constant WITH every rotation.
-ROTATION_ROUND = 12
+ROTATION_ROUND = 13
 
-# r12 window rotation: the mechanical LRU proposal, verbatim —
-# `python tools/never_direct.py --propose 12 --slots 37`, REGENERATED
+# r13 window rotation: the mechanical LRU proposal, verbatim —
+# `python tools/never_direct.py --propose 13 --slots 37`, REGENERATED
 # after each of the round's registry additions so the window always
 # carries every never-direct name (new queries go direct the round they
-# land, the r8-r11 precedent).  The final proposal leads with the ten
-# r12-new / newly-oracle-backed names — the multimodal VALUES-oracle
-# trio, the ambiguous-pool drain, the retraction path, the −1-pool
-# consolidation, both join-view MV queries, and the three pinned
-# streaming twins that inherited their batch twins' oracles — plus
-# q_er_margin_audit (r11's post-close addition), then the
-# least-recently-direct tail (the r5-era embedding/vector, geo/dedup,
-# and sketch/search families).  Displaced names fall back into the
-# digest-covered set; queries/digest.KINDS carries their schemas, so
-# transitive verification stays total.  Dict insertion order makes this
-# stable: rotated names are inserted right after the standing slots and
-# keep that position when the module sweep re-updates them.
+# land, the r8-r12 precedent).  The proposal leads with the three
+# r13-new / newly-oracle-backed names — the newly-oracled
+# session-window stream, the drain-policy disposition table, and the
+# join-view CDC update — then the least-recently-direct tail (the
+# r5/r6-era set-similarity/sketch, media, funnel, time-series,
+# curation/mixture, tokenizer-vocab, and TPC-H families).  Displaced
+# names fall back into the digest-covered set; queries/digest.KINDS
+# carries their schemas, so transitive verification stays total.  Dict
+# insertion order makes this stable: rotated names are inserted right
+# after the standing slots and keep that position when the module
+# sweep re-updates them.
 ROTATED_IN = (
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_multimodal_features_ann",
-    "q_er_ambiguous_resolve",
-    "q_er_golden_retract",
-    "q_er_margin_audit",
-    "q_er_new_entity_merge",
-    "q_mv_join_refresh",
-    "q_mv_join_delete",
-    "q_streaming_windows",
-    "q_streaming_pair_join",
-    "q_streaming_reservoir",
-    "q_embedding_dedup",
-    "q_embedding_dedup_lsh",
-    "q_dim_standardize",
-    "q_random_projection",
-    "q_semantic_dedup",
-    "q_ann_ivf",
-    "q_event_windows",
-    "q_dwithin_semi",
-    "q_self_join",
-    "q_grid_dedup",
-    "q_mercator",
-    "q_nearest_neighbor",
-    "q_dedup_clusters",
-    "q_dedup_keep_best",
-    "q_fingerprint",
-    "q_exact_dedup",
-    "q_lsh_pairs",
-    "q_simhash",
-    "q_hstore_parse",
-    "q_catalog",
-    "q_window_rank",
-    "q_window_funcs",
-    "q_pagerank",
-    "q_resample",
-    "q_bm25_search",
+    "q_streaming_sessions",
+    "q_er_drain_policy",
+    "q_mv_join_update",
+    "q_setsim_join",
+    "q_winnow_pairs",
+    "q_hll_distinct",
+    "q_kmv_distinct",
+    "q_sample_quantiles",
+    "q_tag_unpivot",
+    "q_countmin_topk",
+    "q_media_dhash",
+    "q_media_dup_pairs",
+    "q_media_image_decode",
+    "q_nb_classifier",
+    "q_funnel",
+    "q_retention",
+    "q_new_vs_returning",
+    "q_ab_test",
+    "q_hopping_windows",
+    "q_moving_avg",
+    "q_source_drift",
+    "q_kmv_jaccard",
+    "q_gopher_rules",
+    "q_ccnet_buckets",
+    "q_mixture_temperature",
+    "q_mixture_sample",
+    "q_compression_ratio",
+    "q_ngram_novelty",
+    "q_unigram_vocab",
+    "q_unigram_encode_stats",
+    "q_c4_line_filter",
+    "q_c4_span_dedup",
+    "q_wordpiece_merges",
+    "q_wordpiece_encode_stats",
+    "q_kmeans",
+    "q06_forecast_revenue",
+    "q10_returned_items",
 )
 
 
