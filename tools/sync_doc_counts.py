@@ -89,6 +89,40 @@ def main() -> None:
                             f"{wall} s, committed artifact says "
                             f"{want_rounds}/{want_wall}"
                         )
+        # retract walls (r13): the triple-quoted delete-batch costs at
+        # 10k/100k/1M base, in either prose form ("X s at 10k base,
+        # Y s at 100k, Z s at 1M" or "X/Y/Z s at 10k/100k/1M base"),
+        # must match the committed per-rung retract cells to 2 dp.
+        rungs = json.load(open(bench_path)).get("er_ladder", {}).get("n", {})
+        want_r = tuple(
+            round(rungs[k]["retract"]["wall_s"], 2)
+            for k in ("10000", "100000", "1000000")
+            if isinstance(rungs.get(k), dict) and "retract" in rungs[k]
+        )
+        if len(want_r) == 3:
+            for path in ("GAPS.md", "SCALE.md"):
+                text = re.sub(r"[*\n]", " ", open(path).read())
+                quotes = [
+                    tuple(float(g) for g in m.groups())
+                    for m in re.finditer(
+                        r"([\d.]+) s at 10k base, ([\d.]+) s at 100k, "
+                        r"([\d.]+) s at 1M",
+                        text,
+                    )
+                ] + [
+                    tuple(float(g) for g in m.groups())
+                    for m in re.finditer(
+                        r"([\d.]+)/([\d.]+)/([\d.]+) s at\s+"
+                        r"10k/100k/1M base",
+                        text,
+                    )
+                ]
+                for got in quotes:
+                    if got != want_r:
+                        stale.append(
+                            f"{path} quotes retract walls {got}, "
+                            f"committed artifact says {want_r}"
+                        )
     if stale:
         for msg in stale:
             print(f"STALE: {msg}")
