@@ -1149,6 +1149,164 @@ def main() -> None:
             ),
         }
 
+        # r13: SUSTAINED lifecycle throughput — the composed stream
+        # (retraction + assignment + pool drain + golden maintenance
+        # over ONE maintained store, streaming/er.py lifecycle_stream)
+        # has only ever run at fixture scale; this rung drives it at
+        # the 100k corpus over 8 interleaved micro-batches (6 arrival
+        # batches x ~2.5k + 2 keyed delete batches x ~500) and records
+        # what a maintained pipeline operator would watch: per-batch
+        # wall (from the batch-keyed snapshot mtimes — zero
+        # instrumentation in the stream itself), the parked-pool
+        # trajectory (does it drain or accrete under the default
+        # 'toward' policy?), terminal-disposition counts, and
+        # end-to-end merge PURITY against the planted truth (an
+        # arrival is wrong iff its final entity mixes truths).  A
+        # second short run with pool_ttl_batches=3 measures the
+        # bounded-state dial: aged entries escalate to review instead
+        # of riding the carried pool forever.
+        import glob as _glob
+        import shutil as _sh
+
+        from changegen_spark.streaming.er import (
+            lifecycle_stream,
+            stage_lifecycle_frames,
+        )
+
+        lc_path = build_er_records(spark, er_dir, n_entities=100_000)
+        lc_ppl = spark.read.parquet(lc_path)
+        lc_base = lc_ppl.filter("rec_id < 100000").select(
+            "rec_id", "name", "city"
+        )
+        n_arr_batches = 6
+        arr_frames = [
+            lc_ppl.filter("rec_id >= 100000")
+            .filter(_F.pmod("rec_id", _F.lit(n_arr_batches)) == i)
+            .select(_F.lit("arrive").alias("kind"), "rec_id", "name", "city")
+            for i in range(n_arr_batches)
+        ]
+        del_frames = [
+            lc_base.filter(f"rec_id % {mod} = {res}").select(
+                _F.lit("delete").alias("kind"),
+                "rec_id",
+                _F.lit(None).cast("string").alias("name"),
+                _F.lit(None).cast("string").alias("city"),
+            )
+            for mod, res in ((199, 3), (211, 5))
+        ]
+        # A A D A A D A A — deletes land mid-sequence so later
+        # assignment and drain probe a post-retraction golden table
+        lc_frames = [
+            arr_frames[0],
+            arr_frames[1],
+            del_frames[0],
+            arr_frames[2],
+            arr_frames[3],
+            del_frames[1],
+            arr_frames[4],
+            arr_frames[5],
+        ]
+        lc_stage = os.path.join(er_dir, "lifecycle_events_100k")
+        _sh.rmtree(lc_stage, ignore_errors=True)
+        stage_lifecycle_frames(
+            spark, lc_stage, lc_frames, os.stat(lc_path).st_mtime + 10
+        )
+
+        def _lifecycle_run(ttl, tombstone_window=None):
+            lc_state = os.path.join(er_dir, "lifecycle_state_100k")
+            _sh.rmtree(lc_state, ignore_errors=True)
+            t0 = time.time()
+            q = lifecycle_stream(
+                spark,
+                lc_state,
+                lc_stage,
+                base=lc_base,
+                seed_key=lc_path,
+                pool_ttl_batches=ttl,
+                tombstone_window=tombstone_window,
+            )
+            q.awaitTermination(1800)
+            wall = round(time.time() - t0, 3)
+            batches = sorted(
+                _glob.glob(lc_state + "/records/batch=*"),
+                key=lambda p: int(p.rsplit("=", 1)[1]),
+            )
+            mts = [os.path.getmtime(p) for p in batches]
+            per_batch = [
+                round(b - a, 3) for a, b in zip(mts, mts[1:])
+            ]
+            pool_traj = []
+            for p in sorted(
+                _glob.glob(lc_state + "/pool/batch=*"),
+                key=lambda s: int(s.rsplit("=", 1)[1]),
+            ):
+                spark.catalog.refreshByPath(p)
+                pool_traj.append(spark.read.parquet(p).count())
+            statuses = {}
+            for p in _glob.glob(lc_state + "/drained/batch=*"):
+                spark.catalog.refreshByPath(p)
+                for r in (
+                    spark.read.parquet(p).groupBy("status").count().collect()
+                ):
+                    statuses[r.status] = statuses.get(r.status, 0) + r["count"]
+            spark.catalog.refreshByPath(batches[-1])
+            fin = spark.read.parquet(batches[-1])
+            truthed = fin.join(
+                lc_ppl.select("rec_id", "entity_id"), "rec_id"
+            ).select(
+                "rec_id",
+                "entity",
+                _F.when(_F.col("rec_id") < 100_000, _F.col("rec_id"))
+                .otherwise(_F.col("entity_id"))
+                .alias("truth"),
+            )
+            impure = (
+                truthed.groupBy("entity")
+                .agg(_F.countDistinct("truth").alias("nt"))
+                .filter("nt > 1")
+            )
+            wrong = (
+                truthed.join(impure, "entity")
+                .filter("rec_id >= 100000")
+                .count()
+            )
+            merged = fin.filter(
+                "rec_id >= 100000 AND entity < 100000"
+            ).count()
+            return {
+                "wall_s": wall,
+                "per_batch_s": per_batch,
+                "pool_after_each_batch": pool_traj,
+                "drained_statuses": statuses,
+                "arrivals_merged_into_base": merged,
+                "wrong_in_impure_entities": wrong,
+                "pool_ttl_batches": ttl,
+                "tombstone_window": tombstone_window,
+            }
+
+        _dial_keys = (
+            "wall_s",
+            "pool_after_each_batch",
+            "drained_statuses",
+            "arrivals_merged_into_base",
+            "wrong_in_impure_entities",
+            "pool_ttl_batches",
+            "tombstone_window",
+        )
+        lrow = _lifecycle_run(None)
+        lrow["ttl_run"] = {
+            k: v for k, v in _lifecycle_run(3).items() if k in _dial_keys
+        }
+        # retraction-shadow guard: the purity audit's one wrong merge
+        # (arrival after its true entity's retraction, near-twin
+        # surviving) must go to 0, at the cost of the shadowed parks
+        lrow["tombstone_run"] = {
+            k: v
+            for k, v in _lifecycle_run(3, tombstone_window=4).items()
+            if k in _dial_keys
+        }
+        er["lifecycle_100k"] = lrow
+
     # web ladder (r6): URL canonicalization + dedup throughput at 100k
     # and 1M synthesized crawl rows (sources/scaleup.build_web_urls —
     # expression-only generation, every variant canonicalizes to its

@@ -740,22 +740,41 @@ def golden_maintenance_stream(
     return writer.start()
 
 
+def stage_lifecycle_frames(
+    spark: SparkSession, out_dir: str, frames, t0: float
+) -> str:
+    """Stage a composed-lifecycle event sequence from prepared frames:
+    each element of ``frames`` is a DataFrame with (kind, rec_id, name,
+    city) — kind 'arrive' or 'delete'.  One file per batch, mtimes
+    pinned in order from ``t0`` (the file source orders micro-batches
+    by mtime, and same-mtime ties are listing-order — arbitrary)."""
+    import glob
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, df in enumerate(frames):
+        tmp = os.path.join(out_dir, f"_g{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out_dir, f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (t0 + i, t0 + i))
+    return out_dir
+
+
 def stage_lifecycle_files(spark: SparkSession, out_dir: str, batches) -> str:
     """Stage a composed-lifecycle event sequence: each element of
     ``batches`` is a list of (kind, rec_id) pairs — kind 'arrive' pulls
     the fixture row, kind 'delete' stages a bare retraction key.  One
     file per batch, mtimes pinned in order."""
-    import glob
-    import shutil
-
     from pyspark.sql import functions as F
 
     from changegen_spark.queries.er import ER_AMBIG_PATH
 
     ppl = spark.read.parquet(ER_AMBIG_PATH)
-    os.makedirs(out_dir, exist_ok=True)
-    t0 = os.stat(ER_AMBIG_PATH).st_mtime + 10
-    for i, evs in enumerate(batches):
+    frames = []
+    for evs in batches:
         arr_ids = [r for k, r in evs if k == "arrive"]
         del_ids = [r for k, r in evs if k == "delete"]
         df = ppl.filter(F.col("rec_id").isin(arr_ids or [-1])).select(
@@ -772,14 +791,10 @@ def stage_lifecycle_files(spark: SparkSession, out_dir: str, batches) -> str:
                     F.lit(None).cast("string").alias("city"),
                 )
             )
-        tmp = os.path.join(out_dir, f"_g{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        dst = os.path.join(out_dir, f"{i:02d}.parquet")
-        shutil.copy(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (t0 + i, t0 + i))
-    return out_dir
+        frames.append(df)
+    return stage_lifecycle_frames(
+        spark, out_dir, frames, os.stat(ER_AMBIG_PATH).st_mtime + 10
+    )
 
 
 def lifecycle_stream(
@@ -787,6 +802,10 @@ def lifecycle_stream(
     state_dir: str,
     events_stage: str,
     checkpoint: str | None = None,
+    base: DataFrame | None = None,
+    seed_key: str | None = None,
+    pool_ttl_batches: int | None = None,
+    tombstone_window: int | None = None,
 ):
     """The COMPOSED ER lifecycle over one shared store (r13, r12 verdict
     #3): a single event stream interleaves ARRIVAL batches and DELETE
@@ -818,6 +837,35 @@ def lifecycle_stream(
     under the file-source checkpoint, including resuming MID-sequence
     when new event files land after a completed availableNow run.
 
+    ``base`` substitutes the seeded record set (rec_id, name, city; one
+    entity per record) for the planted fixture — the bench lifecycle
+    rung seeds the 100k er_records corpus this way; a custom base needs
+    an explicit ``seed_key`` for the idempotent-seed marker.
+    ``pool_ttl_batches`` bounds carried state: a parked arrival the
+    drain cannot place for that many consecutive batches gets the
+    terminal ``escalated`` disposition (matched_entity −3 — route to
+    review, never a merge) and leaves the pool; default None keeps the
+    r12 carry-forever behavior.  Pool snapshots carry ``parked_batch``
+    for the age check (batch-keyed, so restart-safe).
+
+    ``tombstone_window`` is the retraction-shadow guard (r13): golden
+    names of entities that DISAPPEARED (no surviving members) are kept
+    as batch-keyed tombstones for that many batches, and an arrival
+    whose best live candidate would have been TIED OR BEATEN by a
+    fresh tombstone is parked instead of merged.  The hazard it
+    closes, found by the lifecycle bench rung's purity audit: an
+    arrival landing AFTER its true entity was retracted, with a
+    near-twin surviving, gives the first pass a sole maximally-
+    confident candidate — the one wrong-merge mechanism no margin or
+    drain policy can see, because the evidence is in the DELETED rows.
+    The parked arrival then rides the normal pool: the drain cannot
+    find toward evidence for it, so under a TTL it escalates to
+    review rather than silently resurrecting.  The probe reuses the
+    re-probe scorer (`_reprobe_scored`) against the windowed tombstone
+    set — two key-equality hash joins with a window-bounded build
+    side.  New-entity arrivals are NOT guarded: under record-level
+    retraction a fresh observation legitimately starts a new entity.
+
     100 TB shape: the fixture-scale record snapshot stands in for a
     bucketed upsert (same substitution as retract_stream); every probe
     is the two-key hash join of the batch operators, the drain is
@@ -827,19 +875,30 @@ def lifecycle_stream(
 
     from changegen_spark.queries.er import ER_AMBIG_PATH
     from changegen_spark.queries.er.incremental import (
+        INC_MARGIN,
         incremental_assign_margin,
     )
-    from changegen_spark.queries.er.resolve import reprobe_pool
+    from changegen_spark.queries.er.resolve import (
+        _reprobe_scored,
+        reprobe_pool,
+    )
 
-    base = spark.read.parquet(ER_AMBIG_PATH).filter("rec_id < 400")
+    if base is None:
+        base = spark.read.parquet(ER_AMBIG_PATH).filter("rec_id < 400")
+        st = os.stat(ER_AMBIG_PATH)
+        seed_key = f"{ER_AMBIG_PATH}|{st.st_size}|{st.st_mtime_ns}"
+    elif seed_key is None:
+        raise ValueError(
+            "a custom base needs an explicit seed_key (the fixture "
+            "default derives it from the file's size+mtime)"
+        )
     records_dir = os.path.join(state_dir, "records")
     pool_dir = os.path.join(state_dir, "pool")
     drained_dir = os.path.join(state_dir, "drained")
     table_dir = os.path.join(state_dir, "golden")
+    tombs_dir = os.path.join(state_dir, "tombstones")
     seed_dir = os.path.join(records_dir, "seed")
 
-    st = os.stat(ER_AMBIG_PATH)
-    seed_key = f"{ER_AMBIG_PATH}|{st.st_size}|{st.st_mtime_ns}"
     marker = os.path.join(state_dir, "_SEEDED")
     os.makedirs(state_dir, exist_ok=True)
     stale = True
@@ -875,7 +934,10 @@ def lifecycle_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(events_stage)
     )
-    pool_schema = "rec_id long, aname string, acity string, park_lev long"
+    pool_schema = (
+        "rec_id long, aname string, acity string, park_lev long, "
+        "parked_batch long"
+    )
 
     def _records_before(batch_id: int) -> str:
         ids = [
@@ -925,6 +987,24 @@ def lifecycle_stream(
             )
         ).localCheckpoint(eager=True)
         pool = pool.join(dels, "rec_id", "left_anti")
+        if tombstone_window is not None:
+            # retraction-shadow tombstones: golden names of entities
+            # that DISAPPEARED this batch (no surviving member), kept
+            # batch-keyed for the window
+            tombstoned = old_touched.join(
+                reheaded.select("entity"), "entity", "left_anti"
+            )
+            (
+                _golden_rows(prev.select("entity", "rec_id", "nname", "city"))
+                .join(F.broadcast(tombstoned), "entity")
+                .select(
+                    "entity",
+                    F.col("name_mode").alias("name"),
+                    F.col("city_latest").alias("city"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(tombs_dir, f"batch={batch_id}"))
+            )
         # (2) assignment against the CURRENT (post-retraction) golden
         golden_now = _golden_rows(
             after_del.select("entity", "rec_id", "nname", "city")
@@ -939,6 +1019,42 @@ def lifecycle_stream(
         assigned = incremental_assign_margin(arr, golden_now).select(
             "rec_id", "matched_entity", "lev"
         )
+        if tombstone_window is not None:
+            live = [
+                os.path.join(tombs_dir, d)
+                for d in os.listdir(tombs_dir)
+                if d.startswith("batch=")
+                and 0 <= batch_id - int(d.split("=", 1)[1]) < tombstone_window
+            ]
+            if live:
+                for p in live:
+                    spark.catalog.refreshByPath(p)
+                tomb = spark.read.parquet(*live)
+                t_best = _reprobe_scored(
+                    arr.select(
+                        "rec_id",
+                        F.coalesce(F.lower("name"), F.lit("")).alias("aname"),
+                        F.coalesce("city", F.lit("")).alias("acity"),
+                        F.lit(0).cast("long").alias("park_lev"),
+                    ),
+                    tomb,
+                ).select("rec_id", F.col("lev").alias("t_lev"))
+                # a fresh tombstone that would have tied or beaten the
+                # best live candidate makes the merge unsafe: park it
+                # (the pool/TTL machinery routes it onward)
+                shadowed = (
+                    (F.col("matched_entity") >= 0)
+                    & F.col("t_lev").isNotNull()
+                    & (F.col("t_lev") - F.col("lev") < F.lit(INC_MARGIN))
+                )
+                assigned = assigned.join(t_best, "rec_id", "left").select(
+                    "rec_id",
+                    F.when(shadowed, F.lit(-2))
+                    .otherwise(F.col("matched_entity"))
+                    .cast("long")
+                    .alias("matched_entity"),
+                    "lev",
+                )
         arr_n = arr.join(assigned, "rec_id").select(
             "rec_id",
             F.coalesce(F.lower("name"), F.lit("")).alias("nname"),
@@ -961,6 +1077,7 @@ def lifecycle_stream(
                 F.col("nname").alias("aname"),
                 F.col("city").alias("acity"),
                 F.col("lev").cast("long").alias("park_lev"),
+                F.lit(batch_id).cast("long").alias("parked_batch"),
             )
         )
         with_arr = after_del.unionByName(arr_members)
@@ -993,6 +1110,31 @@ def lifecycle_stream(
             .select("rec_id")
             .join(pool, "rec_id")
         )
+        # pool TTL (r13): entries the drain could not place for
+        # `pool_ttl_batches` consecutive batches get the terminal
+        # `escalated` disposition (matched_entity −3: route to review —
+        # never a merge, never a silent drop) and leave the pool, so
+        # carried state is BOUNDED by ttl × arrival rate even when no
+        # toward evidence ever appears.  Expiry runs AFTER the drain
+        # attempt — the batch that would age an entry out still gets a
+        # last chance to place it on evidence.
+        if pool_ttl_batches is not None:
+            aged = F.col("parked_batch") <= batch_id - pool_ttl_batches
+            escalated = (
+                still.filter(aged)
+                .select("rec_id")
+                .join(decisions, "rec_id")
+                .select(
+                    "rec_id",
+                    F.lit(-3).cast("long").alias("matched_entity"),
+                    "lev",
+                    "margin",
+                    "n_matches",
+                    F.lit("escalated").alias("status"),
+                )
+            )
+            drained = drained.unionByName(escalated)
+            still = still.filter(~aged)
         # (4) batch-keyed snapshots + touched-bucket golden rewrite
         new_records.write.mode("overwrite").parquet(
             os.path.join(records_dir, f"batch={batch_id}")

@@ -1269,3 +1269,92 @@ def test_lifecycle_stream_restart_resumes_mid_sequence(spark, tmp_path):
     assert _lifecycle_fingerprint(spark, state) == _lifecycle_fingerprint(
         spark, fresh
     )
+
+
+def test_lifecycle_stream_pool_ttl_escalates_with_last_chance(
+    spark, tmp_path
+):
+    """Pool TTL (r13): carried state is bounded — a parked arrival the
+    drain cannot place for ttl consecutive batches gets the terminal
+    `escalated` disposition (matched_entity −3, route to review) and
+    leaves the pool.  The expiry batch still runs the drain FIRST: an
+    aged entry that gains toward evidence in that very batch resolves
+    on the evidence (413 ← 412's confirming variant), while its
+    equally-aged neighbours (401, 402 — ties that never move) escalate
+    rather than park forever."""
+    import glob
+
+    from changegen_spark.streaming.er import (
+        lifecycle_stream,
+        stage_lifecycle_files,
+    )
+
+    stage = stage_lifecycle_files(
+        spark,
+        str(tmp_path / "events"),
+        [
+            [("arrive", 401), ("arrive", 402), ("arrive", 413)],
+            [("delete", 9999)],  # no-op batch: ages the pool only
+            [("arrive", 400), ("arrive", 412)],
+        ],
+    )
+    state = str(tmp_path / "state")
+    q = lifecycle_stream(spark, state, stage, pool_ttl_batches=2)
+    q.awaitTermination(300)
+    records, pool, _ = _lifecycle_fingerprint(spark, state)
+
+    assert pool == [], "aged entries must leave the pool"
+    ent = {r[0]: r[3] for r in records}
+    assert ent[413] == 130, "last chance: evidence beats expiry"
+    assert 401 not in ent and 402 not in ent, (
+        "escalated arrivals are review items, never members"
+    )
+    drained = {}
+    for p in sorted(glob.glob(state + "/drained/batch=*")):
+        spark.catalog.refreshByPath(p)
+        for r in spark.read.parquet(p).collect():
+            drained[r.rec_id] = (r.matched_entity, r.status)
+    assert drained == {
+        413: (130, "resolved"),
+        401: (-3, "escalated"),
+        402: (-3, "escalated"),
+    }
+
+
+def test_lifecycle_stream_tombstone_guard_parks_shadowed_merges(
+    spark, tmp_path
+):
+    """Retraction-shadow guard (r13): an arrival landing AFTER its
+    rival was retracted sees a sole maximally-confident candidate —
+    the one wrong-merge mechanism no margin or drain policy can catch,
+    because the evidence is in the deleted rows.  With 101 tombstoned
+    inside the window, 401 (whose first pass would otherwise merge
+    confidently into 100 — the deletes-first test's pinned outcome) is
+    parked instead; once the window expires the same sequence merges,
+    so the guard is a bounded shadow, not a permanent veto."""
+    from changegen_spark.streaming.er import (
+        lifecycle_stream,
+        stage_lifecycle_files,
+    )
+
+    seq = [[("delete", 101)], [("arrive", 401)]]
+
+    def run(tag, window):
+        stage = stage_lifecycle_files(
+            spark, str(tmp_path / f"events_{tag}"), seq
+        )
+        state = str(tmp_path / f"state_{tag}")
+        q = lifecycle_stream(
+            spark, state, stage, tombstone_window=window
+        )
+        q.awaitTermination(300)
+        records, pool, _ = _lifecycle_fingerprint(spark, state)
+        return {r[0]: r[3] for r in records}, {p[0] for p in pool}
+
+    ent, pool = run("guarded", 2)
+    assert pool == {401}, "fresh tombstone shadows the sole candidate"
+    assert 401 not in ent
+
+    ent, pool = run("expired", 1)
+    assert pool == set(), "expired shadow no longer vetoes"
+    assert ent[401] == 100
