@@ -1287,3 +1287,65 @@ def test_er_ambig_fixture_drift_guard(spark):
     assert names[410] == "tove lindqvist" and names[411] == "tove lindquist"
     assert names[412] == "lena hofmaan", "group T confident arrival"
     assert names[413] == "lena hofmaann", "group T parked tie"
+
+
+def test_drain_policy_algebra_on_random_scored_frames(spark):
+    """Policy algebra pinned on a seeded random sweep of re-probe
+    metrics, independent of any fixture: the four acceptance rules
+    nest (toward_gap2 = toward ∩ gap2 ⊆ gap; gap2 ⊆ gap), every
+    toward-accepted resolution carries the evidence it claims (re-probe
+    lev strictly below the parked lev), dry re-probes always go `new`,
+    and the status column is a pure function of matched_entity."""
+    import numpy as np
+
+    from changegen_spark.queries.er.resolve import (
+        DRAIN_POLICIES,
+        apply_drain_policy,
+    )
+
+    rng = np.random.default_rng(1302)
+    n = 500
+    rows = []
+    for i in range(n):
+        dry = rng.random() < 0.15
+        rows.append(
+            (
+                i,
+                None if dry else int(rng.integers(0, 50)),
+                None if dry else int(rng.integers(0, 3)),
+                None if dry else int(rng.choice([-1, 0, 1, 2, 3])),
+                None if dry else int(rng.integers(1, 5)),
+                int(rng.integers(0, 3)),
+            )
+        )
+    scored = spark.createDataFrame(
+        rows,
+        "rec_id long, g_id long, lev long, gap long, nm long, "
+        "park_lev long",
+    )
+    out = {
+        p: {
+            r.rec_id: (r.matched_entity, r.status)
+            for r in apply_drain_policy(scored, margin=1, policy=p).collect()
+        }
+        for p in DRAIN_POLICIES
+    }
+    res = {
+        p: {k for k, (m, _) in out[p].items() if m >= 0}
+        for p in DRAIN_POLICIES
+    }
+    assert res["gap2"] <= res["gap"]
+    assert res["toward"] <= res["gap"]
+    assert res["toward_gap2"] == res["toward"] & res["gap2"]
+    park = {r.rec_id: r.park_lev for r in scored.collect()}
+    lev = {r.rec_id: r.lev for r in scored.collect()}
+    for k in res["toward"]:
+        assert lev[k] < park[k], "toward demands winner movement"
+    for p in DRAIN_POLICIES:
+        for k, (m, s) in out[p].items():
+            want = {True: "new"}.get(m == -1) or (
+                "still_ambiguous" if m == -2 else "resolved"
+            )
+            assert s == want
+        dry_ids = {r.rec_id for r in scored.collect() if r.g_id is None}
+        assert {k for k, (m, _) in out[p].items() if m == -1} == dry_ids
