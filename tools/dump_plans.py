@@ -46,6 +46,8 @@ ANNOTATED = {
     "q_media_dup_pairs_mih": "multi-index Hamming: radius-1 probe keys equi-joined against exact 32-bit half keys (ids only through the shuffle), hashes re-attached by id, exact 64-bit refine — no cartesian/nested-loop; candidate volume ~linear (r7, verdict #1)",
     "q_er_ambiguous_resolve": "r12 pool drain: both passes (base probe, golden re-probe) are candidate-key hash equi-joins; survivorship is two-level hash aggregates; the only windows are partitioned by the probe id — no cartesian, no data-sized single-partition stage",
     "q_mv_join_refresh": "r12 delta-join view maintenance: every delta term is an equi-join with one small side (broadcastable at real delta sizes); the audit's full recompute is the only base⋈base join and exists solely to prove the shortcut",
+    "q_mv_join_update": "r13 upsert through the view: touched rows shed by two broadcast LeftAnti joins on the CDC keys; each re-insert term joins one update-sized side; no base⋈base outside the audit branch",
+    "q_er_drain_policy": "r13 policy table: ONE re-probe execution (the same candidate-key hash equi-joins as the drain) fanned into four policy projections map-side — no per-policy re-probe, no cartesian",
 }
 
 # Static audit note prepended to the generated file (r4 verdict #5).
