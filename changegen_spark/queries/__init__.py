@@ -198,10 +198,12 @@ ROTATION_ROUND = 13
 # `python tools/never_direct.py --propose 13 --slots 37`, REGENERATED
 # after each of the round's registry additions so the window always
 # carries every never-direct name (new queries go direct the round they
-# land, the r8-r12 precedent).  The proposal leads with the three
+# land, the r8-r12 precedent).  The proposal leads with the four
 # r13-new / newly-oracle-backed names — the newly-oracled
-# session-window stream, the drain-policy disposition table, and the
-# join-view CDC update — then the least-recently-direct tail (the
+# session-window stream, the drain-policy disposition table, the
+# join-view CDC update, and the retraction-shadow guard's batch twin
+# (the post-close addition, REGENERATED into the proposal the same way
+# the r12 late additions were) — then the least-recently-direct tail (the
 # r5/r6-era set-similarity/sketch, media, funnel, time-series,
 # curation/mixture, tokenizer-vocab, and TPC-H families).  Displaced
 # names fall back into the digest-covered set; queries/digest.KINDS
@@ -213,6 +215,7 @@ ROTATED_IN = (
     "q_streaming_sessions",
     "q_er_drain_policy",
     "q_mv_join_update",
+    "q_er_shadow_guard",
     "q_setsim_join",
     "q_winnow_pairs",
     "q_hll_distinct",
@@ -246,7 +249,6 @@ ROTATED_IN = (
     "q_wordpiece_encode_stats",
     "q_kmeans",
     "q06_forecast_revenue",
-    "q10_returned_items",
 )
 
 

@@ -300,6 +300,7 @@ KINDS = {
     "q_er_margin_audit": {"lev": "num", "gap": "num", "n": "num"},
     "q_er_ambiguous_resolve": {"rec_id": "num", "matched_entity": "num", "lev": "num", "margin": "num", "n_matches": "num", "status": "str"},
     "q_er_drain_policy": {"policy": "str", "rec_id": "num", "matched_entity": "num", "status": "str"},
+    "q_er_shadow_guard": {"rec_id": "num", "matched_entity": "num", "lev": "num", "t_lev": "num", "disposition": "str"},
     "q_er_golden_retract": {"entity": "num", "status": "str", "n_members": "num", "name_mode": "str", "name_longest": "str", "city_latest": "str"},
     "q_er_new_entity_merge": {"rec_id": "num", "new_entity": "num", "n_members": "num"},
     "q_mv_join_refresh": {"o_orderpriority": "str", "l_returnflag": "str", "n_inc": "num", "sum_inc": "num", "n_full": "num", "sum_full": "num", "consistent": "num"},

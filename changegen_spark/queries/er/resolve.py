@@ -698,3 +698,196 @@ SELECT CAST(m.rec_id AS BIGINT) AS rec_id,
 FROM mapped m
 ORDER BY m.rec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Retraction-shadow guard — the batch twin of the streaming dial (r13).
+# The lifecycle bench rung's purity audit found the one wrong-merge
+# mechanism no margin or drain policy can see: an arrival landing AFTER
+# its true entity was retracted, with a near-twin surviving, gives the
+# first pass a sole maximally-confident candidate (the evidence is in
+# the DELETED rows).  The guard keeps the retracted entities' golden
+# names as tombstones and parks any arrival whose best live candidate
+# would have been tied or beaten by one.  streaming/er.py
+# lifecycle_stream(tombstone_window=…) applies the same rule with a
+# batch-windowed tombstone set; this batch form is its oracle anchor.
+
+GUARD_DELETES = (101, 105)  # fixture CDC delete batch (see q_er_shadow_guard)
+
+
+def shadow_guard_assign(
+    arrivals: DataFrame,
+    base: DataFrame,
+    deleted: DataFrame,
+    margin: int = INC_MARGIN,
+) -> DataFrame:
+    """Margin assignment against the post-retraction base with the
+    retraction-shadow guard: (rec_id, matched_entity, lev, t_lev,
+    disposition).  ``deleted``: (rec_id) — the CDC delete batch; the
+    deleted records leave the probe target AND become tombstones.
+    Dispositions: ``merge`` (confident and unshadowed),
+    ``park_shadowed`` (a tombstone within ``margin`` of the live best —
+    lev ties AND strictly-closer tombstones both park; matched_entity
+    forced to −2), ``park_margin`` (live-candidate tie), ``new`` (no
+    live candidate — deliberately unguarded: under record-level
+    retraction a fresh observation legitimately starts a new entity).
+
+    Scale shape: the live probe is the standard two-key hash
+    assignment; the tombstone probe is the SAME `_reprobe_scored` core
+    with the delete batch (tiny, broadcastable) as the build side —
+    no new join pattern, no cartesian."""
+    base2 = base.join(deleted.select("rec_id"), "rec_id", "left_anti")
+    assigned = incremental_assign_margin(arrivals, base2).select(
+        "rec_id", "matched_entity", "lev"
+    )
+    tomb = base.join(deleted.select("rec_id"), "rec_id").select(
+        F.col("rec_id").alias("entity"),
+        F.lower("name").alias("name"),
+        "city",
+    )
+    t_best = _reprobe_scored(
+        arrivals.select(
+            "rec_id",
+            F.coalesce(F.lower("name"), F.lit("")).alias("aname"),
+            F.coalesce("city", F.lit("")).alias("acity"),
+            F.lit(0).cast("long").alias("park_lev"),
+        ),
+        tomb,
+    ).select("rec_id", F.col("lev").alias("t_lev"))
+    shadowed = (
+        (F.col("matched_entity") >= 0)
+        & F.col("t_lev").isNotNull()
+        & (F.col("t_lev") - F.col("lev") < F.lit(margin))
+    )
+    return (
+        assigned.join(t_best, "rec_id", "left")
+        .select(
+            "rec_id",
+            F.when(shadowed, F.lit(-2))
+            .otherwise(F.col("matched_entity"))
+            .cast("long")
+            .alias("matched_entity"),
+            F.coalesce("lev", F.lit(-1)).cast("long").alias("lev"),
+            F.coalesce("t_lev", F.lit(-1)).cast("long").alias("t_lev"),
+            F.when(F.col("matched_entity") == -1, F.lit("new"))
+            .when(F.col("matched_entity") == -2, F.lit("park_margin"))
+            .when(shadowed, F.lit("park_shadowed"))
+            .otherwise(F.lit("merge"))
+            .alias("disposition"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def q_er_shadow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction-shadow guard over the planted fixture with the
+    keyed delete batch {101, 105}: 400 and 403 merge PAST a tombstone
+    at gap ≥ margin (the guard does not over-trigger), 401 is shadowed
+    by a tombstone TIE (its retracted rival), 404 and 405 are shadowed
+    by a STRICTLY-CLOSER tombstone (the retracted entity was their best
+    match), 402/407/413 park on live ties as before, and 408/410/411
+    stay new — tombstones never veto a fresh entity."""
+    ppl = _ambig_people(spark)
+    deleted = spark.createDataFrame(
+        [(int(r),) for r in GUARD_DELETES], "rec_id long"
+    )
+    return shadow_guard_assign(
+        ppl.filter(F.col("rec_id") >= 400),
+        ppl.filter(F.col("rec_id") < 400),
+        deleted,
+    )
+
+
+_GUARD_VALUES = ", ".join(f"({r})" for r in GUARD_DELETES)
+
+Q_ER_SHADOW_GUARD_SQL = f"""
+WITH base0 AS (
+  SELECT * FROM '{ER_AMBIG_PATH}' WHERE rec_id < 400
+), deleted AS (
+  SELECT * FROM (VALUES {_GUARD_VALUES}) AS t(rec_id)
+), base AS (
+  SELECT * FROM base0 WHERE rec_id NOT IN (SELECT rec_id FROM deleted)
+), arrivals AS (
+  SELECT * FROM '{ER_AMBIG_PATH}' WHERE rec_id >= 400
+), akeys AS (
+  SELECT rec_id AS a_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM arrivals
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM arrivals
+), bkeys AS (
+  SELECT rec_id AS b_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM base
+  UNION ALL
+  SELECT rec_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM base
+), cand AS (
+  SELECT DISTINCT a_id, b_id FROM akeys JOIN bkeys USING (bkey)
+), refined AS (
+  SELECT c.a_id, c.b_id,
+         CAST(levenshtein(lower(a.name), lower(b.name)) AS BIGINT) AS lev
+  FROM cand c
+  JOIN arrivals a ON a.rec_id = c.a_id
+  JOIN base b ON b.rec_id = c.b_id
+  WHERE a.city = b.city
+    AND levenshtein(lower(a.name), lower(b.name)) <= {LEV_MAX}
+), best AS (
+  SELECT a_id, b_id, lev,
+         row_number() OVER (PARTITION BY a_id ORDER BY lev, b_id) AS rn,
+         lead(lev) OVER (PARTITION BY a_id ORDER BY lev, b_id) AS second_lev
+  FROM refined
+), assigned AS (
+  SELECT a.rec_id,
+         CASE
+           WHEN b.a_id IS NULL THEN -1
+           WHEN b.second_lev IS NOT NULL
+                AND b.second_lev - b.lev < {INC_MARGIN} THEN -2
+           ELSE b.b_id
+         END AS me,
+         b.lev
+  FROM arrivals a
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.a_id = a.rec_id
+), tomb AS (
+  SELECT b0.rec_id AS t_id, lower(b0.name) AS name, b0.city
+  FROM base0 b0 JOIN deleted d ON d.rec_id = b0.rec_id
+), tkeys AS (
+  SELECT t_id, 'k1|' || coalesce(city, '') || '|'
+         || coalesce({block_key_sql(duck=True)}, '') AS bkey FROM tomb
+  UNION ALL
+  SELECT t_id, 'k2|' || coalesce(city, '') || '|'
+         || coalesce({suffix_key_sql(duck=True)}, '') || '|'
+         || coalesce(lower(substr(name, 1, instr(name, ' ') - 1)), '')
+  FROM tomb
+), tcand AS (
+  SELECT DISTINCT a_id, t_id FROM akeys JOIN tkeys USING (bkey)
+), trefined AS (
+  SELECT c.a_id,
+         CAST(levenshtein(lower(a.name), t.name) AS BIGINT) AS lev
+  FROM tcand c
+  JOIN arrivals a ON a.rec_id = c.a_id
+  JOIN tomb t ON t.t_id = c.t_id
+  WHERE a.city = t.city
+    AND levenshtein(lower(a.name), t.name) <= {LEV_MAX}
+), tbest AS (
+  SELECT a_id, min(lev) AS t_lev FROM trefined GROUP BY a_id
+)
+SELECT a.rec_id,
+       CAST(CASE WHEN s.me >= 0 AND t.t_lev IS NOT NULL
+                      AND t.t_lev - s.lev < {INC_MARGIN} THEN -2
+                 ELSE s.me END AS BIGINT) AS matched_entity,
+       CAST(coalesce(s.lev, -1) AS BIGINT) AS lev,
+       CAST(coalesce(t.t_lev, -1) AS BIGINT) AS t_lev,
+       CASE WHEN s.me = -1 THEN 'new'
+            WHEN s.me = -2 THEN 'park_margin'
+            WHEN t.t_lev IS NOT NULL
+                 AND t.t_lev - s.lev < {INC_MARGIN} THEN 'park_shadowed'
+            ELSE 'merge' END AS disposition
+FROM arrivals a
+JOIN assigned s ON s.rec_id = a.rec_id
+LEFT JOIN tbest t ON t.a_id = a.rec_id
+ORDER BY a.rec_id
+"""

@@ -1349,3 +1349,48 @@ def test_drain_policy_algebra_on_random_scored_frames(spark):
             assert s == want
         dry_ids = {r.rec_id for r in scored.collect() if r.g_id is None}
         assert {k for k, (m, _) in out[p].items() if m == -1} == dry_ids
+
+
+def test_shadow_guard_dispositions_and_both_mechanisms(spark):
+    """The batch twin of the streaming retraction-shadow guard pins
+    every disposition over the fixture's {101, 105} delete batch: 400
+    and 403 merge PAST a tombstone at gap >= margin (no
+    over-triggering), 401 is shadowed by a tombstone TIE (its retracted
+    rival), 404/405 by a STRICTLY-CLOSER tombstone (the retracted
+    entity was their best match), live-tie parks and news are
+    untouched.  With an empty delete batch the guard is the identity on
+    margin assignment (zero shadowed rows)."""
+    from pyspark.sql import functions as F
+
+    from changegen_spark.queries.er import (
+        _ambig_people,
+        q_er_shadow_guard,
+        shadow_guard_assign,
+    )
+
+    out = {
+        r.rec_id: (r.matched_entity, r.t_lev, r.disposition)
+        for r in q_er_shadow_guard(spark, "unused").collect()
+    }
+    assert out[400] == (100, 2, "merge"), "gap-2 tombstone must not veto"
+    assert out[403] == (104, 2, "merge")
+    assert out[401] == (-2, 1, "park_shadowed"), "tombstone tie"
+    assert out[404] == (-2, 1, "park_shadowed"), "strictly-closer tombstone"
+    assert out[405] == (-2, 2, "park_shadowed")
+    for rid in (402, 407, 413):
+        assert out[rid][0] == -2 and out[rid][2] == "park_margin"
+    for rid in (408, 410, 411):
+        assert out[rid][0] == -1 and out[rid][2] == "new"
+    assert {r for r, v in out.items() if v[2] == "merge"} == {
+        400, 403, 406, 409, 412,
+    }
+
+    ppl = _ambig_people(spark)
+    empty = spark.createDataFrame([], "rec_id long")
+    none_shadowed = shadow_guard_assign(
+        ppl.filter(F.col("rec_id") >= 400),
+        ppl.filter(F.col("rec_id") < 400),
+        empty,
+    )
+    assert none_shadowed.filter("disposition = 'park_shadowed'").count() == 0
+    assert none_shadowed.filter("t_lev != -1").count() == 0
