@@ -19,6 +19,11 @@ memo hit rate very high).
 
 from __future__ import annotations
 
+# module-level so the iterator-form pandas_udf type hints (stringified
+# by `from __future__ import annotations`) resolve at registration time
+import pandas as pd  # noqa: F401
+from typing import Iterator  # noqa: F401
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,3 +156,40 @@ def bpe_encode_udf(merges: list[tuple[str, str, str, int]]):
         return pd.Series(out)
 
     return encode
+
+
+def bpe_encode_count_udf(merges: list[tuple[str, str, str, int]]):
+    """Arrow-batched encoder returning only the per-document BPE token
+    COUNT — ``size(bpe_encode_udf(...)(text))`` without materializing or
+    shipping the token arrays across the Python↔JVM boundary (r13, guide
+    §4.1/§2.3: q_bpe_encode_stats consumes nothing but the size, yet paid
+    Arrow transfer of every token string).  Iterator form so the per-task
+    word → count memo amortizes across batches (guide §4.5); values equal
+    ``len(_encode_word(w))`` by construction."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from changegen_spark.functions.unigram import _MEMO_MAX
+
+    ranks = {(l, r): i for i, (l, r, _m, _c) in enumerate(merges)}
+
+    @pandas_udf("long")
+    def encode_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, int] = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                n = 0
+                for w in (t or "").strip().split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(_encode_word(w, ranks))
+                        if len(memo) < _MEMO_MAX:
+                            memo[w] = got
+                    n += got
+                out.append(n)
+            yield pd.Series(out)
+
+    return encode_count

@@ -31,6 +31,11 @@ reproduce it exactly):
 
 from __future__ import annotations
 
+# module-level so the iterator-form pandas_udf type hints (stringified
+# by `from __future__ import annotations`) resolve at registration time
+import pandas as pd  # noqa: F401
+from typing import Iterator  # noqa: F401
+
 import math
 
 from pyspark.sql import DataFrame
@@ -140,18 +145,44 @@ def unigram_train(
 def unigram_encode_udf(costs: dict[str, int]):
     """Arrow-batched encoder: text → total piece count under the learned
     table (Viterbi per word) — the distributed inference stage; the
-    cost table is a broadcast-sized Python closure."""
+    cost table is a broadcast-sized Python closure.
+
+    r13 optimization (guide §4.5): iterator form with a per-TASK
+    word → piece-count memo.  Corpus text is Zipf-distributed, so the
+    same words recur across every batch; without the memo the encode
+    stage paid one full Python Viterbi DP per word OCCURRENCE (~270k at
+    sf0.1), with it one per DISTINCT word per task.  ``_MEMO_MAX``
+    bounds the dict so an adversarial all-unique-words corpus cannot
+    grow task memory without limit (the hot head stays resident either
+    way).  Values are unchanged — the memo caches the deterministic
+    ``len(_viterbi(w))``."""
+    from collections.abc import Iterator
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def encode(texts):
-        out = []
-        for t in texts:
-            n = 0
-            for w in (t or "").strip().split():
-                n += len(_viterbi(w, costs))
-            out.append(n)
-        return pd.Series(out)
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, int] = {}
+        for texts in batches:
+            out = []
+            for t in texts:
+                n = 0
+                for w in (t or "").strip().split():
+                    got = memo.get(w)
+                    if got is None:
+                        got = len(_viterbi(w, costs))
+                        if len(memo) < _MEMO_MAX:
+                            memo[w] = got
+                    n += got
+                out.append(n)
+            yield pd.Series(out)
 
     return encode
+
+
+# Per-task encode-memo entry cap: 1M distinct words ≈ tens of MB — large
+# enough that real vocabularies (even 100 TB corpora are << 10M distinct
+# words per task's batches) never evict, small enough to bound the worst
+# case.  Shared by the unigram/BPE/WordPiece encode UDFs.
+_MEMO_MAX = 1_000_000

@@ -34,6 +34,11 @@ queries/wordpiece.py follows it independently):
 
 from __future__ import annotations
 
+# module-level so the iterator-form pandas_udf type hints (stringified
+# by `from __future__ import annotations`) resolve at registration time
+import pandas as pd  # noqa: F401
+from typing import Iterator  # noqa: F401
+
 from pyspark.sql import DataFrame
 
 CONT = "##"
@@ -170,3 +175,44 @@ def wordpiece_encode_udf(pieces: set[str]):
         return pd.Series(out)
 
     return encode
+
+
+def wordpiece_encode_stats_udf(pieces: set[str]):
+    """Arrow-batched encoder returning per-document (n_pieces, n_unk)
+    only — q_wordpiece_encode_stats consumes nothing else, so shipping
+    the token-string arrays across the Python↔JVM boundary (plus the two
+    interpreted ``size``/``filter`` array passes on the JVM side) was
+    pure overhead (r13, guide §4.1/§2.3).  Iterator form with a per-task
+    word → (count, unk) memo (guide §4.5); values equal
+    ``(len(encode_word(w)), encode_word(w).count(UNK))`` by
+    construction."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from changegen_spark.functions.unigram import _MEMO_MAX
+
+    frozen = frozenset(pieces)
+
+    @pandas_udf("struct<n_pieces:long,n_unk:long>")
+    def encode_stats(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, int]] = {}
+        for texts in batches:
+            n_out, u_out = [], []
+            for t in texts:
+                n = u = 0
+                for w in (t or "").strip().split():
+                    got = memo.get(w)
+                    if got is None:
+                        toks = encode_word(w, frozen)
+                        got = (len(toks), toks.count(UNK))
+                        if len(memo) < _MEMO_MAX:
+                            memo[w] = got
+                    n += got[0]
+                    u += got[1]
+                n_out.append(n)
+                u_out.append(u)
+            yield pd.DataFrame({"n_pieces": n_out, "n_unk": u_out})
+
+    return encode_stats

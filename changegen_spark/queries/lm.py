@@ -311,25 +311,35 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``n_words`` drops empty tokens so its semantics match the encoder's
     Python ``.split()`` (whitespace-only text → 0 words, 0 BPE tokens,
-    null compression — not the ``_toks`` artifact of [''] → 1 word)."""
-    from changegen_spark.functions.bpe import bpe_encode_udf, bpe_train, word_counts
+    null compression — not the ``_toks`` artifact of [''] → 1 word).
+
+    r13: the query consumes only the token COUNT, so the encode stage is
+    ``bpe_encode_count_udf`` — one long per doc crosses the Python↔JVM
+    boundary instead of the full token-string array (guide §4.1); the
+    count equals ``size(bpe_encode_udf(...))`` by construction (pinned in
+    tests/test_lm.py)."""
+    from changegen_spark.functions.bpe import (
+        bpe_encode_count_udf,
+        bpe_train,
+        word_counts,
+    )
 
     docs = _docs(spark, sf_dir)
     merges = bpe_train(word_counts(docs), num_merges=BPE_MERGES)
-    enc = bpe_encode_udf(merges)
+    enc = bpe_encode_count_udf(merges)
     toks = _toks(F.col("text"))
     return (
         docs.select(
             "doc_id",
             F.size(F.array_remove(toks, "")).alias("n_words"),
-            enc(F.col("text")).alias("bpe"),
+            enc(F.col("text")).alias("n_bpe_tokens"),
             F.length(F.trim(F.col("text"))).alias("n_chars"),
         )
         .select(
             "doc_id",
             "n_words",
-            F.size(F.col("bpe")).alias("n_bpe_tokens"),
-            F.round(F.col("n_chars") / F.size(F.col("bpe")), 6).alias(
+            "n_bpe_tokens",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
                 "chars_per_token"
             ),
         )

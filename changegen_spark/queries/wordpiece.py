@@ -56,28 +56,32 @@ def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the piece inventory as a broadcast closure)."""
     from changegen_spark.functions.bpe import word_counts
     from changegen_spark.functions.wordpiece import (
-        UNK,
-        wordpiece_encode_udf,
+        wordpiece_encode_stats_udf,
         wordpiece_train,
     )
 
+    # r13: the query consumes only (n_pieces, n_unk), so the encode stage
+    # returns exactly that struct — no token-string arrays cross the
+    # Python↔JVM boundary and the two interpreted array passes
+    # (size + filter==UNK) disappear (guide §4.1); equality with the
+    # array encoder is pinned in tests/test_lm.py.
     docs = _docs(spark, sf_dir)
     _merges, pieces = wordpiece_train(word_counts(docs), WP_MERGES)
-    enc = wordpiece_encode_udf(pieces)
+    enc = wordpiece_encode_stats_udf(pieces)
     toks = F.split(F.trim("text"), r"\s+")
     return (
         docs.select(
             "doc_id",
             F.size(F.array_remove(toks, "")).alias("n_words"),
-            enc(F.col("text")).alias("pieces"),
+            enc(F.col("text")).alias("st"),
             F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).alias("n_chars"),
         )
         .select(
             "doc_id",
             "n_words",
-            F.size("pieces").alias("n_pieces"),
-            F.size(F.filter("pieces", lambda x: x == UNK)).alias("n_unk"),
-            F.round(F.col("n_chars") / F.size("pieces"), 6).alias(
+            F.col("st.n_pieces").alias("n_pieces"),
+            F.col("st.n_unk").alias("n_unk"),
+            F.round(F.col("n_chars") / F.col("st.n_pieces"), 6).alias(
                 "chars_per_piece"
             ),
         )

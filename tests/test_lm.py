@@ -273,3 +273,61 @@ def test_kn_distributes_exactly_unit_mass_per_context(spark, sf_dir):
             for w2 in vocab_r
         )
         assert total == 1
+
+
+# --- r13 optimization: count-only encode UDFs ≡ the array encoders -----------
+
+
+def test_encode_count_udf_equals_array_size(spark):
+    """bpe_encode_count_udf must return exactly size(bpe_encode_udf) —
+    the r13 boundary optimization changes what crosses Arrow, not what is
+    computed."""
+    from changegen_spark.functions.bpe import (
+        bpe_encode_count_udf,
+        bpe_encode_udf,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(99, ""), (100, "   ")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(word_counts(docs), num_merges=8)
+    arr = bpe_encode_udf(merges)
+    cnt = bpe_encode_count_udf(merges)
+    rows = docs.select(
+        "doc_id",
+        F.size(arr(F.col("text"))).alias("n_arr"),
+        cnt(F.col("text")).alias("n_cnt"),
+    ).collect()
+    assert rows and all(r.n_arr == r.n_cnt for r in rows)
+
+
+def test_wordpiece_stats_udf_equals_array_form(spark):
+    """wordpiece_encode_stats_udf must equal (size(pieces),
+    size(filter(pieces, == UNK))) of the array encoder."""
+    from changegen_spark.functions.bpe import word_counts
+    from changegen_spark.functions.wordpiece import (
+        UNK,
+        wordpiece_encode_stats_udf,
+        wordpiece_encode_udf,
+        wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(99, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    _m, pieces = wordpiece_train(word_counts(docs), 8)
+    arr = wordpiece_encode_udf(pieces)
+    st = wordpiece_encode_stats_udf(pieces)
+    rows = docs.select(
+        F.size(arr(F.col("text"))).alias("n_arr"),
+        F.size(F.filter(arr(F.col("text")), lambda x: x == UNK)).alias("u_arr"),
+        st(F.col("text")).alias("st"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.st.n_pieces == r.n_arr
+        assert r.st.n_unk == r.u_arr
