@@ -61,12 +61,14 @@ def _queries_frame(v: DataFrame) -> DataFrame:
 
 
 def _top_pool(scored: DataFrame) -> DataFrame:
+    # r13: no checkpoint fence — the pandas greedy rerank is the pool's
+    # ONLY consumer now (the k-round DataFrame loop it fenced is gone),
+    # so the eager materialization job was pure overhead.
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_POOL)
         .drop("rn")
-        .localCheckpoint(eager=True)
     )
 
 
@@ -89,57 +91,71 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _greedy_rerank(pool: DataFrame) -> DataFrame:
     """MMR_K greedy rounds over a (query_id, vec_id, v, rel) pool — shared
-    by the exact and the LSH-fed pools; per-query constant work, each
-    round one broadcast-sized join, selected set checkpointed."""
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
-    sel = (
-        pool.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            "vec_id",
-            "v",
-            "rel",
-            F.lit(1).cast("long").alias("rank"),
-            F.col("rel").alias("mmr_score"),
-        )
-    )
-    for t in range(2, MMR_K + 1):
-        rem = pool.join(sel, ["query_id", "vec_id"], "left_anti")
-        sims = (
-            rem.alias("c")
-            .join(
-                sel.select(
-                    "query_id", F.col("v").alias("sv")
-                ).alias("s"),
-                "query_id",
-            )
-            .groupBy("query_id", "vec_id")
-            .agg(
-                F.first("c.rel").alias("rel"),
-                F.first("c.v").alias("v"),
-                F.max(_dot(F.col("c.v"), F.col("sv"))).alias("max_sim"),
-            )
-        )
-        scored_t = sims.withColumn("score", F.col("rel") - F.col("max_sim"))
-        wt = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
-        pick = (
-            scored_t.withColumn("rk", F.row_number().over(wt))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                "v",
-                "rel",
-                F.lit(t).cast("long").alias("rank"),
-                F.col("score").alias("mmr_score"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    by the exact and the LSH-fed pools.
 
-    return sel.select(
-        "query_id", "rank", "vec_id", F.col("rel").alias("rel_dot"), "mmr_score"
-    ).orderBy("query_id", "rank")
+    r13 rewrite (guide §1.2 step 1 — fix the distributed algorithm): the
+    greedy trajectory is per-query independent over a pool of at most
+    ``MMR_POOL`` rows, so the whole k-round loop runs inside ONE
+    ``applyInPandas`` pass keyed by query_id — one exchange total,
+    replacing MMR_K−1 rounds of (left_anti join + join + groupBy +
+    window + union + eager localCheckpoint), each of which was a full
+    Spark job whose fixed cost dominated the 16-row-per-query work.  At
+    100 TB the shape is unchanged-or-better: per-query state is bounded
+    by MMR_POOL and queries spread across tasks; the former loop's
+    O(MMR_K) sequential job barrier disappears.
+
+    Arithmetic is the same exact-integer contract: rel and pairwise dots
+    are int products of the e6-quantized vectors (Python ints — no
+    overflow, no float), ties break on vec_id; selection order and
+    objective values are pinned against an independent Python MMR in
+    tests/test_rerank.py."""
+    import pandas as pd
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        cand = sorted(
+            (
+                (int(r.rel), int(r.vec_id), [int(x) for x in r.v])
+                for r in pdf.itertuples(index=False)
+            ),
+            key=lambda c: (-c[0], c[1]),
+        )
+        qid = int(pdf["query_id"].iloc[0])
+        out_rows = []
+        selected: list[list[int]] = []
+        remaining = cand
+        for t in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            if t == 1:
+                best = remaining[0]  # max rel, tie vec_id asc (pre-sorted)
+                score = best[0]
+            else:
+                best, score = None, None
+                for rel, vid, v in remaining:
+                    s = rel - max(
+                        sum(x * y for x, y in zip(v, sv)) for sv in selected
+                    )
+                    if best is None or s > score or (s == score and vid < best[1]):
+                        best, score = (rel, vid, v), s
+            selected.append(best[2])
+            out_rows.append((qid, t, best[1], best[0], score))
+            remaining = [c for c in remaining if c[1] != best[1]]
+        return pd.DataFrame(
+            out_rows,
+            columns=["query_id", "rank", "vec_id", "rel_dot", "mmr_score"],
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .applyInPandas(
+            mmr,
+            schema=(
+                "query_id long, rank long, vec_id long, "
+                "rel_dot long, mmr_score long"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 # --- LSH-fed pool (r7: the retrieval-fed scale path, r6 verdict #3) ---------
@@ -170,16 +186,35 @@ def _int_bucket(col, dims: list[int]):
 
 
 def _lsh_pool(v: DataFrame, q: DataFrame) -> DataFrame:
-    """Top-``MMR_POOL`` per query from sign-LSH band collisions: per band,
-    a bucket equi-join with the query side broadcast carrying ids only;
-    candidates deduped, vectors re-attached by id, scored exactly."""
-    cands = None
-    for bdims in MMR_BANDS:
-        vb = v.select("vec_id", _int_bucket("v", bdims).alias("bucket"))
-        qb = q.select("query_id", _int_bucket("qv", bdims).alias("bucket"))
-        pairs = vb.join(F.broadcast(qb), "bucket").select("query_id", "vec_id")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.filter(F.col("vec_id") != F.col("query_id")).distinct()
+    """Top-``MMR_POOL`` per query from sign-LSH band collisions: ONE
+    bucket equi-join on (band, bucket) with the query side broadcast
+    carrying ids only; candidates deduped, vectors re-attached by id,
+    scored exactly.
+
+    r13 (guide §2.4): all ``len(MMR_BANDS)`` band buckets are computed in
+    one projection and ``posexplode``d, so the corpus side is scanned and
+    joined ONCE on the composite (band, bucket) key — the previous
+    per-band loop built 8 join branches + a union, each branch re-reading
+    the corpus frame.  The collision set is identical: a (query, vec)
+    pair collides in band i iff it joins on key (i, bucket_i)."""
+    vb = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_int_bucket("v", bd) for bd in MMR_BANDS])
+        ).alias("band", "bucket"),
+    )
+    qb = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[_int_bucket("qv", bd) for bd in MMR_BANDS])
+        ).alias("band", "bucket"),
+    )
+    cands = (
+        vb.join(F.broadcast(qb), ["band", "bucket"])
+        .select("query_id", "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .distinct()
+    )
     scored = (
         cands.join(v, "vec_id")
         .join(F.broadcast(q), "query_id")
