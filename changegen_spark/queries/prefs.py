@@ -410,6 +410,10 @@ def rater_weights_e2(spark: SparkSession, sf_dir: str) -> list:
     pairwise kappas.  KB-sized artifact (3 rows) — driver-side math."""
     rows = q_rater_agreement(spark, sf_dir).collect()
     k = {(r.rater_a, r.rater_b): int(r.kappa_e6) for r in rows}
+    return _weights_from_kappas(k)
+
+
+def _weights_from_kappas(k: dict) -> list:
     ws = []
     for r in range(N_RATERS):
         ks = [v for (a, b), v in k.items() if r in (a, b)]
@@ -417,18 +421,68 @@ def rater_weights_e2(spark: SparkSession, sf_dir: str) -> list:
     return ws
 
 
-def bt_weighted_fit(spark: SparkSession, sf_dir: str, ws: list) -> DataFrame:
+def _wcells(spark: SparkSession, sf_dir: str) -> list:
+    """ONE distributed aggregation over the labeled log: per-(ia, ib)
+    judgment count, per-rater win counts AND pairwise agreement counts —
+    the union of what the kappa pass (label_sums) and the weighted-BT
+    cells pass each aggregated separately.  r13 (guide §1.2/§2.3): the
+    two passes scanned and hash-expanded the same events-derived frame
+    twice; one ≤ C(N,2)·2-row collect now feeds both the rater weights
+    and the fit."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    labeled = labeled_frame(ev)
+    return labeled.groupBy("ia", "ib").agg(
+        F.count("*").cast("long").alias("n"),
+        *[F.sum(f"l{r}").alias(f"a{r}") for r in range(N_RATERS)],
+        *[
+            F.sum(
+                (F.col(f"l{a}") == F.col(f"l{b}")).cast("long")
+            ).alias(f"agree_{a}_{b}")
+            for a in range(N_RATERS)
+            for b in range(a + 1, N_RATERS)
+        ],
+    ).collect()
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Spark SQL's integral ``div`` (truncation toward zero) — NOT
+    Python's floor ``//``; they differ on negative quotients, and kappa
+    can be negative for a worse-than-chance rater."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _kappas_from_cells(cells: list) -> dict:
+    """Driver-side replay of kappa_expr over the _wcells artifact —
+    integer-identical to q_rater_agreement (sums are associative, the
+    final fraction uses the same truncating div); pinned by
+    tests/test_prefs.py."""
+    n = sum(int(r.n) for r in cells)
+    p = [sum(int(r[f"a{r0}"]) for r in cells) for r0 in range(N_RATERS)]
+    out = {}
+    for a in range(N_RATERS):
+        for b in range(a + 1, N_RATERS):
+            agree = sum(int(r[f"agree_{a}_{b}"]) for r in cells)
+            chance = p[a] * p[b] + (n - p[a]) * (n - p[b])
+            den = n * n - chance
+            out[(a, b)] = (
+                _div_trunc((n * agree - chance) * E6, den) if den > 0 else 0
+            )
+    return out
+
+
+def bt_weighted_fit(
+    spark: SparkSession, sf_dir: str, ws: list, cells: list | None = None
+) -> DataFrame:
     """BT fit over the 3-rater labeled log with explicit per-rater
     percent weights ``ws`` — (100, 100, 100) reproduces the unweighted
     all-rater fit, measured kappas give q_bt_weighted.  One distributed
-    pass collapses the log to ≤ C(N,2)·2 cells of per-rater win counts;
-    the MM recurrence runs driver-side on that KB artifact."""
-    ev = load_table(spark, sf_dir, "events").select("event_id")
-    labeled = labeled_frame(ev)
-    cells = labeled.groupBy("ia", "ib").agg(
-        F.count("*").cast("long").alias("n"),
-        *[F.sum(f"l{r}").alias(f"a{r}") for r in range(N_RATERS)],
-    ).collect()
+    pass collapses the log to ≤ C(N,2)·2 cells of per-rater win counts
+    (``cells``, the _wcells artifact, may be passed in so q_bt_weighted
+    shares one pass between weights and fit); the MM recurrence runs
+    driver-side on that KB artifact."""
+    if cells is None:
+        cells = _wcells(spark, sf_dir)
     if sum(ws) == 0:
         # Every kappa-derived weight floored to 0 (all raters at/below
         # chance): reliability weighting is undefined, and W=0 would
@@ -470,8 +524,16 @@ def q_bt_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted flip rates (5/15/30%) give a known ground truth:
     tests/test_prefs.py pins that this fit lands strictly closer (L1 on
     bt_e6) to the noise-free fit than the equal-weight fit over the
-    same noisy labels."""
-    return bt_weighted_fit(spark, sf_dir, rater_weights_e2(spark, sf_dir))
+    same noisy labels.
+
+    r13 (guide §1.2): ONE distributed pass — the per-(ia, ib) cells
+    aggregate carries the pairwise agreement sums, so the rater kappas
+    (and weights) come out of the same collect that feeds the fit,
+    where the r9-r12 form ran the kappa aggregation and the cells
+    aggregation as two separate scans of the labeled log."""
+    cells = _wcells(spark, sf_dir)
+    ws = _weights_from_kappas(_kappas_from_cells(cells))
+    return bt_weighted_fit(spark, sf_dir, ws, cells=cells)
 
 
 def _bt_weighted_sql() -> str:

@@ -201,3 +201,34 @@ def test_weighted_bt_all_zero_weights_degrades_to_unweighted(spark, sf_dir):
     zero = bt_weighted_fit(spark, sf_dir, [0] * N_RATERS).collect()
     equal = bt_weighted_fit(spark, sf_dir, [100] * N_RATERS).collect()
     assert [tuple(r) for r in zero] == [tuple(r) for r in equal]
+
+
+def test_kappas_from_cells_match_rater_agreement(spark, sf_dir):
+    """r13 one-pass optimization: the driver-side kappa replay over the
+    _wcells artifact must be integer-identical to q_rater_agreement, and
+    the derived weights must match rater_weights_e2."""
+    from changegen_spark.queries.prefs import (
+        _kappas_from_cells,
+        _wcells,
+        _weights_from_kappas,
+        q_rater_agreement,
+        rater_weights_e2,
+    )
+
+    cells = _wcells(spark, sf_dir)
+    got = _kappas_from_cells(cells)
+    want = {
+        (r.rater_a, r.rater_b): int(r.kappa_e6)
+        for r in q_rater_agreement(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert _weights_from_kappas(got) == rater_weights_e2(spark, sf_dir)
+
+
+def test_div_trunc_matches_spark_div():
+    from changegen_spark.queries.prefs import _div_trunc
+
+    assert _div_trunc(7, 2) == 3
+    assert _div_trunc(-7, 2) == -3  # Spark div truncates toward zero
+    assert _div_trunc(7, -2) == -3
+    assert _div_trunc(-7, -2) == 3
