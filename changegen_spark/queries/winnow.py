@@ -13,14 +13,19 @@ zero-false-negative candidate generator for substring-level overlap —
 the plagiarism/near-dup detection shape, distinct from whole-doc (exact
 dedup) and from per-doc spans (dup_spans).
 
-Scale design: positioned grams are the same Arrow-batched map-only stage
-as ``q_dup_spans`` (``lm.pos_gram_hashes_pandas``); selection is a
-bounded ROWS window per document (partitioned by doc_id — no global
-shuffle beyond the doc_id exchange); the pair join runs on SELECTED
-fingerprints only (~2/(W+1) of all grams, the winnowing density bound),
-never on all grams.  At 100 TB every stage is map-side or a doc_id/hash
-equi-shuffle; there is no all-pairs anything — pair candidates inherit
-LSH-band-style locality from the fingerprint equi-join.
+Scale design (r13 optimization): winnowing selection is a PER-DOCUMENT
+computation, so it runs inside the same Arrow-batched map stage that
+hashes the grams (``winnow_select_pandas``) — the r3-r12 shape exploded
+every positioned gram (a 32-char hex string per row), shuffled them all
+by doc_id for two window passes, then paid a distinct exchange; none of
+those exchanges carried information the gram-hashing task didn't already
+hold.  Now zero shuffles happen before selection: the per-doc stats
+query is map-only + final sort, and the pair join's exchange carries
+SELECTED fingerprints only (~2/(W+1) of all grams, the winnowing density
+bound), deduplicated locally per document before the exchange.  At
+100 TB every stage is map-side or a hash equi-shuffle; there is no
+all-pairs anything — pair candidates inherit LSH-band-style locality
+from the fingerprint equi-join.
 
 Cross-engine contract: gram hashes are lowercase-hex md5 of the
 space-joined token gram (Spark: ``lower(hex(gh))`` over the UDF's digest
@@ -34,7 +39,7 @@ beyond-parity surface for the training-data pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from changegen_spark.sources.tables import load_table
@@ -44,73 +49,159 @@ WINNOW_W = 5  # hashes per winnowing window; guarantee length = W + K - 1 = 8
 MIN_SHARED = 3  # pair-candidate reporting threshold
 
 
-def _grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, h): positioned word-K-gram lowercase-hex md5 hashes."""
-    from changegen_spark.queries.lm import pos_gram_hashes_pandas
+def _winnow_doc(t: str | None, k: int, w: int) -> tuple[int, list[tuple[int, str]]]:
+    """One document's robust winnowing: text → (n_grams, sorted DISTINCT
+    selected fingerprints as (fpos, fh) with 1-based gram positions).
 
+    For every full window of ``w`` consecutive gram hashes, select the
+    minimal lowercase-hex md5 (rightmost position on ties).  Documents
+    with fewer than ``w`` grams have no full window and return an empty
+    selection (the MOSS short-document convention; pinned in tests).
+
+    Selection semantics are byte-identical to the r3-r12 windowed-SQL
+    form (min over struct(h asc, 100000000-pos asc) == h asc, pos desc)
+    and to the DuckDB oracle, pinned against the independent pure-Python
+    reference in tests/test_winnow.py."""
+    import hashlib
+    from collections import deque
+
+    md5 = hashlib.md5
+    toks = (t or "").strip().split()
+    hs = [
+        md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    sel: set[tuple[int, str]] = set()
+    # O(n) sliding-window minimum (monotonic deque of 0-based indices).
+    # Popping while the back value is >= the incoming one keeps the
+    # RIGHTMOST index among tied minima at the front — the same
+    # (h asc, pos desc) tie-break as the windowed-SQL form and the
+    # pure-Python test reference.
+    dq: deque[int] = deque()
+    for i, h in enumerate(hs):
+        while dq and hs[dq[-1]] >= h:
+            dq.pop()
+        dq.append(i)
+        s = i - w + 1  # window start for the window ending at i
+        if s >= 0:
+            if dq[0] < s:
+                dq.popleft()
+            sel.add((dq[0] + 1, hs[dq[0]]))
+    return len(hs), sorted(sel)
+
+
+def winnow_select_pandas(k: int = WINNOW_K, w: int = WINNOW_W):
+    """Arrow-batched per-document robust winnowing: text →
+    struct<n_grams:long, fps:array<struct<fpos:long, fh:string>>>
+    (see :func:`_winnow_doc` for the selection semantics)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def ws(texts):
+        n_out, fp_out = [], []
+        for t in texts:
+            n, fps = _winnow_doc(t, k, w)
+            n_out.append(n)
+            fp_out.append(fps)
+        return pd.DataFrame({"n_grams": n_out, "fps": fp_out})
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` stringifies inline hints, which pyspark's type-hint
+    # inference cannot resolve against this closure's locals
+    ws.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(
+        ws, "struct<n_grams:long, fps:array<struct<fpos:long, fh:string>>>"
+    )
+
+
+def winnow_stats_pandas(k: int = WINNOW_K, w: int = WINNOW_W):
+    """Count-only variant for the per-doc summary query: text →
+    struct<n_grams:long, n_fp:long> — same selection as
+    :func:`winnow_select_pandas` but only two longs cross Arrow (§4.1
+    "control how many columns cross"; same recipe as the tokenizer
+    count-only encode variants).  ``n_fp`` counts the DISTINCT selected
+    (fpos, fh) fingerprints."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def wstats(texts):
+        n_out, c_out = [], []
+        for t in texts:
+            n, fps = _winnow_doc(t, k, w)
+            n_out.append(n)
+            c_out.append(len(fps))
+        return pd.DataFrame({"n_grams": n_out, "n_fp": c_out})
+
+    wstats.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(wstats, "struct<n_grams:long, n_fp:long>")
+
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, spread to the session's parallelism.
+
+    Scale-adaptive (guide §2): the winnowing selection is CPU-bound
+    Python inside the scan stage, so a small input (locally: one parquet
+    split) would serialize it on one core.  When the scan has fewer
+    splits than the session's parallelism, spread the lightweight
+    (doc_id, text) rows by doc_id first; at scale splits >> cores and no
+    repartition happens — the pass stays map-only."""
     docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    return docs
+
+
+def _doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, fps): the per-document Arrow winnowing pass."""
+    docs = _docs_parallel(spark, sf_dir)
     return docs.select(
-        "doc_id",
-        F.explode(pos_gram_hashes_pandas(WINNOW_K)(F.col("text"))).alias("g"),
+        "doc_id", winnow_select_pandas()(F.col("text")).alias("wsel")
     ).select(
         "doc_id",
-        F.col("g.pos").alias("pos"),
-        F.lower(F.hex(F.col("g.gh"))).alias("h"),
+        F.col("wsel.n_grams").alias("n_grams"),
+        F.col("wsel.fps").alias("fps"),
     )
 
 
-def winnow_fingerprints(grams: DataFrame) -> DataFrame:
-    """(doc_id, fpos, fh): the distinct selected fingerprints.
-
-    A gram row at position ``pos`` is a full window START iff
-    ``pos <= n_grams - W + 1``; the selection is the frame minimum over
-    the next W rows with the (h asc, pos desc) tie-break.  Documents with
-    fewer than W grams have no full window and are skipped (the MOSS
-    short-document convention; pinned in tests)."""
-    w_sel = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    w_cnt = Window.partitionBy("doc_id")
-    sel = (
-        grams.withColumn("n_grams", F.count("*").over(w_cnt))
-        .withColumn(
-            "mn",
-            F.min(F.struct(F.col("h"), (F.lit(100000000) - F.col("pos")).alias("np"))).over(
-                w_sel
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fpos, fh): the distinct selected fingerprints of a
+    (doc_id, text) frame — the per-document Arrow pass exploded to rows
+    (kept for tests/ad-hoc use; the registry queries consume the arrays
+    directly to keep the explode out of their plans)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(winnow_select_pandas()(F.col("text")).getField("fps")).alias(
+                "f"
             ),
         )
-        .filter(F.col("pos") <= F.col("n_grams") - F.lit(WINNOW_W) + F.lit(1))
+        .select("doc_id", F.col("f.fpos").alias("fpos"), F.col("f.fh").alias("fh"))
     )
-    return sel.select(
-        "doc_id",
-        (F.lit(100000000) - F.col("mn.np")).alias("fpos"),
-        F.col("mn.h").alias("fh"),
-    ).distinct()
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing summary: gram count, full-window count,
     selected-fingerprint count, and selection density (the winnowing
     bound says density -> 2/(W+1) on random text)."""
-    grams = _grams(spark, sf_dir)
-    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    fp = (
-        winnow_fingerprints(grams)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_fp"))
+    stats = _docs_parallel(spark, sf_dir).select(
+        "doc_id", winnow_stats_pandas()(F.col("text")).alias("ws")
     )
     return (
-        per_doc.filter(F.col("n_grams") >= WINNOW_W)
-        .join(fp, "doc_id")
+        stats.select(
+            "doc_id",
+            F.col("ws.n_grams").alias("n_grams"),
+            F.col("ws.n_fp").alias("n_fp"),
+        )
+        .filter(F.col("n_grams") >= WINNOW_W)
         .select(
             "doc_id",
             "n_grams",
             (F.col("n_grams") - F.lit(WINNOW_W) + F.lit(1)).alias("n_windows"),
             "n_fp",
             F.round(
-                F.col("n_fp") / (F.col("n_grams") - F.lit(WINNOW_W) + F.lit(1)), 6
+                F.col("n_fp") / (F.col("n_grams") - F.lit(WINNOW_W) + F.lit(1)),
+                6,
             ).alias("fp_density"),
         )
         .orderBy("doc_id")
@@ -121,13 +212,23 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= MIN_SHARED selected fingerprint HASHES —
     the winnowing candidate join (shared hash values, position-free, as
     MOSS matches them).  Distinct hash values only, so a hash winnowed at
-    several positions in one doc counts once per pair."""
-    fp = winnow_fingerprints(_grams(spark, sf_dir))
-    hv = fp.select("doc_id", "fh").distinct()
+    several positions in one doc counts once per pair (deduplicated
+    locally per document — array_distinct — before the exchange, so the
+    old global .distinct() exchange is gone)."""
+    # sort-merge hint: a broadcast self-join would evaluate the Arrow
+    # winnowing pass TWICE (build + probe subtrees are planned
+    # independently), and at 100 TB neither side could broadcast anyway.
+    # As a shuffle join both sides need the same fh exchange, whose
+    # canonical subtrees are identical — AQE reuses the shuffle, so the
+    # winnowing pass runs ONCE and the join adds no further exchange.
+    hv = _doc_fps(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.col("fps").getField("fh"))).alias("fh"),
+    )
     return (
         hv.alias("a")
         .join(
-            hv.alias("b"),
+            hv.alias("b").hint("merge"),
             (F.col("a.fh") == F.col("b.fh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -389,12 +389,14 @@ def test_markov_single_user_shuffle(spark, sf_dir):
 def test_winnow_pairs_equi_join_on_selected_fps(spark, sf_dir):
     """The winnowing pair join must be a hash equi-join on fingerprint
     hashes — never a cartesian/nested-loop — and winnowing selection must
-    add no shuffle beyond the doc_id exchange (bounded ROWS window)."""
+    add no shuffle at all: it runs inside the per-document Arrow gram-hash
+    pass (r13), so no Window operator and no doc_id exchange may appear."""
     from changegen_spark.queries.winnow import q_winnow_pairs
 
     plan = _plan(q_winnow_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
 
 
 def test_cdc_chunker_is_single_map_pass(spark, sf_dir):

@@ -4,10 +4,7 @@ guarantee, and the short-document convention."""
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 import changegen_spark.queries.winnow as wn
-from changegen_spark.queries.lm import pos_gram_hashes_pandas
 
 
 def _ref_winnow(text: str, k: int = wn.WINNOW_K, w: int = wn.WINNOW_W):
@@ -31,14 +28,8 @@ def _fp(spark, docs: dict[int, str]):
     df = spark.createDataFrame(
         [(i, t) for i, t in docs.items()], "doc_id long, text string"
     )
-    grams = df.select(
-        "doc_id",
-        F.explode(pos_gram_hashes_pandas(wn.WINNOW_K)(F.col("text"))).alias("g"),
-    ).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.lower(F.hex("g.gh")).alias("h")
-    )
     res = {}
-    for r in wn.winnow_fingerprints(grams).collect():
+    for r in wn.winnow_fingerprints(df).collect():
         res.setdefault(r["doc_id"], set()).add((r["fpos"], r["fh"]))
     return res
 
@@ -74,6 +65,33 @@ def test_winnow_short_docs_skipped(spark):
     # 7 tokens → 4 grams < W=5 → no full window → no fingerprints
     docs = {1: "a b c d e f g"}
     assert _fp(spark, docs).get(1, set()) == set()
+
+
+def test_winnow_stats_udf_counts_match_selection(spark):
+    """The count-only stats UDF (q_winnow_fingerprints' Arrow boundary)
+    must agree with the full selection UDF and the pure-Python reference
+    on every document, including the short-doc and all-ties paths."""
+    from pyspark.sql import functions as F
+
+    docs = {
+        1: "a b c d e f g h i j k l m n o p",
+        2: "the quick brown fox jumps over the lazy dog again and again",
+        3: "x x x x x x x x x x",
+        4: "a b c d e f g",  # short doc: 4 grams < W → n_fp = 0
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["s"]["n_grams"], r["s"]["n_fp"])
+        for r in df.select(
+            "doc_id", wn.winnow_stats_pandas()(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in docs.items():
+        toks = t.split()
+        n_grams = max(0, len(toks) - wn.WINNOW_K + 1)
+        assert got[i] == (n_grams, len(_ref_winnow(t))), i
 
 
 def test_winnow_density_near_bound(spark):
