@@ -119,32 +119,49 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
-    a = w.select(F.col("doc_id").alias("da"), "term", F.col("w").alias("wa"))
-    b = w.select(F.col("doc_id").alias("db"), "term", F.col("w").alias("wb"))
+    # r13 optimization (guide §2.3/§3): attach the per-doc norm to the
+    # POSTINGS before the candidate join and carry it through the (da, db)
+    # aggregation (n2 is constant per doc, so min() recovers it exactly).
+    # The r8-r12 shape sort-merge-joined norms onto the aggregated pairs
+    # TWICE (exchange by da, then by db, four sorts) — at 100 TB those two
+    # exchanges move the candidate-pair table (up to REL_DF_CAP x the
+    # postings volume); this shape moves the postings once more (by
+    # doc_id, a join the planner can broadcast while norms fits) and
+    # nothing else.  Local wall is unchanged (interleaved A/B min-of-4:
+    # 3.76 vs 3.75 s), results bit-identical (checked by full collect
+    # comparison at sf0.1 and the DuckDB oracle).
+    w2 = w.join(norms, "doc_id")
+    a = w2.select(
+        F.col("doc_id").alias("da"),
+        "term",
+        F.col("w").alias("wa"),
+        F.col("n2").alias("na2"),
+    )
+    b = w2.select(
+        F.col("doc_id").alias("db"),
+        "term",
+        F.col("w").alias("wb"),
+        F.col("n2").alias("nb2"),
+    )
     dots = (
         a.join(b, "term")
         .filter(F.col("db") != F.col("da"))
         .groupBy("da", "db")
-        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("da"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("doc_id").alias("db"), F.col("n2").alias("nb2"))
-    scored = (
-        dots.join(na, "da")
-        .join(nb, "db")
-        .select(
-            "da",
-            "db",
-            F.round(
-                F.col("dot")
-                * 1e6
-                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
-            )
-            .cast("long")
-            .alias("cos_e6"),
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+            F.min("na2").alias("na2"),
+            F.min("nb2").alias("nb2"),
         )
-        .filter(F.col("cos_e6") >= REL_MIN_COS_E6)
     )
+    scored = dots.select(
+        "da",
+        "db",
+        F.round(
+            F.col("dot") * 1e6 / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    ).filter(F.col("cos_e6") >= REL_MIN_COS_E6)
     wnd = Window.partitionBy("da").orderBy(F.desc("cos_e6"), "db")
     return (
         scored.withColumn("rank", F.row_number().over(wnd).cast("long"))
