@@ -239,6 +239,15 @@ def minhash_candidates(
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     if impl == "pandas" and hash_fn == "md5":
+        # scale-adaptive parallelism (guide §2, r13): the signature UDF is
+        # CPU-bound Python in the scan stage — locally one parquet split
+        # would serialize it on one core.  Spread the (id, text) rows only
+        # when the scan has fewer splits than the session's parallelism;
+        # at scale splits >> cores and the text is never shuffled (the
+        # only exchange stays the post-UDF signature repartition).
+        sc = docs.sparkSession.sparkContext
+        if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+            docs = docs.repartition(sc.defaultParallelism, id_col)
         sig_udf = minhash_pandas_signature(ngram, num_hashes)
         sig = (
             docs.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("g"))
