@@ -373,15 +373,31 @@ def lsh_bucketed_topk(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("q"),
     )
-    cands = None
-    for bdims in bands:
-        vb = v.select("vec_id", sign_lsh_bucket(F.col("v"), bdims).alias("bucket"))
-        qb = q.select(
-            "query_id", sign_lsh_bucket(F.col("q"), bdims).alias("bucket")
-        )
-        pairs = vb.join(F.broadcast(qb), "bucket").select("query_id", "vec_id")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.filter(F.col("vec_id") != F.col("query_id")).distinct()
+    # r13 (guide §2.4, the q_mmr_topk_lsh recipe): all band buckets are
+    # computed in one projection and posexploded, so the corpus side is
+    # scanned and joined ONCE on the composite (band, bucket) key — the
+    # r3-r12 per-band loop built len(bands) join branches + a union, each
+    # branch re-reading the corpus frame.  The collision set is identical:
+    # a (query, vec) pair collides in band i iff it joins on key
+    # (i, bucket_i).
+    vb = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sign_lsh_bucket(F.col("v"), bd) for bd in bands])
+        ).alias("band", "bucket"),
+    )
+    qb = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[sign_lsh_bucket(F.col("q"), bd) for bd in bands])
+        ).alias("band", "bucket"),
+    )
+    cands = (
+        vb.join(F.broadcast(qb), ["band", "bucket"])
+        .select("query_id", "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .distinct()
+    )
     scored = cands.join(v, "vec_id").join(F.broadcast(q), "query_id")
     scored = scored.withColumn("cos_sim", F.round(cosine(F.col("q"), F.col("v")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))

@@ -697,15 +697,27 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("q"),
         F.col("label").alias("anchor_label"),
     )
-    cands = None
-    for bdims in LSH_BANDS:
-        vb = base.select("vec_id", sign_lsh_bucket(F.col("v"), bdims).alias("bucket"))
-        ab = anchors.select(
-            "anchor_id", sign_lsh_bucket(F.col("q"), bdims).alias("bucket")
-        )
-        pairs = vb.join(F.broadcast(ab), "bucket").select("anchor_id", "vec_id")
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+    # r13 (guide §2.4, the q_mmr_topk_lsh recipe): one posexplode join on
+    # the composite (band, bucket) key instead of the 8-branch per-band
+    # join + union — the corpus is scanned and joined once; the collision
+    # set is identical (collides in band i iff equal on (i, bucket_i)).
+    vb = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[sign_lsh_bucket(F.col("v"), bd) for bd in LSH_BANDS])
+        ).alias("band", "bucket"),
+    )
+    ab = anchors.select(
+        "anchor_id",
+        F.posexplode(
+            F.array(*[sign_lsh_bucket(F.col("q"), bd) for bd in LSH_BANDS])
+        ).alias("band", "bucket"),
+    )
+    cands = (
+        vb.join(F.broadcast(ab), ["band", "bucket"])
+        .select("anchor_id", "vec_id")
+        .distinct()
+    )
     scored = (
         cands.join(base, "vec_id")
         .join(F.broadcast(anchors), "anchor_id")
