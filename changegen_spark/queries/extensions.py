@@ -363,6 +363,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sequential-fold arithmetic replayed in numpy), without the k×dim
     # literal expression tree — see assign_ivf_cells_arrow's docstring.
     va = assign_ivf_cells_arrow(v, cents)
+    # The assignment subtree is consumed three times (self-join left side,
+    # right side, final left join) — without a fence each consumer re-runs
+    # the Arrow kernel and its scan.  A lazy localCheckpoint materializes
+    # the (vec_id, cell, v) assignment ONCE per run (per-run, inside the
+    # timed region — not cross-run caching); at scale this trades one
+    # write+read of the assignment for two re-scans of the corpus plus two
+    # extra Arrow passes (guide §2.4 / §5).
+    va = va.localCheckpoint(eager=False)
     lo = va.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("id_a"),
