@@ -146,6 +146,12 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = scored.join(langs, "doc_id")
 
     nparts = max(spark.sparkContext.defaultParallelism, 8)
+    # repartitionByRange SAMPLES its child to pick boundaries, then
+    # shuffles it — two executions of the upstream lm_score pipeline per
+    # materialization.  Fencing `joined` first makes the sampling pass
+    # materialize the scored rows once and the shuffle read them back
+    # (guide §2.4: at corpus scale this halves the work feeding the rank).
+    joined = joined.localCheckpoint(eager=False)
     # localCheckpoint fence = CORRECTNESS (r9 postmortem, ids.py note):
     # the two-phase rank executes this frame twice (counts + join) and
     # repartitionByRange re-samples boundaries per execution

@@ -77,9 +77,8 @@ DISPOSITIONS = {
         (1, "fenced (r9 site)"),
     ("changegen_spark/queries/mlprep.py", "q_weighted_sample", "repartitionByRange"):
         (1, "fenced (r9 site)"),
-    ("changegen_spark/queries/rerank.py", "_greedy_rerank", "F.first"):
-        (2, "const-per-group: rel/v functionally dependent on "
-            "(query_id, vec_id), the groupBy key"),
+    # (rerank.py _greedy_rerank F.first ×2 removed r13: the greedy loop
+    # became a single applyInPandas pass — no grouped F.first remains)
     ("changegen_spark/queries/suffix.py", "_two_phase_dense_rank", "repartitionByRange"):
         (1, "fenced (r9 site)"),
 }
@@ -108,9 +107,10 @@ def test_sweep_sees_the_whole_package():
     """The sweep must keep covering the full source tree: a refactor
     that moves queries out of changegen_spark/ (or an sweep bug that
     stops descending) would silently empty the audit.  66 sites at
-    r10; only grows as operators land."""
+    r10; 65 after the r13 rerank rewrite deleted its two grouped
+    F.first sites (the greedy loop became one applyInPandas pass)."""
     sites = sweep()
-    assert len(sites) >= 66, len(sites)
+    assert len(sites) >= 65, len(sites)
     mech_safe = [s for s in sites if s[3]]
     assert len(mech_safe) >= 46, len(mech_safe)
 
