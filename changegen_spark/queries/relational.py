@@ -77,12 +77,16 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_pct = F.round(F.col("l_discount") * 100).cast("long")
     rev = cents(F.col("l_extendedprice")) * (100 - disc_pct)
     # Join order matters at scale (r7 verdict #4): filter orders through
-    # the broadcast BUILDING-customer join FIRST, so the expensive
-    # lineitem shuffle join probes only the ~1/5 of orders that survive —
-    # not all of them.  Catalyst does not reorder across the aggregate
-    # boundary here, so the order is explicit.
+    # the BUILDING-customer join FIRST, so the expensive lineitem join
+    # probes only the ~1/5 of orders that survive — not all of them.
+    # Catalyst does not reorder across the aggregate boundary here, so
+    # the order is explicit.  No broadcast HINT: at sf the planner
+    # broadcasts the filtered customers by size anyway, but at 100 TB the
+    # BUILDING slice is billions of rows — a forced broadcast would blow
+    # the 8 GB/512M-row cap, while size-based planning (plus AQE) picks
+    # sort-merge there (guide §3.1: hint only what cannot be inferred).
     building_orders = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return (
         li.join(building_orders, li.l_orderkey == building_orders.o_orderkey)
