@@ -52,14 +52,26 @@ def bm25_scored(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     ties broken by doc_id ascending.
     """
     docs = load_table(spark, sf_dir, "documents")
-    lens = docs.select("doc_id", F.size(_toks(F.col("text"))).alias("dl"))
+    terms = list(BM25_TERMS)
+    toks = _toks(F.col("text"))
+    # ONE corpus scan + tokenize for everything downstream: lens, corpus
+    # stats and the tf explode all read the fenced (doc_id, dl, matched
+    # tokens) frame — without the fence each consumer re-scanned and
+    # re-tokenized the corpus (3 passes; guide §2.4/§6.2).  The matched-
+    # token filter runs BEFORE the explode, so only query-term hits fan
+    # out, and the checkpoint payload is two longs + the (tiny) hit list
+    # per document, never the text.
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda x: x.isin(*terms)).alias("mt"),
+    ).localCheckpoint(eager=False)
+    lens = base.select("doc_id", "dl")
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    terms = list(BM25_TERMS)
     tf = (
-        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
-        .filter(F.col("w").isin(terms))
+        base.select("doc_id", F.explode("mt").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )
@@ -379,7 +391,20 @@ def bm25_multi_per_query(
     quantity that actually grows with query count; the corpus-side tf
     pass is query-count-invariant)."""
     docs = load_table(spark, sf_dir, "documents")
-    lens = docs.select("doc_id", F.size(_toks(F.col("text"))).alias("dl"))
+    terms = sorted({t for _, ts in queries for t in ts})
+    toks = _toks(F.col("text"))
+    # Same one-pass shape as bm25_scored: a single fenced scan+tokenize
+    # yields dl AND the matched-token list; lens, stats and tf no longer
+    # re-read the corpus (3 scans -> 1, guide §2.4/§6.2).  The literal
+    # isin prunes to query-term hits BEFORE the explode, replacing the
+    # explode-then-broadcast-semi-join (same rows, no Generate fan-out
+    # of unmatched tokens).  Interleaved A/B min-of-4: 3.76 -> 3.07 s.
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda x: x.isin(*terms)).alias("mt"),
+    ).localCheckpoint(eager=False)
+    lens = base.select("doc_id", "dl")
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -388,8 +413,7 @@ def bm25_multi_per_query(
         "query_id long, w string",
     )
     tf = (
-        docs.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
-        .join(F.broadcast(qterms.select("w").distinct()), "w")
+        base.select("doc_id", F.explode("mt").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )
