@@ -192,6 +192,10 @@ def q_multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from changegen_spark.multimodal import extract_features, synth_assets
 
     feats = extract_features(synth_assets(spark, 100), dim=16)
+    # Both join sides (corpus vectors and the %25 query slice) derive from
+    # feats — without a fence the Python feature-extraction pass runs
+    # twice (guide §2.4/§4; at scale that is two decodes of every asset).
+    feats = feats.localCheckpoint(eager=False)
     vectors = feats.withColumnRenamed("asset_id", "vec_id")
     queries = vectors.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
         "vec_id", "query_id"
