@@ -82,7 +82,17 @@ def trigram_tf_pandas():
 
 
 def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Scale-adaptive parallelism (guide §2, r13 — the minhash/winnow
+    # recipe): the Arrow trigram-count UDF is CPU-bound Python inside the
+    # scan stage, and locally the documents table is one parquet split, so
+    # the whole tf pass (and the tfs fence materialization feeding it)
+    # would serialize on one core.  Spread (doc_id, text) only when the
+    # scan has fewer splits than the session's parallelism; at scale
+    # splits >> cores and this is a no-op (text is never shuffled).
+    sc = spark.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism, "doc_id")
     return d.select(
         "doc_id", F.explode(trigram_tf_pandas()(F.col("text"))).alias("s")
     ).select(
@@ -115,9 +125,6 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = tfs.join(kept, "term").select(
         "doc_id", "term", (F.col("tf") * F.col("idf_e3")).alias("w")
-    ).localCheckpoint(eager=False)
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )
     # r13 optimization (guide §2.3/§3): attach the per-doc norm to the
     # POSTINGS before the candidate join and carry it through the (da, db)
@@ -125,12 +132,25 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The r8-r12 shape sort-merge-joined norms onto the aggregated pairs
     # TWICE (exchange by da, then by db, four sorts) — at 100 TB those two
     # exchanges move the candidate-pair table (up to REL_DF_CAP x the
-    # postings volume); this shape moves the postings once more (by
-    # doc_id, a join the planner can broadcast while norms fits) and
-    # nothing else.  Local wall is unchanged (interleaved A/B min-of-4:
-    # 3.76 vs 3.75 s), results bit-identical (checked by full collect
-    # comparison at sf0.1 and the DuckDB oracle).
-    w2 = w.join(norms, "doc_id")
+    # postings volume).
+    #
+    # r13 second pass (guide §2.4): the first cut attached norms with a
+    # groupBy + doc_id self-join BELOW the term self-join, and the final
+    # AQE plan showed the whole w⋈norms subtree executed TWICE (no
+    # ReusedExchange fires across the fence scans): 2 SortMergeJoins, 2
+    # norms aggregations, 6 exchanges.  n2 is a per-doc sum, so a window
+    # over doc_id computes it in ONE pass (one exchange + sort, exact
+    # integer arithmetic — addition order irrelevant), and the fence moves
+    # to w2 so both self-join sides read the finished frame.  Interleaved
+    # A/B min-of-4/5 with the _term_freqs spread: 3.23/3.73 → 2.97/3.40 s;
+    # results proven equal by full collect comparison at sf0.1; oracle
+    # green.
+    w2 = w.withColumn(
+        "n2",
+        F.sum(F.col("w") * F.col("w"))
+        .over(Window.partitionBy("doc_id"))
+        .cast("long"),
+    ).localCheckpoint(eager=False)
     a = w2.select(
         F.col("doc_id").alias("da"),
         "term",
