@@ -163,9 +163,20 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("wb"),
         F.col("n2").alias("nb2"),
     )
-    dots = (
+    # r13 third pass (guide §2.3 "shuffle fewer bytes"): the dot product is
+    # symmetric, so pair every candidate ONCE under da < db — half the
+    # candidate stream (Σ df² − Σ df over kept terms, the query's largest
+    # exchange) enters the term join and the (da, db) shuffle — then
+    # mirror each aggregated pair in place with a 2-element explode
+    # (dot unchanged, norms swap).  The explode keeps the aggregate a
+    # SINGLE consumer subtree (a self-union would re-execute the join:
+    # ReuseExchange cannot canonicalize across localCheckpoint RDD scans,
+    # the same AQE gap the window-norms pass fixed).  Row-for-row
+    # identical output: the (x, y) cell with x < y is the old
+    # (da=x, db=y) cell, its mirror the old (da=y, db=x) cell.
+    half = (
         a.join(b, "term")
-        .filter(F.col("db") != F.col("da"))
+        .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(
             F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
@@ -173,6 +184,20 @@ def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nb2").alias("nb2"),
         )
     )
+    dots = half.select(
+        F.explode(
+            F.array(
+                F.struct("da", "db", "dot", "na2", "nb2"),
+                F.struct(
+                    F.col("db").alias("da"),
+                    F.col("da").alias("db"),
+                    F.col("dot"),
+                    F.col("nb2").alias("na2"),
+                    F.col("na2").alias("nb2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.da", "p.db", "p.dot", "p.na2", "p.nb2")
     scored = dots.select(
         "da",
         "db",
