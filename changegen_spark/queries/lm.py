@@ -214,15 +214,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from the output.
 
     Scale shape (r3): bigram occurrences are pre-aggregated to
-    (doc_id, w1, w2, c) BEFORE the count joins.  The probe side of the
-    bigram-count and unigram-count joins then carries one row per distinct
-    (doc, bigram) instead of one per occurrence — at corpus scale, hot
-    bigrams ("of the") stop being both a skew key and a probe-side row
-    multiplication (r2 verdict's #1 hazard).  The per-doc NLL becomes the
-    c-weighted average, numerically identical to the occurrence-level
-    mean.  Remaining skew on very hot (w1, w2) keys is bounded by the
-    number of documents containing them and is AQE-skew-join territory
-    (operators/skew.salted_join is the drop-in if ever needed)."""
+    (doc_id, w1, w2, c) BEFORE any corpus-count attach.  Each downstream
+    row is one distinct (doc, bigram) instead of one per occurrence — at
+    corpus scale, hot bigrams ("of the") stop being both a skew key and a
+    probe-side row multiplication (r2 verdict's #1 hazard).  The per-doc
+    NLL becomes the c-weighted average, numerically identical to the
+    occurrence-level mean.  r13: the corpus bigram count cb attaches as a
+    window sum over (w1, w2) — one exchange, single consumer of the Arrow
+    UDF — instead of a groupBy + self-join pair.  Remaining skew on very
+    hot (w1, w2) keys is bounded by the number of documents containing
+    them and is AQE-skew-join territory (operators/skew.salted_join is
+    the drop-in if ever needed)."""
     docs = _docs(spark, sf_dir)
     toks = _toks(F.col("text"))
     words = docs.select(F.explode(toks).alias("w"))
@@ -237,12 +239,20 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bg.w2").alias("w2"),
         F.col("bg.c").alias("c"),
     )
-    bc = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    # r13 (guide §2.4): the corpus bigram count attaches as a WINDOW sum
+    # over (w1, w2) — the q_dup_spans / related-docs-norms recipe — instead
+    # of a groupBy + self-join.  The Arrow bigram UDF then has a SINGLE
+    # consumer (the old bc aggregate + probe pair evaluated it twice), and
+    # one (w1, w2) exchange replaces the aggregate + both join exchanges.
+    # cb is an exact integer either way; canary-guarded interleaved A/B
+    # medians 2.23 → 1.37 s, full-collect equality proven at sf0.1.
+    with_cb = doc_bg.withColumn(
+        "cb", F.sum("c").over(Window.partitionBy("w1", "w2"))
+    )
     logp = F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
     wavg_nll = -(F.sum(F.col("c") * logp) / F.sum("c"))
     return (
-        doc_bg.join(bc, ["w1", "w2"])
-        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        with_cb.join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vdf))
         .groupBy("doc_id")
         .agg(
