@@ -24,8 +24,8 @@ ANNOTATED = {
     "q_lsh_pairs": "one Arrow signature eval; banded self-join is an equi-join on (band, hash)",
     "q_ann_bruteforce": "query side broadcast; corpus scan shuffle-free",
     "q_decontaminate": "single distinct n-gram exchange reused by all three consumers",
-    "q_dup_spans": "ONE positioned-gram UDF eval; window count over the 16-byte hash",
-    "q_lm_score": "joins probe the per-doc AGGREGATED bigram frame, not occurrences",
+    "q_dup_spans": "ONE positioned-gram UDF eval; window count over the 16-byte hash; r13: conditional doc_id spread below the UDF parallelizes the Python pass on small scans (no-op at scale)",
+    "q_lm_score": "per-doc AGGREGATED bigram frame, never occurrences; r13: the corpus count cb is a window sum over (w1, w2) — single UDF eval, one exchange, no bc aggregate+self-join; the uni join probes aggregated rows",
     "q_bm25_search": "term filter before any shuffle; df/stats broadcast; top-k limit, no global sort",
     "q_interval_overlap": "bucketized overlap: hash equi-join on the bucket key, no BroadcastNestedLoopJoin",
     "q_resample": "rollup aggregate before the dense spine; windows over the spine only",
