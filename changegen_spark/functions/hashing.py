@@ -239,15 +239,20 @@ def minhash_candidates(
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     if impl == "pandas" and hash_fn == "md5":
-        # scale-adaptive parallelism (guide §2, r13): the signature UDF is
-        # CPU-bound Python in the scan stage — locally one parquet split
-        # would serialize it on one core.  Spread the (id, text) rows only
-        # when the scan has fewer splits than the session's parallelism;
-        # at scale splits >> cores and the text is never shuffled (the
-        # only exchange stays the post-UDF signature repartition).
-        sc = docs.sparkSession.sparkContext
-        if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-            docs = docs.repartition(sc.defaultParallelism, id_col)
+        # scale-adaptive parallelism, cost-gated (guide §2, r14): the
+        # signature UDF is the heaviest per-byte Python pass in the repo
+        # (num_hashes md5 digests per document), so fine-grained spread
+        # keeps winning (r13 driver: q_dedup_clusters 1.31x, q_lsh_pairs
+        # 1.27x at full parallelism) — the 16 KiB/task dial reproduces the
+        # full-parallelism target locally while staying a no-op at scale
+        # (splits >= cores; the text is never shuffled there, the only
+        # exchange stays the post-UDF signature repartition).
+        from changegen_spark.functions.spread import (
+            MINHASH_BYTES_PER_TASK,
+            spread_if_narrow,
+        )
+
+        docs = spread_if_narrow(docs, id_col, MINHASH_BYTES_PER_TASK)
         sig_udf = minhash_pandas_signature(ngram, num_hashes)
         sig = (
             docs.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("g"))

@@ -102,16 +102,19 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 16-byte digest — instead of the r2 groupBy + left-semi pair,
     whose two consumers re-ran the explode."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # Scale-adaptive parallelism (guide §2, r13 — the minhash/winnow/
-    # relatedness recipe): the positioned-gram md5 UDF is CPU-bound Python
-    # inside the scan stage and the local table is one parquet split, so
-    # the whole pass would serialize on one core.  Spread (doc_id, text)
-    # only when the scan has fewer splits than the session's parallelism;
-    # at scale splits >> cores and this is a no-op.  Canary-guarded
-    # interleaved A/B: medians 1.285 → 1.027 s (won all 6 iterations).
-    sc = spark.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # Scale-adaptive parallelism, cost-gated (guide §2, r14): the
+    # positioned-gram md5 UDF is CPU-bound Python inside the scan stage —
+    # medium per-byte cost (one md5 per token window).  The r13 spread to
+    # full parallelism was a driver-measured regression (1.46 s unspread
+    # in r12 vs 1.77 s at 32-way, with the 8-way run faster at 1.38 s), so
+    # the 64 KiB/task dial caps the sf0.1 target near the 8-way shape; at
+    # 100 TB the helper is a no-op (splits >= cores).
+    from changegen_spark.functions.spread import (
+        POSGRAM_BYTES_PER_TASK,
+        spread_if_narrow,
+    )
+
+    docs = spread_if_narrow(docs, "doc_id", POSGRAM_BYTES_PER_TASK)
     grams = docs.select(
         "doc_id",
         F.explode(pos_gram_hashes_pandas(DUP_N)(F.col("text"))).alias("g"),

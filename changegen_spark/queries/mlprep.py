@@ -1358,40 +1358,43 @@ def _dsir_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_ratio_from_per_bucket(per_b: DataFrame) -> DataFrame:
+    """(b, c_r, c_t) per-bucket counts → (b, term_e6) smoothed e6-integer
+    log p/q ratios.  The totals n_r / n_t are derived from the SAME tiny
+    per-bucket frame (one broadcastable aggregate), and the conditional
+    c_t column replaces the r13 second (filtered) corpus aggregate + left
+    join — exact integer inputs either way, so term_e6 is bit-identical."""
+    n = per_b.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    B = F.lit(DSIR_BUCKETS)
+    return per_b.crossJoin(F.broadcast(n)).select(
+        "b",
+        F.round(
+            F.lit(1e6)
+            * F.log(
+                ((F.col("c_t") + 1) * (F.col("n_r") + B)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("n_t") + B)).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("term_e6"),
+    )
+
+
 def _dsir_ratio_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned (bucket, e6-integer log p/q ratio) table — the KB-sized
     DSIR model artifact (also exported to the streaming scorer via
-    ``streaming.corpus.dsir_ratio_terms``)."""
+    ``streaming.corpus.dsir_ratio_terms``).
+
+    One corpus pass (r14, guide §2.4): both distributions come from a
+    single bucket-keyed aggregate with a conditional target count — the
+    r13 shape ran the tokenize+explode twice (raw and the filtered tgt)
+    and stitched them with a left join."""
     occ = _dsir_occ(spark, sf_dir)
-    raw = occ.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt = (
-        occ.filter(F.col("source") == DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.count("*").alias("c_t"))
+    per_b = occ.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("source") == DSIR_TARGET, True)).alias("c_t"),
     )
-    n_r = raw.agg(F.sum("c_r").alias("n_r"))
-    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
-    B = F.lit(DSIR_BUCKETS)
-    return (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(n_r))
-        .crossJoin(F.broadcast(n_t))
-        .select(
-            "b",
-            F.round(
-                F.lit(1e6)
-                * F.log(
-                    (
-                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                        * (F.col("n_r") + B)
-                    ).cast("double")
-                    / ((F.col("c_r") + 1) * (F.col("n_t") + B)).cast("double")
-                )
-            )
-            .cast("long")
-            .alias("term_e6"),
-        )
-    )
+    return _dsir_ratio_from_per_bucket(per_b)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,16 +1409,32 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared e6-scaled-integer log-ratio per bucket, so the per-doc sum is
     exact integer arithmetic (shuffle-order-proof, engine-identical).
 
-    Scale: one explode+groupBy pass over the corpus builds both
-    distributions (map-side combined); the 4096-row log-ratio table
-    broadcasts; per-doc weighting is a bucket-keyed aggregate; selection
-    is a TakeOrdered top-k, never a global sort.
+    Scale: ONE explode+groupBy pass over the corpus (r14, guide §2.4 —
+    the r13 plan re-ran the tokenize+explode three times: raw, the
+    filtered tgt, and docb) builds the fenced per-document histogram;
+    both distributions derive from it with bucket-keyed aggregates over
+    KB-sized frames; the 4096-row log-ratio table broadcasts; per-doc
+    weighting is a bucket-keyed aggregate; selection is a TakeOrdered
+    top-k, never a global sort.
 
     Output: doc_id, n_grams, logw_e6, selected (1 for the DSIR_K docs
     with the highest weight, ties to the smaller doc_id)."""
-    occ = _dsir_occ(spark, sf_dir)
-    ratio = _dsir_ratio_frame(spark, sf_dir)
-    docb = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    # (doc_id, source, b, c): source is functional on doc_id, so the
+    # groups — and c — are exactly the r13 (doc_id, b) histogram; carrying
+    # source lets the target distribution derive from this same frame.
+    docb = (
+        _dsir_occ(spark, sf_dir)
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    per_b = docb.groupBy("b").agg(
+        F.sum("c").alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET, F.col("c")).otherwise(0)
+        ).alias("c_t"),
+    )
+    ratio = _dsir_ratio_from_per_bucket(per_b)
     weights = (
         docb.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")

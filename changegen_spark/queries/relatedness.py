@@ -83,16 +83,20 @@ def trigram_tf_pandas():
 
 def _term_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Scale-adaptive parallelism (guide §2, r13 — the minhash/winnow
-    # recipe): the Arrow trigram-count UDF is CPU-bound Python inside the
-    # scan stage, and locally the documents table is one parquet split, so
-    # the whole tf pass (and the tfs fence materialization feeding it)
-    # would serialize on one core.  Spread (doc_id, text) only when the
-    # scan has fewer splits than the session's parallelism; at scale
-    # splits >> cores and this is a no-op (text is never shuffled).
-    sc = spark.sparkContext
-    if d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism, "doc_id")
+    # Scale-adaptive parallelism, cost-gated (guide §2, r14): the Arrow
+    # trigram-count UDF is CPU-bound Python inside the scan stage, and
+    # locally the documents table is one parquet split, so the whole tf
+    # pass (and the tfs fence materialization feeding it) would serialize
+    # on one core.  The per-doc Counter work is in the minhash cost
+    # regime, so the 16 KiB/task dial keeps the full-parallelism target
+    # that won the r13 A/B (3.23 -> 2.97 s); at scale splits >= cores and
+    # this is a no-op (text is never shuffled).
+    from changegen_spark.functions.spread import (
+        TRIGRAM_BYTES_PER_TASK,
+        spread_if_narrow,
+    )
+
+    d = spread_if_narrow(d, "doc_id", TRIGRAM_BYTES_PER_TASK)
     return d.select(
         "doc_id", F.explode(trigram_tf_pandas()(F.col("text"))).alias("s")
     ).select(

@@ -137,19 +137,22 @@ def winnow_stats_pandas(k: int = WINNOW_K, w: int = WINNOW_W):
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The documents scan, spread to the session's parallelism.
+    """The documents scan, spread to the cost-gated target.
 
-    Scale-adaptive (guide §2): the winnowing selection is CPU-bound
+    Scale-adaptive (guide §2, r14): the winnowing selection is CPU-bound
     Python inside the scan stage, so a small input (locally: one parquet
-    split) would serialize it on one core.  When the scan has fewer
-    splits than the session's parallelism, spread the lightweight
-    (doc_id, text) rows by doc_id first; at scale splits >> cores and no
-    repartition happens — the pass stays map-only."""
-    docs = load_table(spark, sf_dir, "documents")
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
-    return docs
+    split) would serialize it on one core — but the r13 spread to FULL
+    parallelism over-parallelized it (driver: 2.21 s at 32-way vs 0.98 s
+    at 8-way).  The 64 KiB/task dial lands the sf0.1 scan near the proven
+    8-way shape; at scale splits >= cores and no repartition happens —
+    the pass stays map-only."""
+    from changegen_spark.functions.spread import (
+        WINNOW_BYTES_PER_TASK,
+        spread_if_narrow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return spread_if_narrow(docs, "doc_id", WINNOW_BYTES_PER_TASK)
 
 
 def _doc_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
