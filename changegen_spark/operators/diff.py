@@ -7,9 +7,16 @@ computes the change set directly: full outer join on the key, row-hash
 comparison for modification detection.
 
 Scale shape: one hash-partitioned shuffle on the key for the join; the
-row fingerprint is computed map-side BEFORE the join so the comparison
-never widens the shuffle (two hash columns instead of 2× full rows when
-``compare_cols`` is wide — pass ``slim=True`` for that plan).
+row fingerprint is computed map-side BEFORE the join so modification
+detection is a single hash comparison, never a column-by-column one.
+The payload columns still ride the exchange: a proxy-shuffle variant
+(shuffle only (key, hash), then re-fetch changed payloads with a second
+scan + semi-join, guide §8) only pays off when the payload is much wider
+than key + 16-byte fingerprint — for narrow rows like q_snapshot_diff's
+(~24 B compared columns) the md5 hex alone out-weighs the payload, so
+the direct join IS the slim plan (measured disposition, r14).  Bloom
+pre-filtering (§3.2) cannot apply at all: rows missing from one side are
+the create/delete OUTPUT, so there is no prunable non-matching set.
 """
 
 from __future__ import annotations

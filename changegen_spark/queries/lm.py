@@ -234,10 +234,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLL becomes the c-weighted average, numerically identical to the
     occurrence-level mean.  r13: the corpus bigram count cb attaches as a
     window sum over (w1, w2) — one exchange, single consumer of the Arrow
-    UDF — instead of a groupBy + self-join pair.  Remaining skew on very
-    hot (w1, w2) keys is bounded by the number of documents containing
-    them and is AQE-skew-join territory (operators/skew.salted_join is
-    the drop-in if ever needed)."""
+    UDF — instead of a groupBy + self-join pair.  Skew note (r14, ADVICE
+    r13): the window shape FORFEITS the join-side skew mitigations — AQE
+    skew-join splitting and operators/skew.salted_join do not apply to a
+    window exchange, and windows get no map-side partial aggregation, so
+    every (doc, bigram) row of a Zipf-hot bigram lands in one sorted
+    task.  The exposure is bounded (rows are pre-aggregated per doc, so a
+    hot key's partition is "documents containing it", not occurrences),
+    but on a hot-key corpus the escape hatch is the r12 groupBy +
+    self-join form of cb (git 701616e lm.py), whose join AQE can split —
+    a salted WINDOW would instead need a two-level sum."""
     docs = _docs(spark, sf_dir)
     toks = _toks(F.col("text"))
     words = docs.select(F.explode(toks).alias("w"))

@@ -47,6 +47,10 @@ from changegen_spark.sources.tables import load_table
 WINNOW_K = 4  # word-gram order
 WINNOW_W = 5  # hashes per winnowing window; guarantee length = W + K - 1 = 8
 MIN_SHARED = 3  # pair-candidate reporting threshold
+# Build-time dial (tools/ab_interleave.py): fence the selected-fingerprint
+# rows so the Arrow winnowing pass runs once per q_winnow_pairs run instead
+# of once per self-join side — shipped value is the A/B winner (r14).
+WINNOW_PAIR_FENCE = True
 
 
 def _winnow_doc(t: str | None, k: int, w: int) -> tuple[int, list[tuple[int, str]]]:
@@ -221,13 +225,19 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort-merge hint: a broadcast self-join would evaluate the Arrow
     # winnowing pass TWICE (build + probe subtrees are planned
     # independently), and at 100 TB neither side could broadcast anyway.
-    # As a shuffle join both sides need the same fh exchange, whose
-    # canonical subtrees are identical — AQE reuses the shuffle, so the
-    # winnowing pass runs ONCE and the join adds no further exchange.
+    # r14: the r13 comment claimed AQE would reuse one fh exchange across
+    # the self-join sides; the POST-execution plan disproves it (two
+    # ArrowEvalPython + two fh exchanges — plans/r14/
+    # q_winnow_pairs_final_after.txt pre-fence).  A lazy checkpoint fence
+    # on the exploded (doc_id, fh) rows — KBs per document, never text —
+    # guarantees ONE winnowing pass per run; both join sides read the
+    # fenced RDD.
     hv = _doc_fps(spark, sf_dir).select(
         "doc_id",
         F.explode(F.array_distinct(F.col("fps").getField("fh"))).alias("fh"),
     )
+    if WINNOW_PAIR_FENCE:
+        hv = hv.localCheckpoint(eager=False)
     return (
         hv.alias("a")
         .join(

@@ -1,11 +1,14 @@
 """Full CDC cycle: snapshot → generate → write → read → apply → snapshot',
 with referential integrity verified on the result."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_full_cdc_cycle(spark, tmp_path):
     from changegen_spark.operators.apply import (
         apply_changeset,
@@ -107,6 +110,7 @@ def test_relation_modify_delete_apply(spark):
     assert rels2[100]["tags"]["name"] == "renamed"
 
 
+@pytest.mark.slow
 def test_member_aware_prune_on_way_delete(spark):
     """Deleting a way referenced by a surviving relation: prune drops the
     member (order preserved); without prune the audit flags it."""

@@ -1,6 +1,8 @@
 """Bucketed co-located join: the join over identically-bucketed tables must
 plan with NO shuffle (Exchange) on either side."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -39,6 +41,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert result == sorted(map(tuple, plain.collect()))
 
 
+@pytest.mark.slow
 def test_incremental_dedup_persisted_corpus_no_corpus_shuffle(spark, sf_dir):
     """The daily-increment dedup against the PERSISTED bucketed corpus
     (r2 verdict item #8): the corpus side of both the exact-hash semi-join

@@ -36,6 +36,7 @@ def cli_dirs(spark, tmp_path_factory):
     return db, ext
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(cli_dirs, tmp_path):
     from changegen_spark.__main__ import main
 
@@ -70,6 +71,7 @@ def test_cli_end_to_end(cli_dirs, tmp_path):
     assert names == {"new-0", "new-1", "new-2", "new-3"}
 
 
+@pytest.mark.slow
 def test_cli_outdir_per_table(cli_dirs, tmp_path):
     """Reference mode: one {table}.osc per discovered table + one per
     deletions table (changegen/__main__.py:232-263)."""
@@ -253,6 +255,7 @@ def test_corpus_cli_external_evalset_filters(spark, sf_dir, tmp_path, capsys):
     assert 0 < n_ext < n_all  # planted contaminated docs are removed
 
 
+@pytest.mark.slow
 def test_corpus_cli_incremental_against_persisted(spark, sf_dir, tmp_path, capsys):
     """--persist-corpus / --against round trip: every overlapping document
     of day-1 (exact content dup of the day-0 corpus) is dropped before

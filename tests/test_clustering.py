@@ -1,6 +1,8 @@
 """Connected-components / dedup keep-list unit tests."""
 
 
+import pytest
+
 def test_connected_components(spark):
     from changegen_spark.functions.clustering import connected_components
 
@@ -54,6 +56,7 @@ def test_keep_best_prefers_longest_then_min_id(spark):
     assert got[1]["keep"] is False and got[2]["keep"] is False
 
 
+@pytest.mark.slow
 def test_cc_deep_chain_converges_and_cap_raises(spark):
     """r11: path-halving engages past HALVE_AFTER one-hop rounds, so a
     deep path graph converges within the default cap (the one-hop

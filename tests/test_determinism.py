@@ -2,9 +2,12 @@
 must produce byte-identical changefiles — id assignment, junction dedup,
 ordered reassembly, and the sink sort must all be shuffle-order-proof."""
 
+import pytest
+
 import os
 
 
+@pytest.mark.slow
 def test_pipeline_runs_are_byte_identical(spark, tmp_path):
     from changegen_spark.pipeline import generate_changes
     from changegen_spark.sinks.oscxml import write_osmchange

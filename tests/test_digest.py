@@ -60,6 +60,7 @@ def test_covered_set_matches_kinds_map():
     assert missing == []
 
 
+@pytest.mark.slow
 def test_kinds_match_live_schemas(spark, sf_dir):
     """The embedded kind of every covered column must equal the kind
     derived from the live Spark result schema.  On failure: rerun the

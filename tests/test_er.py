@@ -285,6 +285,7 @@ def test_sn_multi_superset_and_second_pass_contributes(spark):
     assert len(multi) <= 2 * n * (SN_WINDOW - 1)
 
 
+@pytest.mark.slow
 def test_sn_multi_eval_ceiling_dominates_single_pass(spark):
     """The union window ceiling must dominate the single pass's, and
     multi-pass recall must be at least single-pass recall (supersets)."""
@@ -298,6 +299,7 @@ def test_sn_multi_eval_ceiling_dominates_single_pass(spark):
     assert multi.recall_e6 <= multi.window_recall_e6
 
 
+@pytest.mark.slow
 def test_sn_refined_precision_up_recall_flat(spark):
     """r8 verdict #2 (gate-scale half): composing city refine with the
     multi-pass union must RAISE precision without touching recall or the
@@ -398,6 +400,7 @@ def test_sn_suffix_pass_reaches_block_broken_pair(spark):
     assert two <= three
 
 
+@pytest.mark.slow
 def test_sn_suffix_superset_budget_and_eval_dominates(spark):
     """Three-pass refined SN on the gate fixture: superset of the 2-pass
     refined pairs, candidates within 3·n·(w−1), and the eval's union
@@ -431,6 +434,7 @@ def test_sn_suffix_superset_budget_and_eval_dominates(spark):
     assert e3.precision_e6 == 1_000_000
 
 
+@pytest.mark.slow
 def test_er_golden_survivorship_invariants(spark):
     """Golden-record stage: full-table coverage (member counts sum to the
     source row count — singletons map to themselves), variant counts
@@ -459,6 +463,7 @@ def test_er_golden_survivorship_invariants(spark):
     assert len(multi_entities) > 0 and len(paired) >= 2 * len(multi_entities) - len(paired)
 
 
+@pytest.mark.slow
 def test_er_bcubed_matches_independent_python_recomputation(spark):
     """B³ must equal a from-scratch per-record computation (floor-e6
     semantics) over the SAME cluster mapping the query uses — catches
@@ -630,6 +635,7 @@ def test_new_er_family_plans_are_hash_joins_only(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
 
+@pytest.mark.slow
 def test_golden_full_rules_diverge_and_recompute(spark):
     """Full-attribute survivorship (r10 verdict #6): the three per-column
     rules must be genuinely different rules — on this fixture the
@@ -683,6 +689,7 @@ def test_golden_full_rules_diverge_and_recompute(spark):
         assert full[e].n_members == len(ms), e
 
 
+@pytest.mark.slow
 def test_bcubed_integer_arithmetic_survives_giant_clusters(spark):
     """r10-advice regression pin: the naive n_ct²·1e12 ordering wraps
     int64 once a cluster exceeds ~3,035 records (3035²·1e12 > 2⁶³);
@@ -877,6 +884,7 @@ def test_er_chain_audit_matches_independent_recomputation(spark):
     assert got.max_cluster_size == 2 and got.chain_pairs == 0
 
 
+@pytest.mark.slow
 def test_er_chain_merge_hazard_on_planted_chain(spark):
     """The hazard the audit watches, demonstrated: a—b—c where each edge
     passes lev ≤ 2 but lev(a, c) = 4 — CC merges all three, and the
@@ -1038,6 +1046,7 @@ def test_ambiguous_resolve_golden_includes_batch_entities(spark):
         assert parked not in golden
 
 
+@pytest.mark.slow
 def test_golden_retract_bridge_split_and_statuses(spark):
     """Retracting the planted BRIDGE record must SPLIT its cluster (the
     q_er_chain_audit hazard made load-bearing): {300,301,302} was one
@@ -1064,6 +1073,7 @@ def test_golden_retract_bridge_split_and_statuses(spark):
     assert set(got) == {102, 103, 104, 115, 300, 302}
 
 
+@pytest.mark.slow
 def test_golden_retract_is_local_to_touched_entities(spark):
     """Entities untouched by the delete batch must not appear in the
     delta at all, and a no-op delete batch produces an empty delta."""
@@ -1084,6 +1094,7 @@ def test_golden_retract_is_local_to_touched_entities(spark):
     ]
 
 
+@pytest.mark.slow
 def test_adversarial_regime_defeats_margin1_not_margin2(spark, tmp_path):
     """The strictly-closer-impostor corruption regime (r11 verdict #2):
     build_er_records' wrong merges are all exact ties (margin 1 removes
@@ -1151,6 +1162,7 @@ def test_adversarial_regime_defeats_margin1_not_margin2(spark, tmp_path):
             assert len(ambiguous) >= n_adv * 0.8
 
 
+@pytest.mark.slow
 def test_r12_er_plans_are_hash_joins_only(spark):
     """Scale pins for the r12 additions: the pool re-probe and the
     retraction delta must plan as hash/broadcast equi-joins — no
@@ -1351,6 +1363,7 @@ def test_drain_policy_algebra_on_random_scored_frames(spark):
         assert {k for k, (m, _) in out[p].items() if m == -1} == dry_ids
 
 
+@pytest.mark.slow
 def test_shadow_guard_dispositions_and_both_mechanisms(spark):
     """The batch twin of the streaming retraction-shadow guard pins
     every disposition over the fixture's {101, 105} delete batch: 400

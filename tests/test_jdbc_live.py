@@ -22,6 +22,11 @@ import pytest
 
 JAR_GLOB = "/root/.cache/coursier/**/duckdb_jdbc-*.jar"
 
+# Each test boots a fresh JVM subprocess against a live database (~90 s
+# of the full suite).  Gated so the driver's verify budget holds (r13
+# verdict #2); run with SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = pytest.mark.slow
+
 
 def _find_jar():
     hits = glob.glob(JAR_GLOB, recursive=True)

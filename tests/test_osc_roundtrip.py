@@ -2,6 +2,8 @@
 changeset exactly (modulo the sink's canonicalizations: empty→null
 collections, 9-dp coordinates)."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -25,6 +27,7 @@ def _canon(df):
     )
 
 
+@pytest.mark.slow
 def test_osc_write_read_roundtrip(spark, tmp_path):
     from changegen_spark.pipeline import generate_changes
     from changegen_spark.sinks.oscxml import write_osmchange

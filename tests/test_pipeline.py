@@ -44,6 +44,7 @@ def _counts(df):
     }
 
 
+@pytest.mark.slow
 def test_golden_counts(changeset):
     c = _counts(changeset)
     assert c[("create", "node")] == GOLDEN_CREATE_NODES
@@ -61,6 +62,7 @@ def test_ids_unique_dense_and_collision_free(changeset):
     assert new_ids == list(range(ID_OFFSET + 1, ID_OFFSET + 1 + n))
 
 
+@pytest.mark.slow
 def test_junction_nodes_shared_between_new_and_modified_ways(changeset):
     """The topological heart of changegen: every junction node id appears in
     ≥1 created way AND ≥1 modified way (node-sharing sanity check analog,
@@ -181,6 +183,7 @@ def test_xml_sink_gzip(changeset, tmp_path):
     assert "</osmChange>" in content
 
 
+@pytest.mark.slow
 def test_way_splitting_end_to_end(spark, tables):
     """Low node_limit forces W3 splitting inside the full pipeline: chunk
     ways share boundary nodes and cover all members."""
@@ -255,6 +258,7 @@ def test_collision_abort_restores_session_state(spark, tables):
     assert spark.conf.get("spark.sql.codegen.wholeStage") == prev
 
 
+@pytest.mark.slow
 def test_emit_osm_id_tag_reference_compat(spark, tables):
     """emit_osm_id_tag=True re-emits the source osm_id as a tag on modified
     intersecting ways (the reference's actual modify-path output,

@@ -2,6 +2,8 @@
 100 TB must hold in the physical plan, not just in intent (task brief:
 "would this plan survive a 100× scale-up?")."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -473,6 +475,20 @@ def test_dsir_broadcasts_ratio_and_takeordered_selection(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dsir_single_corpus_scan_behind_fence(spark, sf_dir):
+    """r14: every DSIR consumer (both distributions, the per-doc
+    weighting, the top-k self-reference) must read the ONE fenced
+    (doc_id, source, bucket, count) histogram — the r13 plan re-planned
+    the corpus tokenize+explode ~10 times across its duplicated
+    aggregate subtrees.  The fence shows as ExistingRDD; no parquet scan
+    may survive outside it."""
+    from changegen_spark.queries.mlprep import q_dsir_weights
+
+    plan = _plan(q_dsir_weights(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
 def test_hard_negatives_lsh_broadcasts_anchors_no_cartesian(spark, sf_dir):
     """The LSH hard-negative scale path must resolve every anchor-side
     join as a broadcast (the anchor sample is corpus/100 rows) and the
@@ -597,6 +613,7 @@ def test_win_matrix_is_join_free(spark, sf_dir):
     assert "ArrowEvalPython" not in plan  # h60 judgments stay JVM-side
 
 
+@pytest.mark.slow
 def test_two_phase_rank_sites_are_fenced(spark, sf_dir):
     """r9 postmortem pin: every two-phase rank/prefix site must keep its
     localCheckpoint fence (scan ExistingRDD in the plan) — without it,

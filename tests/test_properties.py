@@ -73,6 +73,7 @@ def test_grid_join_matches_bruteforce(sp, seed, radius):
     assert got == want
 
 
+@pytest.mark.slow
 @SET
 @given(seed=st.integers(min_value=0, max_value=10_000))
 def test_insertion_index_property(sp, seed):
@@ -121,6 +122,7 @@ def test_insertion_index_property(sp, seed):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_minhash_identical_docs_always_pair(sp, texts):
     """Identical texts must always share every band; distinct-signature
     pairs must be symmetric and id-ordered."""
@@ -141,6 +143,7 @@ def test_minhash_identical_docs_always_pair(sp, texts):
 @given(
     sizes=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8)
 )
+@pytest.mark.slow
 def test_pack_sequences_properties(sp, sizes):
     """Packing invariants for any doc-size sequence: offsets stay inside the
     budget, starts are the running sum, spans cover exactly the token range."""
@@ -174,6 +177,7 @@ def test_pack_sequences_properties(sp, sizes):
         start += n
 
 
+@pytest.mark.slow
 @SET
 @given(n=st.integers(min_value=1, max_value=300))
 def test_token_chunks_cover_all_tokens(sp, n):

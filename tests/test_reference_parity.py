@@ -105,6 +105,7 @@ def test_pbf_driver_spark_parity(spark):
         assert dict(tags) == dict(row["tags"])
 
 
+@pytest.mark.slow
 def test_reference_goldens(spark):
     """THE parity pin: all five reference goldens from the real fixture."""
     from changegen_spark.sources.refdata import reference_golden_counts

@@ -23,6 +23,7 @@ def tables_with_diagonal(spark):
     return tables
 
 
+@pytest.mark.slow
 def test_self_flag_adds_shared_junctions(spark, tables_with_diagonal):
     from changegen_spark.pipeline import generate_changes
 
@@ -67,6 +68,7 @@ def test_self_flag_adds_shared_junctions(spark, tables_with_diagonal):
     assert mods(with_self) == mods(base)
 
 
+@pytest.mark.slow
 def test_polygon_existing_not_modified(spark):
     """Reference parity (generator.py:836-847): junctions against a polygon
     'existing' feature are synthesized, but the polygon is never rebuilt —

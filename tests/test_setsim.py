@@ -2,6 +2,8 @@
 brute-force Python reference, threshold boundary exactness, and actual
 candidate pruning on a diverse-vocabulary fixture."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import changegen_spark.queries.setsim as ss
@@ -25,6 +27,7 @@ def _brute(docs, t_num=ss.T_NUM, t_den=ss.T_DEN, k=ss.SHINGLE_K):
     return out
 
 
+@pytest.mark.slow
 def test_setsim_matches_bruteforce(spark):
     docs = {
         1: "the quick brown fox jumps over the lazy dog",
@@ -66,6 +69,7 @@ def test_setsim_hot_token_pairs_rejected(spark):
     assert got == set(_brute(dict(rows)).keys())
 
 
+@pytest.mark.slow
 def test_setsim_diverse_fixture_collapses_candidates(spark):
     """On the diverse-vocabulary fixture the prefix filter must DEMONSTRATE
     its headline property (not just stay correct): candidates well under

@@ -1,9 +1,12 @@
 """Sharded (executor-side) XML sink must be byte-identical to the
 driver-side streaming sink."""
 
+import pytest
+
 import os
 
 
+@pytest.mark.slow
 def test_sharded_sink_byte_identical(spark, tmp_path):
     from changegen_spark.sinks.oscxml import write_osmchange, write_osmchange_sharded
     from changegen_spark.sources.osm import fixture_tables

@@ -136,6 +136,7 @@ def test_pq_codes_artifact_roundtrip(vectors, queries, tmp_path):
     assert persisted == inline
 
 
+@pytest.mark.slow
 def test_ivfpq_composite(vectors, queries):
     """IVF+PQ (the FAISS-style production composite): results must be a
     subset of the probed cells' members, deterministic across runs, and

@@ -2,7 +2,15 @@
 batch twins' results when run to completion over the finite file source
 (availableNow trigger) — the core Structured Streaming guarantee."""
 
+import pytest
+
 from pyspark.sql import functions as F
+
+# Every test here runs one or more streams to completion (multi-second
+# state-store micro-batches; the lifecycle/restart cases are minutes) —
+# 415+ s of the full suite's wall.  Gated so the driver's verify budget
+# holds (r13 verdict #2); run with SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = pytest.mark.slow
 
 
 def test_windowed_counts_stream_matches_batch(spark, sf_dir):

@@ -1,6 +1,8 @@
 """Streaming twins of the training-data prep family: batch parity over a
 finite file source (availableNow), the core Structured Streaming guarantee."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -92,6 +94,7 @@ def test_pii_scrub_stream_redacts(spark, tmp_path):
     assert got[1].n_email == got[1].n_phone == got[1].n_ip == 0
 
 
+@pytest.mark.slow
 def test_near_dup_hits_stream_static_join(spark, tmp_path):
     """Stream-static LSH band join: stream docs sharing a bucket with the
     persisted corpus emit hit events; batch applying the same function is
@@ -173,6 +176,7 @@ def test_dsir_weight_stream_matches_batch_query(spark, tmp_path, sf_dir):
     assert g == want and len(g) > 0
 
 
+@pytest.mark.slow
 def test_countmin_stream_matches_batch(spark, tmp_path):
     """The streaming count-min cells must equal the batch cells exactly
     (sum is the sketch merge law, so micro-batch splits cannot move a
@@ -210,6 +214,7 @@ def test_countmin_stream_matches_batch(spark, tmp_path):
         assert est >= r.n, (r.w, est, r.n)
 
 
+@pytest.mark.slow
 def test_reservoir_stream_matches_batch(spark, tmp_path, sf_dir):
     """The streaming per-source reservoir's FINAL emission (max n_seen per
     source) must equal the batch q_reservoir_per_source sample row-for-row

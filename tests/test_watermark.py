@@ -3,6 +3,8 @@ watermark must be dropped from append-mode windowed aggregation, while
 late-but-within-watermark rows still merge into their window — the
 property that bounds state at 100 TB stream scale."""
 
+import pytest
+
 import os
 import time
 
@@ -27,6 +29,7 @@ def _write_batch(spark, path, rows, mtime):
             os.utime(os.path.join(root, f), (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_batch(spark, tmp_path):
     from changegen_spark.streaming.events import windowed_counts_stream
 

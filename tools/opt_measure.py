@@ -18,7 +18,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r13")
+OUT = os.path.join(
+    os.path.dirname(__file__),
+    "..",
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
+)
 
 
 def main() -> int:
